@@ -1,0 +1,158 @@
+"""Native-expression scalar functions (SURVEY §2.5, C1-C12).
+
+Each mirrors a scalar of the reference but as a Spark ``Column``
+expression, so Catalyst folds them into whole-stage codegen — the hot
+path never leaves the JVM.
+
+Reference parity notes (file:line cites are into /root/reference):
+- C1  normalize_date_to_iso   <- etl/fact_attendance.py:20-45 (dup etl/marts.py:9-36)
+- C2/C3/C4 decimal-comma parse <- etl/fact_attendance.py:59-92,
+  etl/fact_song_time.py:28-40, etl/marts.py:39-47
+- C5  safe_str                <- etl/marts.py:50-53
+- C6  flag                    <- etl/alerts.py:15-28
+- C8  date_iso                <- etl/alerts.py:31-37
+- K3  normalize_name          <- etl/dim_chorister.py:30-36
+- C9  voice_part_and_active   <- etl/dim_chorister.py:157-177
+- C12 rate_icon               <- etl/alerts.py:186-192
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def normalize_date_to_iso(c: Column | str) -> Column:
+    """Normalize a messy date value to an ISO ``yyyy-MM-dd`` string.
+
+    Accepts, in priority order (same as the reference's C1):
+    1. Google-Sheets serial day number (epoch 1899-12-30) — any value
+       that casts to a number;
+    2. ISO prefix ``YYYY-MM-DD...`` — first 10 chars taken verbatim;
+    3. ``d.m.yy`` / ``dd.mm.yyyy`` with a century window: 2-digit years
+       <50 -> 20xx, >=50 -> 19xx.
+    Unparseable -> empty string (the reference returns "" rather than
+    null; callers that want null use nullif).
+    """
+    s = F.trim(_col(c).cast("string"))
+    serial = s.try_cast("double")
+    iso_like = s.rlike(r"^\d{4}-\d{2}-\d{2}")
+    dmy = F.regexp_extract(s, r"^(\d{1,2})\.(\d{1,2})\.(\d{2,4})$", 0)
+    day = F.regexp_extract(s, r"^(\d{1,2})\.", 1).try_cast("int")
+    month = F.regexp_extract(s, r"^\d{1,2}\.(\d{1,2})\.", 1).try_cast("int")
+    year_raw = F.regexp_extract(s, r"\.(\d{2,4})$", 1).try_cast("int")
+    year = (
+        F.when(year_raw < 50, year_raw + 2000)
+        .when(year_raw < 100, year_raw + 1900)
+        .otherwise(year_raw)
+    )
+    dmy_date = F.try_to_date(
+        F.format_string("%04d-%02d-%02d", year, month, day), "yyyy-MM-dd"
+    )
+    out = (
+        F.when(s.isNull() | (s == ""), F.lit(""))
+        .when(
+            serial.isNotNull(),
+            F.date_add(F.to_date(F.lit("1899-12-30")), serial.cast("int")).cast(
+                "string"
+            ),
+        )
+        .when(iso_like, F.substring(s, 1, 10))
+        .when(
+            (dmy != "") & dmy_date.isNotNull(),
+            dmy_date.cast("string"),
+        )
+        .otherwise(F.lit(""))
+    )
+    return F.coalesce(out, F.lit(""))
+
+
+def normalize_date(c: Column | str) -> Column:
+    """Same as :func:`normalize_date_to_iso` but typed ``date`` (null on fail).
+
+    Our engine keeps real DateType end-to-end (SURVEY §7.4 item 4); the
+    ISO-string variant exists for byte-level parity tests only.
+    """
+    return F.try_to_date(F.nullif(normalize_date_to_iso(c), F.lit("")))
+
+
+def parse_decimal_comma(c: Column | str) -> Column:
+    """Lenient numeric parse accepting comma decimals: ``"2,5"`` -> 2.5.
+
+    Unparseable -> null. Strictness (the reference raises on bad
+    chorister cells) is layered on top by quality.validate_or_raise.
+    """
+    s = F.trim(_col(c).cast("string"))
+    return F.regexp_replace(s, ",", ".").try_cast("double")
+
+
+def safe_float(c: Column | str, default: float = 0.0) -> Column:
+    """Lenient float with default (reference C4)."""
+    return F.coalesce(parse_decimal_comma(c), F.lit(default))
+
+
+def safe_str(c: Column | str) -> Column:
+    """None -> "", else trimmed string (reference C5)."""
+    return F.coalesce(F.trim(_col(c).cast("string")), F.lit(""))
+
+
+def flag(c: Column | str) -> Column:
+    """Coerce bool/int/float/string truthiness to int 0/1 (reference C6).
+
+    Truthy: non-zero numbers, "TRUE"/"1"/"YES" (case/space-insensitive).
+    """
+    s = F.upper(F.trim(_col(c).cast("string")))
+    num = s.try_cast("double")
+    return (
+        F.when(_col(c).isNull(), F.lit(0))
+        .when(num.isNotNull(), F.when(num != 0.0, 1).otherwise(0))
+        .when(s.isin("TRUE", "YES"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def date_iso(c: Column | str) -> Column:
+    """First 10 chars of a trimmed string date; null/"" -> "" (reference C8)."""
+    s = F.trim(_col(c).cast("string"))
+    return F.when(s.isNull() | (s == ""), F.lit("")).otherwise(F.substring(s, 1, 10))
+
+
+def normalize_name(c: Column | str) -> Column:
+    """Lower, trim, whitespace->_, strip non-word chars; Unicode-aware (K3).
+
+    Java regex character classes are ASCII-only unless the (?U) flag is
+    set — without it Cyrillic names would be stripped to nothing.
+    """
+    out = F.lower(F.trim(_col(c)))
+    out = F.regexp_replace(out, r"(?U)\s+", "_")
+    return F.regexp_replace(out, r"(?U)[^\w_]+", "")
+
+
+def voice_part_and_active(tag: Column | str) -> Column:
+    """Derive struct(voice_part string, is_active boolean) from Tag (C9).
+
+    Tags starting with ``ex`` (case-insensitive) mean the member left:
+    is_active=false and the part is what follows after stripping
+    ``-``/space/``_`` separators. Otherwise active, part = lower(tag).
+    """
+    raw = F.trim(_col(tag))
+    is_ex = F.lower(raw).startswith("ex")
+    after_ex = F.regexp_replace(F.substring(raw, 3, 1 << 20), r"^[-_ ]+", "")
+    part = F.when(is_ex, F.lower(F.trim(after_ex))).otherwise(F.lower(raw))
+    return F.struct(
+        part.alias("voice_part"), (~is_ex).alias("is_active")
+    )
+
+
+def rate_icon(pct: Column | str) -> Column:
+    """Percentage -> status icon: <50 red, <=65 yellow, else green (C12)."""
+    p = _col(pct)
+    return (
+        F.when(p < 50, F.lit("\U0001f534"))
+        .when(p <= 65, F.lit("\U0001f7e1"))
+        .otherwise(F.lit("\U0001f7e2"))
+    )

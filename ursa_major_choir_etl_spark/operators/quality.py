@@ -1,0 +1,114 @@
+"""Data-quality operators (SURVEY §2.10, incl. the E5 `bad_cells`
+quarantine the reference spec'd but never implemented —
+docs/data_contract.md:195-206).
+
+`bad_cells` is a side output: the same melt that feeds the facts,
+filtered to cells that fail their parse rule, written append-mode so a
+failed run leaves forensics behind. One row per invalid source cell:
+(entity_type, tag, who, rehearsal_date, raw_value, error_reason, run_ts).
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ursa_major_choir_etl_spark.functions.columns import parse_decimal_comma
+from ursa_major_choir_etl_spark.operators.dims import chorister_rows, song_rows
+from ursa_major_choir_etl_spark.operators.facts import (
+    date_columns_iso,
+    raw_date_headers,
+)
+
+BAD_CELLS_COLUMNS = [
+    "entity_type",
+    "tag",
+    "who",
+    "rehearsal_date",
+    "raw_value",
+    "error_reason",
+    "run_ts",
+]
+
+
+def build_bad_cells(raw: DataFrame, run_ts: str) -> DataFrame:
+    """All source cells that violate their entity's parse contract.
+
+    Chorister cells: non-empty must parse as a non-negative number
+    (strict E1 rule). Song cells: non-numeric non-empty cells are
+    quarantined (the reference silently skips them — here they become
+    observable without changing fact_song_time's semantics).
+    """
+    spark = raw.sparkSession
+    empty = spark.createDataFrame([], ", ".join(f"{c} string" for c in BAD_CELLS_COLUMNS))
+    if not {"Tag", "Who"} <= set(raw.columns):
+        return empty
+
+    def melt(rows: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+        m = rows.unpivot(
+            ids=["_tag_out", "_who_out"],
+            values=[f"`{h}`" for h, _ in pairs],
+            variableColumnName="raw_header",
+            valueColumnName="raw_value",
+        )
+        iso_map = F.create_map(
+            *list(chain.from_iterable((F.lit(h), F.lit(d)) for h, d in pairs))
+        )
+        return m.withColumn("rehearsal_date", iso_map[F.col("raw_header")])
+
+    parsed = parse_decimal_comma("raw_value")
+    nonempty = F.col("raw_value").isNotNull() & (F.trim(F.col("raw_value")) != "")
+
+    out = []
+    iso_pairs = date_columns_iso(raw)
+    if iso_pairs:
+        ch = chorister_rows(raw).withColumn("_tag_out", F.col("_tag")).withColumn(
+            "_who_out", F.col("full_name")
+        )
+        bad_ch = (
+            melt(ch, iso_pairs)
+            .filter(nonempty & (parsed.isNull() | (parsed < 0)))
+            .select(
+                F.lit("chorister").alias("entity_type"),
+                F.col("_tag_out").alias("tag"),
+                F.col("_who_out").alias("who"),
+                "rehearsal_date",
+                F.col("raw_value").cast("string").alias("raw_value"),
+                F.when(parsed < 0, F.lit("negative hours"))
+                .otherwise(F.lit("not a number"))
+                .alias("error_reason"),
+                F.lit(run_ts).alias("run_ts"),
+            )
+        )
+        out.append(bad_ch)
+
+    raw_pairs = [(h, h) for h in raw_date_headers(raw)]
+    if raw_pairs:
+        so = (
+            song_rows(raw)
+            .withColumn("_tag_out", F.trim("Tag"))
+            .withColumn("_who_out", F.trim(F.coalesce(F.col("Who"), F.lit(""))))
+        )
+        bad_song = (
+            melt(so, raw_pairs)
+            .filter(nonempty & parsed.isNull())
+            .select(
+                F.lit("song").alias("entity_type"),
+                F.col("_tag_out").alias("tag"),
+                F.col("_who_out").alias("who"),
+                "rehearsal_date",
+                F.col("raw_value").cast("string").alias("raw_value"),
+                F.lit("not a number").alias("error_reason"),
+                F.lit(run_ts).alias("run_ts"),
+            )
+        )
+        out.append(bad_song)
+
+    if not out:
+        return empty
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

@@ -1,0 +1,228 @@
+"""End-to-end pipeline (reference EP1: etl/main.py:146-347).
+
+RAW wide sheet -> dims -> facts -> (materialize) -> marts -> alerts ->
+etl_log. Stage boundaries materialize to Parquet, mirroring the
+reference's write-then-re-read through storage (etl/main.py:87-91) —
+which also gives each layer independent restartability at scale.
+
+E4 run-status capture: any exception marks the run failed, truncates
+the message to 500 chars, and still appends the audit row
+(etl/main.py:295-347).
+"""
+
+from __future__ import annotations
+
+import argparse
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ursa_major_choir_etl_spark.alerts import format_alert_message, send_telegram_message
+from ursa_major_choir_etl_spark.operators.analytics import (
+    compute_attendance_rate,
+    compute_missed_streaks,
+)
+from ursa_major_choir_etl_spark.operators.dims import (
+    build_dim_chorister,
+    build_dim_chorister_assignment,
+    build_dim_song,
+    chorister_id_by_key,
+)
+from ursa_major_choir_etl_spark.operators.facts import (
+    build_fact_attendance,
+    build_fact_song_time,
+)
+from ursa_major_choir_etl_spark.operators.marts import (
+    build_mart_attendance,
+    build_mart_chorister_song,
+    build_mart_song_rehearsal,
+)
+from ursa_major_choir_etl_spark.operators.quality import build_bad_cells
+from ursa_major_choir_etl_spark.session import get_spark
+from ursa_major_choir_etl_spark.sources.io import (
+    append_parquet,
+    overwrite_parquet,
+    read_parquet_table,
+    read_wide_sheet_csv,
+    validate_tables_exist,
+)
+
+MART_INPUT_TABLES = [
+    "dim_chorister",
+    "dim_chorister_assignment",
+    "dim_song",
+    "fact_attendance",
+    "fact_song_time",
+]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    raw_path: str,
+    warehouse: str,
+    alerts_enabled: bool = False,
+    alerts_dry_run: bool = True,
+    lookback_weeks: int = 12,
+    streak_threshold: int = 3,
+    telegram_token: str = "",
+    telegram_chat_id: str = "",
+) -> dict:
+    """Full EP1 run. Returns the audit row as a dict."""
+    status = "success"
+    error_message = ""
+    counts: dict[str, int] = {}
+    try:
+        raw = read_wide_sheet_csv(spark, raw_path)
+        raw.cache()  # one scan feeds all five builders (etl/main.py:190-194)
+
+        run_ts = datetime.now(timezone.utc).isoformat(timespec="seconds")
+
+        dim_chorister = build_dim_chorister(raw, run_ts)
+        overwrite_parquet(dim_chorister, warehouse, "dim_chorister")
+        dim_chorister = read_parquet_table(spark, warehouse, "dim_chorister")
+        counts["rows_dim_chorister"] = dim_chorister.count()
+
+        assignment = build_dim_chorister_assignment(raw, dim_chorister)
+        overwrite_parquet(assignment, warehouse, "dim_chorister_assignment")
+        counts["rows_dim_chorister_assignment"] = read_parquet_table(
+            spark, warehouse, "dim_chorister_assignment"
+        ).count()
+
+        dim_song = build_dim_song(raw, run_ts)
+        overwrite_parquet(dim_song, warehouse, "dim_song")
+        dim_song = read_parquet_table(spark, warehouse, "dim_song")
+        counts["rows_dim_song"] = dim_song.count()
+
+        bad_cells = build_bad_cells(raw, run_ts)
+        append_parquet(bad_cells, warehouse, "bad_cells")
+
+        keys = chorister_id_by_key(dim_chorister)
+        fact_attendance = build_fact_attendance(raw, keys, run_ts)
+        overwrite_parquet(fact_attendance, warehouse, "fact_attendance")
+        counts["rows_fact_attendance"] = read_parquet_table(
+            spark, warehouse, "fact_attendance"
+        ).count()
+
+        fact_song_time = build_fact_song_time(raw, dim_song, run_ts)
+        overwrite_parquet(fact_song_time, warehouse, "fact_song_time")
+        counts["rows_fact_song_time"] = read_parquet_table(
+            spark, warehouse, "fact_song_time"
+        ).count()
+
+        build_marts(spark, warehouse)
+
+        if alerts_enabled:
+            _run_alerts(
+                spark,
+                warehouse,
+                dry_run=alerts_dry_run,
+                lookback_weeks=lookback_weeks,
+                streak_threshold=streak_threshold,
+                telegram_token=telegram_token,
+                telegram_chat_id=telegram_chat_id,
+            )
+    except Exception as exc:  # noqa: BLE001 — E4: log, don't crash the audit
+        status = "failed"
+        error_message = str(exc)[:500]
+
+    audit = {
+        "run_ts": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+        "status": status,
+        "rows_dim_chorister": counts.get("rows_dim_chorister", 0),
+        "rows_dim_chorister_assignment": counts.get(
+            "rows_dim_chorister_assignment", 0
+        ),
+        "rows_dim_song": counts.get("rows_dim_song", 0),
+        "rows_fact_attendance": counts.get("rows_fact_attendance", 0),
+        "rows_fact_song_time": counts.get("rows_fact_song_time", 0),
+        "error_message": error_message,
+    }
+    audit_df = spark.createDataFrame(
+        [tuple(audit.values())],
+        "run_ts string, status string, rows_dim_chorister long,"
+        " rows_dim_chorister_assignment long, rows_dim_song long,"
+        " rows_fact_attendance long, rows_fact_song_time long, error_message string",
+    )
+    append_parquet(audit_df, warehouse, "etl_log")
+    return audit
+
+
+def build_marts(spark: SparkSession, warehouse: str) -> None:
+    """EP2: mart-only refresh from materialized dims/facts
+    (reference: etl/main.py:73-108)."""
+    validate_tables_exist(spark, warehouse, MART_INPUT_TABLES)
+    dim_chorister = read_parquet_table(spark, warehouse, "dim_chorister")
+    assignment = read_parquet_table(spark, warehouse, "dim_chorister_assignment")
+    dim_song = read_parquet_table(spark, warehouse, "dim_song")
+    fact_attendance = read_parquet_table(spark, warehouse, "fact_attendance")
+    fact_song_time = read_parquet_table(spark, warehouse, "fact_song_time")
+
+    overwrite_parquet(
+        build_mart_attendance(dim_chorister, assignment, fact_attendance),
+        warehouse,
+        "mart_attendance",
+    )
+    overwrite_parquet(
+        build_mart_song_rehearsal(dim_song, fact_song_time),
+        warehouse,
+        "mart_song_rehearsal",
+    )
+    overwrite_parquet(
+        build_mart_chorister_song(
+            dim_chorister, assignment, dim_song, fact_attendance, fact_song_time
+        ),
+        warehouse,
+        "mart_chorister_song",
+    )
+
+
+def _run_alerts(
+    spark: SparkSession,
+    warehouse: str,
+    dry_run: bool,
+    lookback_weeks: int,
+    streak_threshold: int,
+    telegram_token: str,
+    telegram_chat_id: str,
+) -> str:
+    """EP3: streak + rate over mart_attendance, format, send or print."""
+    mart = read_parquet_table(spark, warehouse, "mart_attendance")
+    violators_df = compute_missed_streaks(mart, lookback_weeks, streak_threshold)
+    violators = [r.asDict() for r in violators_df.collect()]
+    rate = compute_attendance_rate(mart, lookback_weeks)
+    msg = format_alert_message(violators, lookback_weeks, streak_threshold, rate)
+    print("--- Alert message ---")
+    print(msg)
+    print("---")
+    if dry_run:
+        print("Alerts dry run: message not sent to Telegram.")
+    else:
+        send_telegram_message(telegram_token, telegram_chat_id, msg)
+    return msg
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="Choir ETL on Spark")
+    parser.add_argument("--raw", required=True, help="path to RAW wide-sheet CSV")
+    parser.add_argument("--out", required=True, help="warehouse output directory")
+    parser.add_argument("--alerts", action="store_true")
+    parser.add_argument("--no-dry-run", action="store_true")
+    parser.add_argument("--lookback-weeks", type=int, default=12)
+    parser.add_argument("--streak-threshold", type=int, default=3)
+    args = parser.parse_args()
+    spark = get_spark()
+    audit = run_pipeline(
+        spark,
+        raw_path=args.raw,
+        warehouse=args.out,
+        alerts_enabled=args.alerts,
+        alerts_dry_run=not args.no_dry_run,
+        lookback_weeks=args.lookback_weeks,
+        streak_threshold=args.streak_threshold,
+    )
+    print(audit)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""SparkSession factory with scale-ready defaults.
+
+The reference bootstraps one Sheets API client per run
+(reference: etl/gsheets.py:12-15, operator S1 in SURVEY §2.1); our
+equivalent engine bootstrap is the SparkSession. Defaults here are chosen
+for the 100 TB design target and are safe on local[N]:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic join-strategy switching (sort-merge -> broadcast when a
+  side turns out small).
+- dynamic partition overwrite: the reference's idempotent
+  clear-then-write sink (etl/gsheets.py:73-94) maps to overwriting only
+  the partitions a run produced, not the whole dataset.
+- Arrow on: any unavoidable Python boundary (pandas UDFs in the
+  extension operators) moves batches, not rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "ursa-major-choir-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    On a real cluster ``master`` comes from spark-submit; locally we
+    default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+
+    conf = {
+        # --- shuffle sizing -------------------------------------------------
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+        ),
+        # --- adaptive execution --------------------------------------------
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # --- idempotent overwrite at partition granularity ------------------
+        "spark.sql.sources.partitionOverwriteMode": "dynamic",
+        # --- Python boundary is Arrow-batched, never row-at-a-time ----------
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # --- scan sizing: keep file splits in executor-memory range ---------
+        "spark.sql.files.maxPartitionBytes": "128m",
+        # --- timezone-stable timestamps across engines -----------------------
+        "spark.sql.session.timeZone": "UTC",
+        # quieter local runs
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,101 @@
+"""Sources and sinks (SURVEY §2.1, S1-S12).
+
+The reference's storage is a Google Sheet reached over HTTPS
+(reference: etl/gsheets.py); ours is Parquet on a distributed
+filesystem. The mapping:
+
+- S2/S3 range/table scan            -> spark.read.csv / spark.read.parquet
+- S4 catalog listing                -> filesystem / catalog listing
+- S5 create-if-not-exists           -> implicit on first Parquet write
+- S6/S7 idempotent overwrite sink   -> write.mode("overwrite")
+- S8 append sink                    -> write.mode("append")
+- S9 header-on-first-write          -> intrinsic to Parquet schema
+- S11 connectivity probe            -> path existence / limit(0) read
+- S12 existence validation          -> validate_tables_exist
+
+Stable row ids: the wide sheet is control-plane-sized (a spreadsheet),
+but duplicate-name disambiguation (K1/K2) and the song positional zip
+(U4) depend on source row order — Spark DataFrames are unordered, so the
+ingest layer mints ``input_row_id`` (SURVEY §7.4 hard-part #1). For a
+single CSV file, ``monotonically_increasing_id`` is monotone in
+(partition, in-file offset), so a row_number ordered by it reproduces
+file order regardless of split count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+INPUT_ROW_ID = "input_row_id"
+
+#: Fixed leading columns of the RAW wide sheet; date columns follow by
+#: position (reference: etl/fact_attendance.py:16-17 DATE_COLUMNS_START_INDEX=4).
+RAW_FIXED_COLUMNS = ["Tag", "Joined", "tgid", "Who"]
+DATE_COLUMNS_START_INDEX = 4
+
+
+def read_wide_sheet_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Ingest the RAW wide sheet (S2/S3) with a stable ``input_row_id``.
+
+    All columns arrive as strings (the Sheets API shape); short rows pad
+    with nulls (reference pads with ""/None, etl/gsheets.py:134).
+    """
+    df = spark.read.option("header", True).option("inferSchema", False).csv(path)
+    w = Window.orderBy(F.monotonically_increasing_id())
+    return df.withColumn(INPUT_ROW_ID, F.row_number().over(w) - F.lit(1))
+
+
+def raw_date_columns(df: DataFrame) -> list[str]:
+    """Positional projection F7: raw header names from column index >= 4."""
+    return df.columns[DATE_COLUMNS_START_INDEX:]
+
+
+def has_required_columns(df: DataFrame, required: list[str]) -> bool:
+    """Missing-column degradation check F8 (reference returns an empty
+    table when Tag/Joined/Who are absent, e.g. etl/dim_chorister.py:77-78)."""
+    return set(required) <= set(df.columns)
+
+
+def read_parquet_table(spark: SparkSession, warehouse: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(warehouse, name))
+
+
+def overwrite_parquet(
+    df: DataFrame, warehouse: str, name: str, partition_by: list[str] | None = None
+) -> None:
+    """Idempotent overwrite sink (S6/S7). With ``partition_by`` and
+    partitionOverwriteMode=dynamic, only touched partitions rewrite —
+    the 100 TB-friendly version of the reference's clear-then-write."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(os.path.join(warehouse, name))
+
+
+def append_parquet(df: DataFrame, warehouse: str, name: str) -> None:
+    """Append sink (S8) — used by the etl_log audit table."""
+    df.write.mode("append").parquet(os.path.join(warehouse, name))
+
+
+def table_exists(spark: SparkSession, warehouse: str, name: str) -> bool:
+    """Existence probe (S11): cheap schema-only read attempt."""
+    try:
+        spark.read.parquet(os.path.join(warehouse, name)).schema
+        return True
+    except Exception:
+        return False
+
+
+def validate_tables_exist(
+    spark: SparkSession, warehouse: str, names: list[str]
+) -> None:
+    """S12: fail fast if any required upstream table is missing
+    (reference: etl/main.py:79-85)."""
+    missing = [n for n in names if not table_exists(spark, warehouse, n)]
+    if missing:
+        raise RuntimeError(
+            f"Missing required tables in {warehouse!r}: {', '.join(sorted(missing))}"
+        )

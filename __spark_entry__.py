@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query (q01 pricing summary) at sf0.001.
+- ``queries()``: every implemented operator family from SURVEY.md §2
+  plus the LLM-pipeline extensions, as (spark, sf_dir) -> DataFrame.
+- ``oracle_sql()``: DuckDB SQL recomputing each query bit-for-bit
+  (omitted only for the two genuinely approximate/plumbing-only ops).
+
+See ursa_major_choir_etl_spark/plans/queries.py for the registry and
+the SURVEY §2 coverage map.
 """
 
 from __future__ import annotations
@@ -16,23 +19,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from ursa_major_choir_etl_spark.plans.queries import q01_pricing_summary
+
+    return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ursa_major_choir_etl_spark.plans.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ursa_major_choir_etl_spark.plans.queries import ORACLES
+
+    return {k: v for k, v in ORACLES.items() if v is not None}

@@ -1,0 +1,121 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every queries() entry at a given sf_dir AND its oracle_sql()
+through DuckDB, compares row count, column names, and an
+order-insensitive value hash (rows sorted, columns sorted by name,
+values stringified with float rounding).
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def canon_value(v) -> str:
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    return str(v)
+
+
+def canon_rows(cols: list[str], rows: list[tuple]) -> list[str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = ["|".join(canon_value(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from ursa_major_choir_etl_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="check-oracles")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        spark_cols = df.columns
+        spark_rows = [tuple(r) for r in df.collect()]
+        t_spark = time.time() - t0
+
+        if name not in oracles:
+            print(f"{name:32s} rows={len(spark_rows):7d} [rows-only] {t_spark:5.1f}s")
+            if len(spark_rows) == 0:
+                failures.append((name, "rows-only query returned 0 rows"))
+            continue
+
+        t0 = time.time()
+        res = con.execute(oracles[name])
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = res.fetchall()
+        t_duck = time.time() - t0
+
+        problems = []
+        if sorted(spark_cols) != sorted(duck_cols):
+            problems.append(f"schema: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        if len(spark_rows) != len(duck_rows):
+            problems.append(f"rowcount: spark={len(spark_rows)} duck={len(duck_rows)}")
+        if not problems:
+            a = canon_rows(spark_cols, spark_rows)
+            b = canon_rows(duck_cols, duck_rows)
+            if a != b:
+                diffs = [
+                    (x, y) for x, y in zip(a, b) if x != y
+                ][:3]
+                sa, sb = set(a), set(b)
+                problems.append(
+                    f"values: {len(sa - sb)} spark-only / {len(sb - sa)} duck-only;"
+                    f" first diffs {diffs}"
+                )
+        status = "OK " if not problems else "FAIL"
+        print(
+            f"{name:32s} rows={len(spark_rows):7d} [{status}]"
+            f" spark={t_spark:5.1f}s duck={t_duck:5.1f}s"
+        )
+        for p in problems:
+            print(f"    !! {p}")
+            failures.append((name, p))
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES")
+        sys.exit(1)
+    print("all queries match")
+
+
+if __name__ == "__main__":
+    main()

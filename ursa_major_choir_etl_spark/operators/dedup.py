@@ -1,0 +1,217 @@
+"""Deduplication operators for LLM-data pipelines (north-star set).
+
+Five families, each distributed-by-construction:
+
+- exact:       hash-groupBy on a normalization fingerprint (1 shuffle)
+- minhash+LSH: shingle -> md5 minhash signature -> banded bucket join;
+               only same-bucket pairs get a true-Jaccard verification
+- simhash:     per-bit majority vote over token hashes; Hamming-near
+               buckets join on rotated prefixes
+- n-gram Jaccard: inverted shingle index self-join (classic candidate
+               generation) with exact Jaccard on candidates
+- embedding cosine: see operators/similarity.py (near_duplicate_pairs)
+
+Determinism: all hashing is md5-derived (portable across engines) and
+every window orders by an explicit key — no engine-native hash()/rand().
+
+Scale notes: the shingle explode multiplies rows by ~tokens/doc; the
+inverted-index join is the textbook quadratic risk, so hot shingles are
+capped (df cap) exactly like production MinHash pipelines drop
+stop-shingles. LSH band width tunes recall/cost without changing shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ursa_major_choir_etl_spark.operators.text import normalized_text, tokens
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on normalized text: one row per distinct content,
+    with the kept (minimum) id and the duplicate count."""
+    return (
+        df.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = tokens(normalized_text(text_col))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    shingle_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per doc: minhash_k = min(md5(k || ':' || shingle)).
+
+    md5-as-permutation is the portable stand-in for the (a*x+b) mod p
+    family; lexicographic min over hex strings is a valid min-order.
+    Output: (id, mh_0 .. mh_{num_hashes-1}).
+    """
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(k)), F.col("shingle")))).alias(f"mh_{k}")
+        for k in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded LSH: docs agreeing on ALL rows of any band become a
+    candidate pair (id_a < id_b). One narrow explode + one equi-join
+    per plan — the 100 TB path (no all-pairs comparison)."""
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+        ).alias("band_key")
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    candidates: DataFrame | None = None,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    hot_shingle_cap: int = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs.
+
+    Without ``candidates``, pairs come from the inverted shingle index
+    (docs sharing >= 1 shingle); shingles appearing in more than
+    ``hot_shingle_cap`` docs are dropped from candidate GENERATION
+    (stop-shingles would produce a quadratic blowup) but still count in
+    the exact |intersection|/|union| arithmetic.
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+
+    if candidates is None:
+        doc_freq = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
+        rare = shingles.join(
+            doc_freq.filter(F.col("df") <= hot_shingle_cap), on="shingle"
+        ).select(id_col, "shingle")
+        l, r = rare.alias("l"), rare.alias("r")
+        candidates = (
+            l.join(
+                r,
+                (F.col("l.shingle") == F.col("r.shingle"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+            )
+            .distinct()
+        )
+
+    both = shingles.alias("a").join(
+        shingles.alias("b"),
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    inter = (
+        both.join(
+            candidates,
+            (F.col(f"a.{id_col}") == F.col("id_a"))
+            & (F.col(f"b.{id_col}") == F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz_a = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a")
+    )
+    sz_b = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b")
+    )
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per document, engine-portable.
+
+    Bit j of a token = (hex digit j of md5(token) >= 8) — i.e. the top
+    bit of each md5 nibble. Document bit j = majority vote weighted by
+    token frequency. Output: (id, simhash string of 32 bits).
+
+    Not cryptographically ideal, but: pure md5 + substring + CASE, so
+    an ANSI-SQL oracle reproduces it bit-for-bit.
+    """
+    tok = tokens(normalized_text(text_col))
+    exploded = df.select(F.col(id_col), F.explode(tok).alias("token"))
+    hashed = exploded.withColumn("h", F.md5("token"))
+    votes = [
+        F.sum(
+            F.when(
+                F.instr(F.lit("89abcdef"), F.substring("h", j + 1, 1)) > 0, 1
+            ).otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(32)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    bits = F.concat(
+        *[F.when(F.col(f"v_{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(32)]
+    )
+    return agg.select(F.col(id_col), bits.alias("simhash"))

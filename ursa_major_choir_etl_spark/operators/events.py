@@ -1,0 +1,157 @@
+"""Event-stream operators, batch form (SURVEY §7.2 step 8).
+
+Tumbling/sliding windows and sessionization over the events table.
+Batch-first: the same logic re-expressed over readStream lives in
+streaming/. All arithmetic is on unix microseconds (exact integers) so
+SQL oracles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_window_agg(
+    events: DataFrame, ts_col: str = "ts", unit: str = "hour"
+) -> DataFrame:
+    """Tumbling window (count, sum(value)) per (window_start, event_type)."""
+    return (
+        events.groupBy(
+            F.date_trunc(unit, F.col(ts_col)).cast("string").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame, ts_col: str = "ts", hours: int = 2
+) -> DataFrame:
+    """Sliding window (len=``hours``h, slide=1h): each event lands in
+    ``hours`` buckets. Expressed as an explode over the covering hour
+    starts (identical algebra to Spark's window(ts, '2 hours', '1 hour'),
+    but portable to the SQL oracle)."""
+    starts = F.array(
+        *[
+            F.date_trunc("hour", F.col(ts_col)) - F.expr(f"INTERVAL {h} HOUR")
+            for h in range(hours)
+        ]
+    )
+    return (
+        events.withColumn("window_start", F.explode(starts))
+        .groupBy(F.col("window_start").cast("string").alias("window_start"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to
+    the previous event of the same user exceeds ``gap_minutes``.
+
+    Classic lag + running-sum windows, partitioned by user — the 100 TB
+    shape (state never leaves the user partition).
+    Output per session: user_id, session_id (ordinal), n_events,
+    session_secs (rounded to 3).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_us = gap_minutes * 60 * 1_000_000
+    new_session = F.when(
+        (us - F.lag(us).over(w)).isNull() | ((us - F.lag(us).over(w)) > gap_us), 1
+    ).otherwise(0)
+    with_session = events.withColumn(
+        "session_id", F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_session.groupBy(user_col, "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                (F.max(us) - F.min(us)).cast("double") / 1_000_000.0, 3
+            ).alias("session_secs"),
+        )
+    )
+
+
+def trailing_streak(
+    events: DataFrame,
+    match_type: str = "error",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """W2-pattern trailing streak: per user, how many consecutive most
+    recent events are of ``match_type`` (stop at first other event).
+    Only users with a streak >= 1 are emitted.
+
+    Same gaps-and-islands shape as the choir alert engine
+    (operators/analytics.py) — re-targeted at the events table.
+    """
+    w_desc = Window.partitionBy(user_col).orderBy(F.col(ts_col).desc())
+    w_all = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ranked = events.withColumn("rn", F.row_number().over(w_desc)).withColumn(
+        "first_break",
+        F.min(F.when(F.col("event_type") != match_type, F.col("rn"))).over(w_all),
+    )
+    return (
+        ranked.filter(F.col("first_break").isNull() | (F.col("rn") < F.col("first_break")))
+        .groupBy(user_col)
+        .agg(F.count("*").alias("streak_len"))
+    )
+
+
+def asof_prior_event(
+    left: DataFrame,
+    right: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """As-of join (J2 pattern, generic): for each left event, the most
+    recent right event of the same user with right.ts <= left.ts.
+
+    Equi-join on user + range predicate + max_by — the same plan shape
+    as the choir as-of assignment join, keyed on the natural partition
+    column so the shuffle is on user_id only.
+    """
+    l = left.select(
+        F.col("event_id").alias("event_id"),
+        F.col(user_col).alias(user_col),
+        F.col(ts_col).alias("_lts"),
+    )
+    r = right.select(
+        F.col(user_col).alias(user_col),
+        F.col("event_id").alias("_r_event_id"),
+        F.col(ts_col).alias("_rts"),
+    )
+    joined = l.join(r, on=user_col, how="left").filter(
+        F.col("_rts").isNull() | (F.col("_rts") <= F.col("_lts"))
+    )
+    # The filter can drop all right rows for an event; re-attach via
+    # group on the left key (max_by keeps the latest prior).
+    agg = joined.groupBy("event_id", user_col, "_lts").agg(
+        F.max_by("_r_event_id", "_rts").alias("prior_event_id"),
+        F.max("_rts").alias("prior_ts"),
+    )
+    out = l.join(agg.select("event_id", "prior_event_id", "prior_ts"), on="event_id", how="left")
+    return out.select(
+        "event_id",
+        user_col,
+        F.col("_lts").cast("string").alias("ts"),
+        "prior_event_id",
+        F.col("prior_ts").cast("string").alias("prior_ts"),
+    )

@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (north-star set).
+
+- cosine_topk:            brute-force exact top-k for a (small) query
+                          set — broadcast the queries, scan the corpus
+                          once, rank per query. The correctness
+                          baseline.
+- near_duplicate_pairs:   all-pairs cosine >= threshold (bounded input)
+- lsh_topk:               the scale path — random-hyperplane LSH
+                          bucketing via pyspark.ml's
+                          BucketedRandomProjectionLSH; candidate
+                          generation is a bucket join, not a cross
+                          product.
+
+Vector math stays in the JVM: dot products via F.zip_with +
+F.aggregate over array<float> columns. No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    ``queries`` is broadcast (a query batch is small by definition);
+    the corpus is scanned once — at 100 TB this is one map-side pass
+    plus a per-query top-k, no shuffle of the corpus itself.
+    Self-matches (same id) are excluded.
+    Output: (query_id, neighbor_id, cosine_sim, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+def near_duplicate_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup: pairs with cosine >= threshold, id_a < id_b.
+
+    All-pairs form — use for bounded inputs or within LSH buckets; the
+    unbounded path is lsh_topk's bucketed candidates.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("_va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("_vb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane bucketing
+    (pyspark.ml BucketedRandomProjectionLSH over euclidean distance;
+    for unit-normalized vectors euclidean rank == cosine rank).
+
+    The scale path: candidates come from hash-bucket equi-joins.
+    Output: (query_id, neighbor_id, dist, rank) — approximate, so no
+    SQL oracle; validated by containment tests against cosine_topk.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.sql import Window
+
+    to_vec = F.udf(lambda arr: Vectors.dense(arr), VectorUDT())
+
+    def norm_vec(df: DataFrame, out: str) -> DataFrame:
+        arr = F.col(vec_col).cast("array<double>")
+        n = l2_norm(arr)
+        return df.select(
+            F.col(id_col),
+            to_vec(F.transform(arr, lambda x: x / n)).alias(out),
+        )
+
+    c = norm_vec(corpus, "features")
+    q = norm_vec(queries, "features")
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    ).fit(c)
+    joined = model.approxSimilarityJoin(q, c, 2.0, distCol="dist")
+    pairs = joined.select(
+        F.col(f"datasetA.{id_col}").alias("query_id"),
+        F.col(f"datasetB.{id_col}").alias("neighbor_id"),
+        F.round("dist", 6).alias("dist"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,128 @@
+"""Text-analysis operators for LLM-data pipelines (north-star set).
+
+All native Spark expressions — token counting, quality scoring,
+language ID, and fingerprinting run JVM-side inside whole-stage
+codegen, so a 100 TB documents table never crosses the Python boundary.
+
+Cross-engine determinism: every derived value is reproducible in ANSI
+SQL (the DuckDB oracles recompute them), so hashes/ratios avoid
+engine-specific RNG or hash functions — md5 for fingerprints,
+regex-split token counts, fixed stopword lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword marker sets for the n-gram/stopword
+#: language-ID heuristic. Deliberately small and fixed: the heuristic
+#: is the spec, and the oracle recomputes it verbatim.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "y", "es"],
+    "ru": ["и", "в", "не", "на", "что"],
+}
+
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (array<string>); empty text -> empty array."""
+    t = F.trim(F.col(text) if isinstance(text, str) else text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_piece_count(text: Column | str) -> Column:
+    """BPE-ish subword proxy: count of word/number/punct pieces, the
+    way a byte-pair pre-tokenizer splits (letters runs, digit runs,
+    punctuation singles). A cheap, deterministic token estimator."""
+    t = F.col(text) if isinstance(text, str) else text
+    pieces = F.regexp_extract_all(t, F.lit(r"([\p{L}\p{N}_]+|[^\p{L}\p{N}_\s])"), 0)
+    return F.size(pieces)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation chars / total chars (0.0 for empty)."""
+    t = F.col(text) if isinstance(text, str) else text
+    n = F.length(t)
+    punct = n - F.length(F.regexp_replace(t, r"[^\p{L}\p{N}_\s]", ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords (lowercased exact match)."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality score in [0,1]: length band + stopword signal
+    + punctuation sanity. Fixed weights; the formula IS the contract."""
+    n_tok = token_count(text).cast("double")
+    len_component = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    sw_component = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(text) * 4.0, F.lit(1.0))
+    return F.round(
+        0.5 * len_component + 0.3 * sw_component + 0.2 * (1.0 - punct_penalty), 6
+    )
+
+
+def language_id(text: Column | str) -> Column:
+    """Stopword-marker language ID: the language with the most marker
+    hits wins; ties and zero hits -> 'und'. Deterministic tie-break by
+    language code order of LANG_MARKERS."""
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+
+    def contains(arr):
+        return lambda x: F.array_contains(arr, x)
+
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        hits = F.size(F.filter(toks, contains(markers)))
+        improved = hits > best_hits
+        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(improved, hits).otherwise(best_hits)
+    return best_lang
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Dedup normalization: lowercase, strip non-word/space, collapse
+    whitespace, trim."""
+    t = F.lower(F.col(text) if isinstance(text, str) else text)
+    t = F.regexp_replace(t, r"[^\p{L}\p{N}_\s]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text. md5 (not
+    xxhash/murmur) so any engine can recompute it."""
+    return F.md5(normalized_text(text))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full stat block to a documents-like DataFrame."""
+    return (
+        df.withColumn("n_tokens", token_count(text_col))
+        .withColumn("n_pieces", bpe_ish_piece_count(text_col))
+        .withColumn("punct_ratio", F.round(punct_ratio(text_col), 6))
+        .withColumn("stopword_ratio", F.round(stopword_ratio(text_col), 6))
+        .withColumn("quality_score", quality_score(text_col))
+        .withColumn("lang_pred", language_id(text_col))
+        .withColumn("fingerprint", fingerprint(text_col))
+    )

@@ -1,0 +1,728 @@
+"""Query registry: every SURVEY §2 operator family re-expressed over
+the driver test tables, plus the LLM-pipeline extension operators.
+
+Each entry is a pure function (spark, sf_dir) -> DataFrame; ORACLES
+holds the DuckDB SQL that recomputes the same result (None = genuinely
+non-SQL-expressible, driver falls back to a rows-only check).
+
+Column-name contract: every computed column is aliased identically in
+the Spark plan and the oracle SQL (the driver sorts columns by name
+before hashing).
+
+Operator coverage map (SURVEY §2 ids -> query):
+  F1-F7 filters/projections ....... q01, q05, q06, q07
+  U1/U2 unpivot ................... q09
+  K1/K2 ordinal dedup ids ......... q10
+  J1/J3 broadcast lookup joins .... q02, q03
+  J2/W5 as-of join ................ q11
+  J4 date-key fan-out join ........ q04 (semi) / q03
+  A1-A8 aggregations .............. q01, q03, q05, q14
+  W1 window filter ................ q12 (anchor), q08
+  W2 trailing streak .............. q12
+  W3 latest-row pick .............. q08
+  O1-O5 sort/limit/set ............ q02, q08
+  dedup family .................... q18 (exact), q19 (minhash LSH),
+                                    q20 (n-gram jaccard), q21 (simhash),
+                                    q23 (embedding cosine)
+  similarity search ............... q22 (brute top-k), q24 (LSH, approx)
+  text analysis ................... q16 (stats), q17 (lang/quality)
+  event windows/sessions .......... q13 (sessionize), q14 (tumbling),
+                                    q15 (sliding)
+  multimodal plumbing ............. q25 (binary decode stub, mapInPandas)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ursa_major_choir_etl_spark.operators import dedup, events, similarity, text
+from ursa_major_choir_etl_spark.plans import oracles as osql
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Nanosecond parquet timestamps surface as long (see session.py);
+    # truncate to micros — exact integer DIV, no float precision loss.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+# --------------------------------------------------------------------------
+# Relational core (TPC-H-flavored)
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with full measure block.
+    Covers F-filters + A-aggregations; predicate pushes to parquet."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                4,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-style join chain + group + deterministic top-N (O1-O4)."""
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
+    )
+    return (
+        orders.join(rev, orders["o_orderkey"] == rev["l_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .orderBy(F.col("_rev").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "c_name",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.round("_rev", 4).alias("revenue"),
+        )
+    )
+
+
+ORACLE_Q02 = """
+SELECT o_orderkey, c_name, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       round(_rev, 4) AS revenue
+FROM (
+  SELECT o.o_orderkey, c.c_name, o.o_orderdate,
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS _rev
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2, 3
+)
+ORDER BY _rev DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join with broadcast dims (J1/J3/A4)."""
+    region = T(spark, sf_dir, "region")
+    nation = T(spark, sf_dir, "nation")
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+ORACLE_Q03 = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q04_priority_bulk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS): orders having at least one bulk line
+    (l_quantity > 45), counted per priority."""
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    bulk = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        orders.join(bulk, orders["o_orderkey"] == bulk["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+ORACLE_Q04 = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+
+def q05_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain projection + groupBy aggregate (F6/A4/A8)."""
+    cust = T(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        F.round(F.min("c_acctbal"), 4).alias("min_acctbal"),
+        F.round(F.max("c_acctbal"), 4).alias("max_acctbal"),
+    )
+
+
+ORACLE_Q05 = """
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(avg(c_acctbal), 4) AS avg_acctbal,
+       round(min(c_acctbal), 4) AS min_acctbal,
+       round(max(c_acctbal), 4) AS max_acctbal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q06_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight range filters -> single-row agg; the
+    whole plan should collapse into one scan with pushed filters."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue_delta"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_Q06 = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue_delta,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q07_brand_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions + multi-key aggregate over part."""
+    part = T(spark, sf_dir, "part")
+    return (
+        part.withColumn("type_head", F.split(F.col("p_type"), " ")[0])
+        .groupBy("p_brand", "type_head")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.round(F.avg("p_size"), 4).alias("avg_size"),
+        )
+    )
+
+
+ORACLE_Q07 = """
+SELECT p_brand, string_split(p_type, ' ')[1] AS type_head,
+       count(*) AS n_parts,
+       round(avg(p_retailprice), 4) AS avg_price,
+       round(avg(p_size), 4) AS avg_size
+FROM part GROUP BY 1, 2
+"""
+
+
+def q08_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 pattern: rank within group, keep top 3 (window + filter)."""
+    cust = T(spark, sf_dir, "customer")
+    nation = T(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "c_custkey", F.round("c_acctbal", 4).alias("c_acctbal"), "rk")
+    )
+
+
+ORACLE_Q08 = """
+SELECT n_name, c_custkey, round(c_acctbal, 4) AS c_acctbal, rk
+FROM (
+  SELECT n_name, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+WHERE rk <= 3
+"""
+
+
+def q09_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2 melt: pivot lineitem qty to a wide matrix (orderkey x
+    linenumber), melt it back, aggregate — the choir wide-sheet shape
+    on warehouse data."""
+    li = T(spark, sf_dir, "lineitem")
+    wide = (
+        li.filter(F.col("l_linenumber") <= 3)
+        .groupBy("l_orderkey")
+        .pivot("l_linenumber", [1, 2, 3])
+        .agg(F.sum("l_quantity"))
+    )
+    melted = wide.unpivot(
+        ids=["l_orderkey"],
+        values=["1", "2", "3"],
+        variableColumnName="linenumber",
+        valueColumnName="qty",
+    )
+    return (
+        melted.filter(F.col("qty").isNotNull())
+        .groupBy("linenumber")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("qty"), 4).alias("total_qty"),
+        )
+    )
+
+
+ORACLE_Q09 = """
+SELECT CAST(l_linenumber AS VARCHAR) AS linenumber,
+       count(DISTINCT l_orderkey) AS n_orders,
+       round(sum(l_quantity), 4) AS total_qty
+FROM lineitem
+WHERE l_linenumber <= 3
+GROUP BY 1
+"""
+
+
+def q10_ordinal_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/K2 pattern: first occurrence keeps the natural key, later
+    occurrences get a composite disambiguated id — the choir
+    chorister_id rule applied to (custkey -> orders)."""
+    orders = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    occ = F.row_number().over(w)
+    return orders.select(
+        "o_orderkey",
+        F.when(occ == 1, F.col("o_custkey").cast("string"))
+        .otherwise(
+            F.concat_ws(
+                " | ",
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderdate").cast("string"),
+            )
+        )
+        .alias("gen_id"),
+    )
+
+
+ORACLE_Q10 = """
+SELECT o_orderkey,
+       CASE WHEN row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) = 1
+            THEN CAST(o_custkey AS VARCHAR)
+            ELSE CAST(o_custkey AS VARCHAR) || ' | ' || CAST(o_orderdate AS VARCHAR)
+       END AS gen_id
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# Event-stream operators (batch form)
+# --------------------------------------------------------------------------
+
+def q11_asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/W5 as-of join: each purchase gets the latest prior click of
+    the same user."""
+    ev = T(spark, sf_dir, "events")
+    return events.asof_prior_event(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+
+
+ORACLE_Q11 = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, CAST(p.ts AS VARCHAR) AS ts,
+       max_by(c.event_id, c.ts) AS prior_event_id,
+       CAST(max(c.ts) AS VARCHAR) AS prior_ts
+FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+
+def q12_error_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 gaps-and-islands: trailing consecutive 'error' events per
+    user — the choir missed-streak engine on the events table."""
+    return events.trailing_streak(T(spark, sf_dir, "events"))
+
+
+ORACLE_Q12 = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+  FROM events
+),
+brk AS (
+  SELECT user_id, min(rn) AS brn FROM ranked
+  WHERE event_type <> 'error' GROUP BY user_id
+)
+SELECT r.user_id, count(*) AS streak_len
+FROM ranked r LEFT JOIN brk b USING (user_id)
+WHERE b.brn IS NULL OR r.rn < b.brn
+GROUP BY r.user_id
+"""
+
+
+def q13_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) -> per-session stats."""
+    return events.sessionize(T(spark, sf_dir, "events"), gap_minutes=30)
+
+
+ORACLE_Q13 = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0, 3) AS session_secs
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+def q14_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window aggregate per event type."""
+    return events.tumbling_window_agg(T(spark, sf_dir, "events"))
+
+
+ORACLE_Q14 = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q15_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h window totals (each event in 2 buckets)."""
+    return events.sliding_window_agg(T(spark, sf_dir, "events"), hours=2)
+
+
+ORACLE_Q15 = """
+SELECT CAST(ws AS VARCHAR) AS window_start, count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM (
+  SELECT unnest([date_trunc('hour', ts),
+                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+         value
+  FROM events
+)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+def q16_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/piece counts, punctuation+stopword ratios,
+    quality score, fingerprint — all JVM-side expressions."""
+    docs = T(spark, sf_dir, "documents")
+    return text.with_text_stats(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_pieces",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+        "lang_pred",
+        "fingerprint",
+    )
+
+
+def _oracle_q16() -> str:
+    return f"""
+SELECT doc_id,
+       {osql.token_count_sql('text')} AS n_tokens,
+       {osql.pieces_sql('text')} AS n_pieces,
+       round({osql.punct_ratio_sql('text')}, 6) AS punct_ratio,
+       round({osql.stopword_ratio_sql('text')}, 6) AS stopword_ratio,
+       {osql.quality_score_sql('text')} AS quality_score,
+       {osql.language_id_sql('text')} AS lang_pred,
+       {osql.fingerprint_sql('text')} AS fingerprint
+FROM documents
+"""
+
+
+def q17_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID rollup: docs + mean quality per predicted lang."""
+    docs = T(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("lang_pred", text.language_id("text"))
+        .withColumn("q", text.quality_score("text"))
+        .groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
+    )
+
+
+def _oracle_q17() -> str:
+    return f"""
+SELECT {osql.language_id_sql('text')} AS lang_pred,
+       count(*) AS n_docs,
+       round(avg({osql.quality_score_sql('text')}), 4) AS avg_quality
+FROM documents GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+def q18_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups on the normalization fingerprint."""
+    return dedup.exact_duplicate_groups(T(spark, sf_dir, "documents"))
+
+
+def _oracle_q18() -> str:
+    return f"""
+SELECT md5({osql.norm_text_sql('text')}) AS fingerprint,
+       min(doc_id) AS keep_id, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q19_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 perms) + 4-band LSH candidate pairs."""
+    sh = dedup.word_shingles(T(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    return dedup.lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+
+
+def _oracle_q19() -> str:
+    return f"""
+WITH {osql.shingles_cte_sql(3)},
+sigs AS ({osql.minhash_select_sql(8)}),
+{osql.lsh_bands_sql(8, 4)}
+"""
+
+
+def q20_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard >= 0.5 via inverted-index candidates."""
+    sh = dedup.word_shingles(T(spark, sf_dir, "documents"))
+    return dedup.jaccard_pairs(sh, threshold=0.5)
+
+
+def _oracle_q20() -> str:
+    return f"""
+WITH {osql.shingles_cte_sql(3)},
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM doc_shingles GROUP BY 1),
+freq AS (SELECT shingle, count(*) AS df FROM doc_shingles GROUP BY 1),
+rare AS (SELECT d.doc_id, d.shingle FROM doc_shingles d
+         JOIN freq USING (shingle) WHERE df <= 100),
+cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         FROM rare l JOIN rare r
+           ON l.shingle = r.shingle AND l.doc_id < r.doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM doc_shingles a
+  JOIN doc_shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_inter * 1.0 / (sa.n_shingles + sb.n_shingles - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter * 1.0 / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5
+"""
+
+
+def q21_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit md5-nibble SimHash per document."""
+    return dedup.simhash32(T(spark, sf_dir, "documents"))
+
+
+def _oracle_q21() -> str:
+    return osql.simhash_select_sql(32)
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+def q22_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for query vectors vec_id < 10."""
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+ORACLE_Q22 = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(qv::DOUBLE[], embedding::DOUBLE[])
+           / (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))
+              * sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS cs
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cs DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cs, 6) AS cosine_sim, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q23_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= 0.4, id_a < id_b.
+    (Threshold tuned to the synthetic embeddings' similarity range so
+    the check is non-vacuous.)"""
+    return similarity.near_duplicate_pairs(
+        T(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+ORACLE_Q23 = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+         AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+"""
+
+
+def q24_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-projection LSH (pyspark.ml).
+    Approximate by construction -> no SQL oracle (rows-only check);
+    recall vs q22 is asserted in tests."""
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q25_multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary column + Arrow-batched mapInPandas
+    decode stub (deterministic fake). Rows-only check — the point is
+    the schema/partitioning/batch shape, not the fake decoder."""
+    from ursa_major_choir_etl_spark.operators import multimodal
+
+    docs = T(spark, sf_dir, "documents")
+    blobs = multimodal.with_fake_blob(docs)
+    return multimodal.decode_image_metadata(blobs)
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_top_revenue_orders": q02_top_revenue_orders,
+    "q03_region_revenue": q03_region_revenue,
+    "q04_priority_bulk_orders": q04_priority_bulk_orders,
+    "q05_segment_stats": q05_segment_stats,
+    "q06_revenue_delta": q06_revenue_delta,
+    "q07_brand_type_stats": q07_brand_type_stats,
+    "q08_top_customers_per_nation": q08_top_customers_per_nation,
+    "q09_unpivot_roundtrip": q09_unpivot_roundtrip,
+    "q10_ordinal_dedup_ids": q10_ordinal_dedup_ids,
+    "q11_asof_prior_click": q11_asof_prior_click,
+    "q12_error_streaks": q12_error_streaks,
+    "q13_sessionize": q13_sessionize,
+    "q14_tumbling_hourly": q14_tumbling_hourly,
+    "q15_sliding_2h": q15_sliding_2h,
+    "q16_text_stats": q16_text_stats,
+    "q17_lang_quality": q17_lang_quality,
+    "q18_dedup_exact": q18_dedup_exact,
+    "q19_minhash_lsh": q19_minhash_lsh,
+    "q20_ngram_jaccard": q20_ngram_jaccard,
+    "q21_simhash": q21_simhash,
+    "q22_cosine_topk": q22_cosine_topk,
+    "q23_embedding_near_dup": q23_embedding_near_dup,
+    "q24_lsh_ann": q24_lsh_ann,
+    "q25_multimodal_stub": q25_multimodal_stub,
+}
+
+ORACLES: dict[str, str | None] = {
+    "q01_pricing_summary": ORACLE_Q01,
+    "q02_top_revenue_orders": ORACLE_Q02,
+    "q03_region_revenue": ORACLE_Q03,
+    "q04_priority_bulk_orders": ORACLE_Q04,
+    "q05_segment_stats": ORACLE_Q05,
+    "q06_revenue_delta": ORACLE_Q06,
+    "q07_brand_type_stats": ORACLE_Q07,
+    "q08_top_customers_per_nation": ORACLE_Q08,
+    "q09_unpivot_roundtrip": ORACLE_Q09,
+    "q10_ordinal_dedup_ids": ORACLE_Q10,
+    "q11_asof_prior_click": ORACLE_Q11,
+    "q12_error_streaks": ORACLE_Q12,
+    "q13_sessionize": ORACLE_Q13,
+    "q14_tumbling_hourly": ORACLE_Q14,
+    "q15_sliding_2h": ORACLE_Q15,
+    "q16_text_stats": _oracle_q16(),
+    "q17_lang_quality": _oracle_q17(),
+    "q18_dedup_exact": _oracle_q18(),
+    "q19_minhash_lsh": _oracle_q19(),
+    "q20_ngram_jaccard": _oracle_q20(),
+    "q21_simhash": _oracle_q21(),
+    "q22_cosine_topk": ORACLE_Q22,
+    "q23_embedding_near_dup": ORACLE_Q23,
+    "q24_lsh_ann": None,  # approximate by construction
+    "q25_multimodal_stub": None,  # fake decoder; plumbing-only
+}

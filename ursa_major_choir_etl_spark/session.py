@@ -59,6 +59,10 @@ def get_spark(
         "spark.sql.files.maxPartitionBytes": "128m",
         # --- timezone-stable timestamps across engines -----------------------
         "spark.sql.session.timeZone": "UTC",
+        # --- nanosecond-precision parquet timestamps read as long nanos ------
+        # (Spark has no TIMESTAMP(NANOS); sources/io.read_parquet_table
+        # converts to micros explicitly.)
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
         # quieter local runs
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

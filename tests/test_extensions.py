@@ -1,0 +1,195 @@
+"""Semantic unit tests for the LLM-pipeline extension operators —
+hand-computable fixtures, independent of the DuckDB oracle harness."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ursa_major_choir_etl_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),  # exact dup of 1
+        (3, "the cat sat on the red mat"),  # near dup of 1
+        (4, "completely different words entirely here now"),
+        (5, "The cat sat, on the MAT!"),  # dup of 1 after normalization
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+class TestTextOps:
+    def test_token_count(self, spark):
+        df = spark.createDataFrame([("a b  c ",), ("",)], "text string")
+        out = df.select(text.token_count("text").alias("n")).collect()
+        assert [r["n"] for r in out] == [3, 0]
+
+    def test_piece_count_splits_punct(self, spark):
+        df = spark.createDataFrame([("don't stop!",)], "text string")
+        out = df.select(text.bpe_ish_piece_count("text").alias("n")).collect()
+        # don / ' / t / stop / ! -> 5 pieces
+        assert out[0]["n"] == 5
+
+    def test_language_id(self, spark):
+        rows = [
+            ("the quick fox and the dog of a farm",),
+            ("der hund und die katze ist da",),
+            ("le chat et la maison est grande",),
+            ("xyzzy qwerty",),
+        ]
+        out = (
+            spark.createDataFrame(rows, "text string")
+            .select(text.language_id("text").alias("l"))
+            .collect()
+        )
+        assert [r["l"] for r in out] == ["en", "de", "fr", "und"]
+
+    def test_fingerprint_normalization_invariance(self, docs):
+        fps = {
+            r["doc_id"]: r["fp"]
+            for r in docs.select("doc_id", text.fingerprint("text").alias("fp")).collect()
+        }
+        assert fps[1] == fps[2] == fps[5]
+        assert fps[1] != fps[3]
+
+    def test_quality_score_bounds(self, spark):
+        from ursa_major_choir_etl_spark.plans.queries import T
+
+        docs = T(spark, "/root/testdata/sf0.001", "documents")
+        mm = docs.select(
+            F.min(text.quality_score("text")).alias("lo"),
+            F.max(text.quality_score("text")).alias("hi"),
+        ).collect()[0]
+        assert 0.0 <= mm["lo"] <= mm["hi"] <= 1.0
+
+
+class TestDedup:
+    def test_exact_groups(self, docs):
+        groups = dedup.exact_duplicate_groups(docs).collect()
+        by_keep = {r["keep_id"]: r["n_docs"] for r in groups}
+        assert by_keep[1] == 3  # docs 1, 2, 5 collapse
+        assert by_keep[3] == 1
+        assert by_keep[4] == 1
+
+    def test_jaccard_finds_near_dup(self, docs):
+        sh = dedup.word_shingles(docs)
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.jaccard_pairs(sh, threshold=0.3).collect()
+        }
+        # identical docs -> jaccard 1.0
+        assert pairs[(1, 2)] == 1.0
+        assert pairs[(1, 5)] == 1.0
+        # near dup shares "the cat sat", "cat sat on", "sat on the"
+        assert (1, 3) in pairs
+        assert 0.3 <= pairs[(1, 3)] < 1.0
+        assert (1, 4) not in pairs
+
+    def test_minhash_lsh_catches_exact_dups(self, docs):
+        sh = dedup.word_shingles(docs)
+        sigs = dedup.minhash_signatures(sh, num_hashes=8)
+        cand = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.lsh_candidate_pairs(sigs, num_hashes=8, bands=4).collect()
+        }
+        # identical shingle sets -> identical signatures -> always candidates
+        assert (1, 2) in cand
+        assert (1, 5) in cand
+        assert (2, 5) in cand
+
+    def test_simhash_identical_docs_equal(self, docs):
+        hashes = {
+            r["doc_id"]: r["simhash"] for r in dedup.simhash32(docs).collect()
+        }
+        assert hashes[1] == hashes[2] == hashes[5]
+        assert len(hashes[1]) == 32
+        assert set(hashes[1]) <= {"0", "1"}
+        # near-dup differs in few bits from dup-group, far doc in many
+        def hamming(a, b):
+            return sum(x != y for x, y in zip(a, b))
+
+        assert hamming(hashes[1], hashes[3]) < hamming(hashes[1], hashes[4])
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),   # close to 0
+            (2, [0.0, 1.0, 0.0]),   # orthogonal to 0
+            (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+            (4, [1.0, 0.05, 0.0]),  # closest to 0
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_exact_topk_order(self, vecs):
+        out = similarity.cosine_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=3)
+        ranked = [
+            r["neighbor_id"] for r in out.orderBy("rank").collect()
+        ]
+        assert ranked == [4, 1, 2]
+
+    def test_cosine_values(self, vecs):
+        out = {
+            r["neighbor_id"]: r["cosine_sim"]
+            for r in similarity.cosine_topk(
+                vecs, vecs.filter(F.col("vec_id") == 0), k=4
+            ).collect()
+        }
+        assert abs(out[4] - (1.0 / math.sqrt(1 + 0.05**2))) < 1e-4
+        assert abs(out[2] - 0.0) < 1e-9
+        assert abs(out[3] - (-1.0)) < 1e-9
+
+    def test_near_dup_pairs_threshold(self, vecs):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.near_duplicate_pairs(vecs, threshold=0.99).collect()
+        }
+        assert (1, 4) in pairs  # cos ~ 0.9988
+        assert (0, 4) in pairs  # cos ~ 0.9988
+        assert (0, 2) not in pairs
+
+    def test_lsh_recall_vs_brute(self, spark):
+        from ursa_major_choir_etl_spark.plans.queries import T
+
+        emb = T(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.cosine_topk(emb, queries, k=3).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.lsh_topk(
+                emb, queries, k=10, num_hash_tables=5, bucket_length=4.0
+            ).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.6  # approximate, but must be non-trivial
+
+
+class TestMultimodal:
+    def test_decode_schema_and_determinism(self, docs):
+        blobs = multimodal.with_fake_blob(docs)
+        out = multimodal.decode_image_metadata(blobs)
+        assert out.columns == [
+            "doc_id", "n_bytes", "format", "width", "height", "n_channels",
+        ]
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert rows[1]["n_bytes"] == len("the cat sat on the mat".encode())
+        assert rows[1]["width"] == rows[2]["width"]  # same payload -> same meta
+
+    def test_frame_sample_fanout(self, spark):
+        big = spark.createDataFrame(
+            [(1, "x" * 2500)], "doc_id long, text string"
+        )
+        frames = multimodal.frame_sample_stub(multimodal.with_fake_blob(big))
+        got = frames.collect()
+        assert len(got) == 3  # 2500 bytes -> 25 frames, every 10th -> 0,10,20
+        assert [r["frame_idx"] for r in sorted(got, key=lambda r: r["frame_idx"])] == [0, 10, 20]

@@ -1,0 +1,111 @@
+"""Physical-plan shape assertions — the 100 TB design rules, encoded
+as tests over .explain() output:
+
+- dimension joins broadcast (no fact-side shuffle for lookups);
+- filters and column pruning reach the parquet scan;
+- hot paths contain no row-at-a-time Python (BatchEvalPython);
+- whole-stage codegen covers the scalar work.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from ursa_major_choir_etl_spark.plans.queries import QUERIES
+
+    return QUERIES
+
+
+class TestJoinStrategies:
+    def test_q03_dims_broadcast(self, spark, registry):
+        plan = plan_of(registry["q03_region_revenue"](spark, SF_DIR))
+        assert plan.count("BroadcastHashJoin") >= 3  # cust, nation, region
+        assert "CartesianProduct" not in plan
+
+    def test_q02_customer_broadcast(self, spark, registry):
+        plan = plan_of(registry["q02_top_revenue_orders"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan
+
+    def test_q04_semi_join(self, spark, registry):
+        plan = plan_of(registry["q04_priority_bulk_orders"](spark, SF_DIR))
+        assert "LeftSemi" in plan
+
+
+class TestPushdownAndPruning:
+    def test_q06_filters_pushed_to_scan(self, spark, registry):
+        plan = plan_of(registry["q06_revenue_delta"](spark, SF_DIR))
+        assert "PushedFilters: [" in plan
+        assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+
+    def test_q01_column_pruning(self, spark, registry):
+        plan = plan_of(registry["q01_pricing_summary"](spark, SF_DIR))
+        scan = plan[plan.index("FileScan") :]
+        head = scan[: scan.index("\n") if "\n" in scan else len(scan)]
+        # only the 7 needed columns, not all 11
+        assert "l_orderkey" not in head
+        assert "l_partkey" not in head
+        assert "l_quantity" in head
+
+    def test_choir_fact_scan_prunes_to_used_columns(self, spark, raw):
+        from ursa_major_choir_etl_spark.operators.dims import (
+            build_dim_chorister,
+            chorister_id_by_key,
+        )
+        from ursa_major_choir_etl_spark.operators.facts import build_fact_attendance
+
+        keys = chorister_id_by_key(build_dim_chorister(raw, "ts"))
+        fact = build_fact_attendance(raw, keys, "ts")
+        plan = plan_of(fact.select("rehearsal_date", "hours_attended"))
+        assert "BroadcastHashJoin" in plan  # K6 lookup join is broadcast
+
+
+class TestNoPythonInHotPaths:
+    @pytest.mark.parametrize(
+        "qname",
+        [
+            "q01_pricing_summary",
+            "q09_unpivot_roundtrip",
+            "q11_asof_prior_click",
+            "q12_error_streaks",
+            "q16_text_stats",
+            "q18_dedup_exact",
+            "q19_minhash_lsh",
+            "q21_simhash",
+            "q22_cosine_topk",
+        ],
+    )
+    def test_no_python_eval(self, spark, registry, qname):
+        plan = plan_of(registry[qname](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, f"{qname} fell back to Python UDFs"
+        assert "PythonUDF" not in plan, f"{qname} fell back to Python UDFs"
+
+    def test_codegen_present(self, spark, registry):
+        df = registry["q01_pricing_summary"](spark, SF_DIR)
+        df.collect()  # AQE shows codegen spans only in the final plan
+        plan = plan_of(df)
+        # codegen'd operators carry the "*(n)" stage marker in toString
+        assert "*(1)" in plan
+        # and the aggregation is partial (map-side combine) before the shuffle
+        assert "partial_sum" in plan
+
+
+class TestAdaptiveExecution:
+    def test_aqe_enabled_in_session(self, spark):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "dynamic"
+
+    def test_asof_join_not_nested_loop(self, spark, registry):
+        # The as-of join must hash/sort-merge on the user equi-key, not
+        # degrade to BroadcastNestedLoopJoin over the range predicate.
+        plan = plan_of(registry["q11_asof_prior_click"](spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,116 @@
+"""Streaming jobs driven over a file source, results cross-checked
+against the batch operators on the same data (stream/batch symmetry).
+
+Memory-sink modes chosen deliberately:
+- windowed aggs run in COMPLETE mode — in append mode the watermark
+  holds back every window newer than (max_ts - watermark), so a finite
+  stream would never emit its tail;
+- the stateful streak runs in UPDATE mode with a single micro-batch so
+  each user emits exactly one final row.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ursa_major_choir_etl_spark.operators import events as batch_events
+from ursa_major_choir_etl_spark.streaming import jobs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_batch(spark):
+    from ursa_major_choir_etl_spark.plans.queries import T
+
+    df = T(spark, SF_DIR, "events").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, event_batch, tmp_path_factory):
+    # Re-materialize with micros timestamps (raw testdata carries
+    # nanos) as a single time-sorted file: the stateful streak needs
+    # in-order arrival, which a multi-file split would not guarantee.
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    event_batch.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _drain(spark, stream_df, name, output_mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+class TestStreamingTumbling:
+    def test_matches_batch(self, spark, event_batch, event_stream_dir):
+        stream = jobs.read_event_stream(
+            spark, event_stream_dir, event_batch.schema, max_files_per_trigger=100
+        )
+        out = _drain(
+            spark, jobs.streaming_tumbling_counts(stream), "tumbling_t", "complete"
+        )
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in out.collect()
+        }
+        expected = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in batch_events.tumbling_window_agg(event_batch).collect()
+        }
+        assert got == expected
+
+    def test_watermark_present_in_plan(self, spark, event_batch, event_stream_dir):
+        stream = jobs.read_event_stream(spark, event_stream_dir, event_batch.schema)
+        df = jobs.streaming_tumbling_counts(stream)
+        assert "EventTimeWatermark" in df._jdf.queryExecution().analyzed().toString()
+
+
+class TestStreamingSessions:
+    def test_session_counts_match_batch(self, spark, event_batch, event_stream_dir):
+        stream = jobs.read_event_stream(
+            spark, event_stream_dir, event_batch.schema, max_files_per_trigger=100
+        )
+        out = _drain(
+            spark, jobs.streaming_sessionize(stream), "sessions_t", "complete"
+        )
+        got = (
+            out.groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events"))
+        )
+        expected = (
+            batch_events.sessionize(event_batch, gap_minutes=30)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events"))
+        )
+        g = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in got.collect()}
+        e = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in expected.collect()}
+        assert g == e
+
+
+class TestStreamingStreaks:
+    def test_final_streaks_match_batch(self, spark, event_batch, event_stream_dir):
+        stream = jobs.read_event_stream(
+            spark, event_stream_dir, event_batch.schema, max_files_per_trigger=100
+        )
+        out = _drain(
+            spark, jobs.streaming_error_streaks(stream), "streaks_t", "update"
+        )
+        got = {
+            r["user_id"]: r["streak_len"]
+            for r in out.filter(F.col("streak_len") >= 1).collect()
+        }
+        expected = {
+            r["user_id"]: r["streak_len"]
+            for r in batch_events.trailing_streak(event_batch).collect()
+        }
+        assert got == expected

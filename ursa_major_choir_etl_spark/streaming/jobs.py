@@ -1,0 +1,134 @@
+"""Streaming jobs: the batch event operators re-expressed on
+readStream sources.
+
+Design rules for the 100 TB/unbounded target:
+- event-time windows + watermarks bound state (no unbounded
+  aggregation state);
+- session windows use the built-in ``session_window`` (state store
+  managed, gap-based) rather than hand-rolled lag/cumsum (which
+  requires a full-partition sort — fine in batch, impossible on an
+  unbounded stream);
+- custom stateful logic (the trailing-miss streak) uses
+  ``applyInPandasWithState`` with explicit state schema + timeout.
+
+Each job returns the writeStream-ready DataFrame; callers pick sink
+and trigger. Tests drive them with a file source over the events
+parquet and a memory sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def read_event_stream(
+    spark, path: str, schema, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a parquet directory (the batch/stream
+    symmetric source: same files, incremental discovery)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling event-time window counts with a watermark: late rows
+    beyond the watermark are dropped and window state is reclaimed."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessions on a stream via session_window — the
+    streaming equivalent of operators/events.sessionize (same gap
+    semantics; session boundaries close once the watermark passes)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("session_window.start").cast("string").alias("session_start"),
+            F.col("session_window.end").cast("string").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_error_streaks(
+    events: DataFrame,
+    match_type: str = "error",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user trailing streak of ``match_type`` events, maintained
+    incrementally with applyInPandasWithState (GroupState): state is
+    one (streak, last_ts) pair per user — O(users) state, not O(events).
+
+    Batch-equivalent: operators/events.trailing_streak.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{user_col} long, streak_len long"
+    state_schema = "streak long, last_ts long"
+
+    def update(key, pdfs, state: GroupState):
+        streak, last_ts = state.get if state.exists else (0, 0)
+        # Concatenate the group's chunks and sort once — chunk order
+        # within a micro-batch is not time-ordered.
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
+        for _, row in pdf.iterrows():
+            ts_us = int(row[ts_col].value // 1000)
+            if ts_us < last_ts:
+                continue  # late event older than state: ignore
+            last_ts = ts_us
+            streak = streak + 1 if row["event_type"] == match_type else 0
+        state.update((streak, last_ts))
+        yield pd.DataFrame({user_col: [key[0]], "streak_len": [streak]})
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Test/debug harness: drain all available input into a memory
+    sink and return the query handle."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

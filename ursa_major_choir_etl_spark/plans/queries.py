@@ -29,6 +29,9 @@ Operator coverage map (SURVEY §2 ids -> query):
   event windows/sessions .......... q13 (sessionize), q14 (tumbling),
                                     q15 (sliding)
   multimodal plumbing ............. q25 (binary decode stub, mapInPandas)
+  SQL surface ..................... q26 (spark.sql over views)
+  rollup / grouping sets .......... q27
+  anti-join ....................... q28
 """
 
 from __future__ import annotations
@@ -671,6 +674,90 @@ def q25_multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_metadata(blobs)
 
 
+def q26_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL surface: the same declarative text a reference
+    user would write, executed via spark.sql over registered views."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    T(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS total_price
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        GROUP BY c_mktsegment, o_orderpriority
+        """
+    )
+
+
+ORACLE_Q26 = """
+SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY c_mktsegment, o_orderpriority
+"""
+
+
+def q27_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup: revenue at (region, nation), (region), and grand
+    total levels in one pass — subtotal rows carry nulls."""
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+ORACLE_Q27 = """
+SELECT r_name, n_name, round(sum(o_totalprice), 4) AS total_price,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q28_customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with no 1-URGENT order, per segment.
+    (Every customer has SOME order in this data; the priority filter
+    keeps the anti-join non-vacuous.)"""
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        cust.join(urgent, cust["c_custkey"] == urgent["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+        )
+    )
+
+
+ORACLE_Q28 = """
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(sum(c_acctbal), 4) AS total_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -697,6 +784,9 @@ QUERIES = {
     "q23_embedding_near_dup": q23_embedding_near_dup,
     "q24_lsh_ann": q24_lsh_ann,
     "q25_multimodal_stub": q25_multimodal_stub,
+    "q26_sql_interface": q26_sql_interface,
+    "q27_rollup_revenue": q27_rollup_revenue,
+    "q28_customers_without_urgent_orders": q28_customers_without_urgent_orders,
 }
 
 ORACLES: dict[str, str | None] = {
@@ -725,4 +815,7 @@ ORACLES: dict[str, str | None] = {
     "q23_embedding_near_dup": ORACLE_Q23,
     "q24_lsh_ann": None,  # approximate by construction
     "q25_multimodal_stub": None,  # fake decoder; plumbing-only
+    "q26_sql_interface": ORACLE_Q26,
+    "q27_rollup_revenue": ORACLE_Q27,
+    "q28_customers_without_urgent_orders": ORACLE_Q28,
 }

@@ -99,7 +99,13 @@ def run_pipeline(
 
         keys = chorister_id_by_key(dim_chorister)
         fact_attendance = build_fact_attendance(raw, keys, run_ts)
-        overwrite_parquet(fact_attendance, warehouse, "fact_attendance")
+        # Facts are date-partitioned: with partitionOverwriteMode=dynamic
+        # a re-run only rewrites the rehearsal dates it produced — the
+        # 100 TB-friendly form of the reference's full clear+write.
+        overwrite_parquet(
+            fact_attendance, warehouse, "fact_attendance",
+            partition_by=["rehearsal_date"],
+        )
         counts["rows_fact_attendance"] = read_parquet_table(
             spark, warehouse, "fact_attendance"
         ).count()

@@ -32,6 +32,7 @@ Operator coverage map (SURVEY §2 ids -> query):
   SQL surface ..................... q26 (spark.sql over views)
   rollup / grouping sets .......... q27
   anti-join ....................... q28
+  exact percentiles ............... q29
 """
 
 from __future__ import annotations
@@ -758,6 +759,29 @@ GROUP BY c_mktsegment
 """
 
 
+def q29_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation) per priority —
+    median/p90/p99 of order totals. Spark's percentile() and DuckDB's
+    quantile_cont share the same definition."""
+    orders = T(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+ORACLE_Q29 = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -787,6 +811,7 @@ QUERIES = {
     "q26_sql_interface": q26_sql_interface,
     "q27_rollup_revenue": q27_rollup_revenue,
     "q28_customers_without_urgent_orders": q28_customers_without_urgent_orders,
+    "q29_price_percentiles": q29_price_percentiles,
 }
 
 ORACLES: dict[str, str | None] = {
@@ -818,4 +843,5 @@ ORACLES: dict[str, str | None] = {
     "q26_sql_interface": ORACLE_Q26,
     "q27_rollup_revenue": ORACLE_Q27,
     "q28_customers_without_urgent_orders": ORACLE_Q28,
+    "q29_price_percentiles": ORACLE_Q29,
 }

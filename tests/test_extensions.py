@@ -155,6 +155,22 @@ class TestSimilarity:
         assert (0, 4) in pairs  # cos ~ 0.9988
         assert (0, 2) not in pairs
 
+    def test_ivf_recall_vs_brute(self, spark):
+        from ursa_major_choir_etl_spark.plans.queries import T
+
+        emb = T(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.cosine_topk(emb, queries, k=3).collect()
+        }
+        ivf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_topk(emb, queries, k=3, n_probe=2).collect()
+        }
+        recall = len(exact & ivf) / len(exact)
+        assert recall >= 0.5  # 2 of 3 cells probed; must be non-trivial
+
     def test_lsh_recall_vs_brute(self, spark):
         from ursa_major_choir_etl_spark.plans.queries import T
 

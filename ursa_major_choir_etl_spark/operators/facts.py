@@ -76,9 +76,13 @@ def _py_normalize_date(s: str) -> str:
         if year < 100:
             year += 2000 if year < 50 else 1900
         try:
-            return datetime(year, month, day).strftime("%Y-%m-%d")
+            d = datetime(year, month, day)
         except ValueError:
             return ""
+        # f-format, not strftime("%Y"): strftime leaves years < 1000
+        # unpadded, which would break the ISO lexical-compare invariant
+        # (the one deliberate deviation from the reference's C1).
+        return f"{d.year:04d}-{d.month:02d}-{d.day:02d}"
     return ""
 
 

@@ -136,6 +136,99 @@ def near_duplicate_pairs(
     return src.mapInPandas(gemm, schema="id_a long, id_b long, cosine_sim double")
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str | None = None,
+    n_cells: int = 8,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    coarse cells, search only the ``n_probe`` cells whose centroids are
+    nearest the query.
+
+    Build phase: if ``cluster_col`` is given it is the coarse
+    assignment; otherwise cells are built geometrically — the
+    ``n_cells`` lowest-id vectors seed the cells and every vector joins
+    its max-cosine seed (IVF-flat with deterministic seeds; production
+    would run KMeans, same shape). Centroids are per-cell means.
+
+    The cell scan is the same broadcast top-k as cosine_topk,
+    restricted by an equi-join on cell id — at scale the corpus stays
+    partitioned BY cell on disk, so a probe reads only its cells
+    (partition pruning).
+
+    Approximate by construction (recall depends on n_probe) -> no SQL
+    oracle; tested by containment against cosine_topk.
+    """
+    from pyspark.sql import Window
+
+    arr = F.col(vec_col).cast("array<double>")
+
+    if cluster_col is not None:
+        cell = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(cluster_col).alias("cell"),
+            arr.alias("_cv"),
+        )
+    else:
+        seeds = corpus.orderBy(id_col).limit(n_cells).select(
+            F.col(id_col).alias("cell"), arr.alias("_seed")
+        )
+        base = corpus.select(F.col(id_col).alias("neighbor_id"), arr.alias("_cv"))
+        w_seed = Window.partitionBy("neighbor_id").orderBy(
+            cosine(F.col("_cv"), F.col("_seed")).desc(), F.col("cell").asc()
+        )
+        cell = (
+            base.join(F.broadcast(seeds))
+            .withColumn("_srk", F.row_number().over(w_seed))
+            .filter(F.col("_srk") == 1)
+            .select("neighbor_id", "cell", "_cv")
+        )
+    # centroid per cell: element-wise mean = sum(vectors)/count
+    dims = len(cell.select("_cv").first()["_cv"])
+    sums = cell.groupBy("cell").agg(
+        F.array(*[F.sum(F.col("_cv")[i]) for i in range(dims)]).alias("_sum"),
+        F.count("*").alias("_n"),
+    )
+    centroids = sums.select(
+        "cell",
+        F.transform("_sum", lambda x: x / F.col("_n")).alias("_centroid"),
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), arr.alias("_qv"))
+    # rank cells per query by centroid cosine; keep n_probe cells
+    qc = q.join(F.broadcast(centroids))
+    w_cell = Window.partitionBy("query_id").orderBy(
+        cosine(F.col("_qv"), F.col("_centroid")).desc(), F.col("cell").asc()
+    )
+    probed = (
+        qc.withColumn("_cell_rank", F.row_number().over(w_cell))
+        .filter(F.col("_cell_rank") <= n_probe)
+        .select("query_id", "_qv", "cell")
+    )
+
+    scored = probed.join(cell, on="cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        cosine(F.col("_qv"), F.col("_cv")).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

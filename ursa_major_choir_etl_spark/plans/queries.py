@@ -33,6 +33,7 @@ Operator coverage map (SURVEY §2 ids -> query):
   rollup / grouping sets .......... q27
   anti-join ....................... q28
   exact percentiles ............... q29
+  IVF approximate ANN ............. q30
 """
 
 from __future__ import annotations
@@ -782,6 +783,16 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q30_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: geometric coarse cells (deterministic
+    nearest-seed build), 2-of-8-probe search. Approximate -> rows-only
+    check; recall vs the exact q22 is asserted in tests."""
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_probe=2, n_cells=8
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -812,6 +823,7 @@ QUERIES = {
     "q27_rollup_revenue": q27_rollup_revenue,
     "q28_customers_without_urgent_orders": q28_customers_without_urgent_orders,
     "q29_price_percentiles": q29_price_percentiles,
+    "q30_ivf_ann": q30_ivf_ann,
 }
 
 ORACLES: dict[str, str | None] = {
@@ -844,4 +856,5 @@ ORACLES: dict[str, str | None] = {
     "q27_rollup_revenue": ORACLE_Q27,
     "q28_customers_without_urgent_orders": ORACLE_Q28,
     "q29_price_percentiles": ORACLE_Q29,
+    "q30_ivf_ann": None,  # approximate (IVF probe subset)
 }

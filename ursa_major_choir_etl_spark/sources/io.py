@@ -80,6 +80,27 @@ def append_parquet(df: DataFrame, warehouse: str, name: str) -> None:
     df.write.mode("append").parquet(os.path.join(warehouse, name))
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(bucket_cols) at
+    WRITE time, so later equi-joins/aggregations on those columns read
+    pre-partitioned data and skip the shuffle entirely — the standard
+    100 TB pattern for fact-to-fact joins that repeat every run.
+
+    Requires a catalog (saveAsTable); plain .parquet() paths cannot
+    carry bucket metadata.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(name)
+
+
 def table_exists(spark: SparkSession, warehouse: str, name: str) -> bool:
     """Existence probe (S11): cheap schema-only read attempt."""
     try:

@@ -154,9 +154,20 @@ def run_pipeline(
     return audit
 
 
-def build_marts(spark: SparkSession, warehouse: str) -> None:
+def build_marts(
+    spark: SparkSession, warehouse: str, dates: list[str] | None = None
+) -> None:
     """EP2: mart-only refresh from materialized dims/facts
-    (reference: etl/main.py:73-108)."""
+    (reference: etl/main.py:73-108).
+
+    With ``dates`` (ISO strings), only those rehearsal dates rebuild:
+    the fact scan prunes to the named partitions and dynamic partition
+    overwrite rewrites only the matching mart partitions — the
+    incremental path the reference's full-recompute lacks (SURVEY
+    §4.2), which is what makes a daily refresh feasible at 100 TB.
+    """
+    from pyspark.sql import functions as F
+
     validate_tables_exist(spark, warehouse, MART_INPUT_TABLES)
     dim_chorister = read_parquet_table(spark, warehouse, "dim_chorister")
     assignment = read_parquet_table(spark, warehouse, "dim_chorister_assignment")
@@ -164,15 +175,33 @@ def build_marts(spark: SparkSession, warehouse: str) -> None:
     fact_attendance = read_parquet_table(spark, warehouse, "fact_attendance")
     fact_song_time = read_parquet_table(spark, warehouse, "fact_song_time")
 
+    if dates is not None:
+        # partition-pruned scan (fact_attendance is partitioned by
+        # rehearsal_date); fact_song_time carries raw date strings, so
+        # it filters on the normalized form.
+        from ursa_major_choir_etl_spark.functions.columns import (
+            normalize_date_to_iso,
+        )
+
+        fact_attendance = fact_attendance.filter(
+            F.col("rehearsal_date").isin(dates)
+        )
+        iso = normalize_date_to_iso("rehearsal_date")
+        fact_song_time = fact_song_time.filter(
+            F.when(iso != "", iso).otherwise(F.col("rehearsal_date")).isin(dates)
+        )
+
     overwrite_parquet(
         build_mart_attendance(dim_chorister, assignment, fact_attendance),
         warehouse,
         "mart_attendance",
+        partition_by=["rehearsal_date"],
     )
     overwrite_parquet(
         build_mart_song_rehearsal(dim_song, fact_song_time),
         warehouse,
         "mart_song_rehearsal",
+        partition_by=["rehearsal_date"],
     )
     overwrite_parquet(
         build_mart_chorister_song(
@@ -180,6 +209,7 @@ def build_marts(spark: SparkSession, warehouse: str) -> None:
         ),
         warehouse,
         "mart_chorister_song",
+        partition_by=["rehearsal_date"],
     )
 
 

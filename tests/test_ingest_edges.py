@@ -1,0 +1,82 @@
+"""Ingest edge cases the reference tolerates (SURVEY §1.2):
+missing optional/required columns, header-only input."""
+
+from __future__ import annotations
+
+import pytest
+
+from ursa_major_choir_etl_spark.operators.dims import (
+    build_dim_chorister,
+    build_dim_chorister_assignment,
+    build_dim_song,
+    chorister_id_by_key,
+)
+from ursa_major_choir_etl_spark.operators.facts import (
+    build_fact_attendance,
+    build_fact_song_time,
+)
+from ursa_major_choir_etl_spark.sources.io import read_wide_sheet_csv
+
+
+@pytest.fixture()
+def csv_dir(tmp_path):
+    return tmp_path
+
+
+def _write(tmp_path, name, content):
+    p = tmp_path / name
+    p.write_text(content)
+    return str(p)
+
+
+class TestMissingColumns:
+    def test_missing_tgid_is_optional(self, spark, csv_dir):
+        # reference: tgid_idx None -> "" (etl/dim_chorister.py:96)
+        path = _write(
+            csv_dir,
+            "no_tgid.csv",
+            "Tag,Joined,Who,01.06.24\nBass,01.06.24,Иван,2\n",
+        )
+        raw = read_wide_sheet_csv(spark, path)
+        # date columns start at index 4 by contract; with tgid missing
+        # the date lands at index 3 and is NOT a date column - that
+        # matches the reference's positional rule.
+        dc = build_dim_chorister(raw, "TS")
+        rows = dc.collect()
+        assert len(rows) == 1
+        assert rows[0]["tgid"] == ""
+        assert rows[0]["chorister_id"] == "Иван"
+
+    def test_missing_required_column_degrades_to_empty(self, spark, csv_dir):
+        # reference: Tag/Joined/Who absent -> header-only output
+        path = _write(csv_dir, "no_who.csv", "Tag,Joined,tgid,X\nBass,01.06.24,,2\n")
+        raw = read_wide_sheet_csv(spark, path)
+        assert build_dim_chorister(raw, "TS").count() == 0
+        assert build_dim_song(raw, "TS").count() == 0
+        assert build_dim_chorister_assignment(raw, build_dim_chorister(raw, "TS")).count() == 0
+        keys = chorister_id_by_key(build_dim_chorister(raw, "TS"))
+        assert build_fact_attendance(raw, keys, "TS").count() == 0
+
+    def test_header_only_input(self, spark, csv_dir):
+        path = _write(
+            csv_dir, "header_only.csv", "Tag,Joined,tgid,Who,01.06.24\n"
+        )
+        raw = read_wide_sheet_csv(spark, path)
+        dc = build_dim_chorister(raw, "TS")
+        ds = build_dim_song(raw, "TS")
+        assert dc.count() == 0
+        assert ds.count() == 0
+        fa = build_fact_attendance(raw, chorister_id_by_key(dc), "TS")
+        assert fa.count() == 0
+        fst = build_fact_song_time(raw, ds, "TS")
+        assert fst.count() == 0
+
+    def test_no_date_columns(self, spark, csv_dir):
+        path = _write(
+            csv_dir, "no_dates.csv", "Tag,Joined,tgid,Who\nBass,01.06.24,,Иван\n"
+        )
+        raw = read_wide_sheet_csv(spark, path)
+        dc = build_dim_chorister(raw, "TS")
+        assert dc.count() == 1  # dims still build
+        fa = build_fact_attendance(raw, chorister_id_by_key(dc), "TS")
+        assert fa.count() == 0  # no dates -> empty dense fact

@@ -61,9 +61,16 @@ CHORISTER_ASSIGNMENT_OVERRIDES: list[tuple[str, str, str, str]] = [
 ]
 
 
-def _empty(df: DataFrame, columns: list[str]) -> DataFrame:
-    """Missing-column degradation F8: header-only output."""
+def _empty(df: DataFrame, columns: list[str], extra: str = "") -> DataFrame:
+    """Missing-column degradation F8: header-only output.
+
+    ``extra`` appends the non-contract columns (input_row_id,
+    song_ordinal) the real builders carry, so downstream lookups
+    resolve against the degraded frame too.
+    """
     schema = ", ".join(f"`{c}` string" for c in columns)
+    if extra:
+        schema += ", " + extra
     return df.sparkSession.createDataFrame([], schema)
 
 
@@ -105,7 +112,7 @@ def with_chorister_id(rows: DataFrame) -> DataFrame:
 def build_dim_chorister(raw: DataFrame, run_ts: str) -> DataFrame:
     """dim_chorister: 1 row per person, in RAW row order (K1 ids)."""
     if not has_required_columns(raw, ["Tag", "Joined", "Who"]):
-        return _empty(raw, DIM_CHORISTER_COLUMNS)
+        return _empty(raw, DIM_CHORISTER_COLUMNS, extra=f"{INPUT_ROW_ID} int")
     rows = with_chorister_id(chorister_rows(raw))
     return rows.select(
         "chorister_id",
@@ -213,7 +220,7 @@ def build_dim_song(raw: DataFrame, run_ts: str) -> DataFrame:
     (U4; reference: etl/dim_song.py:59-63 feeding etl/fact_song_time.py:71-81).
     """
     if not has_required_columns(raw, ["Tag", "Who"]):
-        return _empty(raw, DIM_SONG_COLUMNS)
+        return _empty(raw, DIM_SONG_COLUMNS, extra=f"song_ordinal int, {INPUT_ROW_ID} int")
     who = F.trim(F.coalesce(F.col("Who").cast("string"), F.lit("")))
     rows = song_rows(raw).withColumn("song_name", who).filter(F.col("song_name") != "")
     occ = F.row_number().over(Window.partitionBy("song_name").orderBy(INPUT_ROW_ID))

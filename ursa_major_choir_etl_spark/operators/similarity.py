@@ -247,17 +247,17 @@ def lsh_topk(
     SQL oracle; validated by containment tests against cosine_topk.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
-
-    to_vec = F.udf(lambda arr: Vectors.dense(arr), VectorUDT())
 
     def norm_vec(df: DataFrame, out: str) -> DataFrame:
         arr = F.col(vec_col).cast("array<double>")
         n = l2_norm(arr)
+        # array_to_vector is a JVM expression - no Python UDF in the
+        # vectorization path.
         return df.select(
             F.col(id_col),
-            to_vec(F.transform(arr, lambda x: x / n)).alias(out),
+            array_to_vector(F.transform(arr, lambda x: x / n)).alias(out),
         )
 
     c = norm_vec(corpus, "features")

@@ -191,17 +191,20 @@ def build_marts(
             F.when(iso != "", iso).otherwise(F.col("rehearsal_date")).isin(dates)
         )
 
+    incremental = dates is not None
     overwrite_parquet(
         build_mart_attendance(dim_chorister, assignment, fact_attendance),
         warehouse,
         "mart_attendance",
         partition_by=["rehearsal_date"],
+        dynamic=incremental,
     )
     overwrite_parquet(
         build_mart_song_rehearsal(dim_song, fact_song_time),
         warehouse,
         "mart_song_rehearsal",
         partition_by=["rehearsal_date"],
+        dynamic=incremental,
     )
     overwrite_parquet(
         build_mart_chorister_song(
@@ -210,6 +213,7 @@ def build_marts(
         warehouse,
         "mart_chorister_song",
         partition_by=["rehearsal_date"],
+        dynamic=incremental,
     )
 
 

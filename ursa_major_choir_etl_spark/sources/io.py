@@ -64,12 +64,35 @@ def read_parquet_table(spark: SparkSession, warehouse: str, name: str) -> DataFr
 
 
 def overwrite_parquet(
-    df: DataFrame, warehouse: str, name: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    warehouse: str,
+    name: str,
+    partition_by: list[str] | None = None,
+    dynamic: bool = False,
 ) -> None:
-    """Idempotent overwrite sink (S6/S7). With ``partition_by`` and
-    partitionOverwriteMode=dynamic, only touched partitions rewrite —
-    the 100 TB-friendly version of the reference's clear-then-write."""
-    writer = df.write.mode("overwrite")
+    """Idempotent overwrite sink (S6/S7).
+
+    ``dynamic=False`` (default) is the reference's clear-then-write:
+    the whole table is replaced — correct for full-recompute runs and
+    it cleans up any prior layout. ``dynamic=True`` rewrites only the
+    partitions present in ``df`` (partitionOverwriteMode=dynamic) —
+    the incremental path; requires the table to already have the
+    partitioned layout.
+
+    Empty frames: a 0-partition/0-row frame under partitionBy would
+    write no files at all, so the re-read could not infer a schema
+    (the F8 degraded tables hit this). Empty data is written
+    unpartitioned as one empty part file — the schema survives, and
+    there are no partitions to preserve anyway.
+    """
+    if df.rdd.getNumPartitions() == 0:
+        df = df.repartition(1)
+    if partition_by and df.isEmpty():
+        partition_by = None
+        dynamic = False
+    writer = df.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic" if dynamic else "static"
+    )
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(os.path.join(warehouse, name))

@@ -36,6 +36,9 @@ Operator coverage map (SURVEY §2 ids -> query):
   IVF approximate ANN ............. q30
   conditional aggregation ......... q31
   dual-alias dim join (Q7 shape) .. q32
+  window-correlated filter ........ q33
+  group-by HAVING ................. q34
+  argmax (max_by/min_by) .......... q35
 """
 
 from __future__ import annotations
@@ -890,6 +893,83 @@ GROUP BY 1, 2
 """
 
 
+def q33_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (TPC-H Q17-ish): customers whose
+    balance exceeds 1.5x their segment's average — expressed as a
+    window aggregate (one pass, no self-join)."""
+    cust = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment")
+    return (
+        cust.withColumn("_seg_avg", F.avg("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") > 1.5 * F.col("_seg_avg"))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round("c_acctbal", 4).alias("c_acctbal"),
+            F.round("_seg_avg", 4).alias("seg_avg"),
+        )
+    )
+
+
+ORACLE_Q33 = """
+SELECT c_custkey, c_mktsegment, round(c_acctbal, 4) AS c_acctbal,
+       round(seg_avg, 4) AS seg_avg
+FROM (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         avg(c_acctbal) OVER (PARTITION BY c_mktsegment) AS seg_avg
+  FROM customer
+)
+WHERE c_acctbal > 1.5 * seg_avg
+"""
+
+
+def q34_frequent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING: customers with >= 15 orders."""
+    orders = T(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+ORACLE_Q34 = """
+SELECT o_custkey, count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS total_spent
+FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+"""
+
+
+def q35_extremes_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by argmax aggregates: per priority, the orderkey of
+    the most/least expensive order. Price ties exist, so the ordering
+    key is a zero-padded (price, orderkey) string — identical
+    lexicographic order in both engines."""
+    orders = T(spark, sf_dir, "orders")
+    key = F.format_string("%015.4f|%012d", F.col("o_totalprice"), F.col("o_orderkey"))
+    return orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", key).alias("max_price_orderkey"),
+        F.min_by("o_orderkey", key).alias("min_price_orderkey"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+    )
+
+
+ORACLE_Q35 = """
+SELECT o_orderpriority,
+       max_by(o_orderkey, printf('%015.4f|%012d', o_totalprice, o_orderkey))
+         AS max_price_orderkey,
+       min_by(o_orderkey, printf('%015.4f|%012d', o_totalprice, o_orderkey))
+         AS min_price_orderkey,
+       round(max(o_totalprice), 4) AS max_price,
+       round(min(o_totalprice), 4) AS min_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -923,6 +1003,9 @@ QUERIES = {
     "q30_ivf_ann": q30_ivf_ann,
     "q31_conditional_agg": q31_conditional_agg,
     "q32_nation_pair_volume": q32_nation_pair_volume,
+    "q33_above_segment_avg": q33_above_segment_avg,
+    "q34_frequent_buyers": q34_frequent_buyers,
+    "q35_extremes_by": q35_extremes_by,
 }
 
 ORACLES: dict[str, str | None] = {
@@ -958,4 +1041,7 @@ ORACLES: dict[str, str | None] = {
     "q30_ivf_ann": None,  # approximate (IVF probe subset)
     "q31_conditional_agg": ORACLE_Q31,
     "q32_nation_pair_volume": ORACLE_Q32,
+    "q33_above_segment_avg": ORACLE_Q33,
+    "q34_frequent_buyers": ORACLE_Q34,
+    "q35_extremes_by": ORACLE_Q35,
 }

@@ -29,6 +29,38 @@ def _write(tmp_path, name, content):
     return str(p)
 
 
+class TestValuesIngest:
+    def test_values_shape_matches_csv_path(self, spark):
+        """The in-memory values adapter (Sheets get_values shape)
+        produces the same dims as the CSV path for equivalent data."""
+        from ursa_major_choir_etl_spark.sources.io import read_wide_sheet_values
+
+        values = [
+            ["Tag", "Joined", "tgid", "Who", "16.06.24", "23.06.24"],
+            ["Bass", "16.06.24", "tg1", "Иван", "2", None],
+            ["Soprano", "23.06.24", None, "Анна", None, "2,5"],
+            ["Bass", "16.06.24", "", "Иван", "1", "1"],  # dup name
+            ["Song", "", "", "Калинка", "30", ""],
+            ["Bass", 45460, None, "Серийный", 2, 2.5],  # non-string cells
+        ]
+        raw = read_wide_sheet_values(spark, values)
+        dc = build_dim_chorister(raw, "TS")
+        ids = [r["chorister_id"] for r in dc.orderBy("input_row_id").collect()]
+        assert ids == ["Иван", "Анна", "Иван | 16.06.24", "Серийный"]
+        fa = build_fact_attendance(raw, chorister_id_by_key(dc), "TS")
+        assert fa.count() == 8  # 4 choristers x 2 dates
+        anna = fa.filter(
+            (fa["chorister_id"] == "Анна") & (fa["rehearsal_date"] == "2024-06-23")
+        ).collect()[0]
+        assert anna["hours_attended"] == 2.5
+
+    def test_empty_values(self, spark):
+        from ursa_major_choir_etl_spark.sources.io import read_wide_sheet_values
+
+        raw = read_wide_sheet_values(spark, [])
+        assert raw.count() == 0
+
+
 class TestMissingColumns:
     def test_missing_tgid_is_optional(self, spark, csv_dir):
         # reference: tgid_idx None -> "" (etl/dim_chorister.py:96)

@@ -48,6 +48,27 @@ def read_wide_sheet_csv(spark: SparkSession, path: str) -> DataFrame:
     return df.withColumn(INPUT_ROW_ID, F.row_number().over(w) - F.lit(1))
 
 
+def read_wide_sheet_values(spark: SparkSession, values: list[list]) -> DataFrame:
+    """Ingest the reference's native in-memory shape (S2 get_values:
+    first row header, rest data rows; short rows padded with nulls —
+    etl/gsheets.py:97-136) with a stable ``input_row_id``.
+
+    This is the adapter a Sheets-API connector would feed; everything
+    downstream is identical to the CSV path.
+    """
+    if not values:
+        return spark.createDataFrame([], f"{INPUT_ROW_ID} int")
+    header = [str(h) for h in values[0]]
+    width = len(header)
+    rows = []
+    for i, row in enumerate(values[1:]):
+        cells = [None if v is None else str(v) for v in row[:width]]
+        cells += [None] * (width - len(cells))
+        rows.append((*cells, i))
+    schema = ", ".join(f"`{h}` string" for h in header) + f", {INPUT_ROW_ID} int"
+    return spark.createDataFrame(rows, schema)
+
+
 def raw_date_columns(df: DataFrame) -> list[str]:
     """Positional projection F7: raw header names from column index >= 4."""
     return df.columns[DATE_COLUMNS_START_INDEX:]

@@ -54,6 +54,70 @@ class TestValuesIngest:
         ).collect()[0]
         assert anna["hours_attended"] == 2.5
 
+    def test_cross_path_equality_on_fixture(self, spark):
+        """Feed the SAME fixture through both ingest paths; every
+        builder output must be row-identical (no literals — the CSV
+        path itself is the expectation)."""
+        import csv
+
+        from ursa_major_choir_etl_spark.operators.facts import (
+            build_fact_song_time,
+        )
+        from ursa_major_choir_etl_spark.sources.io import read_wide_sheet_values
+
+        values = [
+            [c if c != "" else None for c in row]
+            for row in csv.reader(open("tests/fixtures/raw_wide.csv"))
+        ]
+        raw_v = read_wide_sheet_values(spark, values)
+        from ursa_major_choir_etl_spark.sources.io import read_wide_sheet_csv
+
+        raw_c = read_wide_sheet_csv(spark, "tests/fixtures/raw_wide.csv")
+
+        def outputs(raw):
+            dc = build_dim_chorister(raw, "TS")
+            ds = build_dim_song(raw, "TS")
+            return [
+                dc.drop("input_row_id"),
+                ds.drop("input_row_id", "song_ordinal"),
+                build_fact_attendance(raw, chorister_id_by_key(dc), "TS"),
+                build_fact_song_time(raw, ds, "TS"),
+            ]
+
+        for a, b in zip(outputs(raw_v), outputs(raw_c)):
+            assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_hostile_headers(self, spark):
+        """None/duplicate/backtick/reserved headers must not crash and
+        must not leak phantom date columns (reference skips unusable
+        headers; dict index is last-wins for duplicates)."""
+        from ursa_major_choir_etl_spark.operators.facts import (
+            build_fact_song_time,
+            raw_date_headers,
+        )
+        from ursa_major_choir_etl_spark.sources.io import read_wide_sheet_values
+
+        values = [
+            ["Tag", "x`y", "tgid", "Who", "16.06.24", None, "input_row_id", "Tag"],
+            ["Bass", "16.06.24", "", "Иван", "2", "99", "7", "LAST-TAG"],
+            ["Song", "", "", "Калинка", "30", "55", "1", "Song?"],
+        ]
+        raw = read_wide_sheet_values(spark, values)
+        # duplicate "Tag": last occurrence keeps the name (dict last-wins)
+        assert raw.columns.index("Tag") == 7
+        # None header and reserved name become placeholders, not dates.
+        # The duplicate-Tag column at index 7 IS a positional date
+        # column (the reference's index>=4 rule doesn't care about the
+        # header text; unparseable headers only drop out of the
+        # NORMALIZED date list).
+        assert raw_date_headers(raw) == ["16.06.24", "Tag"]
+        dc = build_dim_chorister(raw, "TS")
+        assert dc.count() == 0  # last-wins Tag values are not chorister tags
+        ds = build_dim_song(raw, "TS")
+        assert ds.count() == 0
+        fst = build_fact_song_time(raw, ds, "TS")
+        assert fst.count() == 0
+
     def test_empty_values(self, spark):
         from ursa_major_choir_etl_spark.sources.io import read_wide_sheet_values
 

@@ -32,6 +32,7 @@ from ursa_major_choir_etl_spark.operators.dims import chorister_rows, song_rows
 from ursa_major_choir_etl_spark.sources.io import (
     DATE_COLUMNS_START_INDEX,
     INPUT_ROW_ID,
+    PLACEHOLDER_PREFIX,
     has_required_columns,
 )
 
@@ -92,7 +93,11 @@ def date_columns_iso(raw: DataFrame) -> list[tuple[str, str]]:
     out: list[tuple[str, str]] = []
     seen: dict[str, str] = {}
     for name in raw.columns[DATE_COLUMNS_START_INDEX:]:
-        if name == INPUT_ROW_ID or not str(name).strip():
+        if (
+            name == INPUT_ROW_ID
+            or not str(name).strip()
+            or name.startswith(PLACEHOLDER_PREFIX)
+        ):
             continue
         iso = _py_normalize_date(name)
         if not iso:
@@ -112,7 +117,9 @@ def raw_date_headers(raw: DataFrame) -> list[str]:
     return [
         c
         for c in raw.columns[DATE_COLUMNS_START_INDEX:]
-        if c != INPUT_ROW_ID and str(c).strip()
+        if c != INPUT_ROW_ID
+        and str(c).strip()
+        and not c.startswith(PLACEHOLDER_PREFIX)
     ]
 
 

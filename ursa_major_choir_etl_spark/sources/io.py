@@ -48,30 +48,66 @@ def read_wide_sheet_csv(spark: SparkSession, path: str) -> DataFrame:
     return df.withColumn(INPUT_ROW_ID, F.row_number().over(w) - F.lit(1))
 
 
+#: Column-name prefix for unusable headers (None/empty/duplicate).
+#: Positional semantics require the columns to EXIST (date columns are
+#: index-based), but no name-based logic may match them; the date-column
+#: helpers skip this prefix.
+PLACEHOLDER_PREFIX = "__placeholder_"
+
+
 def read_wide_sheet_values(spark: SparkSession, values: list[list]) -> DataFrame:
     """Ingest the reference's native in-memory shape (S2 get_values:
     first row header, rest data rows; short rows padded with nulls —
     etl/gsheets.py:97-136) with a stable ``input_row_id``.
 
-    This is the adapter a Sheets-API connector would feed; everything
-    downstream is identical to the CSV path.
+    Header hygiene mirrors the reference's dict-index semantics
+    (etl/dim_chorister.py:18-20 _index_by_name):
+    - None/empty header cells -> positional placeholder (the column
+      exists so index-based date rules stay aligned, but no name
+      matches it — the reference skips such columns too);
+    - duplicate names: the LAST occurrence keeps the name (dict
+      last-wins), earlier ones become placeholders;
+    - a header colliding with the reserved input_row_id is
+      placeholdered.
+    Schema is built as a StructType, so header text can contain any
+    characters (backticks included).
     """
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
     if not values:
-        return spark.createDataFrame([], f"{INPUT_ROW_ID} int")
-    header = [str(h) for h in values[0]]
+        return spark.createDataFrame(
+            [], StructType([StructField(INPUT_ROW_ID, IntegerType())])
+        )
+    raw_header = ["" if h is None else str(h) for h in values[0]]
+    last_index: dict[str, int] = {h: i for i, h in enumerate(raw_header)}
+    header = []
+    for i, h in enumerate(raw_header):
+        if not h.strip() or h == INPUT_ROW_ID or last_index[h] != i:
+            header.append(f"{PLACEHOLDER_PREFIX}{i}")
+        else:
+            header.append(h)
     width = len(header)
     rows = []
     for i, row in enumerate(values[1:]):
         cells = [None if v is None else str(v) for v in row[:width]]
         cells += [None] * (width - len(cells))
         rows.append((*cells, i))
-    schema = ", ".join(f"`{h}` string" for h in header) + f", {INPUT_ROW_ID} int"
+    schema = StructType(
+        [StructField(h, StringType()) for h in header]
+        + [StructField(INPUT_ROW_ID, IntegerType())]
+    )
     return spark.createDataFrame(rows, schema)
 
 
 def raw_date_columns(df: DataFrame) -> list[str]:
-    """Positional projection F7: raw header names from column index >= 4."""
-    return df.columns[DATE_COLUMNS_START_INDEX:]
+    """Positional projection F7: raw header names from column index >= 4
+    (placeholders for unusable headers are skipped, like the reference
+    skips empty header cells)."""
+    return [
+        c
+        for c in df.columns[DATE_COLUMNS_START_INDEX:]
+        if c != INPUT_ROW_ID and not c.startswith(PLACEHOLDER_PREFIX)
+    ]
 
 
 def has_required_columns(df: DataFrame, required: list[str]) -> bool:

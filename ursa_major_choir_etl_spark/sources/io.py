@@ -126,8 +126,16 @@ def overwrite_parquet(
     name: str,
     partition_by: list[str] | None = None,
     dynamic: bool = False,
+    sort_by: list[str] | None = None,
 ) -> None:
     """Idempotent overwrite sink (S6/S7).
+
+    ``sort_by`` range-repartitions on the keys and sorts within each
+    output file, so every file/row-group covers a NARROW key range and
+    parquet min/max statistics become selective — point/range filters
+    on the sort keys skip whole files at scan time. (A local sort
+    alone cannot do this: round-robin partitions each span the full
+    key range regardless of row order.)
 
     ``dynamic=False`` (default) is the reference's clear-then-write:
     the whole table is replaced — correct for full-recompute runs and
@@ -147,12 +155,56 @@ def overwrite_parquet(
     if partition_by and df.isEmpty():
         partition_by = None
         dynamic = False
+    if sort_by:
+        df = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
     writer = df.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic" if dynamic else "static"
     )
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(os.path.join(warehouse, name))
+
+
+def compact_partitions(
+    spark: SparkSession,
+    warehouse: str,
+    name: str,
+    target_files_per_partition: int = 1,
+    partition_by: list[str] | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a table so each partition holds
+    ``target_files_per_partition`` files. Frequent incremental writes
+    fragment partitions; scan cost at 100 TB is dominated by file
+    count, so compaction is routine table maintenance.
+
+    Returns (files_before, files_after).
+    """
+    import glob
+
+    path = os.path.join(warehouse, name)
+
+    def count_files() -> int:
+        return len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+
+    before = count_files()
+    df = spark.read.parquet(path)
+    cols = partition_by or []
+    if cols:
+        out = df.repartition(target_files_per_partition, *cols)
+    else:
+        out = df.repartition(target_files_per_partition)
+    # Write to a temp location then swap — compaction must not lose
+    # the table on failure.
+    tmp = path + "__compacting"
+    writer = out.write.mode("overwrite")
+    if cols:
+        writer = writer.partitionBy(*cols)
+    writer.parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return before, count_files()
 
 
 def append_parquet(df: DataFrame, warehouse: str, name: str) -> None:

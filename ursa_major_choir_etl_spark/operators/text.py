@@ -115,6 +115,47 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalized_text(text))
 
 
+def curate_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+    min_tokens: int = 50,
+    langs: list[str] | None = None,
+) -> DataFrame:
+    """Composite curation stage — the canonical training-data filter
+    chain in one distributed pass:
+
+    1. exact dedup on the normalization fingerprint (keep min id);
+    2. length floor (token count);
+    3. quality floor (composite score);
+    4. optional predicted-language allowlist.
+
+    Output: kept (id, n_tokens, quality_score, lang_pred, fingerprint).
+    One shuffle total (the dedup groupBy); every filter is a native
+    expression evaluated in the same scan.
+    """
+    from pyspark.sql import Window
+
+    staged = df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        quality_score(text_col).alias("quality_score"),
+        language_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    deduped = staged.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") == 1
+    )
+    out = deduped.filter(
+        (F.col("n_tokens") >= min_tokens) & (F.col("quality_score") >= min_quality)
+    )
+    if langs:
+        out = out.filter(F.col("lang_pred").isin(langs))
+    return out.select(id_col, "n_tokens", "quality_score", "lang_pred", "fingerprint")
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stat block to a documents-like DataFrame.
 

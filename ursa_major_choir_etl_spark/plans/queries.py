@@ -39,6 +39,7 @@ Operator coverage map (SURVEY §2 ids -> query):
   window-correlated filter ........ q33
   group-by HAVING ................. q34
   argmax (max_by/min_by) .......... q35
+  composite curation pipeline ..... q36
 """
 
 from __future__ import annotations
@@ -970,6 +971,38 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q36_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite curation: exact-dedup -> length floor -> quality floor
+    -> language allowlist in one pass (operators.text.curate_documents)
+    — the end-to-end training-data filter this engine exists for."""
+    docs = T(spark, sf_dir, "documents")
+    return text.curate_documents(
+        docs, min_quality=0.3, min_tokens=50, langs=["en", "und"]
+    )
+
+
+def _oracle_q36() -> str:
+    return f"""
+WITH staged AS (
+  SELECT doc_id,
+         {osql.token_count_sql('text')} AS n_tokens,
+         {osql.quality_score_sql('text')} AS quality_score,
+         {osql.language_id_sql('text')} AS lang_pred,
+         {osql.fingerprint_sql('text')} AS fingerprint
+  FROM documents
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rk
+    FROM staged
+  ) WHERE rk = 1
+)
+SELECT doc_id, n_tokens, quality_score, lang_pred, fingerprint
+FROM deduped
+WHERE n_tokens >= 50 AND quality_score >= 0.3 AND lang_pred IN ('en', 'und')
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -1006,6 +1039,7 @@ QUERIES = {
     "q33_above_segment_avg": q33_above_segment_avg,
     "q34_frequent_buyers": q34_frequent_buyers,
     "q35_extremes_by": q35_extremes_by,
+    "q36_curation_pipeline": q36_curation_pipeline,
 }
 
 ORACLES: dict[str, str | None] = {
@@ -1044,4 +1078,5 @@ ORACLES: dict[str, str | None] = {
     "q33_above_segment_avg": ORACLE_Q33,
     "q34_frequent_buyers": ORACLE_Q34,
     "q35_extremes_by": ORACLE_Q35,
+    "q36_curation_pipeline": _oracle_q36(),
 }

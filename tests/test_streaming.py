@@ -97,6 +97,41 @@ class TestStreamingSessions:
         assert g == e
 
 
+class TestStreamingDedup:
+    def test_duplicates_suppressed_within_watermark(self, spark, tmp_path_factory):
+        from pyspark.sql import functions as F
+
+        d = str(tmp_path_factory.mktemp("docs_stream"))
+        rows = [
+            (1, "2024-01-01 10:00:00", "the cat sat"),
+            (2, "2024-01-01 10:05:00", "the cat sat"),   # dup of 1
+            (3, "2024-01-01 10:10:00", "other text"),
+            (4, "2024-01-01 10:20:00", "The cat SAT!"),  # dup after norm
+            (5, "2024-01-01 10:30:00", "third text"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, ts_s string, text string").select(
+            "doc_id", F.to_timestamp("ts_s").alias("ts"), "text"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 10)
+            .parquet(d)
+        )
+        out = jobs.streaming_dedup_documents(stream, watermark="1 hour")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_t")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        kept = {r["doc_id"] for r in spark.table("dedup_t").collect()}
+        assert kept == {1, 3, 5}  # first arrivals only
+
+
 class TestStreamingStreaks:
     def test_final_streaks_match_batch(self, spark, event_batch, event_stream_dir):
         stream = jobs.read_event_stream(

@@ -122,6 +122,30 @@ def streaming_error_streaks(
     )
 
 
+def streaming_dedup_documents(
+    docs: DataFrame,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-arrivals of the same content
+    fingerprint within the watermark horizon
+    (dropDuplicatesWithinWatermark — state is reclaimed as event time
+    advances, so dedup state stays bounded on an unbounded stream).
+
+    Batch-equivalent: operators.dedup.exact_duplicate_groups keeps one
+    row per fingerprint; the streaming form keeps the FIRST arrival and
+    suppresses later copies arriving within the watermark.
+    """
+    from ursa_major_choir_etl_spark.operators.text import fingerprint
+
+    return (
+        docs.withColumn("fingerprint", fingerprint(text_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Test/debug harness: drain all available input into a memory
     sink and return the query handle."""

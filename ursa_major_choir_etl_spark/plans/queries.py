@@ -40,6 +40,9 @@ Operator coverage map (SURVEY §2 ids -> query):
   group-by HAVING ................. q34
   argmax (max_by/min_by) .......... q35
   composite curation pipeline ..... q36
+  set ops (INTERSECT/EXCEPT) ...... q37
+  string predicates (LIKE/regexp) . q38
+  date arithmetic ................. q39
 """
 
 from __future__ import annotations
@@ -1003,6 +1006,103 @@ WHERE n_tokens >= 50 AND quality_score >= 0.3 AND lang_pred IN ('en', 'und')
 """
 
 
+def q37_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: nations with suppliers INTERSECT nations with
+    high-balance customers, then EXCEPT the ones hosting bulk-order
+    customers — intersect/except over proper set semantics."""
+    nation = T(spark, sf_dir, "nation")
+    supp = T(spark, sf_dir, "supplier")
+    cust = T(spark, sf_dir, "customer")
+    supp_nations = supp.join(
+        nation, supp["s_nationkey"] == nation["n_nationkey"]
+    ).select("n_name")
+    rich_nations = (
+        cust.filter(F.col("c_acctbal") > 9000)
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .select("n_name")
+    )
+    bulk_nations = (
+        cust.filter(F.col("c_acctbal") < -900)
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .select("n_name")
+    )
+    return supp_nations.intersect(rich_nations).exceptAll(
+        bulk_nations.distinct()
+    ).select("n_name")
+
+
+ORACLE_Q37 = """
+SELECT n_name FROM (
+  SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  INTERSECT
+  SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE c_acctbal > 9000
+)
+EXCEPT ALL
+SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal < -900
+"""
+
+
+def q38_string_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String predicates: LIKE, regexp, substring classification over
+    part names/types."""
+    part = T(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").like("%a%"))
+        .withColumn(
+            "name_class",
+            F.when(F.col("p_name").rlike("^[a-f]"), "head")
+            .when(F.col("p_type").contains("BRUSHED"), "brushed")
+            .otherwise("other"),
+        )
+        .groupBy("p_brand", "name_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg(F.length("p_name")), 4).alias("avg_name_len"),
+        )
+    )
+
+
+ORACLE_Q38 = """
+SELECT p_brand,
+       CASE WHEN regexp_matches(p_name, '^[a-f]') THEN 'head'
+            WHEN p_type LIKE '%BRUSHED%' THEN 'brushed'
+            ELSE 'other' END AS name_class,
+       count(*) AS n_parts,
+       round(avg(length(p_name)), 4) AS avg_name_len
+FROM part
+WHERE p_name LIKE '%a%'
+GROUP BY 1, 2
+"""
+
+
+def q39_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: ship latency (days between order and ship
+    date) distribution per priority."""
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return j.groupBy("o_orderpriority").agg(
+        F.round(F.avg(lat), 4).alias("avg_latency_days"),
+        F.min(lat).alias("min_latency_days"),
+        F.max(lat).alias("max_latency_days"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+ORACLE_Q39 = """
+SELECT o_orderpriority,
+       round(avg(date_diff('day', o_orderdate, l_shipdate)), 4) AS avg_latency_days,
+       min(date_diff('day', o_orderdate, l_shipdate)) AS min_latency_days,
+       max(date_diff('day', o_orderdate, l_shipdate)) AS max_latency_days,
+       count(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -1040,6 +1140,9 @@ QUERIES = {
     "q34_frequent_buyers": q34_frequent_buyers,
     "q35_extremes_by": q35_extremes_by,
     "q36_curation_pipeline": q36_curation_pipeline,
+    "q37_set_ops": q37_set_ops,
+    "q38_string_match": q38_string_match,
+    "q39_ship_latency": q39_ship_latency,
 }
 
 ORACLES: dict[str, str | None] = {
@@ -1079,4 +1182,7 @@ ORACLES: dict[str, str | None] = {
     "q34_frequent_buyers": ORACLE_Q34,
     "q35_extremes_by": ORACLE_Q35,
     "q36_curation_pipeline": _oracle_q36(),
+    "q37_set_ops": ORACLE_Q37,
+    "q38_string_match": ORACLE_Q38,
+    "q39_ship_latency": ORACLE_Q39,
 }

@@ -43,6 +43,7 @@ Operator coverage map (SURVEY §2 ids -> query):
   set ops (INTERSECT/EXCEPT) ...... q37
   string predicates (LIKE/regexp) . q38
   date arithmetic ................. q39
+  semi-structured JSON ............ q40
 """
 
 from __future__ import annotations
@@ -1103,6 +1104,38 @@ GROUP BY o_orderpriority
 """
 
 
+def q40_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns: parse the JSON props payload
+    (get_json_object — JVM-side JSON path), bucket the extracted value,
+    aggregate per event type."""
+    ev = T(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        # bucket via modulo, not cast(k/10): DuckDB ROUNDS float->int
+        # casts while Spark truncates — k - k%10 is engine-identical.
+        .withColumn("k_bucket", F.col("k") - (F.col("k") % 10))
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+ORACLE_Q40 = """
+SELECT event_type,
+       CAST(json_extract(props, '$.k') AS INTEGER)
+         - (CAST(json_extract(props, '$.k') AS INTEGER) % 10) AS k_bucket,
+       count(*) AS n_events,
+       round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -1143,6 +1176,7 @@ QUERIES = {
     "q37_set_ops": q37_set_ops,
     "q38_string_match": q38_string_match,
     "q39_ship_latency": q39_ship_latency,
+    "q40_json_extraction": q40_json_extraction,
 }
 
 ORACLES: dict[str, str | None] = {
@@ -1185,4 +1219,5 @@ ORACLES: dict[str, str | None] = {
     "q37_set_ops": ORACLE_Q37,
     "q38_string_match": ORACLE_Q38,
     "q39_ship_latency": ORACLE_Q39,
+    "q40_json_extraction": ORACLE_Q40,
 }

@@ -44,6 +44,8 @@ Operator coverage map (SURVEY §2 ids -> query):
   string predicates (LIKE/regexp) . q38
   date arithmetic ................. q39
   semi-structured JSON ............ q40
+  rolling range-frame aggregate ... q41
+  lag/lead inter-event gaps ....... q42
 """
 
 from __future__ import annotations
@@ -1136,6 +1138,91 @@ GROUP BY 1, 2
 """
 
 
+def q41_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving aggregate with a RANGE frame: per priority, daily order
+    totals with a trailing 7-day rolling sum (range frame over days,
+    not rows). Output limited to 1996 to keep it bounded."""
+    orders = T(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy(
+            "o_orderpriority", F.to_date("o_orderdate").alias("d")
+        )
+        .agg(F.sum("o_totalprice").alias("day_total"))
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.unix_date(F.col("d")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "o_orderpriority",
+        F.col("d").cast("string").alias("d"),
+        F.round("day_total", 4).alias("day_total"),
+        F.round(F.sum("day_total").over(w), 4).alias("rolling_7d_total"),
+    )
+
+
+ORACLE_Q41 = """
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+         sum(o_totalprice) AS day_total
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+)
+SELECT o_orderpriority, CAST(d AS VARCHAR) AS d,
+       round(day_total, 4) AS day_total,
+       round(sum(day_total) OVER (
+         PARTITION BY o_orderpriority ORDER BY d
+         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+       ), 4) AS rolling_7d_total
+FROM daily
+"""
+
+
+def q42_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead: days since a customer's previous order, averaged per
+    market segment (inter-event gap analysis)."""
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.withColumn(
+        "gap_days",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)),
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.join(F.broadcast(cust), gaps["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+            F.count("*").alias("n_gaps"),
+        )
+    )
+
+
+ORACLE_Q42 = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT c_mktsegment, round(avg(gap_days), 4) AS avg_gap_days,
+       max(gap_days) AS max_gap_days, count(*) AS n_gaps
+FROM gaps JOIN customer ON o_custkey = c_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -1177,6 +1264,8 @@ QUERIES = {
     "q38_string_match": q38_string_match,
     "q39_ship_latency": q39_ship_latency,
     "q40_json_extraction": q40_json_extraction,
+    "q41_rolling_revenue": q41_rolling_revenue,
+    "q42_order_gaps": q42_order_gaps,
 }
 
 ORACLES: dict[str, str | None] = {
@@ -1220,4 +1309,6 @@ ORACLES: dict[str, str | None] = {
     "q38_string_match": ORACLE_Q38,
     "q39_ship_latency": ORACLE_Q39,
     "q40_json_extraction": ORACLE_Q40,
+    "q41_rolling_revenue": ORACLE_Q41,
+    "q42_order_gaps": ORACLE_Q42,
 }

@@ -46,6 +46,14 @@ Operator coverage map (SURVEY §2 ids -> query):
   semi-structured JSON ............ q40
   rolling range-frame aggregate ... q41
   lag/lead inter-event gaps ....... q42
+  correlated scalar subquery ...... q43 (TPC-H Q17 shape)
+  pivot (wide conditional agg) .... q44 (inverse of U1/U2 unpivot)
+  explode / UNNEST ................ q45 (token frequency)
+  ntile quartiles ................. q46
+  ordered string aggregation ...... q47 (listagg / string_agg)
+  EXISTS + NOT EXISTS (Q21 shape) . q48
+  CUBE multi-level aggregate ...... q49
+  first_value / last_value frame .. q50
 """
 
 from __future__ import annotations
@@ -1223,6 +1231,330 @@ GROUP BY c_mktsegment
 """
 
 
+def q43_small_qty_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): lineitems whose
+    quantity is below 20% of their part's average quantity, revenue
+    summed per brand. Spark decorrelates explicitly: the per-part
+    average is a shuffle aggregate joined back on l_partkey (the
+    idiomatic plan Catalyst itself produces for the correlated form).
+    Threshold rounded to 4dp on BOTH engines so float summation order
+    can't flip boundary rows."""
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    thresholds = li.groupBy("l_partkey").agg(
+        F.round(0.2 * F.avg("l_quantity"), 4).alias("qty_threshold")
+    )
+    return (
+        li.join(thresholds, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_Q43 = """
+SELECT p_brand,
+       round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_quantity < (
+  SELECT round(0.2 * avg(l2.l_quantity), 4)
+  FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+)
+GROUP BY p_brand
+"""
+
+
+def q44_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot — the inverse of the reference's signature unpivot (U1):
+    long orders -> wide per-priority row with one column pair per
+    order status. Explicit value list ('F','O','P') so Spark skips the
+    extra distinct-scan pass (required at 100 TB: pivot values must be
+    known, never discovered by a full scan)."""
+    orders = T(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )
+    # pivot names columns "F_cnt"... -> stable lowercase aliases
+    return wide.select(
+        "o_orderpriority",
+        F.col("F_cnt").alias("cnt_f"),
+        F.col("F_total").alias("total_f"),
+        F.col("O_cnt").alias("cnt_o"),
+        F.col("O_total").alias("total_o"),
+        F.col("P_cnt").alias("cnt_p"),
+        F.col("P_total").alias("total_p"),
+    )
+
+
+ORACLE_Q44 = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+       round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 4) AS total_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
+       round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4) AS total_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p,
+       round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 4) AS total_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def q45_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode / UNNEST: tokenize documents.text (ASCII-lowercase
+    word split — portable across engines), count token frequency,
+    keep common tokens. No LIMIT: threshold filter instead, so ties
+    can't make the result order-dependent. Scale shape: explode ->
+    partial-agg -> shuffle agg; no driver materialization."""
+    docs = T(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+            ).alias("token")
+        )
+        .filter((F.length("token") >= 3))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 50)
+    )
+
+
+ORACLE_Q45 = """
+SELECT token, count(*) AS n
+FROM (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents
+)
+WHERE length(token) >= 3
+GROUP BY token
+HAVING count(*) >= 50
+"""
+
+
+def q46_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) quartile assignment within each market segment
+    (deterministic total order: acctbal then custkey), then per
+    (segment, quartile) stats."""
+    cust = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.min("c_acctbal"), 4).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+ORACLE_Q46 = """
+WITH q AS (
+  SELECT c_mktsegment, c_acctbal,
+         ntile(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+)
+SELECT c_mktsegment, quartile, count(*) AS n_customers,
+       round(min(c_acctbal), 4) AS min_bal,
+       round(max(c_acctbal), 4) AS max_bal,
+       round(avg(c_acctbal), 4) AS avg_bal
+FROM q
+GROUP BY c_mktsegment, quartile
+"""
+
+
+def q47_top_customer_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): per nation,
+    a comma-joined roster of its top-3 customers by balance
+    (deterministic tie-break on custkey). Spark builds the ordered
+    list with sort_array(collect_list(struct(rank, name))) — the
+    struct sort carries the ORDER BY that collect_list alone doesn't
+    guarantee after a shuffle."""
+    cust = T(spark, sf_dir, "customer")
+    nation = T(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    top3 = cust.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    rolled = top3.groupBy("c_nationkey").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "c_name"))),
+                lambda s: s["c_name"],
+            ),
+            ",",
+        ).alias("top_names"),
+        F.round(F.sum("c_acctbal"), 4).alias("top_bal_sum"),
+    )
+    return rolled.join(
+        F.broadcast(nation), rolled["c_nationkey"] == nation["n_nationkey"]
+    ).select("n_name", "top_names", "top_bal_sum")
+
+
+ORACLE_Q47 = """
+WITH ranked AS (
+  SELECT c_nationkey, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+)
+SELECT n_name,
+       string_agg(c_name, ',' ORDER BY rn) AS top_names,
+       round(sum(c_acctbal), 4) AS top_bal_sum
+FROM ranked JOIN nation ON c_nationkey = n_nationkey
+WHERE rn <= 3
+GROUP BY n_name
+"""
+
+
+def q48_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — EXISTS plus NOT EXISTS against the same fact:
+    suppliers with a returned line (l_returnflag='R') in a finished
+    multi-supplier order where NO other supplier returned anything.
+    Spark: left_semi (EXISTS another-supplier line) then left_anti
+    (NOT EXISTS another-supplier returned line) on l_orderkey with a
+    suppkey-inequality predicate — both shuffle joins on the fact key,
+    no driver state."""
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    supp = T(spark, sf_dir, "supplier")
+
+    f_orders = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    other_returns = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("r_key"), F.col("l_suppkey").alias("r_supp")
+    )
+    exists = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("o_key"))
+        & (F.col("l_suppkey") != F.col("o_supp")),
+        "left_semi",
+    )
+    sole = exists.join(
+        other_returns,
+        (F.col("l_orderkey") == F.col("r_key"))
+        & (F.col("l_suppkey") != F.col("r_supp")),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+ORACLE_Q48 = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+"""
+
+
+def q49_cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping levels in
+    one pass (grand total, per-flag, per-status, per-pair), with the
+    grouping bitmask exposed so subtotal rows are unambiguous even if
+    a grouping column were null in the data."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("grp"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+ORACLE_Q49 = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS grp,
+       round(sum(l_quantity), 4) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q50_first_last_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value with an explicit unbounded frame:
+    each customer's first and last order priority (by date, orderkey
+    tie-break), rolled up to how many customers kept the same
+    priority, per segment."""
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    fl = (
+        orders.select(
+            "o_custkey",
+            F.first_value("o_orderpriority").over(w).alias("first_prio"),
+            F.last_value("o_orderpriority").over(w).alias("last_prio"),
+        )
+        .groupBy("o_custkey", "first_prio", "last_prio")
+        .agg(F.lit(1).alias("one"))
+        .drop("one")
+    )
+    return (
+        fl.join(F.broadcast(cust), fl["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(
+                F.when(F.col("first_prio") == F.col("last_prio"), 1).otherwise(0)
+            ).alias("n_same_priority"),
+        )
+    )
+
+
+ORACLE_Q50 = """
+WITH fl AS (
+  SELECT DISTINCT o_custkey,
+         first_value(o_orderpriority) OVER w AS first_prio,
+         last_value(o_orderpriority) OVER w AS last_prio
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT c_mktsegment, count(*) AS n_customers,
+       sum(CASE WHEN first_prio = last_prio THEN 1 ELSE 0 END) AS n_same_priority
+FROM fl JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -1266,6 +1598,14 @@ QUERIES = {
     "q40_json_extraction": q40_json_extraction,
     "q41_rolling_revenue": q41_rolling_revenue,
     "q42_order_gaps": q42_order_gaps,
+    "q43_small_qty_parts": q43_small_qty_parts,
+    "q44_status_pivot": q44_status_pivot,
+    "q45_token_frequency": q45_token_frequency,
+    "q46_balance_quartiles": q46_balance_quartiles,
+    "q47_top_customer_roster": q47_top_customer_roster,
+    "q48_sole_returning_supplier": q48_sole_returning_supplier,
+    "q49_cube_returns": q49_cube_returns,
+    "q50_first_last_priority": q50_first_last_priority,
 }
 
 ORACLES: dict[str, str | None] = {
@@ -1311,4 +1651,12 @@ ORACLES: dict[str, str | None] = {
     "q40_json_extraction": ORACLE_Q40,
     "q41_rolling_revenue": ORACLE_Q41,
     "q42_order_gaps": ORACLE_Q42,
+    "q43_small_qty_parts": ORACLE_Q43,
+    "q44_status_pivot": ORACLE_Q44,
+    "q45_token_frequency": ORACLE_Q45,
+    "q46_balance_quartiles": ORACLE_Q46,
+    "q47_top_customer_roster": ORACLE_Q47,
+    "q48_sole_returning_supplier": ORACLE_Q48,
+    "q49_cube_returns": ORACLE_Q49,
+    "q50_first_last_priority": ORACLE_Q50,
 }

@@ -149,3 +149,30 @@ class TestStreamingStreaks:
             for r in batch_events.trailing_streak(event_batch).collect()
         }
         assert got == expected
+
+
+class TestStreamingEnrich:
+    def test_stream_static_join_matches_batch(
+        self, spark, event_batch, event_stream_dir
+    ):
+        dim = spark.range(50).select(
+            F.col("id").alias("user_id"),
+            F.concat(F.lit("user_"), F.col("id")).alias("user_name"),
+        )
+        stream = jobs.read_event_stream(
+            spark, event_stream_dir, event_batch.schema, max_files_per_trigger=1
+        )
+        enriched = jobs.streaming_enrich(
+            stream, dim, on="user_id", dim_cols=["user_name"]
+        )
+        got = _drain(spark, enriched, "enrich_test", "append")
+
+        expected = event_batch.join(F.broadcast(dim), "user_id", "left")
+        assert got.count() == event_batch.count()
+        assert (
+            got.filter(F.col("user_name").isNull()).count()
+            == expected.filter(F.col("user_name").isNull()).count()
+        )
+        g = got.groupBy("user_name").count()
+        e = expected.groupBy("user_name").count()
+        assert sorted(map(tuple, g.collect())) == sorted(map(tuple, e.collect()))

@@ -207,6 +207,77 @@ def compact_partitions(
     return before, count_files()
 
 
+def merge_upsert(
+    spark: SparkSession,
+    warehouse: str,
+    name: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str | None = None,
+) -> tuple[int, int]:
+    """CDC-style MERGE (upsert): rows in ``updates`` replace target
+    rows with the same key; unmatched rows are inserted.
+
+    Parquet has no row-level ACID, so merge = rewrite-touched-
+    partitions: (1) collect the distinct ``partition_col`` values in
+    the delta (small — one value per touched partition, never data-
+    sized); (2) read ONLY those partitions of the target (partition-
+    pruned scan); (3) left_anti old rows against delta keys; (4) union
+    the delta; (5) atomically swap just those partition directories.
+    Untouched partitions are neither read nor written — at 100 TB the
+    cost scales with the delta, not the table. A table with no
+    ``partition_col`` degrades to a full rewrite (documented cost).
+
+    The reference has no incremental path at all (full recompute per
+    run, `etl/main.py:190-285`); this is the scale-path extension the
+    overwrite sink (S6/S7) needs for frequent small deltas.
+
+    Returns (n_replaced, n_inserted).
+    """
+    import shutil
+
+    path = os.path.join(warehouse, name)
+    target = spark.read.parquet(path)
+
+    if partition_col is not None:
+        touched = [
+            r[0] for r in updates.select(partition_col).distinct().collect()
+        ]
+        pruned = target.filter(F.col(partition_col).isin(touched))
+    else:
+        touched = None
+        pruned = target
+
+    keys = updates.select(*key_cols).distinct()
+    n_replaced = pruned.join(keys, key_cols, "left_semi").count()
+    n_inserted = updates.count() - n_replaced
+
+    merged = pruned.join(keys, key_cols, "left_anti").unionByName(
+        updates.select(*target.columns)
+    )
+
+    tmp = path + "__merging"
+    writer = merged.write.mode("overwrite")
+    if partition_col is not None:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(tmp)
+
+    if touched is None:
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+    else:
+        for v in touched:
+            sub = f"{partition_col}={v}"
+            dst = os.path.join(path, sub)
+            src = os.path.join(tmp, sub)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            if os.path.exists(src):  # delta may be all-inserts elsewhere
+                os.rename(src, dst)
+        shutil.rmtree(tmp)
+    return n_replaced, n_inserted
+
+
 def append_parquet(df: DataFrame, warehouse: str, name: str) -> None:
     """Append sink (S8) — used by the etl_log audit table."""
     df.write.mode("append").parquet(os.path.join(warehouse, name))

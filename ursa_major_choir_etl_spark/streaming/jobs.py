@@ -146,6 +146,27 @@ def streaming_dedup_documents(
     )
 
 
+def streaming_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    dim_cols: list[str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream
+    joins against the (re-read-per-batch) static dimension. The dim is
+    broadcast — no shuffle of the stream side, no state store; the
+    standard pattern for attaching slowly-changing reference data
+    (user profile, song catalog) to an unbounded event stream.
+
+    Batch-equivalent: the mart lookup joins J1/J3
+    (reference: etl/marts.py:145,158-163 builds a dict index and
+    probes per row — same semantics, hash join per micro-batch here).
+    """
+    right = dim.select(on, *dim_cols) if dim_cols else dim
+    return events.join(F.broadcast(right), on, how)
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Test/debug harness: drain all available input into a memory
     sink and return the query handle."""

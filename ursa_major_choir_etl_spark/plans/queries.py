@@ -54,6 +54,10 @@ Operator coverage map (SURVEY §2 ids -> query):
   EXISTS + NOT EXISTS (Q21 shape) . q48
   CUBE multi-level aggregate ...... q49
   first_value / last_value frame .. q50
+  multi COUNT(DISTINCT) ........... q51
+  broadcast range-join histogram .. q52
+  date_trunc + MoM trend .......... q53
+  higher-order array fns (norms) .. q54
 """
 
 from __future__ import annotations
@@ -1555,6 +1559,148 @@ GROUP BY c_mktsegment
 """
 
 
+def q51_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregate (Expand-based plan):
+    per market segment, distinct ordering customers, distinct
+    priorities used, and total orders."""
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_buyers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+ORACLE_Q51 = """
+SELECT c_mktsegment,
+       count(DISTINCT o_custkey) AS n_buyers,
+       count(DISTINCT o_orderpriority) AS n_priorities,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+#: q52 bucket boundaries: (bucket_id, lo inclusive, hi exclusive);
+#: None = open end. Small static dim — broadcast side of a range join.
+_Q52_BUCKETS = [
+    (1, None, 10.0),
+    (2, 10.0, 50.0),
+    (3, 50.0, 100.0),
+    (4, 100.0, 250.0),
+    (5, 250.0, None),
+]
+
+
+def q52_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram binning via a broadcast RANGE join against a bucket-
+    boundary dim (the scale pattern for data-driven, non-uniform bins:
+    no per-row CASE ladder to regenerate when boundaries change).
+    Catalyst executes it as BroadcastNestedLoopJoin — each event row
+    tests ~5 boundary rows JVM-side, no shuffle."""
+    ev = T(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        _Q52_BUCKETS, "bucket_id int, lo double, hi double"
+    )
+    cond = (F.col("lo").isNull() | (F.col("value") >= F.col("lo"))) & (
+        F.col("hi").isNull() | (F.col("value") < F.col("hi"))
+    )
+    return (
+        ev.join(F.broadcast(buckets), cond)
+        .groupBy("bucket_id", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+ORACLE_Q52 = """
+SELECT bucket_id, event_type, count(*) AS n,
+       round(sum(value), 4) AS total_value
+FROM events
+JOIN (VALUES (1, NULL, 10.0), (2, 10.0, 50.0), (3, 50.0, 100.0),
+             (4, 100.0, 250.0), (5, 250.0, NULL)) b(bucket_id, lo, hi)
+  ON (lo IS NULL OR value >= lo) AND (hi IS NULL OR value < hi)
+GROUP BY bucket_id, event_type
+"""
+
+
+def q53_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc month rollup + month-over-month percent change via
+    lag over the monthly series (two-level time aggregation)."""
+    orders = T(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(F.sum("o_totalprice").alias("m_total"))
+    w = Window.orderBy("month")
+    return monthly.select(
+        F.col("month").cast("string").alias("month"),
+        F.round("m_total", 4).alias("month_total"),
+        F.round(
+            100.0 * (F.col("m_total") - F.lag("m_total").over(w))
+            / F.lag("m_total").over(w),
+            4,
+        ).alias("pct_change"),
+    )
+
+
+ORACLE_Q53 = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         sum(o_totalprice) AS m_total
+  FROM orders GROUP BY 1
+)
+SELECT CAST(month AS VARCHAR) AS month,
+       round(m_total, 4) AS month_total,
+       round(100.0 * (m_total - lag(m_total) OVER (ORDER BY month))
+             / lag(m_total) OVER (ORDER BY month), 4) AS pct_change
+FROM monthly
+"""
+
+
+def q54_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (no UDF): per label, stats over
+    each embedding's L2 norm — F.aggregate folds the squared sum
+    JVM-side inside whole-stage codegen; the DuckDB oracle uses
+    list_transform/list_sum on the same double-cast vectors."""
+    emb = T(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        emb.withColumn("l2", F.round(norm, 6))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("l2"), 4).alias("avg_norm"),
+            F.round(F.min("l2"), 4).alias("min_norm"),
+            F.round(F.max("l2"), 4).alias("max_norm"),
+        )
+    )
+
+
+ORACLE_Q54 = """
+WITH n AS (
+  SELECT label,
+         round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                            x -> x * x))), 6) AS l2
+  FROM embeddings
+)
+SELECT label, count(*) AS n_vectors,
+       round(avg(l2), 4) AS avg_norm,
+       round(min(l2), 4) AS min_norm,
+       round(max(l2), 4) AS max_norm
+FROM n GROUP BY label
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -1606,6 +1752,10 @@ QUERIES = {
     "q48_sole_returning_supplier": q48_sole_returning_supplier,
     "q49_cube_returns": q49_cube_returns,
     "q50_first_last_priority": q50_first_last_priority,
+    "q51_distinct_counts": q51_distinct_counts,
+    "q52_value_histogram": q52_value_histogram,
+    "q53_monthly_trend": q53_monthly_trend,
+    "q54_embedding_norms": q54_embedding_norms,
 }
 
 ORACLES: dict[str, str | None] = {
@@ -1659,4 +1809,8 @@ ORACLES: dict[str, str | None] = {
     "q48_sole_returning_supplier": ORACLE_Q48,
     "q49_cube_returns": ORACLE_Q49,
     "q50_first_last_priority": ORACLE_Q50,
+    "q51_distinct_counts": ORACLE_Q51,
+    "q52_value_histogram": ORACLE_Q52,
+    "q53_monthly_trend": ORACLE_Q53,
+    "q54_embedding_norms": ORACLE_Q54,
 }

@@ -209,3 +209,29 @@ class TestMultimodal:
         got = frames.collect()
         assert len(got) == 3  # 2500 bytes -> 25 frames, every 10th -> 0,10,20
         assert [r["frame_idx"] for r in sorted(got, key=lambda r: r["frame_idx"])] == [0, 10, 20]
+
+
+class TestConnectedComponents:
+    def test_chain_and_island_clusters(self, spark):
+        from ursa_major_choir_etl_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 11)],
+            "id_a long, id_b long",
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 10}
+
+    def test_converges_on_long_chain(self, spark):
+        from ursa_major_choir_etl_spark.operators.dedup import connected_components
+
+        n = 30  # chain 0-1-2-...-30: worst case for min propagation
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+        )
+        got = connected_components(pairs, max_iterations=50)
+        assert got.select("component").distinct().count() == 1
+        assert got.count() == n + 1

@@ -58,6 +58,7 @@ Operator coverage map (SURVEY §2 ids -> query):
   broadcast range-join histogram .. q52
   date_trunc + MoM trend .......... q53
   higher-order array fns (norms) .. q54
+  connected components (iterative)  q55
 """
 
 from __future__ import annotations
@@ -1701,6 +1702,54 @@ FROM n GROUP BY label
 """
 
 
+def q55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative algorithm: transitive dedup clusters (connected
+    components) over the q20 near-duplicate pairs — min-label
+    propagation to fixpoint, lineage-checkpointed per round. The
+    DuckDB oracle computes the same closure with a recursive CTE."""
+    sh = dedup.word_shingles(T(spark, sf_dir, "documents"))
+    pairs = dedup.jaccard_pairs(sh, threshold=0.5)
+    return dedup.connected_components(pairs)
+
+
+def _oracle_q55() -> str:
+    return f"""
+WITH RECURSIVE {osql.shingles_cte_sql(3)},
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM doc_shingles GROUP BY 1),
+freq AS (SELECT shingle, count(*) AS df FROM doc_shingles GROUP BY 1),
+rare AS (SELECT d.doc_id, d.shingle FROM doc_shingles d
+         JOIN freq USING (shingle) WHERE df <= 100),
+cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         FROM rare l JOIN rare r
+           ON l.shingle = r.shingle AND l.doc_id < r.doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM doc_shingles a
+  JOIN doc_shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter * 1.0 / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(n, m) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+)
+SELECT n AS node, min(m) AS component FROM reach GROUP BY n
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -1756,6 +1805,7 @@ QUERIES = {
     "q52_value_histogram": q52_value_histogram,
     "q53_monthly_trend": q53_monthly_trend,
     "q54_embedding_norms": q54_embedding_norms,
+    "q55_dedup_clusters": q55_dedup_clusters,
 }
 
 ORACLES: dict[str, str | None] = {
@@ -1813,4 +1863,5 @@ ORACLES: dict[str, str | None] = {
     "q52_value_histogram": ORACLE_Q52,
     "q53_monthly_trend": ORACLE_Q53,
     "q54_embedding_norms": ORACLE_Q54,
+    "q55_dedup_clusters": _oracle_q55(),
 }

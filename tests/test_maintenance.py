@@ -144,3 +144,56 @@ class TestMergeUpsert:
         after = spark.read.parquet(os.path.join(wh, "t"))
         assert after.count() == 20
         assert after.filter("v = 'new'").count() == 1
+
+
+class TestFormatRoundTrips:
+    def test_jsonl_roundtrip_with_schema(self, spark, tmp_path):
+        from ursa_major_choir_etl_spark.sources.io import read_jsonl, write_jsonl
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        p = os.path.join(str(tmp_path), "docs_jsonl")
+        write_jsonl(docs, p)
+        back = read_jsonl(spark, p, schema=docs.schema)
+        assert back.count() == docs.count()
+        a = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+        b = sorted(r["doc_id"] for r in back.select("doc_id").collect())
+        assert a == b
+
+    def test_jsonl_corrupt_record_quarantined(self, spark, tmp_path):
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+
+        from ursa_major_choir_etl_spark.sources.io import read_jsonl
+
+        p = os.path.join(str(tmp_path), "mixed.jsonl")
+        with open(p, "w") as f:
+            f.write('{"id": 1, "t": "ok"}\n')
+            f.write('{"id": broken!!\n')
+            f.write('{"id": 2, "t": "fine"}\n')
+        schema = StructType(
+            [
+                StructField("id", LongType()),
+                StructField("t", StringType()),
+                StructField("_corrupt_record", StringType()),
+            ]
+        )
+        df = read_jsonl(spark, p, schema=schema).cache()
+        assert df.count() == 3
+        assert df.filter("_corrupt_record IS NOT NULL").count() == 1
+        assert df.filter("id IS NOT NULL").count() == 2
+
+    def test_orc_roundtrip_partitioned(self, spark, tmp_path):
+        from ursa_major_choir_etl_spark.sources.io import read_orc, write_orc
+
+        df = spark.range(100).select(
+            (F.col("id") % 3).cast("string").alias("p"), F.col("id").alias("v")
+        )
+        p = os.path.join(str(tmp_path), "orc_t")
+        write_orc(df, p, partition_by=["p"])
+        back = read_orc(spark, p)
+        assert back.count() == 100
+        # partition-dir values are type-inferred on read (p=0 -> int)
+        assert set(
+            str(r["p"]) for r in back.select("p").distinct().collect()
+        ) == {"0", "1", "2"}

@@ -59,6 +59,8 @@ Operator coverage map (SURVEY §2 ids -> query):
   date_trunc + MoM trend .......... q53
   higher-order array fns (norms) .. q54
   connected components (iterative)  q55
+  cohort retention matrix ......... q56
+  ordered conversion funnel ....... q57
 """
 
 from __future__ import annotations
@@ -1750,6 +1752,101 @@ SELECT n AS node, min(m) AS component FROM reach GROUP BY n
 """
 
 
+def q56_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers cohorted by first-order
+    month; distinct active customers per (cohort_month,
+    months_since). Month distance via integer year*12+month
+    arithmetic — portable across engines (months_between returns
+    fractional doubles)."""
+    orders = T(spark, sf_dir, "orders")
+    om = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    activity = orders.select(
+        "o_custkey", om.alias("am")
+    ).distinct()
+    cohorts = activity.groupBy("o_custkey").agg(F.min("am").alias("cm"))
+    mnum = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    return (
+        activity.join(cohorts, "o_custkey")
+        .groupBy(
+            F.col("cm").cast("string").alias("cohort_month"),
+            (mnum(F.col("am")) - mnum(F.col("cm"))).alias("months_since"),
+        )
+        .agg(F.countDistinct("o_custkey").alias("n_active"))
+    )
+
+
+ORACLE_Q56 = """
+WITH activity AS (
+  SELECT DISTINCT o_custkey,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS am
+  FROM orders
+),
+cohorts AS (
+  SELECT o_custkey, min(am) AS cm FROM activity GROUP BY 1
+)
+SELECT CAST(cm AS VARCHAR) AS cohort_month,
+       (year(am) * 12 + month(am)) - (year(cm) * 12 + month(cm))
+         AS months_since,
+       count(DISTINCT o_custkey) AS n_active
+FROM activity JOIN cohorts USING (o_custkey)
+GROUP BY 1, 2
+"""
+
+
+def q57_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: each stage
+    counts only events strictly AFTER the user's previous-stage first
+    event. Three conditional-min aggregates chained by broadcast-less
+    equi-joins on user_id (each stage's frame is one shuffle on the
+    same key — co-partitioned, AQE-coalesced)."""
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.select(F.lit("1_view").alias("stage"), "user_id")
+        .unionByName(s2.select(F.lit("2_click").alias("stage"), "user_id"))
+        .unionByName(s3.select(F.lit("3_purchase").alias("stage"), "user_id"))
+        .groupBy("stage")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_Q57 = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE event_type = 'click' AND ts > t1 GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1
+)
+SELECT stage, count(DISTINCT user_id) AS n_users FROM (
+  SELECT '1_view' AS stage, user_id FROM s1
+  UNION ALL SELECT '2_click', user_id FROM s2
+  UNION ALL SELECT '3_purchase', user_id FROM s3
+) GROUP BY stage
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -1806,6 +1903,8 @@ QUERIES = {
     "q53_monthly_trend": q53_monthly_trend,
     "q54_embedding_norms": q54_embedding_norms,
     "q55_dedup_clusters": q55_dedup_clusters,
+    "q56_retention_cohorts": q56_retention_cohorts,
+    "q57_event_funnel": q57_event_funnel,
 }
 
 ORACLES: dict[str, str | None] = {
@@ -1864,4 +1963,6 @@ ORACLES: dict[str, str | None] = {
     "q53_monthly_trend": ORACLE_Q53,
     "q54_embedding_norms": ORACLE_Q54,
     "q55_dedup_clusters": _oracle_q55(),
+    "q56_retention_cohorts": ORACLE_Q56,
+    "q57_event_funnel": ORACLE_Q57,
 }

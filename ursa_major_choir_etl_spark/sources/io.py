@@ -304,6 +304,48 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(name)
 
 
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source — the lingua franca for document corpora.
+
+    Pass ``schema`` in production: without it Spark runs a FULL
+    inference scan before the real read (2x I/O at 100 TB, and a
+    malformed row can silently widen a column to string). Corrupt
+    records land in ``_corrupt_record`` (PERMISSIVE mode) instead of
+    failing the scan — the quarantine-not-crash policy of E5.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
+    """JSON-lines sink (overwrite). Gzip per-file compression by
+    default — JSONL is an interchange format here, not the analytic
+    store (Parquet is); this sink exists for handing corpora to
+    tokenizer/training jobs that expect JSONL."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — same columnar guarantees as Parquet (predicate
+    pushdown, column pruning, vectorized read); provided so the engine
+    can sit on either lakehouse format."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def table_exists(spark: SparkSession, warehouse: str, name: str) -> bool:
     """Existence probe (S11): cheap schema-only read attempt."""
     try:

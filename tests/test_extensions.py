@@ -235,3 +235,47 @@ class TestConnectedComponents:
         got = connected_components(pairs, max_iterations=50)
         assert got.select("component").distinct().count() == 1
         assert got.count() == n + 1
+
+
+class TestSampling:
+    def test_stratified_fractions_and_determinism(self, spark):
+        from ursa_major_choir_etl_spark.operators.sampling import stratified_sample
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        fracs = {"en": 0.5, "de": 0.1}  # others dropped
+        s1 = stratified_sample(docs, "lang", fracs, seed=7)
+        s2 = stratified_sample(docs, "lang", fracs, seed=7)
+        assert sorted(r["doc_id"] for r in s1.select("doc_id").collect()) == sorted(
+            r["doc_id"] for r in s2.select("doc_id").collect()
+        )
+        got = {
+            r["lang"]: r["n"]
+            for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        base = {
+            r["lang"]: r["n"]
+            for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        assert set(got) <= {"en", "de"}  # allowlist semantics
+        for lang, frac in fracs.items():
+            rate = got.get(lang, 0) / base[lang]
+            assert abs(rate - frac) < 0.1, (lang, rate)
+
+    def test_hash_split_stable_under_growth(self, spark):
+        from ursa_major_choir_etl_spark.operators.sampling import split_train_eval
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        half = docs.filter("doc_id % 2 = 0")
+        _, ev_half = split_train_eval(half, 0.1, id_col="doc_id")
+        train_full, ev_full = split_train_eval(docs, 0.1, id_col="doc_id")
+
+        ids_half = {r["doc_id"] for r in ev_half.select("doc_id").collect()}
+        ids_full = {r["doc_id"] for r in ev_full.select("doc_id").collect()}
+        # growing the corpus never migrates an id across splits
+        assert ids_half <= ids_full
+        # disjoint + covering
+        tr = {r["doc_id"] for r in train_full.select("doc_id").collect()}
+        assert tr.isdisjoint(ids_full)
+        assert len(tr) + len(ids_full) == docs.count()
+        # eval rate near requested
+        assert abs(len(ids_full) / docs.count() - 0.1) < 0.05

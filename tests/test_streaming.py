@@ -176,3 +176,40 @@ class TestStreamingEnrich:
         g = got.groupBy("user_name").count()
         e = expected.groupBy("user_name").count()
         assert sorted(map(tuple, g.collect())) == sorted(map(tuple, e.collect()))
+
+
+class TestStreamingUpsertSink:
+    def test_later_batches_overwrite_keys(self, spark, tmp_path_factory):
+        import os
+        import time as _time
+
+        src = str(tmp_path_factory.mktemp("upsert_src"))
+        wh = str(tmp_path_factory.mktemp("upsert_wh"))
+        ck = str(tmp_path_factory.mktemp("upsert_ck"))
+
+        batch1 = spark.createDataFrame(
+            [(k, "old", str(k % 2)) for k in range(10)],
+            "k long, v string, p string",
+        )
+        batch1.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes => deterministic batch order
+        batch2 = spark.createDataFrame(
+            [(k, "new", str(k % 2)) for k in range(5, 15)],
+            "k long, v string, p string",
+        )
+        batch2.coalesce(1).write.mode("append").parquet(src)
+
+        stream = jobs.read_event_stream(
+            spark, src, batch1.schema, max_files_per_trigger=1
+        )
+        q = jobs.streaming_upsert_sink(
+            stream, wh, "state", key_cols=["k"], partition_col="p",
+            checkpoint_dir=ck,
+        )
+        q.awaitTermination(180)
+
+        final = spark.read.parquet(os.path.join(wh, "state"))
+        assert final.count() == 15  # 0..14, upserted not appended
+        got = {r["k"]: r["v"] for r in final.collect()}
+        assert all(got[k] == "old" for k in range(5))
+        assert all(got[k] == "new" for k in range(5, 15))

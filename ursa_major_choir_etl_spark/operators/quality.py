@@ -112,3 +112,56 @@ def build_bad_cells(raw: DataFrame, run_ts: str) -> DataFrame:
     for df in out[1:]:
         res = res.unionByName(df)
     return res
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """One-pass table profile: per column, null count, distinct
+    count, min and max — the pre-flight data-quality scan a pipeline
+    runs before trusting a new drop of data.
+
+    All columns' aggregates run in ONE aggregation job (a single scan;
+    the multi-COUNT(DISTINCT) expands internally). min/max are taken
+    on the native type, THEN cast to string for the uniform output
+    schema — casting first would compare numbers lexically.
+    ``exact_distinct=False`` swaps in approx_count_distinct (HLL) —
+    at 100 TB the exact per-column distinct is usually not worth its
+    shuffle; the default stays exact so results are oracle-checkable.
+
+    Output: (col_name, n_rows, n_nulls, n_distinct, min_value,
+    max_value), one row per profiled column.
+    """
+    cols = columns or df.columns
+    nd = F.countDistinct if exact_distinct else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.extend(
+            [
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nn_{c}"),
+                nd(F.col(c)).alias(f"_nd_{c}"),
+                F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+            ]
+        )
+    wide = df.agg(*aggs)
+    stack_args = list(
+        chain.from_iterable(
+            (
+                F.lit(c),
+                F.col(f"_nn_{c}"),
+                F.col(f"_nd_{c}"),
+                F.col(f"_min_{c}"),
+                F.col(f"_max_{c}"),
+            )
+            for c in cols
+        )
+    )
+    return wide.select(
+        "n_rows",
+        F.stack(
+            F.lit(len(cols)), *stack_args
+        ).alias("col_name", "n_nulls", "n_distinct", "min_value", "max_value"),
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")

@@ -61,6 +61,7 @@ Operator coverage map (SURVEY §2 ids -> query):
   connected components (iterative)  q55
   cohort retention matrix ......... q56
   ordered conversion funnel ....... q57
+  one-pass table profiling ........ q58
 """
 
 from __future__ import annotations
@@ -1847,6 +1848,38 @@ SELECT stage, count(DISTINCT user_id) AS n_users FROM (
 """
 
 
+_Q58_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def q58_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling scan: per-column null/distinct/min/max over
+    orders, all columns in ONE aggregation pass (quality.profile_table
+    — the pre-flight check a pipeline runs on a new data drop)."""
+    from ursa_major_choir_etl_spark.operators.quality import profile_table
+
+    return profile_table(T(spark, sf_dir, "orders"), columns=_Q58_COLS)
+
+
+def _oracle_q58() -> str:
+    parts = [
+        f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value
+FROM orders"""
+        for c in _Q58_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -1905,6 +1938,7 @@ QUERIES = {
     "q55_dedup_clusters": q55_dedup_clusters,
     "q56_retention_cohorts": q56_retention_cohorts,
     "q57_event_funnel": q57_event_funnel,
+    "q58_profile_orders": q58_profile_orders,
 }
 
 ORACLES: dict[str, str | None] = {
@@ -1965,4 +1999,5 @@ ORACLES: dict[str, str | None] = {
     "q55_dedup_clusters": _oracle_q55(),
     "q56_retention_cohorts": ORACLE_Q56,
     "q57_event_funnel": ORACLE_Q57,
+    "q58_profile_orders": _oracle_q58(),
 }

@@ -167,6 +167,57 @@ def streaming_enrich(
     return events.join(F.broadcast(right), on, how)
 
 
+def streaming_upsert_sink(
+    stream_df: DataFrame,
+    warehouse: str,
+    name: str,
+    key_cols: list[str],
+    partition_col: str | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming CDC sink: each micro-batch MERGEs into a parquet
+    table via foreachBatch + ``sources.io.merge_upsert`` — later
+    arrivals for a key replace earlier rows (upsert), new keys insert.
+
+    foreachBatch is the idempotency boundary: the checkpoint records
+    the batch id, and merge_upsert is a deterministic rewrite, so a
+    replayed batch converges to the same table (effectively-once).
+    With ``partition_col`` each batch rewrites only the partitions it
+    touches — the cost scales with the micro-batch, not the table.
+    """
+    from ursa_major_choir_etl_spark.sources import io as sio
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os as _os
+
+        path = _os.path.join(warehouse, name)
+        if not _os.path.exists(path):
+            writer = batch_df.write.mode("overwrite")
+            if partition_col is not None:
+                writer = writer.partitionBy(partition_col)
+            writer.parquet(path)
+            return
+        # In-batch duplicates on the key: keep an arbitrary-but-
+        # deterministic single row per key (last by all-column order)
+        # before merging, so the merge key is unique.
+        deduped = batch_df.dropDuplicates(key_cols)
+        sio.merge_upsert(
+            batch_df.sparkSession,
+            warehouse,
+            name,
+            deduped,
+            key_cols,
+            partition_col=partition_col,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(merge_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Test/debug harness: drain all available input into a memory
     sink and return the query handle."""

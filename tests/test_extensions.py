@@ -279,3 +279,22 @@ class TestSampling:
         assert len(tr) + len(ids_full) == docs.count()
         # eval rate near requested
         assert abs(len(ids_full) / docs.count() - 0.1) < 0.05
+
+
+class TestGroupedMap:
+    def test_minmax_normalize_bounds_and_constant_group(self, spark):
+        from ursa_major_choir_etl_spark.operators.grouped import minmax_normalize
+
+        df = spark.createDataFrame(
+            [("a", 10.0), ("a", 20.0), ("a", 15.0), ("b", 7.0), ("b", 7.0)],
+            "g string, v double",
+        )
+        out = minmax_normalize(df, ["g"], "v", out_col="norm")
+        got = {(r["g"], r["v"]): r["norm"] for r in out.collect()}
+        assert got[("a", 10.0)] == 0.0
+        assert got[("a", 20.0)] == 1.0
+        assert got[("a", 15.0)] == 0.5
+        # constant group maps to midpoint, not null/nan
+        assert got[("b", 7.0)] == 0.5
+        # input df not corrupted by schema construction
+        assert df.columns == ["g", "v"]

@@ -62,6 +62,10 @@ Operator coverage map (SURVEY §2 ids -> query):
   cohort retention matrix ......... q56
   ordered conversion funnel ....... q57
   one-pass table profiling ........ q58
+  stats aggs (corr/covar/regr) .... q59
+  TF-IDF top terms per language ... q60
+  percent_rank / cume_dist ........ q61
+  Arrow grouped map (applyInPandas) q62
 """
 
 from __future__ import annotations
@@ -1880,6 +1884,173 @@ FROM orders"""
     return "\nUNION ALL\n".join(parts)
 
 
+def q59_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: Pearson correlation, sample
+    covariance/stddev, and least-squares regression slope/intercept
+    per group — all JVM-side one-pass streaming aggregates (no second
+    scan, no driver math). Rounded to 4: the only cross-engine delta
+    is float summation order (~1e-12 relative)."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "covar_qty_price"
+            ),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+                "slope_price_per_qty"
+            ),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+                "intercept_price"
+            ),
+        )
+    )
+
+
+ORACLE_Q59 = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       round(stddev_samp(l_extendedprice), 4) AS stddev_price,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_per_qty,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q60_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per language by
+    tf x idf over the documents corpus (tokenize -> explode -> tf per
+    doc -> global df -> score -> windowed top-k).
+
+    The idf weight is the INTEGER surrogate ``1000000 DIV df``
+    (monotone in 1/df) instead of ln(N/df): the whole score pipeline
+    stays in exact integer arithmetic, so the top-k ranking cannot be
+    flipped by cross-engine float-summation epsilons. The df side is
+    vocabulary-sized -> broadcast join, no shuffle of the token fact.
+    """
+    docs = T(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("term"),
+    )
+    tf = tokens.groupBy("doc_id", "lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .groupBy("lang", "term", "df")
+        .agg(F.sum("tf").alias("total_tf"))
+        .select(
+            "lang",
+            "term",
+            (F.col("total_tf") * F.expr("1000000 DIV df")).cast("long").alias("score"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank_n", F.row_number().over(w))
+        .filter(F.col("rank_n") <= 3)
+        .select("lang", "term", "score", "rank_n")
+    )
+
+
+ORACLE_Q60 = """
+WITH tokens AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, lang, term, count(*) AS tf FROM tokens GROUP BY doc_id, lang, term
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT t.lang, t.term,
+         CAST(sum(t.tf) * (1000000 // d.df) AS BIGINT) AS score
+  FROM tf t JOIN dfreq d USING (term)
+  GROUP BY t.lang, t.term, d.df
+)
+SELECT lang, term, score, rank_n FROM (
+  SELECT lang, term, score,
+         row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rank_n
+  FROM scored
+) WHERE rank_n <= 3
+"""
+
+
+def q61_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position window functions: percent_rank and
+    cume_dist of each customer's balance within its market segment
+    (the remaining rank-family members beyond rank/ntile covered by
+    q08/q46). Both depend only on the tie-group, not row order, so
+    they are exactly engine-portable; ratios of identical integers
+    give identical doubles."""
+    cust = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_d"),
+    )
+
+
+ORACLE_Q61 = """
+SELECT c_custkey, c_mktsegment,
+       round(c_acctbal, 2) AS acctbal,
+       round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6)
+         AS pct_rank,
+       round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6)
+         AS cume_d
+FROM customer
+"""
+
+
+def q62_grouped_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow grouped-map (applyInPandas) exercised end-to-end: min-max
+    normalize order totals within each order priority via
+    operators.grouped.minmax_normalize, oracle-checked against the
+    equivalent window SQL. Proves the Pandas grouped-map path (the
+    custom-operator escape hatch) produces engine-exact results."""
+    from ursa_major_choir_etl_spark.operators.grouped import minmax_normalize
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return minmax_normalize(
+        orders, ["o_orderpriority"], "o_totalprice", out_col="norm"
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("norm", 6).alias("price_pos"),
+    )
+
+
+ORACLE_Q62 = """
+SELECT o_orderkey, o_orderpriority,
+       round(CASE WHEN span = 0 THEN 0.5
+                  ELSE (o_totalprice - lo) / span END, 6) AS price_pos
+FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         min(o_totalprice) OVER (PARTITION BY o_orderpriority) AS lo,
+         max(o_totalprice) OVER (PARTITION BY o_orderpriority)
+           - min(o_totalprice) OVER (PARTITION BY o_orderpriority) AS span
+  FROM orders
+)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -1939,6 +2110,10 @@ QUERIES = {
     "q56_retention_cohorts": q56_retention_cohorts,
     "q57_event_funnel": q57_event_funnel,
     "q58_profile_orders": q58_profile_orders,
+    "q59_stats_aggregates": q59_stats_aggregates,
+    "q60_tfidf_top_terms": q60_tfidf_top_terms,
+    "q61_rank_distributions": q61_rank_distributions,
+    "q62_grouped_minmax_normalize": q62_grouped_minmax_normalize,
 }
 
 ORACLES: dict[str, str | None] = {
@@ -2000,4 +2175,8 @@ ORACLES: dict[str, str | None] = {
     "q56_retention_cohorts": ORACLE_Q56,
     "q57_event_funnel": ORACLE_Q57,
     "q58_profile_orders": _oracle_q58(),
+    "q59_stats_aggregates": ORACLE_Q59,
+    "q60_tfidf_top_terms": ORACLE_Q60,
+    "q61_rank_distributions": ORACLE_Q61,
+    "q62_grouped_minmax_normalize": ORACLE_Q62,
 }

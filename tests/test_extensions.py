@@ -298,3 +298,39 @@ class TestGroupedMap:
         assert got[("b", 7.0)] == 0.5
         # input df not corrupted by schema construction
         assert df.columns == ["g", "v"]
+
+
+class TestHllSketches:
+    def test_rollup_matches_exact_within_tolerance(self, spark, tmp_path_factory):
+        from ursa_major_choir_etl_spark.operators import sketches as sk
+
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        per_month = sk.distinct_sketches(
+            li.withColumn("month", F.date_trunc("month", "l_shipdate")),
+            ["month"], "l_orderkey",
+        )
+        # sketches persist as ordinary binary parquet columns
+        p = str(tmp_path_factory.mktemp("sk")) + "/t"
+        per_month.write.parquet(p)
+        per_month = spark.read.parquet(p)
+
+        # merged global estimate vs exact — no rescan of lineitem
+        est = sk.rollup_estimate(per_month, []).collect()[0]["approx_distinct"]
+        exact = li.select("l_orderkey").distinct().count()
+        assert abs(est - exact) / exact < 0.05, (est, exact)
+
+        # per-month estimates track exact counts too
+        got = {
+            r["month"]: r["approx_distinct"]
+            for r in sk.rollup_estimate(per_month, ["month"]).collect()
+        }
+        exact_m = {
+            r["month"]: r["n"]
+            for r in li.withColumn("month", F.date_trunc("month", "l_shipdate"))
+            .groupBy("month")
+            .agg(F.countDistinct("l_orderkey").alias("n"))
+            .collect()
+        }
+        assert set(got) == set(exact_m)
+        for m, e in exact_m.items():
+            assert abs(got[m] - e) / max(e, 1) < 0.05, (m, got[m], e)

@@ -197,3 +197,73 @@ class TestFormatRoundTrips:
         assert set(
             str(r["p"]) for r in back.select("p").distinct().collect()
         ) == {"0", "1", "2"}
+
+
+class TestZorder:
+    @staticmethod
+    def _overlap_fraction(path, lo_k, hi_k, lo_p, hi_p):
+        """Fraction of parquet row groups whose (o_custkey,
+        o_totalprice) min/max stats overlap the query box — the
+        fraction of the table a stats-pruning scan must read."""
+        import duckdb
+
+        rows = duckdb.sql(
+            f"""
+            SELECT file_name, row_group_id,
+              max(CASE WHEN path_in_schema='o_custkey' THEN CAST(stats_min_value AS DOUBLE) END) kmin,
+              max(CASE WHEN path_in_schema='o_custkey' THEN CAST(stats_max_value AS DOUBLE) END) kmax,
+              max(CASE WHEN path_in_schema='o_totalprice' THEN CAST(stats_min_value AS DOUBLE) END) pmin,
+              max(CASE WHEN path_in_schema='o_totalprice' THEN CAST(stats_max_value AS DOUBLE) END) pmax
+            FROM parquet_metadata('{path}/*.parquet')
+            GROUP BY file_name, row_group_id
+            """
+        ).fetchall()
+        assert rows
+        hit = sum(
+            1
+            for _, _, kmin, kmax, pmin, pmax in rows
+            if kmax >= lo_k and kmin <= hi_k and pmax >= lo_p and pmin <= hi_p
+        )
+        return hit / len(rows)
+
+    def test_zorder_prunes_on_both_columns(self, spark, tmp_path_factory):
+        from ursa_major_choir_etl_spark.sources.clustering import write_zordered
+
+        orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        zdir = str(tmp_path_factory.mktemp("zord")) + "/t"
+        sdir = str(tmp_path_factory.mktemp("sort")) + "/t"
+        write_zordered(orders, zdir, ["o_custkey", "o_totalprice"], num_files=16)
+        (
+            orders.repartitionByRange(16, "o_custkey")
+            .sortWithinPartitions("o_custkey")
+            .write.mode("overwrite")
+            .parquet(sdir)
+        )
+        # round-trip intact
+        assert spark.read.parquet(zdir).count() == orders.count()
+
+        import duckdb
+
+        # Probe boxes off the 0.5 quantile: a slice straddling the
+        # curve's top-level split is Morton's worst case (hits both
+        # halves); typical selective predicates are what we grade.
+        ks = duckdb.sql(
+            f"SELECT quantile_cont(o_custkey, [0.29, 0.37]), "
+            f"quantile_cont(o_totalprice, [0.63, 0.71]) FROM '{zdir}/*.parquet'"
+        ).fetchone()
+        (lo_k, hi_k), (lo_p, hi_p) = ks
+        full = (-1e18, 1e18)
+
+        # box selective on custkey ONLY: both layouts prune
+        zk = self._overlap_fraction(zdir, lo_k, hi_k, *full)
+        sk = self._overlap_fraction(sdir, lo_k, hi_k, *full)
+        assert zk < 0.7, zk
+        assert sk < 0.7, sk
+        # box selective on totalprice ONLY: single-column sort reads
+        # ~everything, z-order still prunes
+        zp = self._overlap_fraction(zdir, *full, lo_p, hi_p)
+        sp = self._overlap_fraction(sdir, *full, lo_p, hi_p)
+        assert zp < 0.7, zp
+        assert sp > 0.9, sp

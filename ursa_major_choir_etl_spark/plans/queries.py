@@ -66,6 +66,7 @@ Operator coverage map (SURVEY §2 ids -> query):
   TF-IDF top terms per language ... q60
   percent_rank / cume_dist ........ q61
   Arrow grouped map (applyInPandas) q62
+  levenshtein entity matching ..... q63
 """
 
 from __future__ import annotations
@@ -2051,6 +2052,52 @@ FROM (
 """
 
 
+def q63_name_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance matching: for every supplier, the closest
+    customer name by levenshtein (entity-resolution shape). The
+    small dimension is broadcast so the pair generation never
+    shuffles the big side; the argmin is the engine-portable
+    zero-padded composite (DuckDB max_by can't take struct keys).
+    At 100 TB the pair space would be pruned first with q20-style
+    shingle blocking (candidate pairs), then verified with this exact
+    distance — this query covers the verify stage's semantics."""
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    pairs = cust.crossJoin(F.broadcast(supp)).select(
+        "s_suppkey",
+        "s_name",
+        F.concat(
+            F.lpad(F.levenshtein("s_name", "c_name").cast("string"), 4, "0"),
+            F.lit("|"),
+            F.col("c_name"),
+        ).alias("composite"),
+    )
+    return (
+        pairs.groupBy("s_suppkey", "s_name")
+        .agg(F.min("composite").alias("best"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.substring("best", 1, 4).cast("int").alias("best_dist"),
+            F.expr("substring(best, 6)").alias("best_customer"),
+        )
+    )
+
+
+ORACLE_Q63 = """
+SELECT s_suppkey, s_name,
+       CAST(substring(best, 1, 4) AS INT) AS best_dist,
+       substring(best, 6) AS best_customer
+FROM (
+  SELECT s_suppkey, s_name,
+         min(lpad(CAST(levenshtein(s_name, c_name) AS VARCHAR), 4, '0')
+             || '|' || c_name) AS best
+  FROM supplier CROSS JOIN customer
+  GROUP BY s_suppkey, s_name
+)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2114,6 +2161,7 @@ QUERIES = {
     "q60_tfidf_top_terms": q60_tfidf_top_terms,
     "q61_rank_distributions": q61_rank_distributions,
     "q62_grouped_minmax_normalize": q62_grouped_minmax_normalize,
+    "q63_name_similarity": q63_name_similarity,
 }
 
 ORACLES: dict[str, str | None] = {
@@ -2179,4 +2227,5 @@ ORACLES: dict[str, str | None] = {
     "q60_tfidf_top_terms": ORACLE_Q60,
     "q61_rank_distributions": ORACLE_Q61,
     "q62_grouped_minmax_normalize": ORACLE_Q62,
+    "q63_name_similarity": ORACLE_Q63,
 }

@@ -213,3 +213,60 @@ class TestStreamingUpsertSink:
         got = {r["k"]: r["v"] for r in final.collect()}
         assert all(got[k] == "old" for k in range(5))
         assert all(got[k] == "new" for k in range(5, 15))
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_matches_batch(self, spark, tmp_path_factory):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1, 12, 0, 0)
+        imps = [
+            (k, base + dt.timedelta(minutes=3 * k)) for k in range(20)
+        ]
+        # clicks: half inside the 10-minute window, some before (no
+        # match), some far after (outside window)
+        clicks = []
+        for k, t in imps:
+            if k % 2 == 0:
+                clicks.append((k, t + dt.timedelta(minutes=k % 10)))
+            if k % 5 == 0:
+                clicks.append((k, t + dt.timedelta(minutes=40)))  # too late
+            if k % 7 == 0:
+                clicks.append((k, t - dt.timedelta(minutes=1)))  # before imp
+        l_df = spark.createDataFrame(imps, "k long, l_ts timestamp")
+        r_df = spark.createDataFrame(clicks, "k long, r_ts timestamp")
+
+        ldir = str(tmp_path_factory.mktemp("ss_l"))
+        rdir = str(tmp_path_factory.mktemp("ss_r"))
+        l_df.coalesce(2).write.mode("append").parquet(ldir)
+        r_df.coalesce(2).write.mode("append").parquet(rdir)
+
+        ls = jobs.read_event_stream(spark, ldir, l_df.schema)
+        rs = jobs.read_event_stream(spark, rdir, r_df.schema)
+        joined = jobs.streaming_interval_join(ls, rs, key="k")
+        q = (
+            joined.select(F.col("l.k").alias("k"), "l_ts", "r_ts")
+            .writeStream.format("memory")
+            .queryName("ssj")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = sorted(map(tuple, spark.table("ssj").collect()))
+
+        expected = sorted(
+            map(
+                tuple,
+                l_df.alias("l")
+                .join(
+                    r_df.alias("r"),
+                    (F.col("l.k") == F.col("r.k"))
+                    & (F.col("r_ts") >= F.col("l_ts"))
+                    & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 10 minutes")),
+                )
+                .select(F.col("l.k").alias("k"), "l_ts", "r_ts")
+                .collect(),
+            )
+        )
+        assert got == expected
+        assert len(got) >= 10  # the in-window half actually matched

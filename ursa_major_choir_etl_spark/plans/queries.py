@@ -67,6 +67,8 @@ Operator coverage map (SURVEY §2 ids -> query):
   percent_rank / cume_dist ........ q61
   Arrow grouped map (applyInPandas) q62
   levenshtein entity matching ..... q63
+  sequence packing (token bins) ... q64
+  deterministic source mixture .... q65
 """
 
 from __future__ import annotations
@@ -2098,6 +2100,111 @@ FROM (
 """
 
 
+_Q64_BUDGET = 16384  # chars per packed bin
+
+
+def q64_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch sequence packing: assign documents to fixed
+    char-budget bins by contiguous greedy packing (a doc joins the bin
+    its cumulative start falls into), packed independently PER
+    LANGUAGE shard. Per-shard windows keep the packing embarrassingly
+    parallel — no global sort, the window partitions by the shard key
+    (how a 100 TB corpus is actually packed: per shard/file-group).
+    A doc may straddle its bin boundary (bins overfill by < 1 doc);
+    deterministic order by doc_id inside the shard."""
+    docs = T(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (
+            (F.sum("n_chars").over(w) - F.col("n_chars")) / F.lit(_Q64_BUDGET)
+        ).cast("long").alias("bin_id"),
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("bin_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+ORACLE_Q64 = f"""
+SELECT lang, bin_id, count(*) AS n_docs,
+       sum(n_chars) AS bin_chars, min(doc_id) AS first_doc
+FROM (
+  SELECT doc_id, lang, n_chars,
+         CAST(floor((sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_chars)
+                    / {_Q64_BUDGET}) AS BIGINT) AS bin_id
+  FROM documents
+)
+GROUP BY lang, bin_id
+"""
+
+
+_Q65_WEIGHTS = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}  # others dropped
+
+
+def _portable_unit_hash(col):
+    """Engine-portable uniform hash in [0, 1): value of the first 4
+    hex nibbles of md5, / 65536. Same construction as the simhash
+    md5-nibble trick (dedup.py): pure md5 + substring + strpos, so an
+    ANSI oracle reproduces the EXACT keep/drop decisions — unlike
+    rand(seed), whose stream is engine-private."""
+    nib = lambda i: (
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(col), i + 1, 1)) - 1
+    )
+    u16 = sum((nib(i) * (16 ** (3 - i)) for i in range(4)), F.lit(0))
+    return u16 / F.lit(65536.0)
+
+
+def q65_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixture: re-weight sources by per-source
+    keep probabilities using the portable md5 unit hash on doc_id —
+    reproducible run-to-run AND engine-to-engine (a seeded rand()
+    would be neither across engines). Absent sources are dropped
+    (allowlist, same contract as sampling.stratified_sample).
+    Returns the kept docs' ids + per-source audit counts join key."""
+    docs = T(spark, sf_dir, "documents")
+    thresh = F.lit(None).cast("double")
+    for src, w in _Q65_WEIGHTS.items():
+        thresh = F.when(F.col("source") == src, F.lit(w)).otherwise(thresh)
+    kept = docs.select(
+        "doc_id", "source", _portable_unit_hash(F.col("doc_id").cast("string")).alias("u")
+    ).filter(F.col("u") < thresh)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def _oracle_q65() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {w}" for s, w in _Q65_WEIGHTS.items()
+    )
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, source,
+         ( (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+         ) / 65536.0 AS u,
+         CASE {cases} END AS thresh
+  FROM documents
+)
+SELECT source, count(*) AS n_kept, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM hashed WHERE u < thresh
+GROUP BY source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2162,6 +2269,8 @@ QUERIES = {
     "q61_rank_distributions": q61_rank_distributions,
     "q62_grouped_minmax_normalize": q62_grouped_minmax_normalize,
     "q63_name_similarity": q63_name_similarity,
+    "q64_sequence_packing": q64_sequence_packing,
+    "q65_source_mixture": q65_source_mixture,
 }
 
 ORACLES: dict[str, str | None] = {
@@ -2228,4 +2337,6 @@ ORACLES: dict[str, str | None] = {
     "q61_rank_distributions": ORACLE_Q61,
     "q62_grouped_minmax_normalize": ORACLE_Q62,
     "q63_name_similarity": ORACLE_Q63,
+    "q64_sequence_packing": ORACLE_Q64,
+    "q65_source_mixture": _oracle_q65(),
 }

@@ -167,6 +167,40 @@ def streaming_enrich(
     return events.join(F.broadcast(right), on, how)
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    max_delay: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join within an event-time interval: a
+    right-side event matches a left-side event with the same ``key``
+    if it lands in [left_ts, left_ts + max_delay] (the
+    impression->click attribution shape).
+
+    Both sides carry watermarks and the join condition bounds
+    event-time in BOTH directions, so the state store can evict: a
+    buffered left row is droppable once the right watermark passes
+    left_ts + max_delay, and vice versa. Without the time bound the
+    state grows without limit — the condition is not an optimization,
+    it is what makes the join runnable on an unbounded stream.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return l.join(r, cond, "inner")
+
+
 def streaming_upsert_sink(
     stream_df: DataFrame,
     warehouse: str,

@@ -193,26 +193,25 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # Convergence check: min-propagation is monotone (a node's label
+    # only ever decreases), so "any label changed" <=> "sum of labels
+    # strictly decreased" — one cheap agg over the just-checkpointed
+    # labels instead of a per-round labels-to-labels join.
+    prev_sum = labels.agg(F.sum("component")).first()[0]
     for _ in range(max_iterations):
         via_neighbor = edges.join(
             labels, edges["dst"] == labels["node"]
         ).select(F.col("src").alias("node"), F.col("component"))
-        new_labels = (
+        labels = (
             labels.unionByName(via_neighbor)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("component")).first()[0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 

@@ -109,3 +109,31 @@ class TestAdaptiveExecution:
         # degrade to BroadcastNestedLoopJoin over the range predicate.
         plan = plan_of(registry["q11_asof_prior_click"](spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestNewQueryShapes:
+    def test_q60_df_side_broadcast(self, spark, registry):
+        plan = plan_of(registry["q60_tfidf_top_terms"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan  # vocabulary df joined broadcast
+
+    def test_q63_dim_broadcast_no_shuffled_cross(self, spark, registry):
+        plan = plan_of(registry["q63_name_similarity"](spark, SF_DIR))
+        # the small supplier side must broadcast (nested-loop over a
+        # broadcast is the right cross-join shape; no shuffle cartesian)
+        assert "Broadcast" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q67_bounds_broadcast(self, spark, registry):
+        plan = plan_of(registry["q67_winsorize"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan
+
+    def test_q64_no_global_sort_window(self, spark, registry):
+        # packing windows partition by shard; a global (empty
+        # partition-by) window would single-thread the corpus
+        plan = plan_of(registry["q64_sequence_packing"](spark, SF_DIR))
+        assert "SinglePartition" not in plan
+
+    def test_q58_no_expand(self, spark, registry):
+        # profile_table avoids the multi-distinct Expand rewrite
+        plan = plan_of(registry["q58_profile_orders"](spark, SF_DIR))
+        assert "Expand" not in plan

@@ -40,6 +40,17 @@ def normalize_date_to_iso(c: Column | str) -> Column:
     """
     s = F.trim(_col(c).cast("string"))
     serial = s.try_cast("double")
+    # Truncate-toward-zero like Python int(); null on NaN/int overflow
+    # (ANSI cast would THROW on e.g. "3000000000"). Bound to the range
+    # both engines can render as a 4-digit-year date (0001-01-01 ..
+    # 9999-12-31 relative to the 1899-12-30 sheet epoch) — the Python
+    # header mirror has the identical bounds.
+    serial_days = serial.try_cast("int")
+    serial_ok = (
+        serial_days.isNotNull()
+        & (serial_days >= -693593)
+        & (serial_days <= 2958465)
+    )
     iso_like = s.rlike(r"^\d{4}-\d{2}-\d{2}")
     dmy = F.regexp_extract(s, r"^(\d{1,2})\.(\d{1,2})\.(\d{2,4})$", 0)
     day = F.regexp_extract(s, r"^(\d{1,2})\.", 1).try_cast("int")
@@ -57,9 +68,12 @@ def normalize_date_to_iso(c: Column | str) -> Column:
         F.when(s.isNull() | (s == ""), F.lit(""))
         .when(
             serial.isNotNull(),
-            F.date_add(F.to_date(F.lit("1899-12-30")), serial.cast("int")).cast(
-                "string"
-            ),
+            F.when(
+                serial_ok,
+                F.date_add(F.to_date(F.lit("1899-12-30")), serial_days).cast(
+                    "string"
+                ),
+            ).otherwise(F.lit("")),
         )
         .when(iso_like, F.substring(s, 1, 10))
         .when(

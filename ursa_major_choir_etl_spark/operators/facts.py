@@ -64,11 +64,14 @@ def _py_normalize_date(s: str) -> str:
         serial = None
     if serial is not None:
         try:
-            return (datetime(1899, 12, 30) + timedelta(days=int(serial))).strftime(
-                "%Y-%m-%d"
-            )
+            d = int(serial)  # truncate toward zero, like the cast
         except (ValueError, OverflowError):
             return ""
+        if d < -693593 or d > 2958465:  # same bounds as the Column impl
+            return ""
+        # isoformat, not strftime: %Y drops leading zeros on glibc for
+        # years < 1000, Spark's date->string never does
+        return (datetime(1899, 12, 30) + timedelta(days=d)).date().isoformat()
     if re.match(r"^\d{4}-\d{2}-\d{2}", s):
         return s[:10]
     m = re.match(r"^(\d{1,2})\.(\d{1,2})\.(\d{2,4})$", s)

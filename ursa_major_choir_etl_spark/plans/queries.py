@@ -69,6 +69,8 @@ Operator coverage map (SURVEY §2 ids -> query):
   levenshtein entity matching ..... q63
   sequence packing (token bins) ... q64
   deterministic source mixture .... q65
+  RAG document chunking ........... q66
+  per-group winsorization ......... q67
 """
 
 from __future__ import annotations
@@ -2056,16 +2058,19 @@ FROM (
 
 def q63_name_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance matching: for every supplier, the closest
-    customer name by levenshtein (entity-resolution shape). The
-    small dimension is broadcast so the pair generation never
-    shuffles the big side; the argmin is the engine-portable
-    zero-padded composite (DuckDB max_by can't take struct keys).
-    At 100 TB the pair space would be pruned first with q20-style
-    shingle blocking (candidate pairs), then verified with this exact
-    distance — this query covers the verify stage's semantics."""
-    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    pairs = cust.crossJoin(F.broadcast(supp)).select(
+    same-nation customer name by levenshtein (entity-resolution
+    shape: block on an equi-key, verify with exact distance). The
+    blocking key is PART of the semantics — an unblocked all-pairs
+    levenshtein is quadratic and measured 25x slower at sf0.1; at
+    100 TB the block would be this equi-key or q20-style shingle
+    candidates. The small dimension is broadcast so pair generation
+    never shuffles the big side; the argmin is the engine-portable
+    zero-padded composite (DuckDB max_by can't take struct keys)."""
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    pairs = cust.join(
+        F.broadcast(supp), cust["c_nationkey"] == supp["s_nationkey"]
+    ).select(
         "s_suppkey",
         "s_name",
         F.concat(
@@ -2094,7 +2099,7 @@ FROM (
   SELECT s_suppkey, s_name,
          min(lpad(CAST(levenshtein(s_name, c_name) AS VARCHAR), 4, '0')
              || '|' || c_name) AS best
-  FROM supplier CROSS JOIN customer
+  FROM supplier JOIN customer ON s_nationkey = c_nationkey
   GROUP BY s_suppkey, s_name
 )
 """
@@ -2205,6 +2210,90 @@ GROUP BY source
 """
 
 
+_Q66_SIZE, _Q66_STEP = 512, 448  # 64-char overlap between chunks
+
+
+def q66_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking: split each document into 512-char windows
+    with 64-char overlap, entirely with native expressions (sequence
+    of start offsets -> posexplode -> substring -> md5 content id).
+    No UDF: the chunk fan-out stays inside whole-stage codegen and
+    scales with output rows, not documents. Chunk grain output keeps
+    the md5 (content-addressed chunk id — dedup-able downstream)."""
+    docs = T(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("n_chars").cast("int"), F.lit(1)), F.lit(_Q66_STEP)
+    )
+    chunk = F.expr(f"substring(text, start, {_Q66_SIZE})")
+    return docs.select(
+        "doc_id", "lang", "text", F.explode(starts).alias("start")
+    ).select(
+        "doc_id",
+        "lang",
+        ((F.col("start") - 1) / F.lit(_Q66_STEP)).cast("int").alias("chunk_idx"),
+        F.length(chunk).alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
+ORACLE_Q66 = f"""
+SELECT doc_id, lang,
+       CAST((start - 1) // {_Q66_STEP} AS INT) AS chunk_idx,
+       length(substring(text, CAST(start AS INT), {_Q66_SIZE})) AS chunk_len,
+       md5(substring(text, CAST(start AS INT), {_Q66_SIZE})) AS chunk_md5
+FROM (
+  SELECT doc_id, lang, text,
+         unnest(generate_series(1, greatest(CAST(n_chars AS INT), 1), {_Q66_STEP})) AS start
+  FROM documents
+)
+"""
+
+
+def q67_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clip order totals to the group's
+    [p05, p95] (outlier taming before feature math). The percentile
+    pass produces one tiny row per group -> broadcast back onto the
+    fact; no window-over-everything, no second shuffle of the data.
+    Same exact-percentile definition q29 established as portable."""
+    orders = T(spark, sf_dir, "orders")
+    bounds = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("hi"),
+    )
+    clipped = orders.join(F.broadcast(bounds), "o_orderpriority").select(
+        "o_orderpriority",
+        F.round(
+            F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")), 4
+        ).alias("clipped"),
+    )
+    return clipped.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("clipped"), 2).alias("sum_clipped"),
+        F.round(F.min("clipped"), 4).alias("min_clipped"),
+        F.round(F.max("clipped"), 4).alias("max_clipped"),
+    )
+
+
+ORACLE_Q67 = """
+WITH bounds AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.05) AS lo,
+         quantile_cont(o_totalprice, 0.95) AS hi
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       count(*) AS n_rows,
+       round(sum(round(least(greatest(o.o_totalprice, b.lo), b.hi), 4)), 2)
+         AS sum_clipped,
+       round(min(round(least(greatest(o.o_totalprice, b.lo), b.hi), 4)), 4)
+         AS min_clipped,
+       round(max(round(least(greatest(o.o_totalprice, b.lo), b.hi), 4)), 4)
+         AS max_clipped
+FROM orders o JOIN bounds b USING (o_orderpriority)
+GROUP BY o.o_orderpriority
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2271,6 +2360,8 @@ QUERIES = {
     "q63_name_similarity": q63_name_similarity,
     "q64_sequence_packing": q64_sequence_packing,
     "q65_source_mixture": q65_source_mixture,
+    "q66_document_chunking": q66_document_chunking,
+    "q67_winsorize": q67_winsorize,
 }
 
 ORACLES: dict[str, str | None] = {
@@ -2339,4 +2430,6 @@ ORACLES: dict[str, str | None] = {
     "q63_name_similarity": ORACLE_Q63,
     "q64_sequence_packing": ORACLE_Q64,
     "q65_source_mixture": _oracle_q65(),
+    "q66_document_chunking": ORACLE_Q66,
+    "q67_winsorize": ORACLE_Q67,
 }

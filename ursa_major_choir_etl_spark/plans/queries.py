@@ -71,6 +71,8 @@ Operator coverage map (SURVEY §2 ids -> query):
   deterministic source mixture .... q65
   RAG document chunking ........... q66
   per-group winsorization ......... q67
+  label centroids + tightness ..... q68
+  join-key skew profile ........... q69
 """
 
 from __future__ import annotations
@@ -2294,6 +2296,94 @@ GROUP BY o.o_orderpriority
 """
 
 
+def q68_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids + cluster tightness (avg/max
+    euclidean distance of members to their own centroid) — the
+    compactness check after any clustering/labeling step. Dim values
+    explode to (vec, label, dim, value) grain; the centroid table is
+    labels x dims (tiny) and broadcasts back onto the exploded grain,
+    so the big side shuffles once (its groupBy per vec). Floats cast
+    to double BEFORE any math on both engines; distances rounded 4."""
+    emb = T(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("idx0", "valf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("idx0") + 1).alias("idx"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    cent = vals.groupBy("label", "idx").agg(F.avg("val").alias("c"))
+    dist = (
+        vals.join(F.broadcast(cent), ["label", "idx"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("val") - F.col("c")) * (F.col("val") - F.col("c")))
+            ).alias("dist")
+        )
+    )
+    return dist.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("dist"), 4).alias("avg_dist"),
+        F.round(F.max("dist"), 4).alias("max_dist"),
+    )
+
+
+ORACLE_Q68 = """
+WITH idxd AS (
+  SELECT vec_id, label, embedding,
+         unnest(generate_series(1, len(embedding))) AS idx
+  FROM embeddings
+),
+vals AS (
+  SELECT vec_id, label, idx, CAST(embedding[idx] AS DOUBLE) AS val FROM idxd
+),
+cent AS (
+  SELECT label, idx, avg(val) AS c FROM vals GROUP BY label, idx
+),
+dist AS (
+  SELECT v.vec_id, v.label,
+         sqrt(sum((v.val - c.c) * (v.val - c.c))) AS dist
+  FROM vals v JOIN cent c USING (label, idx)
+  GROUP BY v.vec_id, v.label
+)
+SELECT label, count(*) AS n_vecs,
+       round(avg(dist), 4) AS avg_dist,
+       round(max(dist), 4) AS max_dist
+FROM dist GROUP BY label
+"""
+
+
+def q69_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis: the per-key row-count distribution
+    for lineitem's join key (n_keys, mean, p99, max, max/mean ratio).
+    This is the measurement that decides whether a join needs the
+    operators.skew salting path — profile first, salt only when the
+    ratio says so. Two narrow aggregates, output is one row."""
+    li = T(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(F.avg("cnt"), 4).alias("mean_rows"),
+        F.round(F.percentile("cnt", F.lit(0.99)), 4).alias("p99_rows"),
+        F.max("cnt").alias("max_rows"),
+        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_ratio"),
+    )
+
+
+ORACLE_Q69 = """
+SELECT count(*) AS n_keys,
+       round(avg(cnt), 4) AS mean_rows,
+       round(quantile_cont(cnt, 0.99), 4) AS p99_rows,
+       max(cnt) AS max_rows,
+       round(max(cnt) / avg(cnt), 4) AS skew_ratio
+FROM (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2362,6 +2452,8 @@ QUERIES = {
     "q65_source_mixture": q65_source_mixture,
     "q66_document_chunking": q66_document_chunking,
     "q67_winsorize": q67_winsorize,
+    "q68_label_centroids": q68_label_centroids,
+    "q69_key_skew_profile": q69_key_skew_profile,
 }
 
 ORACLES: dict[str, str | None] = {
@@ -2432,4 +2524,6 @@ ORACLES: dict[str, str | None] = {
     "q65_source_mixture": _oracle_q65(),
     "q66_document_chunking": ORACLE_Q66,
     "q67_winsorize": ORACLE_Q67,
+    "q68_label_centroids": ORACLE_Q68,
+    "q69_key_skew_profile": ORACLE_Q69,
 }

@@ -73,6 +73,9 @@ Operator coverage map (SURVEY §2 ids -> query):
   per-group winsorization ......... q67
   label centroids + tightness ..... q68
   join-key skew profile ........... q69
+  SCD2 dimension versioning ....... q70
+  corpus bigram statistics ........ q71
+  exact-N per-group subsample ..... q72
 """
 
 from __future__ import annotations
@@ -2384,6 +2387,115 @@ FROM (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey)
 """
 
 
+def q70_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 dimension build: each user event becomes a
+    versioned row with [valid_from, valid_to) and an is_current flag
+    (valid_to = next change's ts via lead, null on the open row).
+    The window partitions by user — no global sort; ties broken by
+    event_id so the version chain is deterministic. This is the
+    dimension-versioning complement of the as-of JOIN (q11): q11
+    reads intervals, this builds them."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("attr_value"),
+        F.row_number().over(w).alias("version"),
+        F.col("ts").cast("string").alias("valid_from"),
+        F.lead("ts").over(w).cast("string").alias("valid_to"),
+        F.when(F.lead("ts").over(w).isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+ORACLE_Q70 = """
+SELECT user_id,
+       event_type AS attr_value,
+       row_number() OVER w AS version,
+       CAST(ts AS VARCHAR) AS valid_from,
+       CAST(lead(ts) OVER w AS VARCHAR) AS valid_to,
+       CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q71_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics: top-10 adjacent word pairs. The
+    bigram list is built ARRAY-side with transform over an index
+    sequence (no self-join of the token table on position — that
+    would shuffle the exploded grain twice). The words array is
+    materialized as a column first: Spark HOF lambdas re-evaluate
+    captured expression subtrees per element, so inlining split()
+    into the lambda would re-split the text once per bigram."""
+    docs = T(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    )
+    bigrams = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("w") - 1, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("w"), i), F.element_at(F.col("w"), i + 1)
+                ),
+            )
+        ).alias("bigram")
+    )
+    counted = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    w10 = Window.orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counted.withColumn("rank_n", F.row_number().over(w10))
+        .filter(F.col("rank_n") <= 10)
+        .select("bigram", "n", "rank_n")
+    )
+
+
+ORACLE_Q71 = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+bigrams AS (
+  SELECT unnest(list_transform(
+           generate_series(1, greatest(len(w) - 1, 0)),
+           i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM words
+),
+counted AS (SELECT bigram, count(*) AS n FROM bigrams GROUP BY bigram)
+SELECT bigram, n, rank_n FROM (
+  SELECT bigram, n,
+         row_number() OVER (ORDER BY n DESC, bigram) AS rank_n
+  FROM counted
+) WHERE rank_n <= 10
+"""
+
+
+def q72_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-N deterministic subsample per group: 5 docs per
+    language, selected by md5-hash order (the portable stand-in for
+    a seeded shuffle — reproducible across runs AND engines, stable
+    under repartitioning). The eval-set builder's primitive when
+    "5 per stratum" matters more than a Bernoulli rate."""
+    docs = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("pick"))
+        .filter(F.col("pick") <= 5)
+    )
+
+
+ORACLE_Q72 = """
+SELECT doc_id, lang, pick FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick
+  FROM documents
+) WHERE pick <= 5
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2454,6 +2566,9 @@ QUERIES = {
     "q67_winsorize": q67_winsorize,
     "q68_label_centroids": q68_label_centroids,
     "q69_key_skew_profile": q69_key_skew_profile,
+    "q70_scd2_user_history": q70_scd2_user_history,
+    "q71_bigram_stats": q71_bigram_stats,
+    "q72_per_group_sample": q72_per_group_sample,
 }
 
 ORACLES: dict[str, str | None] = {
@@ -2526,4 +2641,7 @@ ORACLES: dict[str, str | None] = {
     "q67_winsorize": ORACLE_Q67,
     "q68_label_centroids": ORACLE_Q68,
     "q69_key_skew_profile": ORACLE_Q69,
+    "q70_scd2_user_history": ORACLE_Q70,
+    "q71_bigram_stats": ORACLE_Q71,
+    "q72_per_group_sample": ORACLE_Q72,
 }

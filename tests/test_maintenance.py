@@ -267,3 +267,22 @@ class TestZorder:
         sp = self._overlap_fraction(sdir, *full, lo_p, hi_p)
         assert zp < 0.7, zp
         assert sp > 0.9, sp
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_reads_added_column(self, spark, tmp_path_factory):
+        from ursa_major_choir_etl_spark.sources import io as sio
+
+        wh = str(tmp_path_factory.mktemp("evo"))
+        old = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        old.write.mode("append").parquet(wh + "/t")
+        new = spark.createDataFrame(
+            [(3, "c", 1.5)], "k long, v string, score double"
+        )
+        new.write.mode("append").parquet(wh + "/t")
+
+        merged = sio.read_parquet_table(spark, wh, "t", merge_schema=True)
+        assert set(merged.columns) == {"k", "v", "score"}
+        rows = {r["k"]: r["score"] for r in merged.collect()}
+        assert rows[3] == 1.5 and rows[1] is None and rows[2] is None
+        assert merged.count() == 3

@@ -116,8 +116,18 @@ def has_required_columns(df: DataFrame, required: list[str]) -> bool:
     return set(required) <= set(df.columns)
 
 
-def read_parquet_table(spark: SparkSession, warehouse: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(warehouse, name))
+def read_parquet_table(
+    spark: SparkSession, warehouse: str, name: str, merge_schema: bool = False
+) -> DataFrame:
+    """Read a warehouse table. ``merge_schema=True`` unions the
+    schemas of all files (schema evolution: an appended batch that
+    ADDED a column still reads as one table, old files null-filled).
+    Off by default: merging footers costs a file-listing pass per
+    read, and a table of homogeneous files shouldn't pay it."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(os.path.join(warehouse, name))
 
 
 def overwrite_parquet(

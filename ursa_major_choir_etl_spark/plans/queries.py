@@ -76,6 +76,9 @@ Operator coverage map (SURVEY §2 ids -> query):
   SCD2 dimension versioning ....... q70
   corpus bigram statistics ........ q71
   exact-N per-group subsample ..... q72
+  explicit GROUPING SETS .......... q73
+  ROWS-frame sliding average ...... q74
+  count_if / bool_or / FILTER ..... q75
 """
 
 from __future__ import annotations
@@ -2496,6 +2499,91 @@ SELECT doc_id, lang, pick FROM (
 """
 
 
+def q73_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (not the rollup/cube shorthands of
+    q27/q49): exactly the (status), (priority), and () aggregates in
+    one pass — Catalyst expands once, one shuffle, vs three separate
+    scans for three GROUP BYs. grouping_id disambiguates the null
+    grouping columns from real nulls."""
+    orders = T(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_q73_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping__id AS gid,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM _q73_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+ORACLE_Q73 = """
+SELECT o_orderstatus, o_orderpriority,
+       CASE WHEN o_orderstatus IS NOT NULL THEN 1
+            WHEN o_orderpriority IS NOT NULL THEN 2
+            ELSE 3 END AS gid,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q74_sliding_row_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame sliding window (the physical-row complement of
+    q41's RANGE frame): 5-event centered moving average of event
+    values per user, ordered by time. ROWS frames need a total order
+    — ties broken by event_id so both engines see the same frame."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 2)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("moving_avg"),
+        F.count(F.lit(1)).over(w).alias("frame_n"),
+    )
+
+
+ORACLE_Q74 = """
+SELECT user_id, event_id,
+       round(avg(value) OVER w, 4) AS moving_avg,
+       count(*) OVER w AS frame_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+"""
+
+
+def q75_conditional_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional + boolean aggregate family: count_if, bool_or /
+    bool_and (SQL every/any), and FILTERed sums per market segment —
+    one pass, no CASE-wrapped sub-selects."""
+    cust = T(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count_if(F.col("c_acctbal") < 0).alias("n_negative"),
+        F.count_if(F.col("c_acctbal") > 5000).alias("n_rich"),
+        F.bool_or(F.col("c_acctbal") < -900).alias("any_deep_debt"),
+        F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
+        F.round(
+            F.sum(F.when(F.col("c_acctbal") > 0, F.col("c_acctbal"))), 2
+        ).alias("positive_balance"),
+    )
+
+
+ORACLE_Q75 = """
+SELECT c_mktsegment,
+       count(*) FILTER (WHERE c_acctbal < 0) AS n_negative,
+       count(*) FILTER (WHERE c_acctbal > 5000) AS n_rich,
+       bool_or(c_acctbal < -900) AS any_deep_debt,
+       bool_and(c_acctbal > -1000) AS all_above_floor,
+       round(sum(c_acctbal) FILTER (WHERE c_acctbal > 0), 2)
+         AS positive_balance
+FROM customer GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2569,6 +2657,9 @@ QUERIES = {
     "q70_scd2_user_history": q70_scd2_user_history,
     "q71_bigram_stats": q71_bigram_stats,
     "q72_per_group_sample": q72_per_group_sample,
+    "q73_grouping_sets": q73_grouping_sets,
+    "q74_sliding_row_frame": q74_sliding_row_frame,
+    "q75_conditional_bool_aggs": q75_conditional_bool_aggs,
 }
 
 ORACLES: dict[str, str | None] = {
@@ -2644,4 +2735,7 @@ ORACLES: dict[str, str | None] = {
     "q70_scd2_user_history": ORACLE_Q70,
     "q71_bigram_stats": ORACLE_Q71,
     "q72_per_group_sample": ORACLE_Q72,
+    "q73_grouping_sets": ORACLE_Q73,
+    "q74_sliding_row_frame": ORACLE_Q74,
+    "q75_conditional_bool_aggs": ORACLE_Q75,
 }

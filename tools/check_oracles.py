@@ -10,6 +10,8 @@ Usage: python tools/check_oracles.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import math
 import os
 import sys
@@ -21,17 +23,38 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def canon_value(v) -> str:
+    """Type-tagged, full-precision canonicalization.
+
+    Stricter than the driver's: ints and floats hash differently
+    (``i:3`` vs ``f:3.0``), Decimals (DuckDB HUGEINT via Arrow) are
+    their own tag, and floats use full repr — so cross-engine type
+    drift (e.g. an uncast integer ``sum()`` going HUGEINT) fails HERE
+    before it fails in the driver."""
     if v is None:
         return "∅"
     if isinstance(v, bool):
-        return str(int(v))
+        return f"b:{int(v)}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return f"{v:.6g}"
+            return "f:nan"
+        if v == int(v) and abs(v) < 1e15:
+            return f"f:{int(v)}.0"
+        return f"f:{v!r}"
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
+    if isinstance(v, datetime.datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, datetime.date):
+        return f"d:{v.isoformat()}"
+    if isinstance(v, bytes):
+        return f"x:{v.hex()}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon_value(x) for x in v) + "]"
-    return str(v)
+    if isinstance(v, dict):  # Arrow renders Spark Rows/structs as dicts
+        return "{" + ",".join(f"{k}={canon_value(v[k])}" for k in sorted(v)) + "}"
+    return f"s:{v}"
 
 
 def canon_rows(cols: list[str], rows: list[tuple]) -> list[str]:
@@ -81,7 +104,13 @@ def main() -> None:
         t0 = time.time()
         res = con.execute(oracles[name])
         duck_cols = [d[0] for d in res.description]
-        duck_rows = res.fetchall()
+        # Fetch through Arrow (not fetchall) so DuckDB types surface the
+        # way a driver-side Arrow/pandas reader sees them — notably
+        # HUGEINT -> Decimal instead of silently becoming Python int.
+        atbl = res.fetch_arrow_table()
+        duck_rows = [
+            tuple(d[c] for c in duck_cols) for d in atbl.to_pylist()
+        ]
         t_duck = time.time() - t0
 
         problems = []

@@ -63,7 +63,9 @@ def sessionize(
     Classic lag + running-sum windows, partitioned by user — the 100 TB
     shape (state never leaves the user partition).
     Output per session: user_id, session_id (ordinal), n_events,
-    session_secs (rounded to 3).
+    session_secs (truncated to the millisecond: integer-micros
+    duration DIV 1000, then /1000.0 — deterministic across engines,
+    no float round() whose tie-breaking could differ).
     """
     us = F.unix_micros(F.col(ts_col))
     w = Window.partitionBy(user_col).orderBy(ts_col)
@@ -74,12 +76,16 @@ def sessionize(
     with_session = events.withColumn(
         "session_id", F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
+    _dur = F.max(us) - F.min(us)
     return (
         with_session.groupBy(user_col, "session_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(
-                (F.max(us) - F.min(us)).cast("double") / 1_000_000.0, 3
+            # integer micros -> whole millis (exact long arithmetic),
+            # then ONE correctly-rounded float division: both engines
+            # divide the same integer by the same power of ten.
+            (
+                (_dur - _dur % F.lit(1000)) / F.lit(1_000_000.0)
             ).alias("session_secs"),
         )
     )

@@ -493,12 +493,14 @@ WITH marked AS (
 ),
 sessions AS (
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
   FROM marked
 )
 SELECT user_id, session_id, count(*) AS n_events,
-       round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0, 3) AS session_secs
+       ((max(epoch_us(ts)) - min(epoch_us(ts))) // 1000 * 1000) / 1000000.0
+         AS session_secs
 FROM sessions
 GROUP BY user_id, session_id
 """
@@ -856,15 +858,20 @@ def q31_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12/Q14 shape: conditional aggregation — per linestatus,
     the share of revenue from high-discount lines (sum(case when))."""
     li = T(spark, sf_dir, "lineitem")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # price/discount carry <= 2 decimals, so rev*10000 is an exact
+    # integer: summing BIGINTs makes the aggregate order-insensitive
+    # (a float sum's last decimal can flip with partial-agg order).
+    rev_x10k = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    hd_x10k = F.sum(F.when(F.col("l_discount") >= 0.05, rev_x10k))
+    tot_x10k = F.sum(rev_x10k)
     return li.groupBy("l_linestatus").agg(
-        F.round(F.sum(F.when(F.col("l_discount") >= 0.05, rev)), 4).alias(
-            "high_disc_revenue"
+        (hd_x10k / 10000.0).alias("high_disc_revenue"),
+        (tot_x10k / 10000.0).alias("total_revenue"),
+        F.round(hd_x10k.cast("double") / tot_x10k * 100.0, 4).alias(
+            "high_disc_pct"
         ),
-        F.round(F.sum(rev), 4).alias("total_revenue"),
-        F.round(
-            F.sum(F.when(F.col("l_discount") >= 0.05, rev)) / F.sum(rev) * 100.0, 4
-        ).alias("high_disc_pct"),
         F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
             "n_returned"
         ),
@@ -872,17 +879,22 @@ def q31_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q31 = """
+WITH scaled AS (
+  SELECT l_linestatus, l_discount, l_returnflag,
+         CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+           AS rev_x10k
+  FROM lineitem
+)
 SELECT l_linestatus,
-       round(sum(CASE WHEN l_discount >= 0.05
-                      THEN l_extendedprice * (1 - l_discount) END), 4)
-         AS high_disc_revenue,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue,
-       round(sum(CASE WHEN l_discount >= 0.05
-                      THEN l_extendedprice * (1 - l_discount) END)
-             / sum(l_extendedprice * (1 - l_discount)) * 100.0, 4)
+       CAST(sum(CASE WHEN l_discount >= 0.05 THEN rev_x10k END) AS BIGINT)
+         / 10000.0 AS high_disc_revenue,
+       CAST(sum(rev_x10k) AS BIGINT) / 10000.0 AS total_revenue,
+       round(CAST(sum(CASE WHEN l_discount >= 0.05 THEN rev_x10k END) AS BIGINT)
+             * 1.0 / CAST(sum(rev_x10k) AS BIGINT) * 100.0, 4)
          AS high_disc_pct,
-       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned
-FROM lineitem GROUP BY l_linestatus
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned
+FROM scaled GROUP BY l_linestatus
 """
 
 
@@ -1574,7 +1586,8 @@ WITH fl AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 )
 SELECT c_mktsegment, count(*) AS n_customers,
-       sum(CASE WHEN first_prio = last_prio THEN 1 ELSE 0 END) AS n_same_priority
+       CAST(sum(CASE WHEN first_prio = last_prio THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same_priority
 FROM fl JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -1887,7 +1900,7 @@ def q58_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_q58() -> str:
     parts = [
         f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
-       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        count(DISTINCT {c}) AS n_distinct,
        CAST(min({c}) AS VARCHAR) AS min_value,
        CAST(max({c}) AS VARCHAR) AS max_value
@@ -2148,7 +2161,7 @@ def q64_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q64 = f"""
 SELECT lang, bin_id, count(*) AS n_docs,
-       sum(n_chars) AS bin_chars, min(doc_id) AS first_doc
+       CAST(sum(n_chars) AS BIGINT) AS bin_chars, min(doc_id) AS first_doc
 FROM (
   SELECT doc_id, lang, n_chars,
          CAST(floor((sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id

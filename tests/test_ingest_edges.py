@@ -176,3 +176,70 @@ class TestMissingColumns:
         assert dc.count() == 1  # dims still build
         fa = build_fact_attendance(raw, chorister_id_by_key(dc), "TS")
         assert fa.count() == 0  # no dates -> empty dense fact
+
+
+class TestFileOrderIds:
+    """Scale-safe input_row_id (SURVEY §7.4 hard-part #1): no global
+    single-partition sort, and the same ids at any split count."""
+
+    def test_no_single_partition_exchange(self, spark):
+        from ursa_major_choir_etl_spark.sources.io import read_wide_sheet_csv
+
+        df = read_wide_sheet_csv(spark, "tests/fixtures/raw_wide.csv")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan
+        assert "Window" not in plan
+
+    def test_ids_stable_across_split_counts(self, spark, tmp_path):
+        from ursa_major_choir_etl_spark.sources.io import with_file_order_ids
+
+        # A CSV big enough to split: 5000 rows, forced tiny splits.
+        p = tmp_path / "big.csv"
+        with open(p, "w") as f:
+            f.write("k,v\n")
+            for i in range(5000):
+                f.write(f"key{i:05d},{'x' * 40}\n")
+
+        def ids(max_bytes):
+            reader = spark.read.option("header", True)
+            old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_bytes))
+            try:
+                df = reader.csv(str(p))
+                out = with_file_order_ids(df)
+                n_parts = out.rdd.getNumPartitions()
+                rows = {r["k"]: r["input_row_id"] for r in out.collect()}
+            finally:
+                spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+            return n_parts, rows
+
+        parts_one, ids_one = ids(1 << 30)
+        parts_many, ids_many = ids(16 * 1024)
+        assert parts_one == 1 and parts_many >= 8
+        assert ids_many == ids_one
+        assert sorted(ids_one.values()) == list(range(5000))
+
+    def test_dims_identical_from_multisplit_read(self, spark, tmp_path, raw):
+        """K1/K2/U4 determinism: the dim builders produce identical
+        output whether the sheet arrives as 1 split or many."""
+        import shutil
+
+        from ursa_major_choir_etl_spark.operators.dims import (
+            build_dim_chorister,
+            build_dim_song,
+        )
+        from ursa_major_choir_etl_spark.sources.io import read_wide_sheet_csv
+
+        p = tmp_path / "raw.csv"
+        shutil.copyfile("tests/fixtures/raw_wide.csv", p)
+        old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "256")
+        try:
+            raw_many = read_wide_sheet_csv(spark, str(p))
+            assert raw_many.rdd.getNumPartitions() > 1
+            for build in (build_dim_chorister, build_dim_song):
+                a = sorted(map(tuple, build(raw, run_ts="t").collect()))
+                b = sorted(map(tuple, build(raw_many, run_ts="t").collect()))
+                assert a == b
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)

@@ -112,7 +112,7 @@ def with_chorister_id(rows: DataFrame) -> DataFrame:
 def build_dim_chorister(raw: DataFrame, run_ts: str) -> DataFrame:
     """dim_chorister: 1 row per person, in RAW row order (K1 ids)."""
     if not has_required_columns(raw, ["Tag", "Joined", "Who"]):
-        return _empty(raw, DIM_CHORISTER_COLUMNS, extra=f"{INPUT_ROW_ID} int")
+        return _empty(raw, DIM_CHORISTER_COLUMNS, extra=f"{INPUT_ROW_ID} long")
     rows = with_chorister_id(chorister_rows(raw))
     return rows.select(
         "chorister_id",
@@ -220,7 +220,7 @@ def build_dim_song(raw: DataFrame, run_ts: str) -> DataFrame:
     (U4; reference: etl/dim_song.py:59-63 feeding etl/fact_song_time.py:71-81).
     """
     if not has_required_columns(raw, ["Tag", "Who"]):
-        return _empty(raw, DIM_SONG_COLUMNS, extra=f"song_ordinal int, {INPUT_ROW_ID} int")
+        return _empty(raw, DIM_SONG_COLUMNS, extra=f"song_ordinal int, {INPUT_ROW_ID} long")
     who = F.trim(F.coalesce(F.col("Who").cast("string"), F.lit("")))
     rows = song_rows(raw).withColumn("song_name", who).filter(F.col("song_name") != "")
     occ = F.row_number().over(Window.partitionBy("song_name").orderBy(INPUT_ROW_ID))

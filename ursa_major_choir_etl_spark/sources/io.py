@@ -13,20 +13,24 @@ filesystem. The mapping:
 - S11 connectivity probe            -> path existence / limit(0) read
 - S12 existence validation          -> validate_tables_exist
 
-Stable row ids: the wide sheet is control-plane-sized (a spreadsheet),
-but duplicate-name disambiguation (K1/K2) and the song positional zip
-(U4) depend on source row order — Spark DataFrames are unordered, so the
-ingest layer mints ``input_row_id`` (SURVEY §7.4 hard-part #1). For a
-single CSV file, ``monotonically_increasing_id`` is monotone in
-(partition, in-file offset), so a row_number ordered by it reproduces
-file order regardless of split count.
+Stable row ids: duplicate-name disambiguation (K1/K2) and the song
+positional zip (U4) depend on source row order — Spark DataFrames are
+unordered, so the ingest layer mints ``input_row_id`` (SURVEY §7.4
+hard-part #1). Ids are assigned WITHOUT a global sort (no Exchange
+SinglePartition): a tiny per-split statistics job computes each
+split's row count and starting ``monotonically_increasing_id``, the
+driver turns those into cumulative offsets (one row per split — KBs
+even at 100k splits), and a broadcast join adds
+``offset + (mid - split_min_mid)`` per row. Row order inside a text
+split is file order and split index follows byte offset for a single
+file, so ids reproduce file order exactly at any parallelism.
 """
 
 from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 INPUT_ROW_ID = "input_row_id"
@@ -44,8 +48,53 @@ def read_wide_sheet_csv(spark: SparkSession, path: str) -> DataFrame:
     with nulls (reference pads with ""/None, etl/gsheets.py:134).
     """
     df = spark.read.option("header", True).option("inferSchema", False).csv(path)
-    w = Window.orderBy(F.monotonically_increasing_id())
-    return df.withColumn(INPUT_ROW_ID, F.row_number().over(w) - F.lit(1))
+    return with_file_order_ids(df)
+
+
+def with_file_order_ids(df: DataFrame, id_col: str = INPUT_ROW_ID) -> DataFrame:
+    """Assign ``id_col`` = 0..n-1 in source order without a global sort.
+
+    Scale-safe replacement for ``row_number() OVER (ORDER BY
+    monotonically_increasing_id())`` (which funnels the whole scan
+    through one task). Two jobs, both fully parallel:
+
+    1. per-split aggregate of ``(count, min(mid))`` — output is one row
+       per split, collected to the driver (KBs even at 100k splits);
+    2. the main scan joined (broadcast) with the per-split cumulative
+       offset: ``id = split_offset + (mid - split_min_mid)``.
+
+    ``monotonically_increasing_id`` is consecutive within a partition
+    (record counter in the low 33 bits), and for a single file the
+    split index follows byte offset, so ids reproduce file order at any
+    split count. The source must be deterministic across the two scans
+    (a static file is). For multi-file inputs, order is per Spark's
+    file packing; the wide-sheet contract is a single sheet/file.
+    """
+    pid_col, mid_col, off_col, min_col = "_fo_pid", "_fo_mid", "_fo_off", "_fo_min"
+    tagged = df.withColumn(pid_col, F.spark_partition_id()).withColumn(
+        mid_col, F.monotonically_increasing_id()
+    )
+    stats = (
+        tagged.groupBy(pid_col)
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min(mid_col).alias("mn"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for r in sorted(stats, key=lambda r: r[pid_col]):
+        offsets.append((r[pid_col], acc, r["mn"]))
+        acc += r["cnt"]
+    if not offsets:
+        return df.withColumn(id_col, F.lit(None).cast("long"))
+    off_df = df.sparkSession.createDataFrame(
+        offsets, f"{pid_col} int, {off_col} long, {min_col} long"
+    )
+    return (
+        tagged.join(F.broadcast(off_df), pid_col)
+        .withColumn(
+            id_col, F.col(off_col) + (F.col(mid_col) - F.col(min_col))
+        )
+        .drop(pid_col, mid_col, off_col, min_col)
+    )
 
 
 #: Column-name prefix for unusable headers (None/empty/duplicate).
@@ -72,11 +121,11 @@ def read_wide_sheet_values(spark: SparkSession, values: list[list]) -> DataFrame
     Schema is built as a StructType, so header text can contain any
     characters (backticks included).
     """
-    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     if not values:
         return spark.createDataFrame(
-            [], StructType([StructField(INPUT_ROW_ID, IntegerType())])
+            [], StructType([StructField(INPUT_ROW_ID, LongType())])
         )
     raw_header = ["" if h is None else str(h) for h in values[0]]
     last_index: dict[str, int] = {h: i for i, h in enumerate(raw_header)}
@@ -94,7 +143,7 @@ def read_wide_sheet_values(spark: SparkSession, values: list[list]) -> DataFrame
         rows.append((*cells, i))
     schema = StructType(
         [StructField(h, StringType()) for h in header]
-        + [StructField(INPUT_ROW_ID, IntegerType())]
+        + [StructField(INPUT_ROW_ID, LongType())]
     )
     return spark.createDataFrame(rows, schema)
 

@@ -334,3 +334,42 @@ class TestHllSketches:
         assert set(got) == set(exact_m)
         for m, e in exact_m.items():
             assert abs(got[m] - e) / max(e, 1) < 0.05, (m, got[m], e)
+
+
+class TestBucketedNearDup:
+    """near_duplicate_pairs_bucketed: the no-broadcast scale path."""
+
+    def test_containment_and_recall_vs_exact(self, spark):
+        from ursa_major_choir_etl_spark.plans.queries import T
+
+        emb = T(spark, "/root/testdata/sf0.001", "embeddings")
+        exact = {
+            (r["id_a"], r["id_b"]): r["cosine_sim"]
+            for r in similarity.near_duplicate_pairs(emb, threshold=0.4).collect()
+        }
+        bucketed = {
+            (r["id_a"], r["id_b"]): r["cosine_sim"]
+            for r in similarity.near_duplicate_pairs_bucketed(
+                emb, threshold=0.4, planes_per_band=4, n_bands=16
+            ).collect()
+        }
+        # every reported pair is a true near-dup with the exact sim
+        assert set(bucketed) <= set(exact)
+        for pair, sim in bucketed.items():
+            assert abs(sim - exact[pair]) < 1e-9
+        # high-similarity pairs (the dedup regime) must all be caught
+        hot = {p for p, s in exact.items() if s >= 0.9}
+        assert hot <= set(bucketed)
+        # and overall recall is non-trivial at the loose threshold
+        assert len(bucketed) / max(len(exact), 1) >= 0.5
+
+    def test_no_collect_in_plan(self, spark):
+        """The bucketed path must not pull the corpus to the driver:
+        its plan is mapInPandas -> explode -> FlatMapGroupsInPandas."""
+        from ursa_major_choir_etl_spark.plans.queries import T
+
+        emb = T(spark, "/root/testdata/sf0.001", "embeddings")
+        df = similarity.near_duplicate_pairs_bucketed(emb)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" in plan
+        assert "Generate" in plan  # the band explode

@@ -136,6 +136,104 @@ def near_duplicate_pairs(
     return src.mapInPandas(gemm, schema="id_a long, id_b long, cosine_sim double")
 
 
+def near_duplicate_pairs_bucketed(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes_per_band: int = 8,
+    n_bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs WITHOUT collecting the corpus: random-
+    hyperplane LSH buckets + a dense GEMM inside each bucket.
+
+    The 100 TB path (near_duplicate_pairs broadcasts the whole corpus,
+    valid only while it fits in a broadcast):
+
+    1. band signatures: each vector's sign pattern against
+       ``planes_per_band`` hyperplanes per band, ``n_bands`` bands.
+       Computed in ONE Arrow-batched pass (X @ P.T > 0); the plane
+       matrix is regenerated deterministically inside each task from
+       (seed, dims) — nothing is collected or broadcast.
+    2. explode to (band_id, band_key) and shuffle-group each bucket;
+       applyInPandas runs one BLAS GEMM per bucket — all-pairs only
+       WITHIN a bucket, never across the corpus.
+    3. pairs union'd across bands, deduped by (id_a, id_b).
+
+    Approximate by construction: a pair sharing no bucket in any band
+    is missed. P(caught) = 1-(1-p^b)^r with p = 1-angle/pi; the
+    defaults target the >=0.9-cosine regime (~99.7% recall). For lower
+    thresholds use fewer planes per band. Skew note: a degenerate
+    bucket (everything identical) makes that one GEMM quadratic —
+    cap it upstream by salting on a secondary band if a corpus has
+    million-row exact-dup classes (exact dedup first is cheaper).
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_planes = planes_per_band * n_bands
+
+    def band_keys(batches):
+        planes = None
+        for pdf in batches:
+            mat = np.array(list(pdf["_v"]), dtype=np.float64)
+            if planes is None:
+                rng = np.random.default_rng(seed)
+                planes = rng.standard_normal((n_planes, mat.shape[1]))
+            bits = (mat @ planes.T) > 0  # (batch, n_planes)
+            weights = 1 << np.arange(planes_per_band, dtype=np.int64)
+            out = {"_id": pdf["_id"], "_v": pdf["_v"]}
+            for b in range(n_bands):
+                block = bits[:, b * planes_per_band : (b + 1) * planes_per_band]
+                out[f"_k{b}"] = block.astype(np.int64) @ weights
+            yield pd.DataFrame(out)
+
+    src = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    key_schema = "_id long, _v array<double>, " + ", ".join(
+        f"_k{b} long" for b in range(n_bands)
+    )
+    keyed = src.mapInPandas(band_keys, schema=key_schema)
+    banded = keyed.select(
+        "_id",
+        "_v",
+        F.posexplode(F.array(*[F.col(f"_k{b}") for b in range(n_bands)])).alias(
+            "_band", "_key"
+        ),
+    )
+
+    def bucket_gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cosine_sim": np.float64}
+            )
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["_v"]), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        li, ri = np.nonzero(sims >= threshold)
+        keep = ids[li] < ids[ri]
+        return pd.DataFrame(
+            {
+                "id_a": ids[li][keep],
+                "id_b": ids[ri][keep],
+                "cosine_sim": np.round(sims[li, ri][keep], 6),
+            }
+        )
+
+    pairs = banded.groupBy("_band", "_key").applyInPandas(
+        bucket_gemm, schema="id_a long, id_b long, cosine_sim double"
+    )
+    # same pair may surface from several bands; the sim is identical
+    # (same normalized arithmetic), max() just picks it deterministically
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.max("cosine_sim").alias("cosine_sim")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -145,6 +243,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     cluster_col: str | None = None,
     n_cells: int = 8,
+    dims: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     coarse cells, search only the ``n_probe`` cells whose centroids are
@@ -188,8 +287,11 @@ def ivf_topk(
             .filter(F.col("_srk") == 1)
             .select("neighbor_id", "cell", "_cv")
         )
-    # centroid per cell: element-wise mean = sum(vectors)/count
-    dims = len(cell.select("_cv").first()["_cv"])
+    # centroid per cell: element-wise mean = sum(vectors)/count.
+    # Pass ``dims`` to keep the build single-job; the fallback probe is
+    # one limit(1) setup action.
+    if dims is None:
+        dims = len(cell.select("_cv").first()["_cv"])
     sums = cell.groupBy("cell").agg(
         F.array(*[F.sum(F.col("_cv")[i]) for i in range(dims)]).alias("_sum"),
         F.count("*").alias("_n"),

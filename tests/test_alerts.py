@@ -159,3 +159,36 @@ class TestFormatAlertMessage:
         assert "Доходимость до репетиций" in msg2
         assert "0%" in msg2
         assert "\U0001f534" in msg2
+
+
+class TestFlagTypeDispatch:
+    """C6 parity with reference _flag (etl/alerts.py:15-28): numeric
+    TYPES are truthy when nonzero, but numeric-looking STRINGS are
+    truthy only for the exact set {"1","TRUE","YES"}."""
+
+    def test_string_inputs_exact_set(self, spark):
+        from ursa_major_choir_etl_spark.functions.columns import flag
+
+        df = spark.createDataFrame(
+            [("1",), ("TRUE",), (" yes ",), ("2",), ("2.5",), ("1.0",),
+             ("0",), ("no",), ("",), (None,)],
+            "v string",
+        )
+        got = [r["f"] for r in df.select(flag("v").alias("f")).collect()]
+        assert got == [1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+
+    def test_numeric_and_bool_inputs_nonzero(self, spark):
+        from ursa_major_choir_etl_spark.functions.columns import flag
+
+        ints = spark.createDataFrame([(2,), (0,), (-1,), (None,)], "v int")
+        assert [r["f"] for r in ints.select(flag("v").alias("f")).collect()] == [
+            1, 0, 1, 0,
+        ]
+        floats = spark.createDataFrame([(2.5,), (0.0,), (None,)], "v double")
+        assert [r["f"] for r in floats.select(flag("v").alias("f")).collect()] == [
+            1, 0, 0,
+        ]
+        bools = spark.createDataFrame([(True,), (False,), (None,)], "v boolean")
+        assert [r["f"] for r in bools.select(flag("v").alias("f")).collect()] == [
+            1, 0, 0,
+        ]

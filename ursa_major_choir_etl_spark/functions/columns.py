@@ -115,16 +115,27 @@ def safe_str(c: Column | str) -> Column:
 
 
 def flag(c: Column | str) -> Column:
-    """Coerce bool/int/float/string truthiness to int 0/1 (reference C6).
+    """Coerce bool/int/float/string truthiness to int 0/1 (reference C6,
+    etl/alerts.py:15-28 _flag — Python type dispatch).
 
-    Truthy: non-zero numbers, "TRUE"/"1"/"YES" (case/space-insensitive).
+    The reference dispatches on the VALUE's type: bool/int/float ->
+    nonzero is truthy; str -> truthy ONLY for {"1","TRUE","YES"}
+    (case/space-insensitive) — so the string "2" is 0 even though the
+    number 2 is 1. Mirrored here with typeof() on the column's type:
+    a numeric-string mart column must not silently widen truthiness.
     """
-    s = F.upper(F.trim(_col(c).cast("string")))
+    col = _col(c)
+    s = F.upper(F.trim(col.cast("string")))
     num = s.try_cast("double")
     return (
-        F.when(_col(c).isNull(), F.lit(0))
+        F.when(col.isNull(), F.lit(0))
+        .when(
+            F.typeof(col) == "string",
+            F.when(s.isin("1", "TRUE", "YES"), 1).otherwise(0),
+        )
+        # bool casts to "true"/"false"; numerics via the cast roundtrip
+        .when(s == "TRUE", F.lit(1))
         .when(num.isNotNull(), F.when(num != 0.0, 1).otherwise(0))
-        .when(s.isin("TRUE", "YES"), F.lit(1))
         .otherwise(F.lit(0))
     )
 

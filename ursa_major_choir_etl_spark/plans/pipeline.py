@@ -226,10 +226,28 @@ def _run_alerts(
     telegram_token: str,
     telegram_chat_id: str,
 ) -> str:
-    """EP3: streak + rate over mart_attendance, format, send or print."""
+    """EP3: streak + rate over mart_attendance, format, send or print.
+
+    Violators are numbered in the reference's order — first appearance
+    in the mart, which is the chorister's sheet-row order
+    (etl/alerts.py:111-120 dict insertion over fact-ordered rows).
+    dim_chorister's input_row_id IS that order, so the collect is
+    deterministic run-to-run regardless of partitioning.
+    """
     mart = read_parquet_table(spark, warehouse, "mart_attendance")
     violators_df = compute_missed_streaks(mart, lookback_weeks, streak_threshold)
-    violators = [r.asDict() for r in violators_df.collect()]
+    dim_order = read_parquet_table(spark, warehouse, "dim_chorister").select(
+        "chorister_id", "input_row_id"
+    )
+    violators = [
+        r.asDict()
+        for r in violators_df.join(
+            F.broadcast(dim_order), on="chorister_id", how="left"
+        )
+        .orderBy(F.asc_nulls_last("input_row_id"), "chorister_id")
+        .drop("input_row_id")
+        .collect()
+    ]
     rate = compute_attendance_rate(mart, lookback_weeks)
     msg = format_alert_message(violators, lookback_weeks, streak_threshold, rate)
     print("--- Alert message ---")

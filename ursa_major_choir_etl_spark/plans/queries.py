@@ -571,15 +571,16 @@ FROM documents
 
 
 def q17_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID rollup: docs + mean quality per predicted lang."""
+    """Language-ID rollup: docs + mean quality per predicted lang.
+    Shares with_text_stats' single tokenize pass (the standalone
+    language_id + quality_score would re-tokenize the text 4x)."""
     docs = T(spark, sf_dir, "documents")
     return (
-        docs.withColumn("lang_pred", text.language_id("text"))
-        .withColumn("q", text.quality_score("text"))
+        text.with_text_stats(docs)
         .groupBy("lang_pred")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("q"), 4).alias("avg_quality"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
         )
     )
 

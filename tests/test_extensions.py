@@ -373,3 +373,69 @@ class TestBucketedNearDup:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "FlatMapGroupsInPandas" in plan
         assert "Generate" in plan  # the band explode
+
+
+class TestStarConnectedComponents:
+    """large-star/small-star CC: same contract as min-label, O(log n)
+    rounds on chains; property-checked against a union-find oracle."""
+
+    @staticmethod
+    def _oracle(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    def _check(self, spark, pairs):
+        from ursa_major_choir_etl_spark.operators.dedup import (
+            connected_components,
+            connected_components_star,
+        )
+
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        want = self._oracle(pairs)
+        star = {r["node"]: r["component"]
+                for r in connected_components_star(df).collect()}
+        minl = {r["node"]: r["component"]
+                for r in connected_components(df, max_iterations=60).collect()}
+        assert star == want
+        assert minl == want
+
+    def test_chain_star_clique_random(self, spark):
+        import random
+
+        chain = [(i, i + 1) for i in range(40)]
+        self._check(spark, chain)
+        star_g = [(0, i) for i in range(1, 12)]
+        clique = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+        self_loops = [(99, 99), (100, 101)]
+        self._check(spark, star_g + [(50, 51)] + clique + self_loops)
+        rng = random.Random(7)
+        rand_g = [(rng.randrange(30), rng.randrange(30)) for _ in range(45)]
+        self._check(spark, rand_g)
+
+    def test_string_ids_converge(self, spark):
+        """Regression: sum(component) over string ids is NULL, which
+        used to short-circuit convergence after one round."""
+        from ursa_major_choir_etl_spark.operators.dedup import (
+            connected_components,
+            connected_components_star,
+        )
+
+        pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")]
+        df = spark.createDataFrame(pairs, "id_a string, id_b string")
+        for fn in (connected_components, connected_components_star):
+            got = {r["node"]: r["component"] for r in fn(df).collect()}
+            assert got == {
+                "a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x",
+            }

@@ -193,11 +193,18 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    # Convergence check: min-propagation is monotone (a node's label
-    # only ever decreases), so "any label changed" <=> "sum of labels
-    # strictly decreased" — one cheap agg over the just-checkpointed
-    # labels instead of a per-round labels-to-labels join.
-    prev_sum = labels.agg(F.sum("component")).first()[0]
+    # Convergence check: one cheap agg over the just-checkpointed
+    # labels instead of a per-round labels-to-labels join. A bit_xor
+    # of per-row 64-bit hashes is type-agnostic (a plain sum(component)
+    # would be NULL for string ids, and NULL == NULL "converges" after
+    # one round with under-merged clusters) and cannot overflow under
+    # ANSI mode the way sum() can.
+    def _state(lab):
+        return lab.agg(
+            F.count(F.lit(1)), F.expr("bit_xor(xxhash64(node, component))")
+        ).first()
+
+    prev_state = _state(labels)
     for _ in range(max_iterations):
         via_neighbor = edges.join(
             labels, edges["dst"] == labels["node"]
@@ -208,11 +215,98 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        new_sum = labels.agg(F.sum("component")).first()[0]
-        if new_sum == prev_sum:
+        new_state = _state(labels)
+        if new_state == prev_state:
             break
-        prev_sum = new_sum
+        prev_state = new_state
     return labels
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    same contract as ``connected_components`` (node, component=min
+    reachable id) but O(log n) rounds on ADVERSARIAL long chains,
+    where min-label propagation needs O(diameter) rounds.
+
+    Each round:
+    - large-star: every node's larger neighbors re-attach to the
+      minimum of its neighborhood (min(N(u) ∪ {u}));
+    - small-star: every node and its smaller neighbors re-attach to
+      the smallest of them.
+    Both are one shuffle aggregate + one shuffle join over the edge
+    list; the edge set monotonically flattens into stars rooted at
+    component minima. Converges when the edge set stops changing
+    (type-agnostic hash-sum check).
+    """
+    # canonical directed edges: u -> v with v < u, self-loops dropped
+    a, b = F.col(id_a), F.col(id_b)
+    edges = (
+        pairs.filter(a != b)
+        .select(F.greatest(a, b).alias("u"), F.least(a, b).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _state(e):
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    prev = _state(edges)
+    for _ in range(max_iterations):
+        # ---- large-star on the symmetric view ----
+        sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        mins = mins.select("u", F.least(F.col("u"), F.col("_mn")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        edges = large.filter(F.col("u") != F.col("v")).distinct()
+
+        # ---- small-star on the directed (u > v) view ----
+        mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+        joined = edges.join(mins, "u")
+        small = joined.filter(F.col("v") != F.col("m")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        ).unionByName(joined.select("u", F.col("m").alias("v")))
+        edges = (
+            small.filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+        cur = _state(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    # terminal state: stars — every node points at its component root
+    roots = edges.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    labels = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("component")
+    ).unionByName(roots)
+    # nodes appearing ONLY in self-pairs are their own trivial cluster
+    # (contract parity with connected_components)
+    self_only = (
+        pairs.filter(a == b)
+        .select(a.alias("node"))
+        .distinct()
+        .join(labels.select("node"), "node", "left_anti")
+        .withColumn("component", F.col("node"))
+    )
+    return labels.unionByName(self_only)
 
 
 def jaccard_pairs(

@@ -2599,6 +2599,16 @@ FROM customer GROUP BY c_mktsegment
 """
 
 
+def q77_star_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q55's transitive dedup clusters computed by the alternating
+    large-star/small-star algorithm (O(log n) rounds on adversarial
+    chains vs min-label's O(diameter)). Same recursive-CTE oracle as
+    q55 — both must produce identical clusters."""
+    sh = dedup.word_shingles(T(spark, sf_dir, "documents"))
+    pairs = dedup.jaccard_pairs(sh, threshold=0.5)
+    return dedup.connected_components_star(pairs)
+
+
 def q76_bucketed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for q23: LSH-bucketed per-bucket GEMM near-dup —
     no driver collect, no corpus broadcast. Approximate (banded LSH
@@ -2691,6 +2701,7 @@ QUERIES = {
     "q74_sliding_row_frame": q74_sliding_row_frame,
     "q75_conditional_bool_aggs": q75_conditional_bool_aggs,
     "q76_bucketed_near_dup": q76_bucketed_near_dup,
+    "q77_star_dedup_clusters": q77_star_dedup_clusters,
 }
 
 # The driver grades a prefix window of this registry (round 1 graded
@@ -2777,4 +2788,5 @@ ORACLES: dict[str, str | None] = {
     "q74_sliding_row_frame": ORACLE_Q74,
     "q75_conditional_bool_aggs": ORACLE_Q75,
     "q76_bucketed_near_dup": None,  # approximate (banded LSH recall)
+    "q77_star_dedup_clusters": _oracle_q55(),  # same closure, star algorithm
 }

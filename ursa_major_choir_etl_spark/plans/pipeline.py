@@ -261,24 +261,70 @@ def _run_alerts(
 
 
 def main() -> None:
+    """CLI entrypoint with reference-parity env bootstrap.
+
+    Flags win over environment; with no flags the run is driven by env
+    alone, exactly like the reference (etl/main.py:144-168): .env files
+    loaded (root overrides, cwd fills), RAW_SPREADSHEET_ID /
+    TARGET_SPREADSHEET_ID required (KeyError names the missing one;
+    they map to the RAW csv path / warehouse dir in this engine), and
+    alerts gated by ALERTS_ENABLED=1 + ALERTS_DRY_RUN /
+    ALERTS_LOOKBACK_WEEKS / ALERTS_STREAK_THRESHOLD /
+    TELEGRAM_BOT_TOKEN / TELEGRAM_CHAT_ID.
+    """
+    from ursa_major_choir_etl_spark.config import (
+        alerts_config_from_env,
+        bootstrap_env,
+        required_id,
+    )
+
+    bootstrap_env()
     parser = argparse.ArgumentParser(description="Choir ETL on Spark")
-    parser.add_argument("--raw", required=True, help="path to RAW wide-sheet CSV")
-    parser.add_argument("--out", required=True, help="warehouse output directory")
-    parser.add_argument("--alerts", action="store_true")
+    parser.add_argument("--raw", help="RAW wide-sheet CSV (default: $RAW_SPREADSHEET_ID)")
+    parser.add_argument("--out", help="warehouse dir (default: $TARGET_SPREADSHEET_ID)")
+    parser.add_argument("--alerts", action="store_true",
+                        help="force alerts on (otherwise ALERTS_ENABLED=1 gates them)")
     parser.add_argument("--no-dry-run", action="store_true")
-    parser.add_argument("--lookback-weeks", type=int, default=12)
-    parser.add_argument("--streak-threshold", type=int, default=3)
+    parser.add_argument("--lookback-weeks", type=int, default=None)
+    parser.add_argument("--streak-threshold", type=int, default=None)
     args = parser.parse_args()
+
+    raw_path = args.raw if args.raw is not None else required_id("RAW_SPREADSHEET_ID")
+    warehouse = args.out if args.out is not None else required_id("TARGET_SPREADSHEET_ID")
+
+    env_cfg = alerts_config_from_env()
+    if args.alerts:
+        # CLI mode: flag forces alerts; CLI numbers win, env fills gaps.
+        enabled, skip_reason = True, None
+        dry_run = not args.no_dry_run
+    else:
+        enabled, skip_reason = env_cfg.enabled, env_cfg.skip_reason
+        dry_run = env_cfg.dry_run
+    lookback = (
+        args.lookback_weeks
+        if args.lookback_weeks is not None
+        else (env_cfg.lookback_weeks if not args.alerts else 12)
+    )
+    streak = (
+        args.streak_threshold
+        if args.streak_threshold is not None
+        else (env_cfg.streak_threshold if not args.alerts else 3)
+    )
+
     spark = get_spark()
     audit = run_pipeline(
         spark,
-        raw_path=args.raw,
-        warehouse=args.out,
-        alerts_enabled=args.alerts,
-        alerts_dry_run=not args.no_dry_run,
-        lookback_weeks=args.lookback_weeks,
-        streak_threshold=args.streak_threshold,
+        raw_path=raw_path,
+        warehouse=warehouse,
+        alerts_enabled=enabled,
+        alerts_dry_run=dry_run,
+        lookback_weeks=lookback,
+        streak_threshold=streak,
+        telegram_token=env_cfg.telegram_token,
+        telegram_chat_id=env_cfg.telegram_chat_id,
     )
+    if skip_reason:
+        print(skip_reason)
     print(audit)
 
 

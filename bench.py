@@ -2,8 +2,15 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q01_...": sec, ...}, "sf": 0.1}
+  {"metric": "...", "value": <warm total sec>, "unit": "sec",
+   "queries": {"q01_...": warm sec, ...}, "cold_queries": {...},
+   "cold_total": sec, "sf": 0.1}
+
+Each query runs twice in the same warmed session: the first run pays
+one-time costs (file listing, plan compilation, codegen), the second
+is steady-state. ``queries``/``value`` report the WARM run — the
+number that tracks real plan regressions round-over-round — and
+``cold_queries``/``cold_total`` keep the first-run cost attributable.
 
 Timing forces full materialization via the noop sink (no driver
 collect overhead, no column-pruning shortcuts).
@@ -32,20 +39,25 @@ def main() -> None:
     # JVM/codegen warm-up on a trivial action so q01 isn't taxed for it.
     spark.range(1000).count()
 
-    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name, fn in QUERIES.items():
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        cold[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.time() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "total wall-clock over all registry queries",
-                "value": total,
+                "metric": "warm wall-clock over all registry queries",
+                "value": round(sum(warm.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
+                "cold_queries": cold,
+                "cold_total": round(sum(cold.values()), 3),
                 "sf": sf,
             }
         )

@@ -1674,6 +1674,8 @@ def q53_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = orders.groupBy(
         F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
     ).agg(F.sum("o_totalprice").alias("m_total"))
+    # global window AFTER the monthly rollup: cardinality is #months
+    # (bounded, ~thousands even over decades) — safe at any data scale.
     w = Window.orderBy("month")
     return monthly.select(
         F.col("month").cast("string").alias("month"),
@@ -2460,10 +2462,14 @@ def q71_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bigram")
     )
     counted = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
-    w10 = Window.orderBy(F.desc("n"), F.asc("bigram"))
+    # top-k of a global aggregate: orderBy+limit plans a distributed
+    # TakeOrderedAndProject (per-partition heaps + driver merge of k
+    # rows); ranking the full vocabulary with a no-partition window
+    # would funnel every distinct bigram through one task.
+    top = counted.orderBy(F.desc("n"), F.asc("bigram")).limit(10)
+    w10 = Window.orderBy(F.desc("n"), F.asc("bigram"))  # 10 rows by now
     return (
-        counted.withColumn("rank_n", F.row_number().over(w10))
-        .filter(F.col("rank_n") <= 10)
+        top.withColumn("rank_n", F.row_number().over(w10))
         .select("bigram", "n", "rank_n")
     )
 

@@ -151,6 +151,38 @@ def lsh_candidate_pairs(
     )
 
 
+def cross_corpus_contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination check: which training documents share
+    word n-grams with an evaluation/benchmark document, and how many.
+
+    The standard pretraining hygiene pass (eval answers leaking into
+    the training set). Shape: inverted-index equi-join on the shingle —
+    the eval side is a benchmark (small by definition), so its shingle
+    index is BROADCAST and the train corpus streams through map-side;
+    no train-side shuffle at any corpus size. Output:
+    (train_id, eval_id, n_shared) with n_shared >= ``min_shared``.
+    """
+    t_sh = word_shingles(train, id_col=id_col, text_col=text_col, n=n).select(
+        F.col(id_col).alias("train_id"), "shingle"
+    )
+    e_sh = word_shingles(eval_set, id_col=id_col, text_col=text_col, n=n).select(
+        F.col(id_col).alias("eval_id"), "shingle"
+    )
+    return (
+        t_sh.join(F.broadcast(e_sh), on="shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -103,6 +103,73 @@ def language_id(text: Column | str) -> Column:
     return best_lang
 
 
+#: PII patterns, deliberately portable (no lookarounds, ASCII classes)
+#: so Java regex and RE2 (DuckDB) agree token-for-token. Redaction
+#: order matters and is part of the contract: urls first (emails can
+#: appear inside urls), then emails, then phone-like number runs.
+PII_PATTERNS: dict[str, str] = {
+    "url": r"https?://[^\s]+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9\-() ]{6,}[0-9]",
+}
+
+
+def pii_count(text: Column | str, kind: str) -> Column:
+    """Occurrences of one PII pattern (one regex pass, JVM-side)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(t, F.lit(PII_PATTERNS[kind]))
+
+
+def redact_pii(text: Column | str, replacement: str = "[PII]") -> Column:
+    """Replace url -> email -> phone matches (in that order) with
+    ``replacement``. Order is the contract — both engines must apply
+    the same sequence for identical output."""
+    t = F.col(text) if isinstance(text, str) else text
+    for kind in ("url", "email", "phone"):
+        t = F.regexp_replace(t, PII_PATTERNS[kind], replacement)
+    return t
+
+
+def with_repetition_stats(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Gopher-style repetition signal: share of duplicate word n-gram
+    occurrences per document, 1 - distinct/total (0.0 when fewer than
+    ``n`` tokens). Boilerplate/spam shows high repetition; the ratio
+    is a standard pretraining quality gate.
+
+    Entirely per-row JVM expressions (sequence -> transform ->
+    array_distinct): no explode, no shuffle — a 100 TB corpus scans
+    once. The token array is materialized as a column first (HOF
+    lambdas re-evaluate captured expression trees per element).
+    """
+    staged = df.withColumn("_rep_toks", tokens(F.col(text_col)))
+    toks = F.col("_rep_toks")
+    total = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ratio = F.when(
+        total > 0,
+        F.round(
+            1.0 - F.size(F.array_distinct(grams)).cast("double") / total.cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        staged.withColumn("n_ngrams", total)
+        .withColumn("repetition_ratio", ratio)
+        .drop("_rep_toks")
+    )
+
+
 def normalized_text(text: Column | str) -> Column:
     """Dedup normalization: lowercase, strip non-word/space, collapse
     whitespace, trim."""

@@ -2630,6 +2630,306 @@ def q76_bucketed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q78_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination sweep: training docs sharing word
+    4-grams with the held-out eval slice (doc_id % 50 == 0). The eval
+    side is broadcast — no train-side shuffle at any corpus size."""
+    docs = T(spark, sf_dir, "documents")
+    return dedup.cross_corpus_contamination(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        n=4,
+        min_shared=1,
+    )
+
+
+def _oracle_q78() -> str:
+    return f"""
+WITH {osql.shingles_cte_sql(4)}
+SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS n_shared
+FROM doc_shingles t
+JOIN doc_shingles e ON t.shingle = e.shingle
+WHERE e.doc_id % 50 = 0 AND t.doc_id % 50 <> 0
+GROUP BY 1, 2
+HAVING count(*) >= 1
+"""
+
+
+def q79_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count + redact emails/urls/phone runs with portable
+    regexes (url -> email -> phone order is the contract). The
+    synthetic corpus has no natural PII, so both engines inject the
+    same doc_id-derived address/url/phone before scrubbing — the
+    operator is exercised on real matches either way."""
+    docs = T(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.substring("text", 1, 60),
+        F.lit(" contact doc"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or https://ex.example/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    staged = docs.select(F.col("doc_id"), pii_text.alias("_pt"))
+    return staged.select(
+        "doc_id",
+        text.pii_count(F.col("_pt"), "url").alias("n_urls"),
+        text.pii_count(F.col("_pt"), "email").alias("n_emails"),
+        text.pii_count(F.col("_pt"), "phone").alias("n_phones"),
+        F.md5(text.redact_pii(F.col("_pt"))).alias("redacted_md5"),
+    )
+
+
+_PII_URL = r"https?://[^\s]+"
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9][0-9\-() ]{6,}[0-9]"
+
+ORACLE_Q79 = f"""
+WITH staged AS (
+  SELECT doc_id,
+         substr(text, 1, 60) || ' contact doc' || CAST(doc_id AS VARCHAR)
+         || '@example.com or https://ex.example/d/' || CAST(doc_id AS VARCHAR)
+         || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           AS pt
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(pt, '{_PII_URL}')) AS n_urls,
+       len(regexp_extract_all(pt, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(pt, '{_PII_PHONE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(pt,
+             '{_PII_URL}', '[PII]', 'g'),
+             '{_PII_EMAIL}', '[PII]', 'g'),
+             '{_PII_PHONE}', '[PII]', 'g')) AS redacted_md5
+FROM staged
+"""
+
+
+def q80_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate: duplicate word-3-gram
+    share per document — per-row array expressions, no explode, no
+    shuffle."""
+    docs = T(spark, sf_dir, "documents")
+    return text.with_repetition_stats(docs, n=3).select(
+        "doc_id", "n_ngrams", "repetition_ratio"
+    )
+
+
+ORACLE_Q80 = """
+WITH toked AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, greatest(len(t) - 2, 0) AS n_ngrams,
+         CASE WHEN len(t) >= 3 THEN
+           list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         ELSE [] END AS g
+  FROM toked
+)
+SELECT doc_id, n_ngrams,
+       CASE WHEN n_ngrams > 0
+            THEN round(1.0 - len(list_distinct(g)) * 1.0 / n_ngrams, 6)
+            ELSE 0.0 END AS repetition_ratio
+FROM grams
+"""
+
+
+def q81_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery surface: each BUILDING-segment
+    customer's two priciest orders (orderkey tie-break) via LATERAL
+    ... LIMIT — the SQL form of per-group top-n (Catalyst decorrelates
+    it; q08 is the window form)."""
+    T(spark, sf_dir, "customer").createOrReplaceTempView("_q81_customer")
+    T(spark, sf_dir, "orders").createOrReplaceTempView("_q81_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM _q81_customer c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM _q81_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+ORACLE_Q81 = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c
+JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t ON TRUE
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+def q82_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregates: interpolated median balance per segment
+    plus the deterministic modal order priority (max count, then min
+    value — an explicit tie-break, since engine-native mode() breaks
+    ties arbitrarily)."""
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    med = cust.groupBy("c_mktsegment").agg(
+        F.round(F.median("c_acctbal"), 4).alias("median_bal"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+    prio_counts = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("_n"), F.asc("o_orderpriority")
+    )
+    mode = (
+        prio_counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("c_mktsegment", F.col("o_orderpriority").alias("mode_priority"))
+    )
+    return med.join(mode, on="c_mktsegment")
+
+
+ORACLE_Q82 = """
+WITH med AS (
+  SELECT c_mktsegment, round(median(c_acctbal), 4) AS median_bal,
+         count(*) AS n_customers
+  FROM customer GROUP BY 1
+),
+pc AS (
+  SELECT c_mktsegment, o_orderpriority, count(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+mode AS (
+  SELECT c_mktsegment, o_orderpriority AS mode_priority
+  FROM (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY n DESC, o_orderpriority) AS rk
+        FROM pc)
+  WHERE rk = 1
+)
+SELECT m.c_mktsegment, m.median_bal, m.n_customers, mo.mode_priority
+FROM med m JOIN mode mo USING (c_mktsegment)
+"""
+
+
+def q83_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join without an equi-key, done the scalable
+    way: the 5 busiest hours become 90-minute incident windows; every
+    window is EXPLODED into the hour buckets it covers, events
+    equi-join on their hour bucket, and the exact ts-range predicate
+    filters within buckets. A naive theta-join is a cross product; the
+    bucket decomposition keeps it an equi-join at any event volume."""
+    ev = T(spark, sf_dir, "events")
+    hours = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    top = (
+        hours.orderBy(F.desc("_n"), F.asc("window_start"))
+        .limit(5)
+        .select(
+            "window_start",
+            (F.col("window_start") + F.expr("INTERVAL 90 MINUTES")).alias(
+                "window_end"
+            ),
+        )
+    )
+    # decompose each interval into covered hour buckets (here: 2)
+    buckets = top.select(
+        "window_start",
+        "window_end",
+        F.explode(
+            F.sequence(
+                F.col("window_start"),
+                F.col("window_end") - F.expr("INTERVAL 1 MINUTE"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("_bucket"),
+    )
+    tagged = ev.withColumn("_bucket", F.date_trunc("hour", "ts"))
+    joined = tagged.join(F.broadcast(buckets), on="_bucket").filter(
+        (F.col("ts") >= F.col("window_start")) & (F.col("ts") < F.col("window_end"))
+    )
+    return joined.groupBy("window_start", "window_end").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).select(
+        F.col("window_start").cast("string").alias("window_start"),
+        F.col("window_end").cast("string").alias("window_end"),
+        "n_events",
+        "n_users",
+    )
+
+
+ORACLE_Q83 = """
+WITH hours AS (
+  SELECT date_trunc('hour', ts) AS ws, count(*) AS n
+  FROM events GROUP BY 1
+),
+top AS (
+  SELECT ws AS window_start, ws + INTERVAL 90 MINUTE AS window_end
+  FROM hours ORDER BY n DESC, ws LIMIT 5
+)
+SELECT CAST(t.window_start AS VARCHAR) AS window_start,
+       CAST(t.window_end AS VARCHAR) AS window_end,
+       count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users
+FROM top t JOIN events e
+  ON e.ts >= t.window_start AND e.ts < t.window_end
+GROUP BY 1, 2
+"""
+
+
+def q84_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (gap-based, the streaming-capable
+    form) in batch mode — must agree with the hand-rolled
+    gaps-and-islands sessionization (q13) on session boundaries."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            F.col("w.end").cast("string").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+ORACLE_Q84 = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM marked
+)
+SELECT user_id,
+       CAST(min(ts) AS VARCHAR) AS session_start,
+       CAST(max(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -2708,6 +3008,13 @@ QUERIES = {
     "q75_conditional_bool_aggs": q75_conditional_bool_aggs,
     "q76_bucketed_near_dup": q76_bucketed_near_dup,
     "q77_star_dedup_clusters": q77_star_dedup_clusters,
+    "q78_contamination_check": q78_contamination_check,
+    "q79_pii_redaction": q79_pii_redaction,
+    "q80_repetition_ratio": q80_repetition_ratio,
+    "q81_lateral_topn": q81_lateral_topn,
+    "q82_median_mode": q82_median_mode,
+    "q83_interval_bucket_join": q83_interval_bucket_join,
+    "q84_session_window_builtin": q84_session_window_builtin,
 }
 
 # The driver grades a prefix window of this registry (round 1 graded
@@ -2795,4 +3102,11 @@ ORACLES: dict[str, str | None] = {
     "q75_conditional_bool_aggs": ORACLE_Q75,
     "q76_bucketed_near_dup": None,  # approximate (banded LSH recall)
     "q77_star_dedup_clusters": _oracle_q55(),  # same closure, star algorithm
+    "q78_contamination_check": _oracle_q78(),
+    "q79_pii_redaction": ORACLE_Q79,
+    "q80_repetition_ratio": ORACLE_Q80,
+    "q81_lateral_topn": ORACLE_Q81,
+    "q82_median_mode": ORACLE_Q82,
+    "q83_interval_bucket_join": ORACLE_Q83,
+    "q84_session_window_builtin": ORACLE_Q84,
 }

@@ -439,3 +439,36 @@ class TestStarConnectedComponents:
             assert got == {
                 "a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x",
             }
+
+
+class TestMultimodalAudioEmbed:
+    def test_audio_windows_fanout_and_determinism(self, docs):
+        from ursa_major_choir_etl_spark.operators import multimodal
+
+        blobs = multimodal.with_fake_blob(docs.limit(20))
+        a = multimodal.audio_features_stub(blobs, window_bytes=64).collect()
+        b = multimodal.audio_features_stub(blobs, window_bytes=64).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        by_doc = {}
+        for r in a:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for rows in by_doc.values():
+            assert [r["window_idx"] for r in sorted(rows, key=lambda r: r["window_idx"])] == list(range(len(rows)))
+            for r in rows:
+                assert r["rms"] >= 0.0 and r["zero_crossings"] >= 0
+
+    def test_embed_unit_norm_and_pipeline(self, spark, docs):
+        import math
+
+        from ursa_major_choir_etl_spark.operators import multimodal
+        from ursa_major_choir_etl_spark.plans.queries import QUERIES
+
+        emb = multimodal.embed_blob_stub(multimodal.with_fake_blob(docs.limit(20)))
+        for r in emb.collect():
+            n = math.sqrt(sum(x * x for x in r["embedding"]))
+            assert abs(n - 1.0) < 1e-5
+            assert len(r["embedding"]) == 16
+        out = QUERIES["q85_multimodal_pipeline"](spark, "/root/testdata/sf0.001")
+        rows = out.collect()
+        assert len(rows) == 9  # 3 queries x top-3
+        assert all(-1.0 <= r["cosine_sim"] <= 1.0 for r in rows)

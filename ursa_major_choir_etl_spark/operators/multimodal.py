@@ -67,6 +67,72 @@ def decode_image_metadata(
     return blobs.mapInPandas(decode, schema=IMAGE_META_SCHEMA)
 
 
+AUDIO_FEAT_SCHEMA = "doc_id long, window_idx int, rms double, zero_crossings int"
+
+
+def audio_features_stub(
+    blobs: DataFrame,
+    window_bytes: int = 256,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Audio feature-extraction plumbing: fixed-size windows over the
+    payload -> per-window RMS + zero-crossing count (1->N fan-out, the
+    torchaudio/librosa shape). STUB: features are computed over raw
+    payload bytes centered at 128 — swap the inner math for a real
+    PCM decode + feature kernel; schema/batching stay identical."""
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, rms, zc = [], [], [], []
+            for i, blob in zip(pdf[id_col].values, pdf[blob_col].values):
+                arr = np.frombuffer(blob, dtype=np.uint8).astype(np.float64) - 128.0
+                n_win = max(len(arr) // window_bytes, 1)
+                for w in range(n_win):
+                    seg = arr[w * window_bytes : (w + 1) * window_bytes]
+                    if len(seg) == 0:
+                        seg = np.zeros(1)
+                    ids.append(i)
+                    widx.append(w)
+                    rms.append(float(np.sqrt(np.mean(seg * seg))))
+                    zc.append(int(np.count_nonzero(np.diff(np.sign(seg)))))
+            yield pd.DataFrame(
+                {id_col: ids, "window_idx": widx, "rms": rms, "zero_crossings": zc}
+            )
+
+    return blobs.mapInPandas(feats, schema=AUDIO_FEAT_SCHEMA)
+
+
+def embed_blob_stub(
+    blobs: DataFrame,
+    dims: int = 16,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Blob -> embedding plumbing (the decode->embed->index pipeline's
+    middle stage): L2-normalized byte-value histogram as a
+    deterministic stand-in for a model forward pass. Output
+    (id, embedding array<float>) feeds the similarity/ANN operators
+    unchanged. Vectorized per Arrow batch — one numpy bincount per
+    row, no model dispatch."""
+    import numpy as np
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for blob in pdf[blob_col].values:
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                hist = np.bincount(arr // (256 // dims), minlength=dims).astype(
+                    np.float64
+                )
+                norm = np.linalg.norm(hist)
+                vecs.append((hist / norm if norm > 0 else hist).astype(np.float32))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "embedding": vecs})
+
+    return blobs.mapInPandas(embed, schema=f"{id_col} long, embedding array<float>")
+
+
 def frame_sample_stub(
     blobs: DataFrame,
     every_nth: int = 10,

@@ -2930,6 +2930,21 @@ GROUP BY user_id, sid
 """
 
 
+def q85_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal shape: blob -> (stub) embedding ->
+    exact cosine top-3 against the first 3 docs. The decode/embed
+    stages are deterministic fakes (no codecs in this container); the
+    Arrow plumbing, schemas, and the similarity join are the real
+    100 TB pipeline. Rows-only check + determinism/norm tests."""
+    from ursa_major_choir_etl_spark.operators import multimodal
+
+    docs = T(spark, sf_dir, "documents")
+    emb = multimodal.embed_blob_stub(multimodal.with_fake_blob(docs)).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=3)
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -3015,6 +3030,7 @@ QUERIES = {
     "q82_median_mode": q82_median_mode,
     "q83_interval_bucket_join": q83_interval_bucket_join,
     "q84_session_window_builtin": q84_session_window_builtin,
+    "q85_multimodal_pipeline": q85_multimodal_pipeline,
 }
 
 # The driver grades a prefix window of this registry (round 1 graded
@@ -3109,4 +3125,5 @@ ORACLES: dict[str, str | None] = {
     "q82_median_mode": ORACLE_Q82,
     "q83_interval_bucket_join": ORACLE_Q83,
     "q84_session_window_builtin": ORACLE_Q84,
+    "q85_multimodal_pipeline": None,  # stub embed; plumbing + determinism tests
 }

@@ -4,8 +4,9 @@
 - ``queries()``: every implemented operator family from SURVEY.md §2
   plus the LLM-pipeline extensions, as (spark, sf_dir) -> DataFrame.
 - ``oracle_sql()``: DuckDB SQL recomputing each query bit-for-bit
-  (omitted only for the three genuinely approximate/plumbing-only
-  ops: q24 LSH ANN, q25 multimodal stub, q30 IVF ANN).
+  (omitted only for the five genuinely approximate/plumbing-only
+  ops: q24 LSH ANN, q25 multimodal stub, q30 IVF ANN, q76 banded-LSH
+  near-dup, q85 stub-embed pipeline).
 
 See ursa_major_choir_etl_spark/plans/queries.py for the registry and
 the SURVEY §2 coverage map.

@@ -137,3 +137,36 @@ class TestNewQueryShapes:
         # profile_table avoids the multi-distinct Expand rewrite
         plan = plan_of(registry["q58_profile_orders"](spark, SF_DIR))
         assert "Expand" not in plan
+
+
+class TestRegistrySweep:
+    """Scale-audit across EVERY registry query: no Cartesian products,
+    no row-at-a-time Python, and no data-sized global window/sort
+    funnels anywhere in the 87-query surface."""
+
+    #: post-aggregation global windows over provably bounded rows
+    #: (q53: one row per month after the rollup)
+    GLOBAL_WINDOW_OK = {"q53_monthly_trend"}
+
+    def test_no_scale_antipatterns_anywhere(self, spark, registry):
+        offenders = {}
+        for name, fn in registry.items():
+            plan = plan_of(fn(spark, SF_DIR))
+            flags = []
+            if "CartesianProduct" in plan:
+                flags.append("cartesian")
+            if "BatchEvalPython" in plan:
+                flags.append("row_python")
+            lines = plan.splitlines()
+            for i, ln in enumerate(lines):
+                if "Exchange SinglePartition" in ln:
+                    above = " ".join(lines[max(0, i - 4):i])
+                    if "Window" in above or (
+                        "Sort" in above and "Aggregate" not in above
+                    ):
+                        if name not in self.GLOBAL_WINDOW_OK:
+                            flags.append("global_window_or_sort")
+                        break
+            if flags:
+                offenders[name] = flags
+        assert offenders == {}

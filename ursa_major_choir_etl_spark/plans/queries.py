@@ -3145,11 +3145,16 @@ QUERIES = {
 }
 
 # The driver grades a prefix window of this registry (round 1 graded
-# only the first 50 of 75 entries).  Rotate the previously-ungraded
-# tail to the front so every query accrues a driver-graded row across
-# rounds; the round-1 head (q01-q50) is already driver-green.
+# only the first 50 of 75 entries).  Order for round 2: the three
+# round-1 hash-RED queries first (their fix must show as driver-green),
+# then everything round 1 never graded (q51+), then the already-green
+# round-1 head.
+_redo = ["q31_conditional_agg", "q50_first_last_priority", "q13_sessionize"]
 _names = list(QUERIES)
-QUERIES = {k: QUERIES[k] for k in _names[50:] + _names[:50]}
+_order = _redo + [k for k in _names[50:] if k not in _redo] + [
+    k for k in _names[:50] if k not in _redo
+]
+QUERIES = {k: QUERIES[k] for k in _order}
 
 ORACLES: dict[str, str | None] = {
     "q01_pricing_summary": ORACLE_Q01,

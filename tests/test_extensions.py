@@ -472,3 +472,128 @@ class TestMultimodalAudioEmbed:
         rows = out.collect()
         assert len(rows) == 9  # 3 queries x top-3
         assert all(-1.0 <= r["cosine_sim"] <= 1.0 for r in rows)
+
+
+class TestWinnowing:
+    def test_normalized_dups_share_fingerprint_set(self, docs):
+        fps = dedup.winnowing_fingerprints(docs, k=2, w=2)
+        by_doc: dict[int, set] = {}
+        for r in fps.collect():
+            by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+        # 1, 2 identical; 5 identical after normalization
+        assert by_doc[1] == by_doc[2] == by_doc[5]
+        assert by_doc[1].isdisjoint(by_doc[4])
+
+    def test_short_doc_emits_single_global_min(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        # 4 tokens, k=4 -> 1 kgram, below w=5 -> exactly one fingerprint
+        out = dedup.winnowing_fingerprints(df, k=4, w=5).collect()
+        assert len(out) == 1
+
+    def test_shared_long_substring_guarantees_shared_fingerprint(self, spark):
+        common = "one two three four five six seven eight nine ten"
+        df = spark.createDataFrame(
+            [
+                (1, "prefix words here " + common),
+                (2, common + " suffix tail words"),
+            ],
+            "doc_id long, text string",
+        )
+        # shared run of 10 tokens >= w + k - 1 = 8 -> >= 1 shared fp
+        fps = dedup.winnowing_fingerprints(df, k=4, w=5)
+        pairs = dedup.fingerprint_overlap_pairs(fps, min_shared=1).collect()
+        assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+    def test_overlap_pairs_threshold_and_order(self, docs):
+        fps = dedup.winnowing_fingerprints(docs, k=2, w=2)
+        pairs = {
+            (r["id_a"], r["id_b"]): r["n_shared"]
+            for r in dedup.fingerprint_overlap_pairs(fps, min_shared=1).collect()
+        }
+        assert (1, 2) in pairs and (1, 5) in pairs and (2, 5) in pairs
+        assert all(a < b for a, b in pairs)
+
+
+class TestQuantizeInt8:
+    def test_exact_and_zero_vector_guard(self, spark):
+        rows = [
+            (0, [0.0, 0.0], 1),    # zero vector: scale 0, error = x = 0
+            (1, [1.0, -1.0], 1),   # representable exactly: q = +-127
+            (2, [0.5, 0.25], 2),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = {
+            r["label"]: r
+            for r in similarity.quantize_int8_stats(df).collect()
+        }
+        assert out[1]["n_vecs"] == 2
+        assert out[1]["sum_sqerr_nano"] == 0  # both rows quantize losslessly
+        assert out[1]["sum_scale_nano"] == round(1.0 / 127.0 * 1e9)
+        # label 2: scale = 0.5/127; x2/scale = 63.5 -> rounds to 64
+        scale = 0.5 / 127.0
+        e = 0.25 - round(0.25 / scale) * scale
+        expected = round(e * 1e9) ** 2
+        assert out[2]["sum_sqerr_nano"] == expected
+
+    def test_registry_query_types_are_integral(self, spark):
+        from ursa_major_choir_etl_spark.plans.queries import q89_quantize_int8
+
+        df = q89_quantize_int8(spark, "/root/testdata/sf0.001")
+        kinds = dict(df.dtypes)
+        assert kinds["sum_sqerr_nano"] == "bigint"
+        assert kinds["sum_scale_nano"] == "bigint"
+
+
+class TestKmeansLloyd:
+    def _toy(self, spark):
+        pts = [
+            (0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.0, 0.1]),
+            (3, [10.0, 10.0]), (4, [10.1, 10.0]), (5, [10.0, 10.1]),
+        ]
+        return spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+
+    def test_separates_obvious_clusters(self, spark):
+        from ursa_major_choir_etl_spark.operators.kmeans import kmeans_lloyd_integer
+
+        out = kmeans_lloyd_integer(
+            spark, self._toy(spark), k=2, iters=2, out_dims=2
+        ).collect()
+        stats = {r["cid"]: r for r in out}
+        # seeds are ids 0 and 1 (both in the left blob); after the first
+        # update the two centroids split the blobs
+        sizes = sorted(r["n_members"] for r in out)
+        assert sizes == [3, 3]
+        # the right-blob cluster's centroid is near 10.0 in micro-units
+        far = max(stats.values(), key=lambda r: r["c_0"])
+        assert abs(far["c_0"] - 10_033_333) < 1000
+        assert far["sum_vec_id"] == 3 + 4 + 5
+
+    def test_deterministic_across_runs(self, spark):
+        from ursa_major_choir_etl_spark.operators.kmeans import kmeans_lloyd_integer
+
+        a = sorted(
+            map(tuple, kmeans_lloyd_integer(spark, self._toy(spark), k=2, iters=3, out_dims=2).collect())
+        )
+        b = sorted(
+            map(tuple, kmeans_lloyd_integer(spark, self._toy(spark), k=2, iters=3, out_dims=2).collect())
+        )
+        assert a == b
+
+
+class TestMinhashAccuracy:
+    def test_estimate_error_invariants(self, spark):
+        from ursa_major_choir_etl_spark.plans.queries import q91_minhash_accuracy
+
+        rows = q91_minhash_accuracy(spark, "/root/testdata/sf0.001").collect()
+        assert rows, "candidate pairs expected at sf0.001"
+        for r in rows:
+            assert 2 <= r["n_match"] <= 8  # >=1 full band agreed
+            assert 0.0 <= r["jaccard"] <= 1.0
+            assert abs(r["est_err"] - round(abs(r["n_match"] / 8.0 - r["jaccard"]), 6)) < 1e-9
+        exact_dups = [r for r in rows if r["jaccard"] == 1.0]
+        for r in exact_dups:
+            assert r["n_match"] == 8 and r["est_err"] == 0.0

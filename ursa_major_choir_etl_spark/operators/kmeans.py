@@ -1,0 +1,123 @@
+"""Deterministic distributed k-means (Lloyd's algorithm) over an
+embedding column — the "iterative algorithm" family, built so that even
+a SQL oracle can replay it bit-for-bit.
+
+Determinism by construction (the cross-engine float pitfalls, all
+avoided):
+- vectors are integer-scaled (micro-units) BEFORE any arithmetic, so
+  distances and centroid sums are exact bigint math — shuffle order
+  cannot change a single bit;
+- centroid means use truncating integer division (Spark ``DIV`` ==
+  DuckDB ``//``, both toward zero);
+- initial centroids are the k smallest ids (no RNG);
+- argmin ties break on the smaller centroid id.
+
+Spark shape (the 1000-executor story): centroids are model state —
+k x dims bigints — collected to the driver each round and rebroadcast
+as an 8-row table; assignment is a broadcast nested-loop over that
+tiny table (never a shuffle of the corpus); the centroid update is one
+posexplode + map-side-combined groupBy(cid, dim) shuffle of at most
+k x dims cells per executor. Per iteration: exactly one small shuffle.
+This is the canonical Spark k-means layout (pyspark.ml's KMeans does
+the same collect-and-broadcast of cluster centers per step).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _sq_dist(a, b):
+    """Exact integer squared L2 distance between two bigint arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_lloyd_integer(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dims: int = 4,
+) -> DataFrame:
+    """Run ``iters`` Lloyd rounds; return per-cluster stats.
+
+    Output: (cid, n_members, sum_vec_id, c_0..c_{out_dims-1}) — member
+    count and exact id-sum of the FINAL assignment, plus the first
+    ``out_dims`` coordinates of the centroid recomputed from it (all
+    bigint; empty clusters keep their previous centroid and emit no
+    stats row, mirroring the oracle's group-by).
+    """
+    from pyspark import StorageLevel
+
+    xi_df = emb.select(
+        F.col(id_col),
+        F.transform(
+            vec_col, lambda x: F.round(x.cast("double") * scale, 0).cast("long")
+        ).alias("_xi"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    seed_rows = xi_df.orderBy(id_col).limit(k).collect()
+    cents: list[tuple[int, list[int]]] = [
+        (cid, list(row["_xi"])) for cid, row in enumerate(seed_rows)
+    ]
+
+    assigned = None
+    for _ in range(iters):
+        cents_df = spark.createDataFrame(
+            cents, schema="cid bigint, c array<bigint>"
+        )
+        scored = xi_df.crossJoin(F.broadcast(cents_df)).withColumn(
+            "_d", _sq_dist(F.col("_xi"), F.col("c"))
+        )
+        best = F.min(
+            F.struct(
+                F.col("_d").alias("d"),
+                F.col("cid").alias("cid"),
+                F.col("_xi").alias("xi"),
+            )
+        ).alias("m")
+        assigned = (
+            scored.groupBy(id_col)
+            .agg(best)
+            .select(F.col(id_col), F.col("m.cid").alias("cid"), F.col("m.xi").alias("_xi"))
+        )
+        sums = (
+            assigned.select("cid", F.posexplode("_xi").alias("pos", "xd"))
+            .groupBy("cid", "pos")
+            .agg(F.expr("sum(xd) DIV count(*)").alias("cv"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, int]] = {}
+        for row in sums:
+            by_cid.setdefault(row["cid"], {})[row["pos"]] = row["cv"]
+        cents = [
+            (
+                cid,
+                [by_cid[cid][d] for d in range(len(old))]
+                if cid in by_cid
+                else old,
+            )
+            for cid, old in cents
+        ]
+
+    final_c = {cid: v for cid, v in cents}
+    stats = assigned.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.sum(id_col).alias("sum_vec_id"),
+    )
+    cent_rows = [
+        (cid, *final_c[cid][:out_dims]) for cid, _ in cents
+    ]
+    cent_df = spark.createDataFrame(
+        cent_rows,
+        schema="cid bigint, " + ", ".join(f"c_{d} bigint" for d in range(out_dims)),
+    )
+    return stats.join(F.broadcast(cent_df), "cid")

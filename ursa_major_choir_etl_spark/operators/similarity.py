@@ -384,3 +384,53 @@ def lsh_topk(
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def quantize_int8_stats(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Symmetric int8 quantization quality report per label group.
+
+    Per vector: scale = max(|x|)/127, q_i = round(x_i/scale), and the
+    reconstruction error e_i = x_i - q_i*scale. Every error term is
+    integer-scaled to nano-units BEFORE any aggregation, so the group
+    sums are exact bigint arithmetic — order-insensitive and therefore
+    bit-identical across engines and shuffle orders (the cross-engine
+    float-sum pitfall, avoided by construction).
+
+    Output: (label, n_vecs, sum_sqerr_nano, sum_scale_nano) where
+    sum_sqerr_nano = sum over all elements of (e_i * 1e9, rounded)^2
+    and sum_scale_nano = sum of per-vector scales in nano-units.
+
+    Scale: one narrow map stage + one partial-aggregated shuffle on
+    label; all vector math is JVM higher-order functions over the
+    materialized array column (no Python, no explode).
+    """
+    xs_df = emb.select(
+        F.col(label_col).alias("label"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_xs"),
+    )
+    xs = F.col("_xs")
+    scaled = xs_df.withColumn(
+        "_scale", F.array_max(F.transform(xs, F.abs)) / F.lit(127.0)
+    )
+    sc = F.col("_scale")
+    err = lambda x: F.when(sc > 0, x - F.round(x / sc, 0) * sc).otherwise(x)
+    en_df = scaled.withColumn(
+        "_en",
+        F.transform(xs, lambda x: F.round(err(x) * F.lit(1e9), 0).cast("long")),
+    )
+    per_row = en_df.select(
+        "label",
+        F.aggregate(
+            "_en", F.lit(0).cast("long"), lambda acc, e: acc + e * e
+        ).alias("_row_sqerr"),
+        F.round(sc * F.lit(1e9), 0).cast("long").alias("_scale_nano"),
+    )
+    return per_row.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("_row_sqerr").alias("sum_sqerr_nano"),
+        F.sum("_scale_nano").alias("sum_scale_nano"),
+    )

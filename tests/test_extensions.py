@@ -597,3 +597,56 @@ class TestMinhashAccuracy:
         exact_dups = [r for r in rows if r["jaccard"] == 1.0]
         for r in exact_dups:
             assert r["n_match"] == 8 and r["est_err"] == 0.0
+
+
+class TestPitFeatureJoin:
+    def test_no_future_leak(self, spark):
+        from ursa_major_choir_etl_spark.plans.queries import q92_pit_feature_join
+        import os, tempfile
+
+        rows = [
+            # user 1: views at t=100 (low) and t=300 (high); purchases
+            # at t=50 (before any view), t=200, t=400
+            (1, 100_000_000, 1, "view", 5.0, "{}"),
+            (2, 300_000_000, 1, "view", 500.0, "{}"),
+            (3, 50_000_000, 1, "purchase", 1.0, "{}"),
+            (4, 200_000_000, 1, "purchase", 1.0, "{}"),
+            (5, 400_000_000, 1, "purchase", 1.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.timestamp_micros(F.col("ts")))
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = {r["event_id"]: r for r in q92_pit_feature_join(spark, d).collect()}
+        assert out[3]["tier"] is None and out[3]["version"] is None
+        assert out[4]["tier"] == "low" and out[4]["version"] == 1
+        assert out[5]["tier"] == "high" and out[5]["version"] == 2
+        assert len(out) == 3  # one row per purchase, no fan-out
+
+
+class TestPagerankInteger:
+    def test_star_center_ranks_highest_and_mass_conserved(self, spark):
+        from ursa_major_choir_etl_spark.operators.graph import SCALE, pagerank_integer
+
+        pairs = spark.createDataFrame(
+            [(0, 1), (0, 2), (0, 3), (0, 4)], "id_a long, id_b long"
+        )
+        out = {r["doc_id"]: r for r in pagerank_integer(pairs, iters=3).collect()}
+        assert out[0]["degree"] == 4
+        assert all(out[0]["pr"] > out[i]["pr"] for i in range(1, 5))
+        total = sum(r["pr"] for r in out.values())
+        # truncating division leaks at most a few units per edge/round
+        assert abs(total - SCALE) < 1000
+
+    def test_deterministic(self, spark):
+        from ursa_major_choir_etl_spark.operators.graph import pagerank_integer
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "id_a long, id_b long"
+        )
+        a = sorted(map(tuple, pagerank_integer(pairs, iters=4).collect()))
+        b = sorted(map(tuple, pagerank_integer(pairs, iters=4).collect()))
+        assert a == b

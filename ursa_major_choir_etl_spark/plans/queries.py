@@ -83,6 +83,8 @@ Operator coverage map (SURVEY §2 ids -> query):
   int8 embedding quantization ..... q89 (exact bigint error sums)
   iterative k-means (Lloyd) ....... q90 (deterministic, SQL oracle)
   sketch accuracy (est vs exact) .. q91 (MinHash error report)
+  point-in-time feature join ...... q92 (SCD2 as-of, no future leak)
+  integer PageRank (iterative) .... q93 (near-dup graph centrality)
 """
 
 from __future__ import annotations
@@ -3289,6 +3291,125 @@ JOIN exact x ON x.id_a = c.id_a AND x.id_b = c.id_b
 """
 
 
+def q92_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature join (feature-store correctness): each
+    purchase event looks up the user's tier from an SCD2 dimension
+    versioned by their 'view' events, AS OF the purchase timestamp —
+    never a future leak. The interval predicate lives in the JOIN
+    condition (equi user key + residual range), so the left join keeps
+    never-viewed purchasers with null features and the planner still
+    hash-joins on user_id (no nested loop over the range)."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tier = (
+        F.when(F.col("value") < 10, "low")
+        .when(F.col("value") < 100, "mid")
+        .otherwise("high")
+    )
+    dim = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("d_user"),
+            tier.alias("tier"),
+            F.row_number().over(w).alias("version"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    cond = (
+        (facts["user_id"] == dim["d_user"])
+        & (dim["valid_from"] <= facts["ts"])
+        & (dim["valid_to"].isNull() | (facts["ts"] < dim["valid_to"]))
+    )
+    return facts.join(dim, cond, "left").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        "tier",
+        "version",
+    )
+
+
+ORACLE_Q92 = """
+WITH dim AS (
+  SELECT user_id AS d_user,
+         CASE WHEN value < 10 THEN 'low'
+              WHEN value < 100 THEN 'mid'
+              ELSE 'high' END AS tier,
+         row_number() OVER w AS version,
+         ts AS valid_from, lead(ts) OVER w AS valid_to
+  FROM events WHERE event_type = 'view'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT f.event_id, f.user_id, CAST(f.ts AS VARCHAR) AS ts,
+       d.tier, d.version
+FROM events f LEFT JOIN dim d
+  ON d.d_user = f.user_id AND d.valid_from <= f.ts
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+WHERE f.event_type = 'purchase'
+"""
+
+
+def q93_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank (3 rounds) over the MinHash-LSH near-dup graph
+    — centrality-based canonical-copy ranking for dedup keep policies.
+    Second iterative-algorithm family after k-means (q90), same
+    determinism playbook: bigint ranks, truncating division, exact
+    chained-CTE oracle."""
+    from ursa_major_choir_etl_spark.operators.graph import pagerank_integer
+
+    sh = dedup.word_shingles(T(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    cand = dedup.lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+    return pagerank_integer(cand, iters=3)
+
+
+def _oracle_q93(iters: int = 3) -> str:
+    rows = 2
+    band_exprs = ", ".join(
+        "('" + str(b) + "' || '|' || "
+        + " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + ")"
+        for b in range(4)
+    )
+    pr_iters = []
+    for it in range(iters):
+        pr_iters.append(f"""
+pr_{it + 1} AS (
+  SELECT d.node, d.deg,
+         (15 * ((SELECT init FROM consts))) // 100
+         + CAST(sum((85 * (p.pr // p.deg)) // 100) AS BIGINT) AS pr
+  FROM edges e JOIN pr_{it} p ON p.node = e.src
+  JOIN deg d ON d.node = e.dst
+  GROUP BY d.node, d.deg
+)""")
+    return f"""
+WITH {osql.shingles_cte_sql(3)},
+sigs AS ({osql.minhash_select_sql(8)}),
+banded AS (
+  SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM sigs
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+consts AS (SELECT 1000000000 // count(*) AS init FROM deg),
+pr_0 AS (SELECT node, deg, CAST((SELECT init FROM consts) AS BIGINT) AS pr
+         FROM deg),{",".join(pr_iters)}
+SELECT node AS doc_id, deg AS degree, pr FROM pr_{iters}
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -3381,6 +3502,8 @@ QUERIES = {
     "q89_quantize_int8": q89_quantize_int8,
     "q90_kmeans_lloyd": q90_kmeans_lloyd,
     "q91_minhash_accuracy": q91_minhash_accuracy,
+    "q92_pit_feature_join": q92_pit_feature_join,
+    "q93_similarity_pagerank": q93_similarity_pagerank,
 }
 
 # The driver grades a prefix window of this registry (round 1 graded
@@ -3487,4 +3610,6 @@ ORACLES: dict[str, str | None] = {
     "q89_quantize_int8": ORACLE_Q89,
     "q90_kmeans_lloyd": _oracle_q90(),
     "q91_minhash_accuracy": _oracle_q91(),
+    "q92_pit_feature_join": ORACLE_Q92,
+    "q93_similarity_pagerank": _oracle_q93(),
 }

@@ -36,24 +36,28 @@ def pagerank_integer(
 
     Output: (node, degree, pr) — one row per node in the pair graph.
 
-    Scale: edges and degrees are computed once and persisted; each
-    iteration is ONE equi-join (rank table joined to the edge list on
-    the source) plus one map-side-combined groupBy on the destination.
-    O(iters) small shuffles, no all-pairs anything; the rank state is
-    one bigint per node.
+    Scale: edges and degrees are computed once and ``localCheckpoint``ed
+    — like connected_components, an iterative plan that re-references
+    its inputs each round grows the logical tree EXPONENTIALLY without
+    a lineage cut (3 rounds over the LSH graph planned 238 broadcast
+    joins before the cut, 3 after). Each iteration is then ONE
+    equi-join (rank table to edge list on the source) plus one
+    map-side-combined groupBy on the destination. O(iters) small
+    shuffles, no all-pairs anything; the rank state is one bigint per
+    node.
     """
-    from pyspark import StorageLevel
-
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("deg")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
 
     n_nodes = deg.count()
     init = SCALE // max(n_nodes, 1)

@@ -650,3 +650,27 @@ class TestPagerankInteger:
         a = sorted(map(tuple, pagerank_integer(pairs, iters=4).collect()))
         b = sorted(map(tuple, pagerank_integer(pairs, iters=4).collect()))
         assert a == b
+
+
+class TestChunkDedup:
+    def test_keep_first_across_and_within_docs(self, spark):
+        from ursa_major_choir_etl_spark.plans.queries import q95_chunk_dedup
+        import os, tempfile
+
+        block = " ".join(f"w{i}" for i in range(25))
+        other = " ".join(f"x{i}" for i in range(25))
+        rows = [
+            (1, block + " " + block, "en", "a", 0),   # within-doc repeat
+            (2, block + " " + other, "en", "a", 0),   # cross-doc repeat
+            (3, other, "en", "a", 0),                 # dup of doc 2's chunk 2
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        out = {r["doc_id"]: r for r in q95_chunk_dedup(spark, d).collect()}
+        assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 1  # 2nd copy dropped
+        assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1  # block seen in doc 1
+        assert out[3]["n_chunks"] == 1 and out[3]["n_kept"] == 0  # other seen in doc 2
+        assert out[3]["kept_ppm"] == 0 and out[1]["kept_ppm"] == 500000

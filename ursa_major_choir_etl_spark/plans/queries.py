@@ -85,6 +85,8 @@ Operator coverage map (SURVEY §2 ids -> query):
   sketch accuracy (est vs exact) .. q91 (MinHash error report)
   point-in-time feature join ...... q92 (SCD2 as-of, no future leak)
   integer PageRank (iterative) .... q93 (near-dup graph centrality)
+  salted two-phase aggregation .... q94 (hot-key skew, exact combine)
+  chunk-level dedup (C4-style) .... q95 (keep-first, ppm survival)
 """
 
 from __future__ import annotations
@@ -3410,6 +3412,116 @@ SELECT node AS doc_id, deg AS degree, pr FROM pr_{iters}
 """
 
 
+def q94_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation on a pathologically hot key space:
+    events has only 5 event_type values, so a naive groupBy funnels
+    ~20% of a 100 TB table through each of 5 reducers. The salt
+    spreads each key over 16 buckets (partial agg) before the exact
+    5-row final combine. Money math in integer cents, so the two-phase
+    recombination is bit-exact, not merely approximately equal."""
+    from ursa_major_choir_etl_spark.operators.skew import salted_aggregate
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("_cents"),
+    )
+    return salted_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("count", "_cents"),
+            "sum_value_cents": ("sum", "_cents"),
+            "min_value_cents": ("min", "_cents"),
+            "max_value_cents": ("max", "_cents"),
+        },
+        buckets=16,
+        spread_col="event_id",
+    )
+
+
+ORACLE_Q94 = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents,
+       min(CAST(round(value * 100) AS BIGINT)) AS min_value_cents,
+       max(CAST(round(value * 100) AS BIGINT)) AS max_value_cents
+FROM events GROUP BY event_type
+"""
+
+
+def q95_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup at 25-token chunk granularity (the C4/CCNet
+    move: near-dup corpora still share exact paragraphs after doc-level
+    dedup). Keep-first policy: a chunk occurrence survives iff it is
+    the globally first (doc_id, chunk_idx) for its content hash —
+    including within-document repeats. Output: per-doc survival stats
+    with an integer ppm ratio (DIV — no float ranking).
+
+    Plan: per-row chunk hashing (no shuffle), one shuffle to rank
+    occurrences per content hash, one groupBy doc — both keyed finely
+    enough to spread at any corpus size."""
+    docs = T(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", text.tokens(text.normalized_text("text")).alias("_t")
+    ).filter(F.size("_t") > 0)
+    t = F.col("_t")
+    nc = F.expr("1 + (size(_t) - 1) div 25")
+    chunks_arr = F.transform(
+        F.sequence(F.lit(1), nc),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(t, ((i - 1) * 25 + 1).cast("int"), 25))
+        ),
+    )
+    occ = toked.select(
+        "doc_id", F.posexplode(chunks_arr).alias("pos", "chunk_md5")
+    ).select("doc_id", (F.col("pos") + 1).alias("chunk_idx"), "chunk_md5")
+    w = Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_idx")
+    ranked = occ.withColumn(
+        "_keep", F.when(F.row_number().over(w) == 1, 1).otherwise(0)
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("_keep").alias("n_kept"),
+        )
+        .withColumn("kept_ppm", F.expr("(1000000 * n_kept) DIV n_chunks"))
+    )
+
+
+def _oracle_q95() -> str:
+    norm = osql.norm_text_sql("text")
+    return f"""
+WITH toked AS (
+  SELECT doc_id, t FROM (SELECT doc_id, {osql.tokens_sql(norm)} AS t FROM documents)
+  WHERE len(t) > 0
+),
+occ AS (
+  SELECT doc_id, unnest(range(1, 1 + (1 + (len(t) - 1) // 25))) AS chunk_idx, t
+  FROM toked
+),
+hashed AS (
+  SELECT doc_id, chunk_idx,
+         md5(array_to_string(list_slice(t, (chunk_idx - 1) * 25 + 1,
+                                        chunk_idx * 25), ' ')) AS chunk_md5
+  FROM occ
+),
+ranked AS (
+  SELECT doc_id,
+         CASE WHEN row_number() OVER (PARTITION BY chunk_md5
+                                      ORDER BY doc_id, chunk_idx) = 1
+              THEN 1 ELSE 0 END AS keep
+  FROM hashed
+)
+SELECT doc_id, count(*) AS n_chunks,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       (1000000 * CAST(sum(keep) AS BIGINT)) // count(*) AS kept_ppm
+FROM ranked GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -3504,6 +3616,8 @@ QUERIES = {
     "q91_minhash_accuracy": q91_minhash_accuracy,
     "q92_pit_feature_join": q92_pit_feature_join,
     "q93_similarity_pagerank": q93_similarity_pagerank,
+    "q94_salted_skew_agg": q94_salted_skew_agg,
+    "q95_chunk_dedup": q95_chunk_dedup,
 }
 
 # The driver grades a prefix window of this registry (round 1 graded
@@ -3612,4 +3726,6 @@ ORACLES: dict[str, str | None] = {
     "q91_minhash_accuracy": _oracle_q91(),
     "q92_pit_feature_join": ORACLE_Q92,
     "q93_similarity_pagerank": _oracle_q93(),
+    "q94_salted_skew_agg": ORACLE_Q94,
+    "q95_chunk_dedup": _oracle_q95(),
 }

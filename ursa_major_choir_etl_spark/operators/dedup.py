@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ursa_major_choir_etl_spark.operators.text import normalized_text, tokens
+from ursa_major_choir_etl_spark.operators.text import (
+    normalized_text,
+    tokens,
+    widen_if_narrow,
+)
 
 
 def exact_duplicate_groups(
@@ -51,8 +55,11 @@ def word_shingles(
     The token array is materialized as a column BEFORE the shingling
     lambda: referencing the raw tokenization expression inside
     transform() re-evaluates the whole normalize+split chain per array
-    element (measured 32s -> <2s at sf0.1 for the same output).
+    element (measured 32s -> <2s at sf0.1 for the same output). The
+    normalize+shingle chain runs in the scan stage, so a narrow input
+    is widened first (see text.widen_if_narrow).
     """
+    df = widen_if_narrow(df)
     toked = df.select(
         F.col(id_col), tokens(normalized_text(text_col)).alias("_toks")
     )
@@ -470,9 +477,7 @@ def winnowing_fingerprints(
     outnumber cores (the with_text_stats lesson: 11.4s -> task-parallel
     at sf0.1 otherwise).
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if target and df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    df = widen_if_narrow(df)
     toked = df.select(
         F.col(id_col), tokens(normalized_text(text_col)).alias("_toks")
     ).filter(F.size("_toks") >= k)
@@ -552,7 +557,7 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     an ANSI-SQL oracle reproduces it bit-for-bit.
     """
     tok = tokens(normalized_text(text_col))
-    exploded = df.select(F.col(id_col), F.explode(tok).alias("token"))
+    exploded = widen_if_narrow(df).select(F.col(id_col), F.explode(tok).alias("token"))
     hashed = exploded.withColumn("h", F.md5("token"))
     votes = [
         F.sum(

@@ -29,6 +29,26 @@ LANG_MARKERS: dict[str, list[str]] = {
 STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
 
+def widen_if_narrow(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Repartition a DataFrame whose scan is narrower than the cluster.
+
+    Text operators do their expensive per-row work (normalize, split,
+    md5, explode) INSIDE the scan stage, before any shuffle — so a
+    parquet input with fewer splits than cores (the one-row-group small
+    file) serializes the whole CPU cost through a handful of tasks.
+    At real scale splits outnumber cores and this is a no-op; locally
+    it is repeatedly a >2x win (q16, q21, q88 all hit it).
+    """
+    target = (
+        min_parallelism
+        if min_parallelism is not None
+        else df.sparkSession.sparkContext.defaultParallelism
+    )
+    if target and df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization (array<string>); empty text -> empty array."""
     t = F.trim(F.col(text) if isinstance(text, str) else text)
@@ -238,13 +258,7 @@ def with_text_stats(
     scale the input already has more splits than cores and this is a
     no-op — no shuffle is added.
     """
-    target = (
-        min_parallelism
-        if min_parallelism is not None
-        else df.sparkSession.sparkContext.defaultParallelism
-    )
-    if target and df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    df = widen_if_narrow(df, min_parallelism)
     staged = df.withColumn("_ltoks", tokens(F.lower(F.col(text_col))))
 
     def contains(arr):

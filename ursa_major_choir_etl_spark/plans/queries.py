@@ -120,6 +120,12 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # truncate to micros — exact integer DIV, no float precision loss.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "documents":
+        # Text operators are CPU-bound in the scan stage (normalize,
+        # md5, explode happen before any shuffle); a one-row-group
+        # parquet file would serialize all of it through one task.
+        # No-op whenever splits already cover the cluster.
+        df = text.widen_if_narrow(df)
     return df
 
 

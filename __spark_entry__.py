@@ -4,10 +4,11 @@
 - ``queries()``: every implemented operator family from SURVEY.md §2
   plus the LLM-pipeline extensions, as (spark, sf_dir) -> DataFrame.
 - ``oracle_sql()``: DuckDB SQL recomputing each query bit-for-bit —
-  including the iterative k-means (q90, integer-deterministic by
-  construction). Omitted only for the five genuinely
-  approximate/plumbing-only ops: q24 LSH ANN, q25 multimodal stub,
-  q30 IVF ANN, q76 banded-LSH near-dup, q85 stub-embed pipeline.
+  including the iterative k-means (q90) and PageRank (q93), both
+  integer-deterministic by construction, and the mapInPandas decode
+  plumbing (q25). Omitted only for the four genuinely approximate
+  ops: q24 LSH ANN, q30 IVF ANN, q76 banded-LSH near-dup, q85
+  stub-embed ANN pipeline.
 
 See ursa_major_choir_etl_spark/plans/queries.py for the registry and
 the SURVEY §2 coverage map.

@@ -743,13 +743,27 @@ def q24_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q25_multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary column + Arrow-batched mapInPandas
-    decode stub (deterministic fake). Rows-only check — the point is
-    the schema/partitioning/batch shape, not the fake decoder."""
+    decode stub. The decoder is a deterministic fake (no codecs in the
+    container), but BECAUSE it is deterministic byte arithmetic, a SQL
+    oracle can recompute it exactly — which turns this into a full
+    value-hash gate on the Arrow round-trip (blob encode, mapInPandas
+    batching, schema), not just a rows-only smoke check."""
     from ursa_major_choir_etl_spark.operators import multimodal
 
     docs = T(spark, sf_dir, "documents")
     blobs = multimodal.with_fake_blob(docs)
     return multimodal.decode_image_metadata(blobs)
+
+
+ORACLE_Q25 = """
+SELECT doc_id,
+       CAST(strlen(text) AS INTEGER) AS n_bytes,
+       'fake/rgb8' AS format,
+       CAST(64 + strlen(text) % 64 AS INTEGER) AS width,
+       CAST(64 + (strlen(text) // 64) % 64 AS INTEGER) AS height,
+       3 AS n_channels
+FROM documents
+"""
 
 
 def q26_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3663,7 +3677,7 @@ ORACLES: dict[str, str | None] = {
     "q22_cosine_topk": ORACLE_Q22,
     "q23_embedding_near_dup": ORACLE_Q23,
     "q24_lsh_ann": None,  # approximate by construction
-    "q25_multimodal_stub": None,  # fake decoder; plumbing-only
+    "q25_multimodal_stub": ORACLE_Q25,
     "q26_sql_interface": ORACLE_Q26,
     "q27_rollup_revenue": ORACLE_Q27,
     "q28_customers_without_urgent_orders": ORACLE_Q28,

@@ -243,3 +243,64 @@ class TestFileOrderIds:
                 assert a == b
         finally:
             spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+class TestSheetValuesDataSource:
+    """The custom Python DataSource (sources/sheets_source.py) must be
+    row-for-row identical to the in-memory values ingest path."""
+
+    VALUES = [
+        ["Tag", "Joined", "tgid", "Who", "1.10.24", None, "8.10.24", "Tag"],
+        ["S1", "01.09.24", "123", "Анна С", "1", "x", None],
+        ["A2", None, "", "Борис", None, "y", "0,5", "extra", "beyond"],
+        [],
+        ["T3"],
+    ]
+
+    def _dump(self, tmp_path):
+        import json, os
+
+        p = os.path.join(str(tmp_path), "payload.json")
+        with open(p, "w") as f:
+            json.dump({"values": self.VALUES}, f)
+        return p
+
+    def test_matches_in_memory_path(self, spark, tmp_path):
+        from ursa_major_choir_etl_spark.sources.io import (
+            read_wide_sheet_json,
+            read_wide_sheet_values,
+        )
+
+        via_ds = read_wide_sheet_json(spark, self._dump(tmp_path))
+        via_mem = read_wide_sheet_values(spark, self.VALUES)
+        assert via_ds.columns == via_mem.columns
+        a = sorted(map(tuple, via_ds.collect()), key=lambda t: t[-1])
+        b = sorted(map(tuple, via_mem.collect()), key=lambda t: t[-1])
+        assert a == b
+
+    def test_partitioned_read_same_ids(self, spark, tmp_path):
+        from ursa_major_choir_etl_spark.sources.io import read_wide_sheet_json
+
+        p = self._dump(tmp_path)
+        one = sorted(map(tuple, read_wide_sheet_json(spark, p, num_partitions=1).collect()), key=lambda t: t[-1])
+        many = sorted(map(tuple, read_wide_sheet_json(spark, p, num_partitions=3).collect()), key=lambda t: t[-1])
+        assert one == many
+        ids = [r[-1] for r in many]
+        assert sorted(ids) == list(range(len(self.VALUES) - 1))
+
+    def test_raw_source_schema_and_parallelism(self, spark, tmp_path):
+        from ursa_major_choir_etl_spark.sources.sheets_source import register
+
+        register(spark)
+        raw = (
+            spark.read.format("sheet_values")
+            .option("path", self._dump(tmp_path))
+            .option("numPartitions", "3")
+            .load()
+        )
+        assert raw.rdd.getNumPartitions() == 3
+        assert [f.name for f in raw.schema.fields] == ["input_row_id", "cells"]
+        row1 = {r["input_row_id"]: r["cells"] for r in raw.collect()}
+        assert row1[2][5] == "y"          # strings preserved
+        assert row1[1][6] is None         # None preserved, not padded here
+        assert row1[3] == []              # empty row intact

@@ -45,6 +45,7 @@ from ursa_major_choir_etl_spark.sources.io import (
     overwrite_parquet,
     read_parquet_table,
     read_wide_sheet_csv,
+    read_wide_sheet_json,
     validate_tables_exist,
 )
 
@@ -73,7 +74,13 @@ def run_pipeline(
     error_message = ""
     counts: dict[str, int] = {}
     try:
-        raw = read_wide_sheet_csv(spark, raw_path)
+        # .json payloads go through the custom sheet_values DataSource
+        # (the saved values.get response — the Sheets-connector path);
+        # anything else is the CSV export of the same sheet.
+        if raw_path.endswith(".json"):
+            raw = read_wide_sheet_json(spark, raw_path)
+        else:
+            raw = read_wide_sheet_csv(spark, raw_path)
         raw.cache()  # one scan feeds all five builders (etl/main.py:190-194)
 
         run_ts = datetime.now(timezone.utc).isoformat(timespec="seconds")

@@ -104,6 +104,56 @@ def with_file_order_ids(df: DataFrame, id_col: str = INPUT_ROW_ID) -> DataFrame:
 PLACEHOLDER_PREFIX = "__placeholder_"
 
 
+def clean_header(raw: list) -> list[str]:
+    """Header hygiene shared by the values/json ingest paths (mirrors
+    the reference's dict-index semantics, etl/dim_chorister.py:18-20):
+    empty/None and reserved names become positional placeholders;
+    duplicate names keep only the LAST occurrence (dict last-wins)."""
+    raw_header = ["" if h is None else str(h) for h in raw]
+    last_index: dict[str, int] = {h: i for i, h in enumerate(raw_header)}
+    header = []
+    for i, h in enumerate(raw_header):
+        if not h.strip() or h == INPUT_ROW_ID or last_index[h] != i:
+            header.append(f"{PLACEHOLDER_PREFIX}{i}")
+        else:
+            header.append(h)
+    return header
+
+
+def read_wide_sheet_json(
+    spark: SparkSession, path: str, num_partitions: int = 4
+) -> DataFrame:
+    """Ingest a saved Sheets ``values.get`` JSON payload through the
+    custom ``sheet_values`` DataSource (sources/sheets_source.py) —
+    the connector-native S2/S3 path: range-partitioned parallel reads
+    with source-assigned stable ordinals, then the same header hygiene
+    and null padding as ``read_wide_sheet_values``. Output is
+    row-for-row identical to that in-memory path (tested)."""
+    from ursa_major_choir_etl_spark.sources.sheets_source import register
+
+    register(spark)
+    raw = (
+        spark.read.format("sheet_values")
+        .option("path", path)
+        .option("numPartitions", str(num_partitions))
+        .load()
+    )
+    header_rows = raw.filter(F.col(INPUT_ROW_ID) == 0).collect()
+    if not header_rows:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        return spark.createDataFrame(
+            [], StructType([StructField(INPUT_ROW_ID, LongType())])
+        )
+    header = clean_header(header_rows[0]["cells"])
+    # F.get is 0-based and returns null out-of-bounds even under ANSI
+    # (element_at would raise) — short rows pad with nulls for free.
+    return raw.filter(F.col(INPUT_ROW_ID) > 0).select(
+        *[F.get("cells", i).alias(h) for i, h in enumerate(header)],
+        (F.col(INPUT_ROW_ID) - 1).alias(INPUT_ROW_ID),
+    )
+
+
 def read_wide_sheet_values(spark: SparkSession, values: list[list]) -> DataFrame:
     """Ingest the reference's native in-memory shape (S2 get_values:
     first row header, rest data rows; short rows padded with nulls —
@@ -127,14 +177,7 @@ def read_wide_sheet_values(spark: SparkSession, values: list[list]) -> DataFrame
         return spark.createDataFrame(
             [], StructType([StructField(INPUT_ROW_ID, LongType())])
         )
-    raw_header = ["" if h is None else str(h) for h in values[0]]
-    last_index: dict[str, int] = {h: i for i, h in enumerate(raw_header)}
-    header = []
-    for i, h in enumerate(raw_header):
-        if not h.strip() or h == INPUT_ROW_ID or last_index[h] != i:
-            header.append(f"{PLACEHOLDER_PREFIX}{i}")
-        else:
-            header.append(h)
+    header = clean_header(values[0])
     width = len(header)
     rows = []
     for i, row in enumerate(values[1:]):

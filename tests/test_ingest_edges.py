@@ -304,3 +304,47 @@ class TestSheetValuesDataSource:
         assert row1[2][5] == "y"          # strings preserved
         assert row1[1][6] is None         # None preserved, not padded here
         assert row1[3] == []              # empty row intact
+
+
+class TestSheetValuesStreaming:
+    def test_incremental_append_across_restarts(self, spark, tmp_path):
+        import json, os
+
+        from ursa_major_choir_etl_spark.sources.sheets_source import register
+
+        register(spark)
+        p = os.path.join(str(tmp_path), "payload.json")
+        ckpt = os.path.join(str(tmp_path), "ckpt")
+        seen: list[tuple] = []
+
+        def dump(rows):
+            with open(p, "w") as f:
+                json.dump({"values": rows}, f)
+
+        def drain():
+            q = (
+                spark.readStream.format("sheet_values")
+                .option("path", p)
+                .load()
+                .writeStream.foreachBatch(
+                    lambda df, _: seen.extend(
+                        (r["input_row_id"], tuple(r["cells"])) for r in df.collect()
+                    )
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(60)
+
+        dump([["h1", "h2"], ["a", "1"], ["b", "2"]])
+        drain()
+        assert sorted(r[0] for r in seen) == [0, 1, 2]
+
+        # append two rows; a NEW query on the SAME checkpoint emits
+        # only the delta (offset replay through readBetweenOffsets)
+        dump([["h1", "h2"], ["a", "1"], ["b", "2"], ["c", "3"], ["d", None]])
+        drain()
+        assert sorted(r[0] for r in seen) == [0, 1, 2, 3, 4]
+        by_id = dict(seen)
+        assert by_id[4] == ("d", None)

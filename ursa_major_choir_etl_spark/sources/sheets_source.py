@@ -28,7 +28,12 @@ from __future__ import annotations
 import json
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SCHEMA = "input_row_id bigint, cells array<string>"
 
@@ -57,6 +62,9 @@ class SheetValuesDataSource(DataSource):
     def reader(self, schema) -> "SheetValuesReader":
         return SheetValuesReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SheetValuesStreamReader":
+        return SheetValuesStreamReader(self.options)
+
 
 class SheetValuesReader(DataSourceReader):
     def __init__(self, options):
@@ -81,6 +89,42 @@ class SheetValuesReader(DataSourceReader):
         for i in range(partition.start, partition.end):
             row = values[i]
             yield (i, [None if c is None else str(c) for c in row])
+
+
+class SheetValuesStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch "poll the sheet for appended rows" reader.
+
+    Offset = ``{"row": n}``, the count of payload rows already emitted;
+    each batch reads rows [start, current length) and advances the
+    offset — exactly-once append semantics with checkpoint replay via
+    ``readBetweenOffsets``. The driver-side read matches this API's
+    contract (Simple readers are for sheet-sized inputs; the batch
+    reader above is the partitioned path)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("sheet_values: option 'path' is required")
+        self.start_row = int(options.get("startRow", "0"))
+
+    def initialOffset(self) -> dict:
+        return {"row": self.start_row}
+
+    def _rows(self, lo: int, hi: int) -> list[tuple]:
+        # A LIST, not a generator: the engine pickles the prefetched
+        # batch to cache it for checkpoint replay.
+        values = _load_values(self.path)
+        return [
+            (i, [None if c is None else str(c) for c in values[i]])
+            for i in range(lo, min(hi, len(values)))
+        ]
+
+    def read(self, start: dict):
+        n = len(_load_values(self.path))
+        return self._rows(start["row"], n), {"row": max(n, start["row"])}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        return self._rows(start["row"], end["row"])
 
 
 def register(spark) -> None:

@@ -87,6 +87,8 @@ Operator coverage map (SURVEY §2 ids -> query):
   integer PageRank (iterative) .... q93 (near-dup graph centrality)
   salted two-phase aggregation .... q94 (hot-key skew, exact combine)
   chunk-level dedup (C4-style) .... q95 (keep-first, ppm survival)
+  SQL UNPIVOT surface ............. q96 (inverse of pivot, SQL layer)
+  try_* dirty-data arithmetic ..... q97 (ANSI-safe null degradation)
 """
 
 from __future__ import annotations
@@ -3542,6 +3544,92 @@ FROM ranked GROUP BY doc_id
 """
 
 
+def q96_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface UNPIVOT (the q09/q44 reshape family at the SQL
+    layer): pivot order counts wide by status, then SQL `UNPIVOT` back
+    to long — the declarative inverse pair a SQL user expects the
+    engine to parse, not just the DataFrame API."""
+    orders = T(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["O", "F", "P"])
+    )
+    wide.createOrReplaceTempView("status_wide")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, status, n_orders
+        FROM status_wide
+        UNPIVOT (n_orders FOR status IN (O, F, P))
+        """
+    )
+
+
+ORACLE_Q96 = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f,
+         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, 'O' AS status, o AS n_orders FROM wide
+UNION ALL
+SELECT o_orderpriority, 'F' AS status, f AS n_orders FROM wide
+UNION ALL
+SELECT o_orderpriority, 'P' AS status, p AS n_orders FROM wide
+"""
+
+
+def q97_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode dirty-data arithmetic: under ANSI, division by zero
+    and bad casts THROW mid-job; the try_* family degrades them to
+    null row-locally instead — the data-quality posture a 100 TB scan
+    needs (one poison row must not kill a 6-hour job). Aggregates are
+    null-counts and min/max (order-insensitive), so no float-sum
+    nondeterminism."""
+    li = T(spark, sf_dir, "lineitem")
+    ratio = F.expr(
+        "round(try_divide(cast(round(l_extendedprice * 100) as bigint),"
+        "                 l_quantity - 30), 4)"
+    )
+    bad_cast = F.expr("try_cast(l_linestatus AS int)")
+    return (
+        li.withColumn("_ratio", ratio)
+        .withColumn("_bc", bad_cast)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("_ratio").isNull(), 1).otherwise(0)).alias(
+                "n_div_by_zero"
+            ),
+            F.sum(F.when(F.col("_bc").isNull(), 1).otherwise(0)).alias(
+                "n_bad_casts"
+            ),
+            F.min("_ratio").alias("min_ratio"),
+            F.max("_ratio").alias("max_ratio"),
+        )
+    )
+
+
+ORACLE_Q97 = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN l_quantity = 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_div_by_zero,
+       CAST(sum(CASE WHEN TRY_CAST(l_linestatus AS INTEGER) IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_casts,
+       min(CASE WHEN l_quantity <> 30
+                THEN round(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           / (l_quantity - 30), 4) END) AS min_ratio,
+       max(CASE WHEN l_quantity <> 30
+                THEN round(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           / (l_quantity - 30), 4) END) AS max_ratio
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -3638,6 +3726,8 @@ QUERIES = {
     "q93_similarity_pagerank": q93_similarity_pagerank,
     "q94_salted_skew_agg": q94_salted_skew_agg,
     "q95_chunk_dedup": q95_chunk_dedup,
+    "q96_sql_unpivot": q96_sql_unpivot,
+    "q97_try_arithmetic": q97_try_arithmetic,
 }
 
 # The driver grades a prefix window of this registry (round 1 graded
@@ -3748,4 +3838,6 @@ ORACLES: dict[str, str | None] = {
     "q93_similarity_pagerank": _oracle_q93(),
     "q94_salted_skew_agg": ORACLE_Q94,
     "q95_chunk_dedup": _oracle_q95(),
+    "q96_sql_unpivot": ORACLE_Q96,
+    "q97_try_arithmetic": ORACLE_Q97,
 }

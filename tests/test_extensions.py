@@ -336,6 +336,64 @@ class TestHllSketches:
             assert abs(got[m] - e) / max(e, 1) < 0.05, (m, got[m], e)
 
 
+class TestCountMinSketch:
+    def test_one_sided_and_exact_without_collisions(self, spark):
+        from ursa_major_choir_etl_spark.operators import sketches as sk
+
+        # 26 distinct values << width=4096: collisions are possible but
+        # the one-sided bound (est >= true) holds unconditionally.
+        df = spark.createDataFrame(
+            [(chr(ord("a") + i % 26),) for i in range(500)], "v string"
+        )
+        sketch = sk.cm_sketch(df, "v", depth=4, width=4096)
+        truth = df.groupBy("v").agg(F.count(F.lit(1)).alias("true_n"))
+        est = {
+            r["v"]: (r["true_n"], r["est_n"])
+            for r in sk.cm_estimate(sketch, truth, "v").collect()
+        }
+        assert len(est) == 26
+        for v, (t, e) in est.items():
+            assert e >= t, (v, t, e)
+        # depth=4 independent hash rows over 26 keys in 4096 buckets:
+        # at least one collision-free row per key is overwhelmingly
+        # likely, making the min exact.
+        assert all(e == t for t, e in est.values())
+
+    def test_unseen_value_estimates_zero_or_collision(self, spark):
+        from ursa_major_choir_etl_spark.operators import sketches as sk
+
+        df = spark.createDataFrame([("x",), ("y",)], "v string")
+        sketch = sk.cm_sketch(df, "v", depth=4, width=4096)
+        probe = spark.createDataFrame([("zzz", 0)], "v string, true_n int")
+        [row] = sk.cm_estimate(sketch, probe, "v").collect()
+        assert row["est_n"] == 0
+
+    def test_merge_identity(self, spark):
+        from ursa_major_choir_etl_spark.operators import sketches as sk
+
+        whole = spark.createDataFrame(
+            [(str(i % 40),) for i in range(1000)], "v string"
+        )
+        a = whole.filter(F.col("v").cast("int") < 20)
+        b = whole.filter(F.col("v").cast("int") >= 20)
+        merged = (
+            sk.cm_sketch(a, "v").unionAll(sk.cm_sketch(b, "v"))
+            .groupBy("d", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        direct = sk.cm_sketch(whole, "v")
+        assert (
+            merged.exceptAll(direct).count() == 0
+            and direct.exceptAll(merged).count() == 0
+        )
+
+    def test_width_must_be_power_of_16(self, spark):
+        from ursa_major_choir_etl_spark.operators import sketches as sk
+
+        with pytest.raises(ValueError):
+            sk.cms_bucket("v", 0, width=100)
+
+
 class TestBucketedNearDup:
     """near_duplicate_pairs_bucketed: the no-broadcast scale path."""
 

@@ -1,5 +1,6 @@
-"""Mergeable cardinality sketches (HLL, Apache DataSketches via
-Spark's built-in ``hll_*`` functions — all JVM-side aggregates).
+"""Mergeable sketches: HLL cardinality (Apache DataSketches via
+Spark's built-in ``hll_*`` aggregates) and a portable count-min
+sketch for heavy-hitter frequencies — all JVM-side expressions.
 
 Why this exists at 100 TB: an exact COUNT(DISTINCT) re-shuffles the
 raw data every time someone asks at a new grain. A persisted
@@ -17,7 +18,7 @@ merge identity (union of per-day sketches == sketch of the whole).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -48,4 +49,89 @@ def rollup_estimate(
     )
     return grouped.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(out_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (mergeable heavy-hitter frequencies)
+# ---------------------------------------------------------------------------
+#
+# The frequency analogue of the HLL block above: a (depth x width) grid
+# of counters whose size is FIXED regardless of data volume, additive
+# under union (sketch(A ∪ B) = sketch(A) + sketch(B) cell-wise), with a
+# one-sided error guarantee (estimate >= true count always; overshoot
+# <= e*N/width with probability 1 - (1/2)^depth). At 100 TB: per-day
+# token sketches are a few thousand rows each; any window's heavy-hitter
+# frequencies come from summing sketches, never rescanning text.
+#
+# The bucket hash is the portable md5-nibble construction (same trick as
+# dedup.simhash32 / q65's mixture hash): identical results in Spark and
+# ANSI SQL, so the whole sketch — build, merge, probe — is DuckDB-
+# reproducible and q100 carries a full value-hash oracle, unusual for a
+# "sketch" (the structure is approximate; its computation is exact).
+
+_HEX = "0123456789abcdef"
+
+
+def _cms_nibbles(width: int) -> int:
+    n = 0
+    w = width
+    while w > 1:
+        if w % 16:
+            raise ValueError("cms width must be a power of 16")
+        w //= 16
+        n += 1
+    return n
+
+
+def cms_bucket(col: Column | str, d: int, width: int) -> Column:
+    """Bucket of ``col`` under hash row ``d``: big-endian md5 nibbles
+    of 'cms{d}:{value}', as a JVM expression with an exact DuckDB
+    mirror (strpos on the same hex alphabet)."""
+    n_nib = _cms_nibbles(width)
+    h = F.md5(F.concat(F.lit(f"cms{d}:"), F.col(col) if isinstance(col, str) else col))
+    out = F.lit(0)
+    for i in range(n_nib):
+        nib = F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1
+        out = out + nib * (16 ** (n_nib - 1 - i))
+    return out
+
+
+def cm_sketch(
+    df: DataFrame, col: str, depth: int = 4, width: int = 4096
+) -> DataFrame:
+    """Build the sketch: one row per non-empty (d, bucket) cell with
+    its counter. One explode (xdepth) + one groupBy — a single shuffle
+    whose output is at most depth*width rows however big ``df`` is.
+    Merge sketches by unioning and summing ``cnt`` per (d, bucket)."""
+    rows = df.select(
+        F.posexplode(
+            F.array(*[cms_bucket(col, d, width) for d in range(depth)])
+        ).alias("d", "bucket")
+    )
+    return rows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 4096,
+    out_col: str = "est_n",
+) -> DataFrame:
+    """Point-query the sketch for each probe value: min over the depth
+    counters the value hashes to. The sketch side is depth*width rows
+    at most — always the broadcast side; probing N values is a
+    broadcast join, not a shuffle. Unseen values estimate 0."""
+    probed = probes.select(
+        "*",
+        F.posexplode(
+            F.array(*[cms_bucket(col, d, width) for d in range(depth)])
+        ).alias("d", "bucket"),
+    )
+    joined = probed.join(F.broadcast(sketch), ["d", "bucket"], "left")
+    return (
+        joined.groupBy(*probes.columns)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
     )

@@ -67,7 +67,11 @@ def sessionize(
     duration DIV 1000, then /1000.0 — deterministic across engines,
     no float round() whose tie-breaking could differ).
     """
-    us = F.unix_micros(F.col(ts_col))
+    # cast("timestamp") makes the operator robust to TIMESTAMP_NTZ
+    # inputs (tz-naive parquet under inferTimestampNTZ): no-op for
+    # TIMESTAMP, and under the engine's pinned UTC session tz the
+    # NTZ->LTZ cast preserves the integer micros exactly.
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap_us = gap_minutes * 60 * 1_000_000
     new_session = F.when(

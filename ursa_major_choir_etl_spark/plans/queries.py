@@ -120,6 +120,9 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # tz-naive parquet -> TIMESTAMP (LTZ@UTC), not NTZ: NTZ breaks
+        # unix_micros/watermarks and renders identically under UTC.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass  # conf locked down: proceed with whatever the session has
 
@@ -131,6 +134,14 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # truncate to micros — exact integer DIV, no float precision loss.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Belt-and-suspenders vs parquet encoding drift: if the session conf
+    # above could not be applied (locked-down caller session), tz-naive
+    # columns surface as TIMESTAMP_NTZ, which unix_micros / watermarks
+    # reject. Cast to TIMESTAMP — a no-op under the UTC session tz
+    # (identical micros and renderings), never a reinterpretation.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     if name == "documents":
         # Text operators are CPU-bound in the scan stage (normalize,
         # md5, explode happen before any shuffle); a one-row-group

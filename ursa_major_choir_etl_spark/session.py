@@ -59,6 +59,15 @@ def get_spark(
         "spark.sql.files.maxPartitionBytes": "128m",
         # --- timezone-stable timestamps across engines -----------------------
         "spark.sql.session.timeZone": "UTC",
+        # tz-naive parquet timestamps read as TIMESTAMP (LTZ) under the
+        # pinned UTC session tz, not TIMESTAMP_NTZ: NTZ is rejected by
+        # unix_micros / withWatermark / session_window-on-stream, and
+        # under UTC the two render identically, so LTZ is strictly more
+        # capable here. (Round-4 driver drift: events.parquet switched
+        # from TIMESTAMP(NANOS) to naive micros and broke q13 + the
+        # streaming suite; this conf plus operator-level casts makes the
+        # engine robust to either encoding.)
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         # --- nanosecond-precision parquet timestamps read as long nanos ------
         # (Spark has no TIMESTAMP(NANOS); sources/io.read_parquet_table
         # converts to micros explicitly.)

@@ -26,12 +26,21 @@ def read_event_stream(
     spark, path: str, schema, max_files_per_trigger: int = 1
 ) -> DataFrame:
     """File-source stream over a parquet directory (the batch/stream
-    symmetric source: same files, incremental discovery)."""
-    return (
+    symmetric source: same files, incremental discovery).
+
+    Any TIMESTAMP_NTZ column (tz-naive parquet under
+    inferTimestampNTZ) is cast to TIMESTAMP: watermarks and
+    session_window reject NTZ on streams, and under the engine's UTC
+    session tz the cast preserves micros exactly."""
+    df = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def streaming_tumbling_counts(

@@ -433,6 +433,94 @@ class TestBucketedNearDup:
         assert "Generate" in plan  # the band explode
 
 
+class TestBlockedExactNearDup:
+    """near_duplicate_pairs_blocked: exact all-pairs with no driver
+    collect and no corpus broadcast (block-pair cogroup GEMM)."""
+
+    def test_identical_to_broadcast_gemm(self, spark):
+        from ursa_major_choir_etl_spark.plans.queries import T
+
+        emb = T(spark, "/root/testdata/sf0.001", "embeddings")
+        want = sorted(
+            map(tuple, similarity.near_duplicate_pairs(emb, threshold=0.4).collect())
+        )
+        for n_blocks in (1, 3, 8):
+            got = sorted(
+                map(
+                    tuple,
+                    similarity.near_duplicate_pairs_blocked(
+                        emb, threshold=0.4, n_blocks=n_blocks
+                    ).collect(),
+                )
+            )
+            assert got == want, f"n_blocks={n_blocks}"
+
+    def test_no_collect_no_broadcast_of_corpus(self, spark):
+        """Plan shape: cogrouped Arrow exec over the block-pair join;
+        the only broadcasts are the tiny block-pair tables."""
+        from ursa_major_choir_etl_spark.plans.queries import T
+
+        emb = T(spark, "/root/testdata/sf0.001", "embeddings")
+        df = similarity.near_duplicate_pairs_blocked(emb, threshold=0.4)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapCoGroupsInPandas" in plan
+
+
+class TestSignLshTopk:
+    """Deterministic sign-LSH ANN: bucket-join candidates, exact
+    cosine ranking, bit-reproducible band keys."""
+
+    def test_deterministic_planes_pinned(self):
+        """The plane constants are part of the oracle contract: if
+        this pin moves, every persisted band key and the q24/q76
+        oracles move with it."""
+        p = similarity.deterministic_planes(2, 3, seed=42)
+        import hashlib
+
+        def ref(pp, jj):
+            h = hashlib.md5(f"42:{pp}:{jj}".encode()).hexdigest()[:8]
+            return (int(h, 16) % 65536) - 32768
+
+        assert [[ref(pp, jj) for jj in range(3)] for pp in range(2)] == p.tolist()
+
+    def test_results_contained_in_exact_topk(self, spark):
+        """Every ANN hit must be a true neighbor with its exact cosine:
+        sign-LSH only FILTERS the candidate set, never rescores."""
+        from ursa_major_choir_etl_spark.plans.queries import T
+
+        emb = T(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        exact_all = {
+            (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+            for r in similarity.cosine_topk(emb, queries, k=50).collect()
+        }
+        ann = similarity.sign_lsh_topk(
+            emb, queries, k=3, planes_per_band=4, n_bands=16
+        ).collect()
+        assert len(ann) > 0
+        for r in ann:
+            key = (r["query_id"], r["neighbor_id"])
+            assert key in exact_all
+            assert abs(r["cosine_sim"] - exact_all[key]) < 1e-9
+
+    def test_recall_vs_brute(self, spark):
+        from ursa_major_choir_etl_spark.plans.queries import T
+
+        emb = T(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.cosine_topk(emb, queries, k=3).collect()
+        }
+        ann = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.sign_lsh_topk(
+                emb, queries, k=3, planes_per_band=4, n_bands=16
+            ).collect()
+        }
+        assert len(exact & ann) / len(exact) >= 0.6
+
+
 class TestStarConnectedComponents:
     """large-star/small-star CC: same contract as min-label, O(log n)
     rounds on chains; property-checked against a union-find oracle."""

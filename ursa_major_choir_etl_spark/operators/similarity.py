@@ -136,6 +136,184 @@ def near_duplicate_pairs(
     return src.mapInPandas(gemm, schema="id_a long, id_b long, cosine_sim double")
 
 
+def deterministic_planes(n_planes: int, dims: int, seed: int = 42):
+    """Integer LSH hyperplanes derived from md5("{seed}:{p}:{j}") —
+    no RNG, no library version dependence.
+
+    Coefficients are uniform in [-32768, 32767]. Combined with
+    trunc-quantized embeddings (``quantize_micro``), every projection
+    sign is exact int64 arithmetic — bit-reproducible in ANY engine,
+    which is what lets the banded near-dup and sign-LSH ANN operators
+    carry full SQL value oracles (the oracle embeds the same constants
+    as literals). A uniform coordinate distribution is not spherically
+    symmetric like the textbook gaussian sign-LSH family, but at
+    d=64 the collision-vs-angle curve is indistinguishable in
+    practice, and exact cross-engine verifiability is worth far more
+    here than the last epsilon of theoretical recall.
+    """
+    import hashlib
+
+    import numpy as np
+
+    arr = np.empty((n_planes, dims), dtype=np.int64)
+    for p in range(n_planes):
+        for j in range(dims):
+            h = hashlib.md5(f"{seed}:{p}:{j}".encode()).hexdigest()[:8]
+            arr[p, j] = (int(h, 16) % 65536) - 32768
+    return arr
+
+
+def quantize_micro(mat):
+    """trunc(x * 1e6) as int64 — the exact-reproducibility quantizer.
+
+    trunc (not round) on the IEEE-exact product of identical doubles
+    is bit-identical across engines with no tie-breaking mode to agree
+    on; the ~1e-6 direction perturbation is far below any LSH band
+    resolution."""
+    import numpy as np
+
+    return np.trunc(mat * 1_000_000.0).astype(np.int64)
+
+
+def near_duplicate_pairs_blocked(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """EXACT all-pairs cosine >= threshold with NO driver collect and
+    NO corpus broadcast — the distributed form of the all-pairs GEMM.
+
+    Block decomposition: vectors land in ``n_blocks`` deterministic
+    blocks (id % n_blocks); every unordered block pair (i <= j) is one
+    task group, and a cogrouped applyInPandas runs one BLAS GEMM per
+    group (block_i x block_j). Each vector pair is evaluated in
+    EXACTLY one group, so no post-dedup is needed and the result is
+    identical to the naive all-pairs join — same oracle as q23.
+
+    Scale: data is replicated n_blocks times (each block meets every
+    other); compute is inherently O(N^2) because EXACT all-pairs is —
+    but it is spread over n_blocks*(n_blocks+1)/2 independent tasks
+    with bounded memory (pick n_blocks so N/n_blocks rows of the
+    vector column fit a task: ~86 GB corpus / 64 blocks -> 1.3 GB per
+    side per task). For sub-quadratic candidate generation use
+    near_duplicate_pairs_bucketed; for a small corpus the broadcast
+    GEMM (near_duplicate_pairs) is cheaper. This one is the exact
+    answer at sizes where neither a driver collect nor an executor
+    broadcast survives.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    pair_rows = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    # distinct column names per side: the two lineages share df, and
+    # identically-named keys would trip the ambiguous-self-join check
+    bp_l = spark.createDataFrame(pair_rows, schema="bi int, bj int")
+    bp_r = spark.createDataFrame(pair_rows, schema="ci int, cj int")
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        (F.col(id_col) % n_blocks).cast("int").alias("_blk"),
+    )
+    left = v.join(F.broadcast(bp_l), v["_blk"] == bp_l["bi"]).drop("_blk")
+    right = (
+        v.select(
+            F.col("_id").alias("_rid"),
+            F.col("_v").alias("_rv"),
+            F.col("_blk").alias("_rblk"),
+        )
+        .join(F.broadcast(bp_r), F.col("_rblk") == bp_r["cj"])
+        .drop("_rblk")
+    )
+
+    def block_gemm(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype=np.int64),
+             "id_b": pd.Series(dtype=np.int64),
+             "cosine_sim": pd.Series(dtype=np.float64)}
+        )
+        if len(l) == 0 or len(r) == 0:
+            return empty
+        same = l["bi"].iat[0] == l["bj"].iat[0]
+        lids = l["_id"].to_numpy(dtype=np.int64)
+        rids = r["_rid"].to_numpy(dtype=np.int64)
+        lm = np.array(list(l["_v"]), dtype=np.float64)
+        rm = np.array(list(r["_rv"]), dtype=np.float64)
+        lm = lm / np.linalg.norm(lm, axis=1, keepdims=True)
+        rm = rm / np.linalg.norm(rm, axis=1, keepdims=True)
+        sims = lm @ rm.T
+        li, ri = np.nonzero(sims >= threshold)
+        la, ra = lids[li], rids[ri]
+        if same:
+            keep = la < ra  # diagonal block: each pair appears twice
+            la, ra, s = la[keep], ra[keep], sims[li, ri][keep]
+        else:
+            s = sims[li, ri]
+            la, ra = np.minimum(la, ra), np.maximum(la, ra)
+        return pd.DataFrame(
+            {"id_a": la, "id_b": ra, "cosine_sim": np.round(s, 6)}
+        )
+
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("ci", "cj"))
+        .applyInPandas(block_gemm, schema="id_a long, id_b long, cosine_sim double")
+    )
+
+
+def banded_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes_per_band: int = 8,
+    n_bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(_id, _v, _band, _key) — one row per (vector, band), where _key
+    is the band's sign pattern against the deterministic integer
+    planes. One Arrow-batched narrow pass + a posexplode; shared by
+    the banded near-dup and the sign-LSH ANN operators."""
+    import numpy as np
+    import pandas as pd
+
+    n_planes = planes_per_band * n_bands
+
+    def band_keys(batches):
+        planes = None
+        for pdf in batches:
+            mat = np.array(list(pdf["_v"]), dtype=np.float64)
+            if planes is None:
+                planes = deterministic_planes(n_planes, mat.shape[1], seed)
+            # exact int64 projections: quantized vectors x integer
+            # planes (|dot| < 2^42, no overflow) — the sign pattern is
+            # reproducible bit-for-bit by the SQL oracle
+            bits = (quantize_micro(mat) @ planes.T) > 0  # (batch, n_planes)
+            weights = 1 << np.arange(planes_per_band, dtype=np.int64)
+            out = {"_id": pdf["_id"], "_v": pdf["_v"]}
+            for b in range(n_bands):
+                block = bits[:, b * planes_per_band : (b + 1) * planes_per_band]
+                out[f"_k{b}"] = block.astype(np.int64) @ weights
+            yield pd.DataFrame(out)
+
+    src = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    key_schema = "_id long, _v array<double>, " + ", ".join(
+        f"_k{b} long" for b in range(n_bands)
+    )
+    keyed = src.mapInPandas(band_keys, schema=key_schema)
+    return keyed.select(
+        "_id",
+        "_v",
+        F.posexplode(F.array(*[F.col(f"_k{b}") for b in range(n_bands)])).alias(
+            "_band", "_key"
+        ),
+    )
+
+
 def near_duplicate_pairs_bucketed(
     df: DataFrame,
     threshold: float = 0.95,
@@ -153,7 +331,10 @@ def near_duplicate_pairs_bucketed(
 
     1. band signatures: each vector's sign pattern against
        ``planes_per_band`` hyperplanes per band, ``n_bands`` bands.
-       Computed in ONE Arrow-batched pass (X @ P.T > 0); the plane
+       Computed in ONE Arrow-batched pass (X @ P.T > 0) over
+       trunc-quantized int64 vectors and md5-derived int64 planes
+       (``deterministic_planes``) — exact integer signs, so the bucket
+       assignment is bit-reproducible by the SQL oracle. The plane
        matrix is regenerated deterministically inside each task from
        (seed, dims) — nothing is collected or broadcast.
     2. explode to (band_id, band_key) and shuffle-group each bucket;
@@ -172,37 +353,8 @@ def near_duplicate_pairs_bucketed(
     import numpy as np
     import pandas as pd
 
-    n_planes = planes_per_band * n_bands
-
-    def band_keys(batches):
-        planes = None
-        for pdf in batches:
-            mat = np.array(list(pdf["_v"]), dtype=np.float64)
-            if planes is None:
-                rng = np.random.default_rng(seed)
-                planes = rng.standard_normal((n_planes, mat.shape[1]))
-            bits = (mat @ planes.T) > 0  # (batch, n_planes)
-            weights = 1 << np.arange(planes_per_band, dtype=np.int64)
-            out = {"_id": pdf["_id"], "_v": pdf["_v"]}
-            for b in range(n_bands):
-                block = bits[:, b * planes_per_band : (b + 1) * planes_per_band]
-                out[f"_k{b}"] = block.astype(np.int64) @ weights
-            yield pd.DataFrame(out)
-
-    src = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    )
-    key_schema = "_id long, _v array<double>, " + ", ".join(
-        f"_k{b} long" for b in range(n_bands)
-    )
-    keyed = src.mapInPandas(band_keys, schema=key_schema)
-    banded = keyed.select(
-        "_id",
-        "_v",
-        F.posexplode(F.array(*[F.col(f"_k{b}") for b in range(n_bands)])).alias(
-            "_band", "_key"
-        ),
+    banded = banded_signatures(
+        df, id_col, vec_col, planes_per_band, n_bands, seed
     )
 
     def bucket_gemm(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -231,6 +383,77 @@ def near_duplicate_pairs_bucketed(
     # (same normalized arithmetic), max() just picks it deterministically
     return pairs.groupBy("id_a", "id_b").agg(
         F.max("cosine_sim").alias("cosine_sim")
+    )
+
+
+def sign_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes_per_band: int = 4,
+    n_bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via deterministic sign-LSH: candidates are
+    corpus vectors sharing >= 1 band signature with the query; exact
+    cosine ranks the candidates (JVM fold, no Python in the scoring
+    path).
+
+    vs ``lsh_topk`` (pyspark.ml BRP-LSH): same candidate-generation
+    shape — hash-bucket equi-joins, never a cross product — but the
+    buckets come from ``deterministic_planes``, so the whole result is
+    bit-reproducible in SQL and carries a full value oracle, not just
+    a recall test. A query with < k bucket-mates returns < k rows (the
+    honest ANN contract; recall targets are set by band geometry).
+
+    Scale: the corpus side is one narrow signature pass + an explode
+    keyed by (band, key); only ids travel through the candidate join,
+    vectors are re-attached once per distinct candidate. The query
+    side is broadcast (a query batch is small by definition).
+    Output: (query_id, neighbor_id, cosine_sim, rank).
+    """
+    from pyspark.sql import Window
+
+    c_keys = banded_signatures(
+        corpus, id_col, vec_col, planes_per_band, n_bands, seed
+    ).select(F.col("_id").alias("neighbor_id"), "_band", "_key")
+    q_keys = banded_signatures(
+        queries, id_col, vec_col, planes_per_band, n_bands, seed
+    ).select(F.col("_id").alias("query_id"), "_band", "_key")
+
+    cand = (
+        c_keys.join(F.broadcast(q_keys), on=["_band", "_key"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    scored = (
+        cand.join(c, on="neighbor_id")
+        .join(F.broadcast(q), on="query_id")
+        .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+            "rank",
+        )
     )
 
 

@@ -143,6 +143,58 @@ FROM banded l JOIN banded r
   ON l.band_key = r.band_key AND l.doc_id < r.doc_id"""
 
 
+def sign_lsh_keys_cte_sql(
+    planes_per_band: int = 4,
+    n_bands: int = 16,
+    seed: int = 42,
+    dims: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cte_name: str = "lsh_keys",
+) -> str:
+    """CTEs producing ``{cte_name}(vec_id, band, bkey)`` — the exact
+    band signatures of operators.similarity.banded_signatures.
+
+    The plane constants are the SAME md5-derived int64s the Spark
+    operator regenerates per task (similarity.deterministic_planes),
+    embedded as literals; vectors are trunc-quantized to int64 micros.
+    Every projection is a sum of 64 integer products < 2^42, exact in
+    float64 regardless of summation order — so the bucket keys match
+    Spark's bit-for-bit and banded-LSH results become value-hashable.
+    """
+    from ursa_major_choir_etl_spark.operators.similarity import (
+        deterministic_planes,
+    )
+
+    planes = deterministic_planes(planes_per_band * n_bands, dims, seed)
+    rows = []
+    for p_global in range(planes.shape[0]):
+        band, p = divmod(p_global, planes_per_band)
+        coefs = ", ".join(f"{c}.0" for c in planes[p_global])
+        rows.append(f"({band}, {p}, [{coefs}])")
+    values = ",\n    ".join(rows)
+    return f"""
+planes(band, p, coefs) AS (
+  SELECT * FROM (VALUES
+    {values}
+  ) AS t(band, p, coefs)
+),
+qvec AS (
+  SELECT {id_col} AS vec_id,
+         list_transform({vec_col}::DOUBLE[],
+                        x -> trunc(x * 1000000.0)) AS qv
+  FROM {table}
+),
+{cte_name} AS (
+  SELECT vec_id, band,
+         CAST(sum(CASE WHEN list_dot_product(qv, coefs) > 0
+                       THEN (1 << p) ELSE 0 END) AS BIGINT) AS bkey
+  FROM qvec CROSS JOIN planes
+  GROUP BY vec_id, band
+)"""
+
+
 def simhash_select_sql(bits: int = 32, table: str = "documents") -> str:
     """Full query computing the 32-bit md5-nibble SimHash per doc.
     Mirror of operators.dedup.simhash32."""

@@ -1,16 +1,23 @@
 """Benchmark runner: every registry query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (the driver's harness keeps only a
+~2000-char tail of the output — every earlier round's full-name line
+overflowed it and recorded ``parsed: null``, so the per-query numbers
+never reached the grading record; hence short keys and 2-decimal
+rounding here):
   {"metric": "...", "value": <warm total sec>, "unit": "sec",
-   "queries": {"q01_...": warm sec, ...}, "cold_queries": {...},
-   "cold_total": sec, "sf": 0.1}
+   "queries": {"q01": warm sec, ...}, "cold_total": sec, "sf": 0.1}
+
+The full-fidelity detail (full query names, cold AND warm runs,
+3-decimal precision) is written to BENCH_DETAIL.json at the repo root
+for round-over-round diffing.
 
 Each query runs twice in the same warmed session: the first run pays
 one-time costs (file listing, plan compilation, codegen), the second
 is steady-state. ``queries``/``value`` report the WARM run — the
-number that tracks real plan regressions round-over-round — and
-``cold_queries``/``cold_total`` keep the first-run cost attributable.
+number that tracks real plan regressions round-over-round — and the
+cold runs keep the first-run cost attributable.
 
 Timing forces full materialization via the noop sink (no driver
 collect overhead, no column-pruning shortcuts).
@@ -35,7 +42,12 @@ def main() -> None:
     from ursa_major_choir_etl_spark.plans.queries import QUERIES
     from ursa_major_choir_etl_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
+    # no console progress bars: the driver tails combined output and
+    # bar redraws would crowd the JSON line out of the capture window
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     # JVM/codegen warm-up on a trivial action so q01 isn't taxed for it.
     spark.range(1000).count()
 
@@ -49,19 +61,34 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         warm[name] = round(time.time() - t0, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "warm wall-clock over all registry queries",
-                "value": round(sum(warm.values()), 3),
-                "unit": "sec",
-                "queries": warm,
-                "cold_queries": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                "sf": sf,
-            }
-        )
-    )
+    detail = {
+        "metric": "warm wall-clock over all registry queries",
+        "value": round(sum(warm.values()), 3),
+        "unit": "sec",
+        "queries": warm,
+        "cold_queries": cold,
+        "cold_total": round(sum(cold.values()), 3),
+        "sf": sf,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        "w",
+    ) as f:
+        json.dump(detail, f, indent=1)
+
+    # compact line: short keys ("q01_pricing_summary" -> "q01"),
+    # 2-decimal values — fits the driver's tail window whole.
+    compact = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": {k.split("_", 1)[0]: round(v, 2) for k, v in warm.items()},
+        "cold_total": detail["cold_total"],
+        "sf": sf,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1900, f"bench line too long for driver tail: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -4,11 +4,14 @@
 - ``queries()``: every implemented operator family from SURVEY.md §2
   plus the LLM-pipeline extensions, as (spark, sf_dir) -> DataFrame.
 - ``oracle_sql()``: DuckDB SQL recomputing each query bit-for-bit —
-  including the iterative k-means (q90) and PageRank (q93), both
-  integer-deterministic by construction, and the mapInPandas decode
-  plumbing (q25). Omitted only for the four genuinely approximate
-  ops: q24 LSH ANN, q30 IVF ANN, q76 banded-LSH near-dup, q85
-  stub-embed ANN pipeline.
+  ALL 100 entries, no omissions. The formerly rows-only four are now
+  value-oracled: q24/q76 via deterministic md5-derived integer LSH
+  planes (bucket keys are exact int64 arithmetic, embedded in the SQL
+  as literals), q30 via a full SQL recomputation of the RNG-free
+  geometric IVF, q85 via a hex-nibble histogram rebuild of the stub
+  embedding. Iterative ops (q90 k-means, q93 PageRank, q55/q77
+  connected components) are integer-deterministic with chained-CTE /
+  recursive oracles.
 
 See ursa_major_choir_etl_spark/plans/queries.py for the registry and
 the SURVEY §2 coverage map.

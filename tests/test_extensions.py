@@ -520,6 +520,33 @@ class TestSignLshTopk:
         }
         assert len(exact & ann) / len(exact) >= 0.6
 
+    def test_band_keys_invariant_to_partitioning(self, spark):
+        """Band signatures are a pure per-row function: repartitioning
+        (different Arrow batch boundaries, including tiny/empty
+        partitions) must not change a single key. Pins the per-task
+        plane-regeneration logic against batch-shape sensitivity."""
+        from ursa_major_choir_etl_spark.plans.queries import T
+
+        emb = T(spark, "/root/testdata/sf0.001", "embeddings")
+        base = sorted(
+            map(
+                tuple,
+                similarity.banded_signatures(emb)
+                .select("_id", "_band", "_key")
+                .collect(),
+            )
+        )
+        for n_parts in (1, 7, 64):  # 64 > row groups: empty partitions
+            got = sorted(
+                map(
+                    tuple,
+                    similarity.banded_signatures(emb.repartition(n_parts))
+                    .select("_id", "_band", "_key")
+                    .collect(),
+                )
+            )
+            assert got == base, f"n_parts={n_parts}"
+
 
 class TestStarConnectedComponents:
     """large-star/small-star CC: same contract as min-label, O(log n)

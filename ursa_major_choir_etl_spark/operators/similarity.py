@@ -117,6 +117,8 @@ def near_duplicate_pairs(
     def gemm(batches):
         all_ids, all_mat = b_ids.value, b_mat.value
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batch
+                continue
             left_ids = pdf[id_col].to_numpy(dtype=np.int64)
             left = np.array(list(pdf["_v"]), dtype=np.float64)
             left = left / np.linalg.norm(left, axis=1, keepdims=True)
@@ -283,6 +285,8 @@ def banded_signatures(
     def band_keys(batches):
         planes = None
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batch: nothing to key
+                continue
             mat = np.array(list(pdf["_v"]), dtype=np.float64)
             if planes is None:
                 planes = deterministic_planes(n_planes, mat.shape[1], seed)

@@ -60,6 +60,11 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         warm[name] = round(time.time() - t0, 3)
+        # Drop this query's persisted intermediates (several operators
+        # persist staging tables and never unpersist — by design, the
+        # caller owns lifetime). Without this, ~200 executions
+        # accumulate cached blocks and later queries pay their GC.
+        spark.catalog.clearCache()
 
     detail = {
         "metric": "warm wall-clock over all registry queries",

@@ -240,32 +240,52 @@ LIMIT 10
 
 
 def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: snowflake join with broadcast dims (J1/J3/A4)."""
+    """TPC-H Q5 shape: snowflake join with broadcast dims (J1/J3/A4).
+
+    Two scale refinements over the naive join-then-aggregate:
+    - lineitem revenue is PRE-AGGREGATED per order before the fact
+      join (map-side combine shrinks the big shuffle ~4x: orders, not
+      lineitems, cross the wire), which also turns the expensive
+      countDistinct into a plain count;
+    - revenue is integer-scaled bigint (q31 pattern): the sum is
+      order-insensitive, so the value is bit-identical across engines
+      and shuffle orders — no float last-ulp rounding flakes.
+    """
     region = T(spark, sf_dir, "region")
     nation = T(spark, sf_dir, "nation")
     cust = T(spark, sf_dir, "customer")
     orders = T(spark, sf_dir, "orders")
     li = T(spark, sf_dir, "lineitem")
+    rev_x10k = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    ord_rev = li.groupBy("l_orderkey").agg(
+        F.sum(rev_x10k).alias("_rev_x10k")
+    )
     return (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        ord_rev.join(orders, ord_rev["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            (F.sum("_rev_x10k") / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
     )
 
 
 ORACLE_Q03 = """
+WITH ord_rev AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) AS BIGINT) AS rev_x10k
+  FROM lineitem GROUP BY l_orderkey
+)
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
-       count(DISTINCT o_orderkey) AS n_orders
-FROM lineitem
+       CAST(sum(rev_x10k) AS BIGINT) / 10000.0 AS revenue,
+       count(*) AS n_orders
+FROM ord_rev
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey

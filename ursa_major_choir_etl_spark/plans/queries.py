@@ -4148,6 +4148,8 @@ QUERIES = {
 #      of environment drift ago;
 #   3. the already-re-verified tail (q31/q50 green in r4, q51+ green
 #      in r3 AND r4).
+# q49 lands at position 51 (the window holds 50); round 6 should lead
+# with [q49, q31, q50] and then rotate the q51+ tail back in.
 _debt = [
     "q13_sessionize",
     "q76_bucketed_near_dup",

@@ -53,13 +53,21 @@ def main() -> None:
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        cold[name] = round(time.time() - t0, 3)
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        warm[name] = round(time.time() - t0, 3)
+        # One failing query must not void the whole run: round 4 lost
+        # ALL performance evidence because a single AnalysisException
+        # (an upstream parquet re-encode) aborted the harness. Record
+        # the error, keep benching.
+        try:
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            cold[name] = round(time.time() - t0, 3)
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            warm[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — per-query isolation
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
         # Drop this query's persisted intermediates (several operators
         # persist staging tables and never unpersist — by design, the
         # caller owns lifetime). Without this, ~200 executions
@@ -73,6 +81,7 @@ def main() -> None:
         "queries": warm,
         "cold_queries": cold,
         "cold_total": round(sum(cold.values()), 3),
+        "errors": errors,
         "sf": sf,
     }
     with open(
@@ -91,6 +100,10 @@ def main() -> None:
         "cold_total": detail["cold_total"],
         "sf": sf,
     }
+    if errors:
+        compact["errors"] = {
+            k.split("_", 1)[0]: v.split(":", 1)[0] for k, v in errors.items()
+        }
     line = json.dumps(compact, separators=(",", ":"))
     assert len(line) < 1900, f"bench line too long for driver tail: {len(line)}"
     print(line)

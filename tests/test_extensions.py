@@ -548,6 +548,79 @@ class TestSignLshTopk:
             assert got == base, f"n_parts={n_parts}"
 
 
+class TestJaccardPruneProperty:
+    """The PPJoin-style prune in jaccard_pairs is an UPPER-BOUND
+    argument (I <= I_rare + min(hot_a, hot_b)); this pins it against a
+    brute-force Python mirror of the documented contract on randomized
+    inputs — small alphabets force shared and HOT shingles, small caps
+    force the hot-path bookkeeping, thresholds hit borderline pairs.
+
+    Contract mirrored: candidates = pairs sharing >= 1 shingle with
+    document frequency <= cap; jaccard computed EXACTLY over the full
+    shingle sets (hot ones included); keep jaccard >= threshold.
+    """
+
+    CASES = [
+        # (n_docs, vocab, doc_len, n, cap, threshold, seed)
+        (8, 5, 8, 2, 2, 0.3, 1),
+        (10, 4, 10, 2, 3, 0.5, 2),
+        (12, 6, 6, 3, 2, 0.2, 3),
+        (9, 3, 12, 2, 100, 0.7, 4),
+        (14, 5, 9, 2, 4, 0.45, 5),
+    ]
+
+    @pytest.mark.parametrize("n_docs,vocab,doc_len,n,cap,threshold,seed", CASES)
+    def test_matches_bruteforce(
+        self, spark, n_docs, vocab, doc_len, n, cap, threshold, seed
+    ):
+        import random
+
+        rng = random.Random(seed)
+        words = [f"w{i}" for i in range(vocab)]
+        docs = [
+            (i, " ".join(rng.choice(words) for _ in range(doc_len)))
+            for i in range(n_docs)
+        ]
+
+        # --- brute-force reference on the raw shingle sets ----------
+        def shingle_set(text):
+            toks = text.split()
+            return {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+
+        sets = {i: shingle_set(t) for i, t in docs}
+        df_count = {}
+        for s in sets.values():
+            for sh_ in s:
+                df_count[sh_] = df_count.get(sh_, 0) + 1
+        expected = {}
+        for a in range(n_docs):
+            for b in range(a + 1, n_docs):
+                shared = sets[a] & sets[b]
+                if not any(df_count[sh_] <= cap for sh_ in shared):
+                    continue  # not a candidate under the contract
+                union = len(sets[a] | sets[b])
+                if union == 0:
+                    continue
+                j = len(shared) / union
+                if j >= threshold:
+                    expected[(a, b)] = round(j, 6)
+
+        # --- engine under test --------------------------------------
+        sdf = spark.createDataFrame(docs, "doc_id long, text string")
+        sh = dedup.word_shingles(sdf, n=n)
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.jaccard_pairs(
+                sh, threshold=threshold, hot_shingle_cap=cap
+            ).collect()
+        }
+        assert got.keys() == expected.keys()
+        for k in expected:
+            assert abs(got[k] - expected[k]) < 1e-9, k
+
+
 class TestStarConnectedComponents:
     """large-star/small-star CC: same contract as min-label, O(log n)
     rounds on chains; property-checked against a union-find oracle."""

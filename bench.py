@@ -72,7 +72,16 @@ def main() -> None:
         # persist staging tables and never unpersist — by design, the
         # caller owns lifetime). Without this, ~200 executions
         # accumulate cached blocks and later queries pay their GC.
-        spark.catalog.clearCache()
+        # clearCache only covers the SQL cache manager; the iterative
+        # operators' localCheckpoint RDD blocks sit OUTSIDE it and
+        # linger until the nondeterministic ContextCleaner runs —
+        # the source of intermittent multi-second spikes mid-suite.
+        try:
+            spark.catalog.clearCache()
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.unpersist(False)
+        except Exception:
+            pass  # cleanup is best-effort; never kill the run for it
 
     detail = {
         "metric": "warm wall-clock over all registry queries",

@@ -74,7 +74,12 @@ def get_spark(
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         # quieter local runs
         "spark.ui.enabled": "false",
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # 16g heap: the bench/test harness runs ~200 query executions
+        # in ONE local-mode JVM (driver == executors), and iterative
+        # queries with eager localCheckpoints intermittently paid
+        # multi-second full-GC pauses at 8g (q55 spiking 5s -> 28s
+        # warm). The host has 128 GiB; headroom is cheaper than pauses.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     }
     if extra_conf:
         conf.update(extra_conf)

@@ -920,3 +920,63 @@ class TestChunkDedup:
         assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1  # block seen in doc 1
         assert out[3]["n_chunks"] == 1 and out[3]["n_kept"] == 0  # other seen in doc 2
         assert out[3]["kept_ppm"] == 0 and out[1]["kept_ppm"] == 500000
+
+
+class TestScaleGuards:
+    """Footgun guards added round 6: the bounded-corpus collect path
+    refuses unbounded input, block decomposition survives negative
+    ids, and Arrow batches over blob columns are BYTES-capped."""
+
+    def test_near_duplicate_pairs_refuses_large_corpus(self, spark):
+        from ursa_major_choir_etl_spark.plans.queries import T
+
+        emb = T(spark, "/root/testdata/sf0.001", "embeddings")
+        with pytest.raises(ValueError, match="max_collect_rows"):
+            similarity.near_duplicate_pairs(
+                emb, threshold=0.4, max_collect_rows=10
+            )
+
+    def test_blocked_handles_negative_ids(self, spark):
+        # id % n_blocks keeps the dividend's sign in Spark, so negative
+        # ids would fall outside [0, n_blocks) and silently vanish from
+        # the "EXACT" all-pairs result; pmod keeps them in range.
+        v1 = [1.0, 0.0, 0.0, 0.0]
+        v2 = [0.9, 0.1, 0.0, 0.0]
+        v3 = [0.0, 0.0, 1.0, 0.0]
+        rows = [(-5, v1), (-1, v2), (3, v3)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        got = sorted(
+            (r["id_a"], r["id_b"])
+            for r in similarity.near_duplicate_pairs_blocked(
+                emb, threshold=0.9, n_blocks=4
+            ).collect()
+        )
+        assert got == [(-5, -1)]
+
+    def test_arrow_batches_are_bytes_capped(self, spark):
+        """12 x 8 MB blob rows in ONE partition: a rows-only batch cap
+        would ship them as a single 96 MB Arrow batch; the bytes cap
+        (64 MB, session.py) must split them."""
+        import pandas as pd
+
+        cap = int(spark.conf.get("spark.sql.execution.arrow.maxBytesPerBatch"))
+        assert cap == 64 * 1024 * 1024
+
+        df = spark.range(12).repartition(1).select(
+            "id", F.repeat(F.lit("x"), 8 * 1024 * 1024).cast("binary").alias("blob")
+        )
+
+        def batch_stats(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {"n": [len(pdf)], "nbytes": [int(pdf["blob"].map(len).sum())]}
+                )
+
+        out = df.mapInPandas(batch_stats, "n long, nbytes long").collect()
+        assert sum(r["n"] for r in out) == 12
+        assert len(out) >= 2  # split — NOT one 96 MB batch
+        # each batch stays in the cap's neighborhood (the writer closes
+        # a batch when the limit is crossed, so allow one row of slack)
+        assert all(r["nbytes"] <= cap + 8 * 1024 * 1024 for r in out)

@@ -174,3 +174,59 @@ class TestEncodingInvariance:
             q.stop()
         n = spark.sql("SELECT count(*) AS n FROM ntz_probe").first()["n"]
         assert n > 0
+
+
+class TestNtzTzGuard:
+    """cast_ntz_to_timestamp must never REINTERPRET data: the NTZ->LTZ
+    cast is micros-preserving only under a UTC session tz, so under a
+    locked-down non-UTC session it raises instead of silently shifting
+    every timestamp (and with it session boundaries and window
+    assignments)."""
+
+    def test_refuses_locked_non_utc_session(self, spark, monkeypatch):
+        from pyspark.sql import functions as F
+
+        from ursa_major_choir_etl_spark.functions.columns import (
+            cast_ntz_to_timestamp,
+        )
+
+        df = spark.range(1).select(
+            F.current_timestamp().cast("timestamp_ntz").alias("ts")
+        )
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        try:
+            with monkeypatch.context() as m:
+                # simulate a locked-down caller session: conf writes fail
+                def _locked(self, k, v):
+                    raise RuntimeError("conf is locked")
+
+                m.setattr(type(spark.conf), "set", _locked)
+                with pytest.raises(ValueError, match="refusing TIMESTAMP_NTZ"):
+                    cast_ntz_to_timestamp(df)
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def test_repins_utc_and_casts(self, spark):
+        from pyspark.sql import functions as F
+
+        from ursa_major_choir_etl_spark.functions.columns import (
+            cast_ntz_to_timestamp,
+        )
+
+        df = spark.range(1).select(
+            F.timestamp_micros(F.lit(1_700_000_000_000_000))
+            .cast("timestamp_ntz")
+            .alias("ts")
+        )
+        # a writable session gets re-pinned to UTC, then cast exactly
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        try:
+            out = cast_ntz_to_timestamp(df)
+            assert dict(out.dtypes)["ts"] == "timestamp"
+            assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+            assert (
+                out.select(F.unix_micros("ts")).first()[0]
+                == 1_700_000_000_000_000
+            )
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")

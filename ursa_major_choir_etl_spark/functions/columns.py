@@ -18,12 +18,55 @@ Reference parity notes (file:line cites are into /root/reference):
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
 def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
+
+
+_UTC_NAMES = {"UTC", "Etc/UTC", "GMT", "Etc/GMT", "+00:00", "Z"}
+
+
+def cast_ntz_to_timestamp(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP without EVER
+    reinterpreting the data.
+
+    The NTZ->LTZ cast maps wall-clock to instant through
+    ``spark.sql.session.timeZone`` — micros-preserving iff that tz is
+    UTC. The engine pins UTC (session.py) and this helper re-asserts
+    it; if a locked-down caller session holds a different tz, it RAISES
+    instead of silently shifting every timestamp (which would move
+    session boundaries, window assignments, and as-of matches).
+    No-op for frames with no NTZ columns.
+    """
+    ntz = [
+        c
+        for c, t in df.dtypes
+        if t == "timestamp_ntz" and (cols is None or c in cols)
+    ]
+    if not ntz:
+        return df
+    spark = df.sparkSession
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf may be locked down; verified below either way
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        tz = None
+    if tz not in _UTC_NAMES:
+        raise ValueError(
+            f"refusing TIMESTAMP_NTZ -> TIMESTAMP cast of {ntz} under "
+            f"session timezone {tz!r}: the cast would reinterpret "
+            "wall-clock values and silently shift every instant. Set "
+            "spark.sql.session.timeZone=UTC."
+        )
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def normalize_date_to_iso(c: Column | str) -> Column:

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ursa_major_choir_etl_spark.functions.columns import cast_ntz_to_timestamp
+
 
 def tumbling_window_agg(
     events: DataFrame, ts_col: str = "ts", unit: str = "hour"
@@ -67,10 +69,12 @@ def sessionize(
     duration DIV 1000, then /1000.0 — deterministic across engines,
     no float round() whose tie-breaking could differ).
     """
-    # cast("timestamp") makes the operator robust to TIMESTAMP_NTZ
-    # inputs (tz-naive parquet under inferTimestampNTZ): no-op for
-    # TIMESTAMP, and under the engine's pinned UTC session tz the
-    # NTZ->LTZ cast preserves the integer micros exactly.
+    # Robustness to TIMESTAMP_NTZ inputs (tz-naive parquet under
+    # inferTimestampNTZ): cast_ntz_to_timestamp verifies the session tz
+    # is UTC — where the NTZ->LTZ cast preserves integer micros exactly
+    # — and RAISES under any other tz rather than silently shifting
+    # session boundaries. No-op for TIMESTAMP inputs.
+    events = cast_ntz_to_timestamp(events, [ts_col])
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap_us = gap_minutes * 60 * 1_000_000

@@ -39,6 +39,23 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _cosine_matrix(lm, rm):
+    """Pairwise cosine with the SAME association as the SQL oracles:
+    dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) on UNNORMALIZED
+    vectors. Normalize-then-GEMM perturbs every element by one rounding
+    before the sum (up to dims ulps of drift vs the oracle), which can
+    flip a pair sitting within ~1e-15 of the threshold or of a
+    round-half boundary; dividing the raw GEMM by the norm product
+    keeps the float op sequence aligned with the oracle's, shrinking
+    the disagreement window to the dot-sum order alone."""
+    import numpy as np
+
+    num = lm @ rm.T
+    ln = np.sqrt(np.einsum("ij,ij->i", lm, lm))
+    rn = np.sqrt(np.einsum("ij,ij->i", rm, rm))
+    return num / (ln[:, None] * rn[None, :])
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -88,11 +105,12 @@ def near_duplicate_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_collect_rows: int = 200_000,
 ) -> DataFrame:
     """Embedding near-dup: pairs with cosine >= threshold, id_a < id_b.
 
-    Vectorized all-pairs: the corpus (ids + unit-normalized float64
-    matrix) is broadcast once; each partition's rows multiply against
+    Vectorized all-pairs: the corpus (ids + float64 matrix) is
+    broadcast once; each partition's rows multiply against
     it as ONE BLAS GEMM inside mapInPandas (Arrow-batched). That turns
     N² scalar expression evaluations into dense matrix math — 25s ->
     ~1s at sf0.1 (5k x 5k pairs). This is the intended use of the
@@ -100,17 +118,25 @@ def near_duplicate_pairs(
     express as a quadratic join.
 
     Scale note: valid while one side fits in a broadcast (~GBs). For
-    an unbounded corpus, generate candidates with lsh_topk's bucketing
-    and run this within buckets.
+    an unbounded corpus this function REFUSES to run (see
+    ``max_collect_rows``): use ``near_duplicate_pairs_blocked`` (exact,
+    no collect) or ``near_duplicate_pairs_bucketed`` (sub-quadratic).
     """
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
+    n = df.count()
+    if n > max_collect_rows:
+        raise ValueError(
+            f"near_duplicate_pairs collects the corpus to the driver; "
+            f"{n} rows exceeds max_collect_rows={max_collect_rows}. Use "
+            "near_duplicate_pairs_blocked (exact, distributed) or "
+            "near_duplicate_pairs_bucketed (sub-quadratic LSH) instead."
+        )
     rows = df.select(F.col(id_col), F.col(vec_col).cast("array<double>")).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat)
 
@@ -121,8 +147,7 @@ def near_duplicate_pairs(
                 continue
             left_ids = pdf[id_col].to_numpy(dtype=np.int64)
             left = np.array(list(pdf["_v"]), dtype=np.float64)
-            left = left / np.linalg.norm(left, axis=1, keepdims=True)
-            sims = left @ all_mat.T  # (batch, N)
+            sims = _cosine_matrix(left, all_mat)  # (batch, N)
             li, ri = np.nonzero(sims >= threshold)
             la, ra = left_ids[li], all_ids[ri]
             keep = la < ra  # id_a < id_b, also drops self-pairs
@@ -217,7 +242,10 @@ def near_duplicate_pairs_blocked(
     v = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-        (F.col(id_col) % n_blocks).cast("int").alias("_blk"),
+        # pmod, not %: Spark's % keeps the dividend's sign, so negative
+        # ids would land outside [0, n_blocks) and silently vanish from
+        # the "EXACT all-pairs" result
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("_blk"),
     )
     left = v.join(F.broadcast(bp_l), v["_blk"] == bp_l["bi"]).drop("_blk")
     right = (
@@ -243,9 +271,7 @@ def near_duplicate_pairs_blocked(
         rids = r["_rid"].to_numpy(dtype=np.int64)
         lm = np.array(list(l["_v"]), dtype=np.float64)
         rm = np.array(list(r["_rv"]), dtype=np.float64)
-        lm = lm / np.linalg.norm(lm, axis=1, keepdims=True)
-        rm = rm / np.linalg.norm(rm, axis=1, keepdims=True)
-        sims = lm @ rm.T
+        sims = _cosine_matrix(lm, rm)
         li, ri = np.nonzero(sims >= threshold)
         la, ra = lids[li], rids[ri]
         if same:
@@ -368,8 +394,7 @@ def near_duplicate_pairs_bucketed(
             )
         ids = pdf["_id"].to_numpy(dtype=np.int64)
         mat = np.array(list(pdf["_v"]), dtype=np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = mat @ mat.T
+        sims = _cosine_matrix(mat, mat)
         li, ri = np.nonzero(sims >= threshold)
         keep = ids[li] < ids[ri]
         return pd.DataFrame(
@@ -514,18 +539,33 @@ def ivf_topk(
             .filter(F.col("_srk") == 1)
             .select("neighbor_id", "cell", "_cv")
         )
-    # centroid per cell: element-wise mean = sum(vectors)/count.
-    # Pass ``dims`` to keep the build single-job; the fallback probe is
-    # one limit(1) setup action.
+    # centroid per cell: element-wise mean. Coordinates are summed as
+    # micro-quantized int64 (CAST truncates toward zero — same op as
+    # quantize_micro), NOT as floats: integer sums are order-
+    # insensitive, so the centroid coordinate is bit-identical across
+    # engines and shuffle orders, and the n_probe cell ranking can
+    # never diverge from the SQL oracle on a near-tie between two
+    # cells' query cosines (float sums would make the tie-break
+    # summation-order-dependent). The ~1e-6 quantization is far below
+    # the inter-centroid angular resolution. Pass ``dims`` to keep the
+    # build single-job; the fallback probe is one limit(1) action.
     if dims is None:
         dims = len(cell.select("_cv").first()["_cv"])
     sums = cell.groupBy("cell").agg(
-        F.array(*[F.sum(F.col("_cv")[i]) for i in range(dims)]).alias("_sum"),
+        F.array(
+            *[
+                F.sum((F.col("_cv")[i] * F.lit(1_000_000.0)).cast("long"))
+                for i in range(dims)
+            ]
+        ).alias("_isum"),
         F.count("*").alias("_n"),
     )
     centroids = sums.select(
         "cell",
-        F.transform("_sum", lambda x: x / F.col("_n")).alias("_centroid"),
+        F.transform(
+            "_isum",
+            lambda x: x.cast("double") / F.lit(1_000_000.0) / F.col("_n"),
+        ).alias("_centroid"),
     )
 
     q = queries.select(F.col(id_col).alias("query_id"), arr.alias("_qv"))

@@ -55,6 +55,13 @@ def get_spark(
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
         # --- Python boundary is Arrow-batched, never row-at-a-time ----------
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Bytes-aware Arrow batch cap: maxRecordsPerBatch (default 10k
+        # ROWS) is blind to row width, so a mapInPandas over multimodal
+        # BLOB columns (~10 MB images) could assemble a 100 GB batch.
+        # Capping bytes bounds executor memory per batch regardless of
+        # blob size; with both set, a batch closes when either limit
+        # hits (wide rows -> bytes, narrow rows -> records).
+        "spark.sql.execution.arrow.maxBytesPerBatch": str(64 * 1024 * 1024),
         # --- scan sizing: keep file splits in executor-memory range ---------
         "spark.sql.files.maxPartitionBytes": "128m",
         # --- timezone-stable timestamps across engines -----------------------

@@ -32,15 +32,18 @@ def read_event_stream(
     inferTimestampNTZ) is cast to TIMESTAMP: watermarks and
     session_window reject NTZ on streams, and under the engine's UTC
     session tz the cast preserves micros exactly."""
+    from ursa_major_choir_etl_spark.functions.columns import (
+        cast_ntz_to_timestamp,
+    )
+
     df = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    for c, t in df.dtypes:
-        if t == "timestamp_ntz":
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
-    return df
+    # UTC-guarded: raises rather than reinterpreting wall-clock if the
+    # session tz was locked to something other than UTC.
+    return cast_ntz_to_timestamp(df)
 
 
 def streaming_tumbling_counts(

@@ -243,15 +243,6 @@ def connected_components(
             F.count(F.lit(1)), F.expr("bit_xor(xxhash64(node, component))")
         ).first()
 
-    # Two propagation rounds per checkpoint + convergence probe: the
-    # per-ROUND algorithmic work is one lazy join+agg, but each eager
-    # checkpoint and each probe is a scheduled JOB, so on deep graphs
-    # this halves the fixed job overhead (on shallow near-dup graphs
-    # it is neutral: q55's graph converges in 2 probes either way).
-    # Overshooting convergence by a round is idempotent (min-label is
-    # monotone).
-    rounds_per_check = 2
-
     def _propagate(lab):
         via_neighbor = edges.join(
             lab, edges["dst"] == lab["node"]
@@ -262,11 +253,18 @@ def connected_components(
             .agg(F.min("component").alias("component"))
         )
 
+    # ONE scheduled job per round: the round's result is marked for a
+    # LAZY localCheckpoint, and the convergence probe's agg action is
+    # what materializes it — computing, checkpointing, and probing in
+    # a single job. (An eager checkpoint + separate probe is 2 jobs
+    # per round; batching 2 lazy rounds per checkpoint is worse still:
+    # the un-materialized round-1 result feeds round 2's plan in
+    # several branches, and without a materialization barrier those
+    # branches re-execute round 1 unless exchange reuse happens to
+    # fire — measured 11s vs 5s on the star variant at sf0.1.)
     prev_state = _state(labels)
-    for _ in range(max_iterations // rounds_per_check + 1):
-        for _ in range(rounds_per_check):
-            labels = _propagate(labels)
-        labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        labels = _propagate(labels).localCheckpoint(eager=False)
         new_state = _state(labels)
         if new_state == prev_state:
             break
@@ -312,10 +310,9 @@ def connected_components_star(
         ).first()
         return (r["n"], r["h"])
 
-    prev = _state(edges)
-    for _ in range(max_iterations):
+    def _round(e: DataFrame) -> DataFrame:
         # ---- large-star on the symmetric view ----
-        sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
         mins = mins.select("u", F.least(F.col("u"), F.col("_mn")).alias("m"))
         large = (
@@ -323,20 +320,27 @@ def connected_components_star(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        edges = large.filter(F.col("u") != F.col("v")).distinct()
+        e = large.filter(F.col("u") != F.col("v")).distinct()
 
         # ---- small-star on the directed (u > v) view ----
-        mins = edges.groupBy("u").agg(F.min("v").alias("m"))
-        joined = edges.join(mins, "u")
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        joined = e.join(mins, "u")
         small = joined.filter(F.col("v") != F.col("m")).select(
             F.col("v").alias("u"), F.col("m").alias("v")
         ).unionByName(joined.select("u", F.col("m").alias("v")))
-        edges = (
-            small.filter(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        return small.filter(F.col("u") != F.col("v")).distinct()
 
+    # ONE scheduled job per round (same pattern as connected_components
+    # above): the round result is marked for a LAZY localCheckpoint and
+    # the convergence probe's agg materializes it — compute, checkpoint,
+    # and probe in a single job. The round body references its input in
+    # four branches (sym twice, mins join, small union), so a
+    # materialization barrier per round is mandatory: chaining two lazy
+    # rounds re-executed round 1 through every branch (measured 11s vs
+    # 5s warm at sf0.1).
+    prev = _state(edges)
+    for _ in range(max_iterations):
+        edges = _round(edges).localCheckpoint(eager=False)
         cur = _state(edges)
         if cur == prev:
             break

@@ -112,9 +112,18 @@ class TestAdaptiveExecution:
 
 
 class TestNewQueryShapes:
-    def test_q60_df_side_broadcast(self, spark, registry):
-        plan = plan_of(registry["q60_tfidf_top_terms"](spark, SF_DIR))
-        assert "BroadcastHashJoin" in plan  # vocabulary df joined broadcast
+    def test_q60_vocab_join_adapts_to_broadcast(self, spark, registry):
+        # The vocabulary (doc-frequency) side is a DERIVED aggregate
+        # whose size grows with the corpus (Heap's law), so it carries
+        # NO hard broadcast hint — at 100 TB a term-key sort-merge join
+        # is the right plan. What we assert instead: when the runtime
+        # size IS small (sf0.01), AQE's dynamic join-strategy switch
+        # picks broadcast on its own. That is the scale-safe contract.
+        df = registry["q60_tfidf_top_terms"](spark, SF_DIR)
+        df.collect()  # drive to completion so AQE finalizes the plan
+        plan = plan_of(df)
+        assert "isFinalPlan=true" in plan
+        assert "BroadcastHashJoin" in plan
 
     def test_q63_dim_broadcast_no_shuffled_cross(self, spark, registry):
         plan = plan_of(registry["q63_name_similarity"](spark, SF_DIR))
@@ -142,7 +151,7 @@ class TestNewQueryShapes:
 class TestRegistrySweep:
     """Scale-audit across EVERY registry query: no Cartesian products,
     no row-at-a-time Python, and no data-sized global window/sort
-    funnels anywhere in the 87-query surface."""
+    funnels anywhere in the 100-query surface."""
 
     #: post-aggregation global windows over provably bounded rows
     #: (q53: one row per month after the rollup)
@@ -170,3 +179,29 @@ class TestRegistrySweep:
             if flags:
                 offenders[name] = flags
         assert offenders == {}
+
+    def test_no_hard_broadcast_on_growth_tables(self):
+        """Source lint: every broadcast hint in the query registry must
+        go through bdim() (fixed-cardinality dims: nation/region only —
+        enforced by bdim itself at plan time) or bbound() (derived
+        frames bounded by construction, reason stated at the call
+        site). A raw F.broadcast() on customer/supplier/part would OOM
+        executors at the 100 TB design point and override Spark's own
+        size guard — forbidden here by construction."""
+        import inspect
+
+        from ursa_major_choir_etl_spark.plans import queries as qmod
+
+        src = inspect.getsource(qmod)
+        # the only raw F.broadcast( occurrences are inside the two
+        # helpers (bdim / bbound) themselves
+        assert src.count("F.broadcast(") == 2
+
+    def test_bdim_rejects_growth_class_tables(self, spark):
+        from ursa_major_choir_etl_spark.plans.queries import T, bdim
+
+        cust = T(spark, SF_DIR, "customer")
+        with pytest.raises(ValueError, match="growth-class"):
+            bdim(cust, "customer")
+        nation = T(spark, SF_DIR, "nation")
+        bdim(nation, "nation")  # fixed-cardinality: allowed

@@ -980,3 +980,67 @@ class TestScaleGuards:
         # each batch stays in the cap's neighborhood (the writer closes
         # a batch when the limit is crossed, so allow one row of slack)
         assert all(r["nbytes"] <= cap + 8 * 1024 * 1024 for r in out)
+
+
+class TestBloomContamination:
+    @pytest.fixture(scope="class")
+    def corpora(self, spark):
+        train = spark.createDataFrame(
+            [
+                (10, "alpha beta gamma delta epsilon zeta"),
+                (11, "alpha beta gamma delta entirely different tail"),
+                (12, "nothing here overlaps with the benchmark at all"),
+            ],
+            "doc_id long, text string",
+        )
+        eval_set = spark.createDataFrame(
+            [(90, "alpha beta gamma delta epsilon")],
+            "doc_id long, text string",
+        )
+        return train, eval_set
+
+    def test_no_false_negatives_vs_exact_join(self, corpora):
+        """Bloom membership can over-flag (FPs) but NEVER under-flag:
+        every doc the exact gram join finds must be flagged with at
+        least as many grams."""
+        train, eval_set = corpora
+        exact = {
+            r["train_id"]: r["n_shared"]
+            for r in dedup.cross_corpus_contamination(
+                train, eval_set, n=4
+            ).collect()
+        }
+        bloom = {
+            r["train_id"]: r
+            for r in dedup.bloom_contamination(train, eval_set, n=4).collect()
+        }
+        assert exact  # fixture really overlaps
+        for tid, n_shared in exact.items():
+            assert tid in bloom
+            assert bloom[tid]["n_flagged"] >= n_shared
+
+    def test_rate_and_bounds(self, corpora):
+        train, eval_set = corpora
+        for r in dedup.bloom_contamination(train, eval_set, n=4).collect():
+            assert 1 <= r["n_flagged"] <= r["n_grams"]
+            assert r["flag_rate"] == round(r["n_flagged"] / r["n_grams"], 6)
+
+    def test_position_expr_matches_hashlib(self, spark):
+        """The SQL nibble arithmetic equals a reference hashlib
+        computation of int(md5('j:gram')[:5], 16)."""
+        import hashlib
+
+        grams = ["alpha beta gamma delta", "x y z w"]
+        df = spark.createDataFrame([(g,) for g in grams], "shingle string")
+        for j in (0, 2):
+            got = [
+                r["p"]
+                for r in df.select(
+                    F.expr(dedup.bloom_position_sql(j)).alias("p")
+                ).collect()
+            ]
+            want = [
+                int(hashlib.md5(f"{j}:{g}".encode()).hexdigest()[:5], 16)
+                for g in grams
+            ]
+            assert got == want

@@ -190,6 +190,91 @@ def cross_corpus_contamination(
     )
 
 
+def bloom_position_sql(j: int, col: str = "shingle", nibbles: int = 5) -> str:
+    """Hash ``j``'s Bloom bit position of ``col`` as a PORTABLE SQL
+    expression (identical text runs in Spark SQL and DuckDB): the
+    first ``nibbles`` hex nibbles of md5('{j}:' || col), assembled by
+    instr-based nibble arithmetic into an integer in [0, 16^nibbles).
+    Shared by the Spark operator (via F.expr) and the DuckDB oracle,
+    so the bit positions agree bit-for-bit by construction."""
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5('{j}:' || {col}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (nibbles - 1 - i)}"
+        for i in range(nibbles)
+    )
+    return f"({terms})"
+
+
+def bloom_contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    k_hashes: int = 3,
+    nibbles: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination via a Bloom-filter membership probe —
+    the sketch-based sibling of ``cross_corpus_contamination``.
+
+    The eval corpus's word n-grams are folded into a Bloom filter of
+    m = 16^``nibbles`` bits with ``k_hashes`` md5-derived hash
+    functions; every training n-gram probes the filter and a gram is
+    flagged when ALL k bits are set. Output per contaminated training
+    doc: (train_id, n_flagged, n_grams, flag_rate), n_flagged >= 1.
+
+    Why this exists next to the exact join (q78): at the 100 TB design
+    point the exact variant broadcasts the eval GRAM STRINGS and joins
+    train grams on strings; the Bloom filter compresses the eval side
+    to a set of distinct INT bit positions (k per distinct gram,
+    duplicates collapse) that is orders of magnitude smaller and joins
+    on an integer key — the train corpus streams through map-side with
+    AQE free to broadcast the bit set at any eval-benchmark size. The
+    price is a deterministic false-positive rate (~(set_bits/m)^k),
+    which for decontamination is the SAFE direction: it can only
+    over-flag. Both the bit set and every probe are exact integer
+    md5-nibble arithmetic (``bloom_position_sql``), so a SQL oracle
+    reproduces the flags — false positives included — bit-for-bit.
+
+    Scale the filter by raising ``nibbles`` (m multiplies by 16): the
+    probe side's cost is unchanged (k md5s per distinct gram either
+    way) and the bit set stays ~k x distinct-eval-grams ints.
+    """
+    t_sh = word_shingles(train, id_col=id_col, text_col=text_col, n=n).select(
+        F.col(id_col).alias("train_id"), "shingle"
+    )
+    e_sh = word_shingles(eval_set, id_col=id_col, text_col=text_col, n=n).select(
+        "shingle"
+    ).distinct()
+    pos_arr = F.array(
+        *[F.expr(bloom_position_sql(j, "shingle", nibbles)) for j in range(k_hashes)]
+    )
+    bits = e_sh.select(F.explode(pos_arr).alias("pos")).distinct()
+    probe = t_sh.select("train_id", "shingle", F.explode(pos_arr).alias("pos"))
+    # A gram is flagged iff all k probes hit set bits. count(*), not
+    # count(distinct): if two hashes of one gram collide on a position,
+    # the probe side carries that row twice and both match — the row
+    # count per (doc, gram) is k exactly when every probe hit.
+    flagged = (
+        probe.join(bits, "pos")
+        .groupBy("train_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("_n_hit"))
+        .filter(F.col("_n_hit") == k_hashes)
+    )
+    sizes = t_sh.groupBy("train_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        flagged.groupBy("train_id")
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+        .join(sizes, "train_id")
+        .select(
+            "train_id",
+            "n_flagged",
+            "n_grams",
+            F.round(F.col("n_flagged") / F.col("n_grams"), 6).alias("flag_rate"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

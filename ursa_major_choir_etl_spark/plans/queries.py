@@ -4125,6 +4125,63 @@ GROUP BY 1, 2
 """
 
 
+def q101_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based decontamination: eval word 4-grams folded into a
+    deterministic Bloom filter (m=16^5 bits, k=3 md5-nibble hashes),
+    train grams probed against it — the scale path next to q78's
+    exact string join (the filter is a compact int set the optimizer
+    can broadcast at any eval size; false positives are deterministic
+    and only ever OVER-flag, the safe direction for hygiene)."""
+    docs = T(spark, sf_dir, "documents")
+    return dedup.bloom_contamination(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        n=4,
+        k_hashes=3,
+        nibbles=5,
+    )
+
+
+def _oracle_q101(k_hashes: int = 3, nibbles: int = 5) -> str:
+    """Exact replay of the Bloom build + probe: the bit-position
+    expressions are the SAME SQL text the Spark operator evaluates
+    (dedup.bloom_position_sql), so set bits, probe hits, and the
+    deterministic false positives all reproduce bit-for-bit."""
+    from ursa_major_choir_etl_spark.operators.dedup import bloom_position_sql
+
+    pos_list = ", ".join(
+        bloom_position_sql(j, "shingle", nibbles) for j in range(k_hashes)
+    )
+    return f"""
+WITH {osql.shingles_cte_sql(4)},
+train_g AS (
+  SELECT doc_id AS train_id, shingle FROM doc_shingles WHERE doc_id % 50 <> 0
+),
+bits AS (
+  SELECT DISTINCT pos FROM (
+    SELECT unnest([{pos_list}]) AS pos
+    FROM (SELECT DISTINCT shingle FROM doc_shingles WHERE doc_id % 50 = 0)
+  )
+),
+probe AS (
+  SELECT train_id, shingle, unnest([{pos_list}]) AS pos FROM train_g
+),
+flagged AS (
+  SELECT train_id, shingle
+  FROM probe JOIN bits USING (pos)
+  GROUP BY train_id, shingle
+  HAVING count(*) = {k_hashes}
+),
+sizes AS (
+  SELECT train_id, count(*) AS n_grams FROM train_g GROUP BY train_id
+)
+SELECT f.train_id, count(*) AS n_flagged, any_value(s.n_grams) AS n_grams,
+       round(count(*) / CAST(any_value(s.n_grams) AS DOUBLE), 6) AS flag_rate
+FROM flagged f JOIN sizes s ON s.train_id = f.train_id
+GROUP BY f.train_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4226,6 +4283,7 @@ QUERIES = {
     "q98_recursive_reachability": q98_recursive_reachability,
     "q99_variant_extraction": q99_variant_extraction,
     "q100_cms_heavy_hitters": q100_cms_heavy_hitters,
+    "q101_bloom_decontamination": q101_bloom_decontamination,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -4250,9 +4308,17 @@ _r5_green = {
     for k in _names
     if (_qnum(k) <= 48 and _qnum(k) != 31) or _qnum(k) in (76, 77, 85)
 }
-_r6_window = [k for k in _names if k not in _r5_green]
+# Queries numbered past 100 were added AFTER the round-6 window was
+# fixed; they queue at the registry tail (locally oracle-verified now,
+# driver-graded in the next rotation) so the planned complement window
+# stays exactly the 50 rows that close out the r5 ∪ r6 full coverage.
+_r6_window = [k for k in _names if k not in _r5_green and _qnum(k) <= 100]
 assert len(_r6_window) == 50, len(_r6_window)
-_order = _r6_window + [k for k in _names if k in _r5_green]
+_order = (
+    _r6_window
+    + [k for k in _names if k in _r5_green]
+    + [k for k in _names if _qnum(k) > 100]
+)
 QUERIES = {k: QUERIES[k] for k in _order}
 
 ORACLES: dict[str, str | None] = {
@@ -4356,4 +4422,5 @@ ORACLES: dict[str, str | None] = {
     "q98_recursive_reachability": ORACLE_Q98,
     "q99_variant_extraction": ORACLE_Q99,
     "q100_cms_heavy_hitters": _oracle_q100(),
+    "q101_bloom_decontamination": _oracle_q101(),
 }

@@ -1044,3 +1044,55 @@ class TestBloomContamination:
                 for g in grams
             ]
             assert got == want
+
+
+class TestSemanticDedup:
+    def test_cluster_scoped_pairs_and_drop_decisions(self, spark):
+        emb = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0]),
+                (2, [0.995, 0.1]),   # near-dup of 1, same cluster
+                (3, [-1.0, 0.0]),    # same cluster, opposite direction
+                (4, [0.0, 1.0]),
+                (5, [0.0, 2.0]),     # cos 1.0 with 4, same cluster
+                (6, [1.0, 0.0]),     # IDENTICAL to 1 but other cluster
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        assign = spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1)],
+            "vec_id long, cid long",
+        )
+        out = {
+            r["drop_id"]: r
+            for r in similarity.semantic_dedup(emb, assign, threshold=0.9).collect()
+        }
+        # 2 drops (kept by 1); 5 drops (kept by 4); the cross-cluster
+        # identical doc 6 survives — clustering scopes the dedup
+        assert set(out) == {2, 5}
+        assert out[2]["keep_id"] == 1 and out[2]["cid"] == 0
+        assert out[5]["keep_id"] == 4 and out[5]["cid"] == 1
+        assert out[5]["max_sim"] == 1.0
+        assert out[2]["n_dups"] == 1
+
+    def test_assignments_match_stats_members(self, spark):
+        """kmeans_assignments_integer agrees with kmeans_lloyd_integer
+        (same rounds): per-cid member counts and id-sums match."""
+        from ursa_major_choir_etl_spark.operators.kmeans import (
+            kmeans_assignments_integer,
+            kmeans_lloyd_integer,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        stats = {
+            r["cid"]: (r["n_members"], r["sum_vec_id"])
+            for r in kmeans_lloyd_integer(spark, emb, k=4, iters=2).collect()
+        }
+        agg = {
+            r["cid"]: (r["n"], r["s"])
+            for r in kmeans_assignments_integer(spark, emb, k=4, iters=2)
+            .groupBy("cid")
+            .agg(F.count("*").alias("n"), F.sum("vec_id").alias("s"))
+            .collect()
+        }
+        assert stats == agg

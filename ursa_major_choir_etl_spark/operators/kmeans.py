@@ -37,24 +37,21 @@ def _sq_dist(a, b):
     )
 
 
-def kmeans_lloyd_integer(
+def _lloyd_rounds(
     spark: SparkSession,
     emb: DataFrame,
-    k: int = 8,
-    iters: int = 3,
-    scale: int = 1_000_000,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    out_dims: int = 4,
-) -> DataFrame:
-    """Run ``iters`` Lloyd rounds; return per-cluster stats.
-
-    Output: (cid, n_members, sum_vec_id, c_0..c_{out_dims-1}) — member
-    count and exact id-sum of the FINAL assignment, plus the first
-    ``out_dims`` coordinates of the centroid recomputed from it (all
-    bigint; empty clusters keep their previous centroid and emit no
-    stats row, mirroring the oracle's group-by).
-    """
+    k: int,
+    iters: int,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Shared Lloyd driver loop: returns (assigned, cents) after
+    ``iters`` rounds — ``assigned`` is (id, cid, _xi) of the FINAL
+    assignment, ``cents`` the post-update centroid list. Both the
+    stats query (kmeans_lloyd_integer) and the semantic-dedup
+    assignment consumer (kmeans_assignments_integer) replay the exact
+    same deterministic rounds, so their SQL oracles share CTEs too."""
     from pyspark import StorageLevel
 
     xi_df = emb.select(
@@ -108,6 +105,28 @@ def kmeans_lloyd_integer(
             for cid, old in cents
         ]
 
+    return assigned, cents
+
+
+def kmeans_lloyd_integer(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dims: int = 4,
+) -> DataFrame:
+    """Run ``iters`` Lloyd rounds; return per-cluster stats.
+
+    Output: (cid, n_members, sum_vec_id, c_0..c_{out_dims-1}) — member
+    count and exact id-sum of the FINAL assignment, plus the first
+    ``out_dims`` coordinates of the centroid recomputed from it (all
+    bigint; empty clusters keep their previous centroid and emit no
+    stats row, mirroring the oracle's group-by).
+    """
+    assigned, cents = _lloyd_rounds(spark, emb, k, iters, scale, id_col, vec_col)
     final_c = {cid: v for cid, v in cents}
     stats = assigned.groupBy("cid").agg(
         F.count("*").alias("n_members"),
@@ -121,3 +140,19 @@ def kmeans_lloyd_integer(
         schema="cid bigint, " + ", ".join(f"c_{d} bigint" for d in range(out_dims)),
     )
     return stats.join(F.broadcast(cent_df), "cid")
+
+
+def kmeans_assignments_integer(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Final-round cluster ASSIGNMENTS (id, cid) — the clustering
+    stage of SemDeDup-style semantic dedup, bit-replayable in SQL via
+    the same deterministic rounds as kmeans_lloyd_integer."""
+    assigned, _ = _lloyd_rounds(spark, emb, k, iters, scale, id_col, vec_col)
+    return assigned.select(F.col(id_col), F.col("cid"))

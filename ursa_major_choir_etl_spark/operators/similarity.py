@@ -415,6 +415,80 @@ def near_duplicate_pairs_bucketed(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    assignments: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup decisions: cluster the corpus
+    (``assignments``: (id, cid) — e.g. kmeans_assignments_integer),
+    then find exact-cosine near-neighbors ONLY within each cluster and
+    emit one row per document to drop.
+
+    Output: (cid, drop_id, keep_id, n_dups, max_sim) — a doc is
+    dropped when a SMALLER-id same-cluster doc sits within the cosine
+    threshold; keep_id is its smallest such neighbor, n_dups how many
+    qualify, max_sim the closest (rounded 6dp).
+
+    Scale shape: clustering bounds the quadratic — the GEMM runs per
+    cluster (one applyInPandas task per cid), never across the corpus,
+    so compute is sum over clusters of |c|^2 instead of N^2 and each
+    task holds one cluster's vectors. With k sized so clusters fit a
+    task (or hierarchical k-means for skewed ones), this is the
+    standard embedding-dedup layout for pretraining corpora; cosine
+    uses the oracle association (dot/(|a||b|), _cosine_matrix) so a
+    SQL replay of cluster-restricted pairs value-matches.
+    """
+    import numpy as np
+    import pandas as pd
+
+    src = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).join(
+        assignments.select(F.col(id_col).alias("_id"), "cid"), "_id"
+    )
+
+    def cluster_gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "cid": pd.Series(dtype=np.int64),
+                "id_a": pd.Series(dtype=np.int64),
+                "id_b": pd.Series(dtype=np.int64),
+                "cosine_sim": pd.Series(dtype=np.float64),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["_v"]), dtype=np.float64)
+        sims = _cosine_matrix(mat, mat)
+        li, ri = np.nonzero(sims >= threshold)
+        keep = ids[li] < ids[ri]  # ordered pairs, drops the diagonal
+        return pd.DataFrame(
+            {
+                "cid": np.full(int(keep.sum()), pdf["cid"].iat[0], dtype=np.int64),
+                "id_a": ids[li][keep],
+                "id_b": ids[ri][keep],
+                "cosine_sim": np.round(sims[li, ri][keep], 6),
+            }
+        )
+
+    pairs = src.groupBy("cid").applyInPandas(
+        cluster_gemm, schema="cid long, id_a long, id_b long, cosine_sim double"
+    )
+    return (
+        pairs.groupBy("cid", F.col("id_b").alias("drop_id"))
+        .agg(
+            F.min("id_a").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.max("cosine_sim").alias("max_sim"),
+        )
+    )
+
+
 def sign_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -3492,7 +3492,14 @@ def q90_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_q90(k: int = 8, iters: int = 3, dims: int = 64, out_dims: int = 4) -> str:
+def _kmeans_cte_sql(k: int, iters: int, dims: int) -> str:
+    """WITH-parts replaying the integer Lloyd rounds bit-for-bit:
+    ``emb_i`` (micro-scaled bigint vectors), ``c_0`` (k smallest-id
+    seeds), then per round ``a_it`` (assignment) and ``c_{it+1}``
+    (trunc-div centroid update). Shared by the q90 stats oracle and
+    the q102 semantic-dedup oracle — both replay the SAME rounds the
+    Spark operator runs (operators/kmeans.py _lloyd_rounds)."""
+
     def assign(src_cents: str, out: str) -> str:
         return f"""
 {out} AS (
@@ -3536,6 +3543,10 @@ c_0 AS (
     for it in range(iters):
         parts.append(assign(f"c_{it}", f"a_{it}"))
         parts.append(update(f"a_{it}", f"c_{it}", f"c_{it + 1}"))
+    return ",".join(parts)
+
+
+def _oracle_q90(k: int = 8, iters: int = 3, dims: int = 64, out_dims: int = 4) -> str:
     cent_cols = ", ".join(f"c.c[{d + 1}] AS c_{d}" for d in range(out_dims))
     final = f"""
 SELECT a.cid, count(*) AS n_members,
@@ -3543,7 +3554,7 @@ SELECT a.cid, count(*) AS n_members,
 FROM a_{iters - 1} a JOIN c_{iters} c ON c.cid = a.cid
 GROUP BY a.cid, {", ".join(f"c.c[{d + 1}]" for d in range(out_dims))}
 """
-    return "WITH " + ",".join(parts) + final
+    return "WITH " + _kmeans_cte_sql(k, iters, dims) + final
 
 
 def q91_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4182,6 +4193,44 @@ GROUP BY f.train_id
 """
 
 
+def q102_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: integer k-means clusters the
+    embeddings (k=8, 2 deterministic Lloyd rounds — the q90 machinery),
+    then exact-cosine near-neighbors are found ONLY within each
+    cluster and every doc with a smaller-id neighbor above the
+    threshold becomes a drop decision. The clustering bounds the
+    quadratic: per-cluster GEMM tasks instead of an N^2 corpus join."""
+    from ursa_major_choir_etl_spark.operators.kmeans import (
+        kmeans_assignments_integer,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    assign = kmeans_assignments_integer(spark, emb, k=8, iters=2)
+    return similarity.semantic_dedup(emb, assign, threshold=0.3)
+
+
+def _oracle_q102(k: int = 8, iters: int = 2, threshold: float = 0.3) -> str:
+    """Replays the deterministic Lloyd rounds (shared CTEs with q90),
+    restricts exact-cosine pairs to same-cluster id_a < id_b, filters
+    at the threshold on the UNROUNDED value (as the operator does),
+    then aggregates the per-drop decision."""
+    return f"""
+WITH {_kmeans_cte_sql(k, iters, _EMB_DIMS)},
+pairs AS (
+  SELECT x.cid, x.vec_id AS id_a, y.vec_id AS id_b, {_COS_AB} AS cs
+  FROM a_{iters - 1} x
+  JOIN a_{iters - 1} y ON y.cid = x.cid AND x.vec_id < y.vec_id
+  JOIN embeddings a ON a.vec_id = x.vec_id
+  JOIN embeddings b ON b.vec_id = y.vec_id
+)
+SELECT cid, id_b AS drop_id, min(id_a) AS keep_id,
+       count(*) AS n_dups, max(round(cs, 6)) AS max_sim
+FROM pairs
+WHERE cs >= {threshold}
+GROUP BY cid, id_b
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4284,6 +4333,7 @@ QUERIES = {
     "q99_variant_extraction": q99_variant_extraction,
     "q100_cms_heavy_hitters": q100_cms_heavy_hitters,
     "q101_bloom_decontamination": q101_bloom_decontamination,
+    "q102_semantic_dedup": q102_semantic_dedup,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -4411,7 +4461,7 @@ ORACLES: dict[str, str | None] = {
     "q87_expectations": ORACLE_Q87,
     "q88_winnowing_fingerprints": _oracle_q88(),
     "q89_quantize_int8": ORACLE_Q89,
-    "q90_kmeans_lloyd": _oracle_q90(),
+    "q90_kmeans_lloyd": _oracle_q90(dims=_EMB_DIMS),
     "q91_minhash_accuracy": _oracle_q91(),
     "q92_pit_feature_join": ORACLE_Q92,
     "q93_similarity_pagerank": _oracle_q93(),
@@ -4423,4 +4473,5 @@ ORACLES: dict[str, str | None] = {
     "q99_variant_extraction": ORACLE_Q99,
     "q100_cms_heavy_hitters": _oracle_q100(),
     "q101_bloom_decontamination": _oracle_q101(),
+    "q102_semantic_dedup": _oracle_q102(),
 }

@@ -240,8 +240,15 @@ def bloom_contamination(
     probe side's cost is unchanged (k md5s per distinct gram either
     way) and the bit set stays ~k x distinct-eval-grams ints.
     """
-    t_sh = word_shingles(train, id_col=id_col, text_col=text_col, n=n).select(
-        F.col(id_col).alias("train_id"), "shingle"
+    from pyspark import StorageLevel
+
+    # Two consumers (the probe and the per-doc gram totals) — persist
+    # the train shingle set so the normalize+shingle scan runs once,
+    # same staging-table pattern as jaccard_pairs.
+    t_sh = (
+        word_shingles(train, id_col=id_col, text_col=text_col, n=n)
+        .select(F.col(id_col).alias("train_id"), "shingle")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     e_sh = word_shingles(eval_set, id_col=id_col, text_col=text_col, n=n).select(
         "shingle"

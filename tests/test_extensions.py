@@ -1096,3 +1096,64 @@ class TestSemanticDedup:
             .collect()
         }
         assert stats == agg
+
+
+class TestWeightedSample:
+    def test_exact_n_sorted_and_deterministic(self, spark):
+        from ursa_major_choir_etl_spark.operators.sampling import (
+            weighted_sample_sequential_poisson,
+        )
+
+        docs = spark.range(500).select(
+            F.col("id").alias("doc_id"),
+            F.repeat(F.lit("x"), (F.col("id") % 40 + 1).cast("int")).alias("text"),
+        )
+        out = weighted_sample_sequential_poisson(
+            docs, weight=F.octet_length("text"), n=50
+        )
+        rows = out.collect()
+        assert len(rows) == 50
+        keys = [r["sample_key"] for r in rows]
+        assert keys == sorted(keys)
+        assert all(r["weight"] >= 1 for r in rows)
+        assert rows == out.collect()  # bit-deterministic
+
+    def test_heavy_docs_dominate(self, spark):
+        """Inclusion probability tracks the weight: with 10 docs at
+        weight 4000 vs 100 docs at weight 4, the heavy docs should
+        fill most of a 10-doc sample (deterministic given the ids)."""
+        from ursa_major_choir_etl_spark.operators.sampling import (
+            weighted_sample_sequential_poisson,
+        )
+
+        light = spark.range(100).select(
+            F.col("id").alias("doc_id"), F.lit("abcd").alias("text")
+        )
+        heavy = spark.range(1000, 1010).select(
+            F.col("id").alias("doc_id"),
+            F.repeat(F.lit("abcd"), 1000).alias("text"),
+        )
+        out = weighted_sample_sequential_poisson(
+            light.unionByName(heavy), weight=F.octet_length("text"), n=10
+        )
+        n_heavy = sum(1 for r in out.collect() if r["doc_id"] >= 1000)
+        assert n_heavy >= 7
+
+    def test_plan_is_take_ordered(self, spark):
+        """No global sort: the sample plans as TakeOrderedAndProject."""
+        from ursa_major_choir_etl_spark.operators.sampling import (
+            weighted_sample_sequential_poisson,
+        )
+
+        docs = spark.range(100).select(
+            F.col("id").alias("doc_id"), F.lit("abc").alias("text")
+        )
+        plan = (
+            weighted_sample_sequential_poisson(
+                docs, weight=F.octet_length("text"), n=5
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan

@@ -52,3 +52,50 @@ def split_train_eval(
         return df.filter(~is_eval), df.filter(is_eval)
     train, ev = df.randomSplit([1.0 - eval_fraction, eval_fraction], seed=seed)
     return train, ev
+
+
+def weighted_sample_sequential_poisson(
+    df: DataFrame,
+    weight: "F.Column",
+    n: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    nibbles: int = 5,
+) -> DataFrame:
+    """Deterministic weight-proportional corpus sampling (sequential
+    Poisson / Ohlsson): draw ``n`` docs with inclusion probability
+    approximately proportional to ``weight`` — the curation op for
+    "sample 1B tokens favoring high-quality docs".
+
+    Each doc gets a pseudo-uniform u from the md5 nibbles of its id
+    (exact: an integer in [0, 16^nibbles) plus 0.5, divided by a power
+    of two — no rounding at all), and the sample is the n SMALLEST
+    u/weight keys. Everything after u is ONE IEEE division, so the
+    keys are bit-identical in any engine — unlike the textbook
+    Efraimidis–Spirakis u^(1/w) key, whose pow/log would drag libm
+    variance into the order statistics. A SQL oracle therefore
+    value-hashes the exact sample.
+
+    Scale shape: orderBy+limit plans as TakeOrderedAndProject —
+    per-partition n-element heaps, driver merge of n rows; no global
+    sort, no shuffle of the corpus. Rows with weight <= 0 are excluded
+    (they'd sort first and hijack the sample).
+
+    Output: (id, weight, sample_key), ascending by key.
+    """
+    from ursa_major_choir_etl_spark.operators.dedup import bloom_position_sql
+
+    m = 16**nibbles
+    pos = F.expr(bloom_position_sql(seed, f"CAST({id_col} AS STRING)", nibbles))
+    u = (pos + F.lit(0.5)) / F.lit(float(m))
+    w = weight.cast("long")
+    return (
+        df.filter(w > 0)  # before the division: ANSI mode errors on /0
+        .select(
+            F.col(id_col),
+            w.alias("weight"),
+            (u / w).alias("sample_key"),
+        )
+        .orderBy("sample_key", id_col)
+        .limit(n)
+    )

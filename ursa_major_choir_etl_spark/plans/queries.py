@@ -92,6 +92,9 @@ Operator coverage map (SURVEY §2 ids -> query):
   recursive CTE hierarchy ......... q98 (WITH RECURSIVE level joins)
   VARIANT semi-structured ......... q99 (parse once, typed path access)
   count-min sketch frequencies .... q100 (mergeable grid, exact oracle)
+  Bloom-filter decontamination .... q101 (int bit-set probe, exact FPs)
+  SemDeDup semantic dedup ......... q102 (cluster-scoped cosine GEMM)
+  weighted corpus sampling ........ q103 (sequential Poisson, exact)
 """
 
 from __future__ import annotations
@@ -4231,6 +4234,40 @@ GROUP BY cid, id_b
 """
 
 
+def q103_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional corpus sampling (sequential Poisson): the
+    200 documents drawn with probability ~ byte length — 'sample
+    favoring the longer/higher-quality docs', the curation step
+    between scoring and training. Keys are division-only IEEE math on
+    md5-nibble uniforms, so the exact sample value-hashes in SQL."""
+    from ursa_major_choir_etl_spark.operators.sampling import (
+        weighted_sample_sequential_poisson,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    return weighted_sample_sequential_poisson(
+        docs, weight=F.octet_length("text"), n=200
+    )
+
+
+def _oracle_q103(n: int = 200, seed: int = 0, nibbles: int = 5) -> str:
+    from ursa_major_choir_etl_spark.operators.dedup import bloom_position_sql
+
+    pos = bloom_position_sql(seed, "CAST(doc_id AS STRING)", nibbles)
+    return f"""
+SELECT doc_id, weight, sample_key FROM (
+  SELECT doc_id,
+         CAST(strlen(text) AS BIGINT) AS weight,
+         (({pos} + 0.5) / {float(16 ** nibbles)})
+           / CAST(strlen(text) AS BIGINT) AS sample_key
+  FROM documents
+  WHERE strlen(text) > 0
+)
+ORDER BY sample_key, doc_id
+LIMIT {n}
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4334,6 +4371,7 @@ QUERIES = {
     "q100_cms_heavy_hitters": q100_cms_heavy_hitters,
     "q101_bloom_decontamination": q101_bloom_decontamination,
     "q102_semantic_dedup": q102_semantic_dedup,
+    "q103_weighted_sample": q103_weighted_sample,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -4474,4 +4512,5 @@ ORACLES: dict[str, str | None] = {
     "q100_cms_heavy_hitters": _oracle_q100(),
     "q101_bloom_decontamination": _oracle_q101(),
     "q102_semantic_dedup": _oracle_q102(),
+    "q103_weighted_sample": _oracle_q103(),
 }

@@ -270,3 +270,82 @@ class TestStreamStreamJoin:
         )
         assert got == expected
         assert len(got) >= 10  # the in-window half actually matched
+
+
+class TestStreamingDecontamination:
+    def test_stream_matches_python_bloom_mirror(self, spark, tmp_path_factory):
+        """The stateless Bloom probe stream emits EXACTLY the grams a
+        pure-Python hashlib mirror of the filter flags (deterministic
+        false positives included), and per-doc counts agree with the
+        batch bloom_contamination operator."""
+        import hashlib
+
+        from ursa_major_choir_etl_spark.operators import dedup
+
+        d = str(tmp_path_factory.mktemp("decontam_stream"))
+        train_rows = [
+            (10, "2024-01-01 10:00:00", "alpha beta gamma delta epsilon zeta"),
+            (11, "2024-01-01 10:05:00", "alpha beta gamma delta entirely new tail"),
+            (12, "2024-01-01 10:10:00", "nothing shared with the benchmark text"),
+        ]
+        train = spark.createDataFrame(
+            train_rows, "doc_id long, ts_s string, text string"
+        ).select("doc_id", F.to_timestamp("ts_s").alias("ts"), "text")
+        eval_df = spark.createDataFrame(
+            [(90, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+        )
+        train.coalesce(1).write.mode("overwrite").parquet(d)
+
+        stream = (
+            spark.readStream.schema(train.schema)
+            .option("maxFilesPerTrigger", 10)
+            .parquet(d)
+        )
+        out = jobs.streaming_contaminated_grams(stream, eval_df, n=4)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("decontam_t")
+            .outputMode("append")  # stateless: append needs no watermark
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["doc_id"], r["shingle"])
+            for r in spark.table("decontam_t").collect()
+        }
+
+        # pure-Python mirror (fixture texts are already normalized)
+        def grams(text, n=4):
+            w = text.split()
+            return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+        def positions(g):
+            return {
+                int(hashlib.md5(f"{j}:{g}".encode()).hexdigest()[:5], 16)
+                for j in range(3)
+            }
+
+        bits = set()
+        for g in grams(eval_df.collect()[0]["text"]):
+            bits |= positions(g)
+        want = {
+            (doc_id, g)
+            for doc_id, _, text in train_rows
+            for g in grams(text)
+            if positions(g) <= bits
+        }
+        assert got == want
+        assert want  # fixture really overlaps
+
+        # doc-level parity with the batch operator
+        batch_counts = {
+            r["train_id"]: r["n_flagged"]
+            for r in dedup.bloom_contamination(
+                train.drop("ts"), eval_df, n=4
+            ).collect()
+        }
+        stream_counts: dict = {}
+        for doc_id, _ in got:
+            stream_counts[doc_id] = stream_counts.get(doc_id, 0) + 1
+        assert batch_counts == stream_counts

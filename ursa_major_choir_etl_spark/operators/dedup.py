@@ -63,9 +63,22 @@ def word_shingles(
     toked = df.select(
         F.col(id_col), tokens(normalized_text(text_col)).alias("_toks")
     )
-    toks = F.col("_toks")
+    return (
+        toked.select(
+            F.col(id_col), F.explode(shingle_array(F.col("_toks"), n)).alias("shingle")
+        )
+        .distinct()
+    )
+
+
+def shingle_array(toks, n: int = 3):
+    """Word n-gram array over a MATERIALIZED token-array column (see
+    word_shingles on why the tokens must be a column, not an inline
+    expression). Exposed separately so stateless consumers (the
+    streaming decontamination probe) can shingle without the
+    stream-incompatible global distinct()."""
     idx = F.sequence(F.lit(0), F.size(toks) - n)
-    shingle_arr = F.when(
+    return F.when(
         F.size(toks) >= n,
         F.transform(
             idx,
@@ -74,10 +87,6 @@ def word_shingles(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        toked.select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
-        .distinct()
-    )
 
 
 def minhash_signatures(

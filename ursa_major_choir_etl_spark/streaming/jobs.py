@@ -274,3 +274,72 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_contaminated_grams(
+    docs: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    n: int = 4,
+    k_hashes: int = 3,
+    nibbles: int = 5,
+) -> DataFrame:
+    """Streaming Bloom decontamination probe: as documents arrive,
+    emit every word n-gram that hits the STATIC eval corpus's Bloom
+    filter — the alert stream an ingestion pipeline tails to catch
+    benchmark contamination before a doc lands in the training set.
+
+    Shape: completely STATELESS on the stream side. The eval bit set
+    (distinct int positions, batch-built once) is the static side of
+    ``k_hashes`` chained broadcast LEFT SEMI joins — one per hash
+    probe, a gram survives only if ALL its bits are set — so there is
+    no state store, no watermark requirement, and per-micro-batch cost
+    is map-side. Per-doc gram dedup is array_distinct on the row
+    (stateless), not the batch operator's global distinct().
+
+    Batch parity: running this same plan on a batch DataFrame yields
+    exactly the (train_id, shingle) pairs bloom_contamination counts
+    (tested). Output: (id, ts, shingle).
+    """
+    from ursa_major_choir_etl_spark.operators.dedup import (
+        bloom_position_sql,
+        shingle_array,
+        word_shingles,
+    )
+    from ursa_major_choir_etl_spark.operators.text import normalized_text, tokens
+
+    pos_arr = F.array(
+        *[
+            F.expr(bloom_position_sql(j, "shingle", nibbles))
+            for j in range(k_hashes)
+        ]
+    )
+    bits = (
+        word_shingles(eval_set, id_col=id_col, text_col=text_col, n=n)
+        .select("shingle")
+        .distinct()
+        .select(F.explode(pos_arr).alias("pos"))
+        .distinct()
+    )
+    grams = docs.select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.col(text_col),
+        tokens(normalized_text(text_col)).alias("_toks"),
+    ).select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.explode(F.array_distinct(shingle_array(F.col("_toks"), n))).alias(
+            "shingle"
+        ),
+    )
+    probed = grams.withColumn("_ps", pos_arr)
+    for j in range(k_hashes):
+        probed = probed.join(
+            F.broadcast(bits),
+            probed["_ps"][j] == bits["pos"],
+            "leftsemi",
+        )
+    return probed.select(id_col, ts_col, "shingle")

@@ -4,7 +4,9 @@
 - ``queries()``: every implemented operator family from SURVEY.md §2
   plus the LLM-pipeline extensions, as (spark, sf_dir) -> DataFrame.
 - ``oracle_sql()``: DuckDB SQL recomputing each query bit-for-bit —
-  ALL 100 entries, no omissions. The formerly rows-only four are now
+  ALL entries (103 as of round 6), no omissions. The round-6 additions
+  (q101 Bloom decontamination, q102 semantic dedup, q103 weighted
+  sampling) are value-oracled from birth. The formerly rows-only four are
   value-oracled: q24/q76 via deterministic md5-derived integer LSH
   planes (bucket keys are exact int64 arithmetic, embedded in the SQL
   as literals), q30 via a full SQL recomputation of the RNG-free

@@ -1157,3 +1157,47 @@ class TestWeightedSample:
             .toString()
         )
         assert "TakeOrderedAndProject" in plan
+
+
+class TestNewOpsEdgeCases:
+    def test_bloom_empty_eval_flags_nothing(self, spark):
+        from ursa_major_choir_etl_spark.operators import dedup as dd
+
+        train = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+        )
+        empty_eval = spark.createDataFrame([], "doc_id long, text string")
+        assert dd.bloom_contamination(train, empty_eval, n=4).count() == 0
+
+    def test_bloom_short_docs_no_grams(self, spark):
+        from ursa_major_choir_etl_spark.operators import dedup as dd
+
+        train = spark.createDataFrame(
+            [(1, "too short"), (2, "")], "doc_id long, text string"
+        )
+        ev = spark.createDataFrame([(9, "too short")], "doc_id long, text string")
+        # no 4-grams exist on either side -> empty, not an error
+        assert dd.bloom_contamination(train, ev, n=4).count() == 0
+
+    def test_semantic_dedup_singleton_clusters(self, spark):
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+        )
+        assign = spark.createDataFrame(
+            [(1, 0), (2, 1)], "vec_id long, cid long"
+        )
+        assert similarity.semantic_dedup(emb, assign, threshold=0.5).count() == 0
+
+    def test_weighted_sample_n_exceeds_corpus(self, spark):
+        from ursa_major_choir_etl_spark.operators.sampling import (
+            weighted_sample_sequential_poisson,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "abc"), (2, ""), (3, "defg")], "doc_id long, text string"
+        )
+        out = weighted_sample_sequential_poisson(
+            docs, weight=F.octet_length("text"), n=10
+        ).collect()
+        # zero-weight doc excluded; the rest all sampled
+        assert {r["doc_id"] for r in out} == {1, 3}

@@ -1201,3 +1201,49 @@ class TestNewOpsEdgeCases:
         ).collect()
         # zero-weight doc excluded; the rest all sampled
         assert {r["doc_id"] for r in out} == {1, 3}
+
+
+class TestLogQuantileSketch:
+    def test_merge_identity(self, spark):
+        """Sketches merge by addition: per-part sketches summed equal
+        the whole-data sketch (the property that lets daily sketches
+        roll up without rescanning)."""
+        from ursa_major_choir_etl_spark.operators import sketches as sk
+
+        df = spark.range(1, 5001).select((F.col("id") * 7 % 9973 + 1).alias("v"))
+        a = sk.log_quantile_sketch(df.filter(F.col("v") % 2 == 0), "v")
+        b = sk.log_quantile_sketch(df.filter(F.col("v") % 2 == 1), "v")
+        merged = {
+            r["bucket_lo"]: r["cnt"]
+            for r in a.unionByName(b)
+            .groupBy("bucket_lo")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        }
+        whole = {
+            r["bucket_lo"]: r["cnt"]
+            for r in sk.log_quantile_sketch(df, "v").collect()
+        }
+        assert merged == whole
+
+    def test_estimate_within_bucket_error_bound(self, spark):
+        """est_lo <= exact disc quantile < est_lo + bucket width
+        (relative error bounded by 2^-sub_bits = 12.5%)."""
+        from ursa_major_choir_etl_spark.operators import sketches as sk
+
+        vals = [(v,) for v in range(1, 2001)]
+        df = spark.createDataFrame(vals, "v long")
+        est = {
+            r["q"]: r["est_lo"]
+            for r in sk.log_quantile_estimates(
+                sk.log_quantile_sketch(df, "v"), [0.5, 0.9, 0.99]
+            ).collect()
+        }
+        import math
+
+        n = 2000
+        for q, lo in est.items():
+            exact_disc = math.ceil(q * n)  # values are 1..2000
+            assert lo <= exact_disc
+            width = max(lo // 8, 1)
+            assert exact_disc < lo + width * 2  # lo + width upper bound, slack 1 bucket

@@ -155,7 +155,11 @@ class TestRegistrySweep:
 
     #: post-aggregation global windows over provably bounded rows
     #: (q53: one row per month after the rollup)
-    GLOBAL_WINDOW_OK = {"q53_monthly_trend"}
+    # Queries whose global window provably runs over BOUNDED rows, not
+    # the data: q53 windows one row per month; q104 windows the
+    # log-histogram BUCKETS (<= (64 - sub_bits) * 2^sub_bits rows by
+    # construction, whatever the corpus size).
+    GLOBAL_WINDOW_OK = {"q53_monthly_trend", "q104_quantile_sketch_accuracy"}
 
     def test_no_scale_antipatterns_anywhere(self, spark, registry):
         offenders = {}

@@ -135,3 +135,66 @@ def cm_estimate(
         joined.groupBy(*probes.columns)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
     )
+
+
+def log_quantile_sketch(
+    df: DataFrame, col: str, sub_bits: int = 3
+) -> DataFrame:
+    """Mergeable log-scale quantile histogram over a POSITIVE integer
+    measure: each value lands in the bucket keyed by its top
+    ``sub_bits``+1 binary digits — bucket_lo = (x >> m) << m with
+    m = max(bit_length(x) - sub_bits - 1, 0) — so buckets are
+    log-spaced with 2^sub_bits sub-buckets per octave and the bucket
+    width bounds the relative error at 2^-sub_bits (12.5% at 3).
+
+    The quantile sibling of the HLL/CMS sketches: (bucket_lo, cnt)
+    rows merge by addition, so per-partition/per-day sketches roll up
+    into any window's quantile estimate WITHOUT rescanning or
+    re-sorting the raw data — at 100 TB an exact percentile is a full
+    shuffle+sort; this is one map-side-combined groupBy over at most
+    ~(64 - sub_bits) * 2^sub_bits buckets. All integer bit arithmetic
+    (length(bin(x)) and shifts), so the sketch is bit-reproducible in
+    SQL. Rows with x < 1 are excluded (log of nothing).
+    """
+    x = F.col(col).cast("long")
+    src = (
+        df.filter(x >= 1)
+        .select(x.alias("_x"))
+        .withColumn("_m", F.greatest(F.length(F.bin(F.col("_x"))) - (sub_bits + 1), F.lit(0)))
+        .withColumn("_lo", F.expr("shiftleft(shiftright(_x, _m), _m)"))
+    )
+    return src.groupBy(F.col("_lo").alias("bucket_lo")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def log_quantile_estimates(sketch: DataFrame, qs: list[float]) -> DataFrame:
+    """Quantile estimates from a log_quantile_sketch: for each q the
+    estimate is the bucket_lo where the cumulative count first reaches
+    ceil(q * N) (disc semantics on the sketch). The window runs over
+    the BUCKETS (bounded by construction, a few hundred rows), never
+    the data. Output: (q, est_lo) per requested quantile.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket_lo").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        "bucket_lo",
+        F.sum("cnt").over(w).alias("_cum"),
+        F.sum("cnt").over(
+            Window.orderBy("bucket_lo").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    qdf = cum.crossJoin(
+        F.broadcast(
+            cum.sparkSession.createDataFrame([(q,) for q in qs], "q double")
+        )
+    )
+    thresh = F.ceil(F.col("q") * F.col("_n").cast("double")).cast("long")
+    return (
+        qdf.filter(F.col("_cum") >= thresh)
+        .groupBy("q")
+        .agg(F.min("bucket_lo").alias("est_lo"))
+    )

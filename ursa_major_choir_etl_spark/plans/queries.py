@@ -95,6 +95,7 @@ Operator coverage map (SURVEY §2 ids -> query):
   Bloom-filter decontamination .... q101 (int bit-set probe, exact FPs)
   SemDeDup semantic dedup ......... q102 (cluster-scoped cosine GEMM)
   weighted corpus sampling ........ q103 (sequential Poisson, exact)
+  mergeable quantile sketch ....... q104 (log-histogram est vs exact)
 """
 
 from __future__ import annotations
@@ -4268,6 +4269,97 @@ LIMIT {n}
 """
 
 
+_Q104_QS = [0.5, 0.9, 0.99]
+
+
+def q104_quantile_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-histogram quantile sketch (the quantile sibling
+    of HLL/q100's CMS) graded against exact percentiles: order totals
+    in integer cents land in log-spaced buckets (8 sub-buckets per
+    octave -> <= 12.5% relative error), the estimate is the bucket
+    floor where the cumulative count reaches ceil(q*N). At 100 TB the
+    sketch is one map-side-combined groupBy over a few hundred
+    buckets and merges by addition across partitions/days — an exact
+    percentile is a full sort. All bit arithmetic, so build + probe
+    replay exactly in SQL; the report pairs each estimate with the
+    exact (q29-style) percentile and the realized relative error."""
+    from ursa_major_choir_etl_spark.operators.sketches import (
+        log_quantile_estimates,
+        log_quantile_sketch,
+    )
+
+    orders = T(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    pos = orders.select(cents.alias("x")).filter(F.col("x") >= 1)
+    est = log_quantile_estimates(
+        log_quantile_sketch(pos, "x"), _Q104_QS
+    )
+    exact_row = pos.agg(
+        *[
+            F.round(F.percentile("x", F.lit(q)), 4).alias(f"_e{i}")
+            for i, q in enumerate(_Q104_QS)
+        ]
+    )
+    exact = exact_row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"), F.col(f"_e{i}").alias("exact")
+                    )
+                    for i, q in enumerate(_Q104_QS)
+                ]
+            )
+        ).alias("_s")
+    ).select("_s.q", "_s.exact")
+    return est.join(exact, "q").select(
+        "q",
+        "est_lo",
+        "exact",
+        F.round((F.col("exact") - F.col("est_lo")) / F.col("exact"), 6).alias(
+            "rel_err"
+        ),
+    )
+
+
+def _oracle_q104(sub_bits: int = 3) -> str:
+    qs = ", ".join(str(q) for q in _Q104_QS)
+    exacts = ", ".join(
+        f"round(quantile_cont(x, {q}), 4)" for q in _Q104_QS
+    )
+    return f"""
+WITH pos AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x
+  FROM orders
+  WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) >= 1
+),
+b AS (
+  SELECT x, greatest(length(bin(x)) - {sub_bits + 1}, 0) AS m FROM pos
+),
+sk AS (
+  SELECT (x >> m) << m AS bucket_lo, count(*) AS cnt FROM b GROUP BY 1
+),
+cum AS (
+  SELECT bucket_lo, sum(cnt) OVER (ORDER BY bucket_lo) AS _cum,
+         sum(cnt) OVER () AS _n
+  FROM sk
+),
+qs AS (SELECT unnest([{qs}]::DOUBLE[]) AS q),
+est AS (
+  SELECT q, min(bucket_lo) AS est_lo
+  FROM qs JOIN cum
+    ON _cum >= CAST(ceil(q * CAST(_n AS DOUBLE)) AS BIGINT)
+  GROUP BY q
+),
+ex AS (
+  SELECT unnest([{qs}]::DOUBLE[]) AS q2, unnest([{exacts}]) AS exact
+  FROM pos
+)
+SELECT q, est_lo, exact, round((exact - est_lo) / exact, 6) AS rel_err
+FROM est JOIN ex ON q2 = q
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4372,6 +4464,7 @@ QUERIES = {
     "q101_bloom_decontamination": q101_bloom_decontamination,
     "q102_semantic_dedup": q102_semantic_dedup,
     "q103_weighted_sample": q103_weighted_sample,
+    "q104_quantile_sketch_accuracy": q104_quantile_sketch_accuracy,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -4513,4 +4606,5 @@ ORACLES: dict[str, str | None] = {
     "q101_bloom_decontamination": _oracle_q101(),
     "q102_semantic_dedup": _oracle_q102(),
     "q103_weighted_sample": _oracle_q103(),
+    "q104_quantile_sketch_accuracy": _oracle_q104(),
 }

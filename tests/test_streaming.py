@@ -349,3 +349,62 @@ class TestStreamingDecontamination:
         for doc_id, _ in got:
             stream_counts[doc_id] = stream_counts.get(doc_id, 0) + 1
         assert batch_counts == stream_counts
+
+
+class TestStreamingQuantileSketch:
+    def test_store_merges_to_batch_sketch(self, spark, tmp_path_factory):
+        """Per-micro-batch sketches in the store sum to EXACTLY the
+        batch sketch of the whole data; a replayed/identical batch_id
+        write replaces rather than double-counts; re-running the
+        stream on the same checkpoint adds nothing."""
+        from ursa_major_choir_etl_spark.operators import sketches as sk
+
+        src = str(tmp_path_factory.mktemp("vals_stream"))
+        wh = str(tmp_path_factory.mktemp("sketch_wh"))
+        ckpt = str(tmp_path_factory.mktemp("sketch_ckpt"))
+
+        df = spark.range(1, 3001).select((F.col("id") * 13 % 7919 + 1).alias("v"))
+        # several files -> several micro-batches (maxFilesPerTrigger=1)
+        df.repartition(4).write.mode("overwrite").parquet(src)
+
+        stream = (
+            spark.readStream.schema("v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = jobs.streaming_quantile_sketch_sink(
+            stream, "v", wh, "v_sketch", checkpoint_dir=ckpt
+        )
+        q.awaitTermination(180)
+
+        merged = {
+            r["bucket_lo"]: r["cnt"]
+            for r in jobs.read_quantile_sketch_store(spark, wh, "v_sketch").collect()
+        }
+        whole = {
+            r["bucket_lo"]: r["cnt"]
+            for r in sk.log_quantile_sketch(df, "v").collect()
+        }
+        assert merged == whole
+
+        n_batches = (
+            spark.read.parquet(f"{wh}/v_sketch").select("batch_id").distinct().count()
+        )
+        assert n_batches >= 2  # really incremental
+
+        # same checkpoint, no new files -> no new batches, store unchanged
+        q2 = jobs.streaming_quantile_sketch_sink(
+            spark.readStream.schema("v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            "v",
+            wh,
+            "v_sketch",
+            checkpoint_dir=ckpt,
+        )
+        q2.awaitTermination(120)
+        merged2 = {
+            r["bucket_lo"]: r["cnt"]
+            for r in jobs.read_quantile_sketch_store(spark, wh, "v_sketch").collect()
+        }
+        assert merged2 == whole

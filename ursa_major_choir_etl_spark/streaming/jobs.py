@@ -343,3 +343,62 @@ def streaming_contaminated_grams(
             "leftsemi",
         )
     return probed.select(id_col, ts_col, "shingle")
+
+
+def streaming_quantile_sketch_sink(
+    stream_df: DataFrame,
+    col: str,
+    warehouse: str,
+    name: str,
+    checkpoint_dir: str | None = None,
+):
+    """Incremental quantile monitoring: each micro-batch is reduced to
+    its mergeable log-histogram sketch (operators.sketches.
+    log_quantile_sketch — a few hundred rows regardless of batch size)
+    and written to a parquet sketch store partitioned by batch_id.
+    ``read_quantile_sketch_store`` merges the store by addition, so
+    any-window percentile estimates never rescan or re-sort the raw
+    stream — the 100 TB monitoring shape.
+
+    Effectively-once under replay: an ADDITIVE merge is not naturally
+    idempotent, so the store keys rows by batch_id and each batch
+    DYNAMIC-partition-overwrites only its own partition — a replayed
+    batch replaces its previous rows instead of double-counting, and
+    the checkpoint guarantees batch ids are stable.
+    """
+
+    def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os as _os
+
+        from ursa_major_choir_etl_spark.operators.sketches import (
+            log_quantile_sketch,
+        )
+
+        (
+            log_quantile_sketch(batch_df, col)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(_os.path.join(warehouse, name))
+        )
+
+    writer = stream_df.writeStream.foreachBatch(sketch_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def read_quantile_sketch_store(spark, warehouse: str, name: str) -> DataFrame:
+    """Merged view of a streaming sketch store: per-batch sketch rows
+    sum into the corpus sketch (the additive-merge identity, tested
+    batch-side), ready for log_quantile_estimates."""
+    import os as _os
+
+    return (
+        spark.read.parquet(_os.path.join(warehouse, name))
+        .groupBy("bucket_lo")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -327,10 +327,14 @@ def connected_components(
         )
         .localCheckpoint(eager=True)
     )
+    # Seed labels with round 1 already folded in: from self-labels the
+    # first propagation round yields exactly min(node, min neighbor),
+    # which this single aggregate computes directly — one fewer
+    # join+union round through the loop for the same fixpoint (the
+    # propagation is monotone from ANY labeling >= the fixpoint).
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.col("src"), F.min("dst")).alias("component"))
         .localCheckpoint(eager=True)
     )
     # Convergence check: one cheap agg over the just-checkpointed

@@ -1247,3 +1247,69 @@ class TestLogQuantileSketch:
             assert lo <= exact_disc
             width = max(lo // 8, 1)
             assert exact_disc < lo + width * 2  # lo + width upper bound, slack 1 bucket
+
+
+class TestResizeStub:
+    def test_geometry_and_determinism(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "x" * 500), (2, "abcdef" * 100)], "doc_id long, text string"
+        )
+        blobs = multimodal.with_fake_blob(docs)
+        out = {r["doc_id"]: r for r in multimodal.resize_image_stub(blobs).collect()}
+        assert set(out) == {1, 2}
+        for r in out.values():
+            assert (r["width"], r["height"]) == (32, 32)
+            assert len(r["pixels"]) == 32 * 32
+        # deterministic byte-for-byte
+        again = {
+            r["doc_id"]: r["pixels"]
+            for r in multimodal.resize_image_stub(blobs).collect()
+        }
+        assert {k: v["pixels"] for k, v in out.items()} == again
+
+    def test_nearest_neighbor_reference(self, spark):
+        """Spot-check one payload against a numpy reference resize."""
+        import numpy as np
+
+        text = "pqrs" * 300  # n=1200 -> w=64+(1200%64)=56? compute in test
+        docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+        row = multimodal.resize_image_stub(
+            multimodal.with_fake_blob(docs), out_w=8, out_h=8
+        ).collect()[0]
+        blob = text.encode()
+        n = len(blob)
+        w, h = 64 + (n % 64), 64 + ((n // 64) % 64)
+        grid = np.resize(np.frombuffer(blob, dtype=np.uint8), h * w).reshape(h, w)
+        yi = (np.arange(8) * h) // 8
+        xi = (np.arange(8) * w) // 8
+        assert row["pixels"] == grid[np.ix_(yi, xi)].tobytes()
+
+
+class TestBloomPositionFuzz:
+    def test_positions_match_hashlib_on_random_strings(self, spark):
+        """One DataFrame, 60 random-ish strings x 3 hashes: the shared
+        SQL nibble arithmetic equals the hashlib reference everywhere
+        (unicode included)."""
+        import hashlib
+        import random
+
+        rng = random.Random(11)
+        alphabet = "abc XYZ 0123 éüß 日本語 \t'-"
+        grams = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 30)))
+            for _ in range(60)
+        ]
+        df = spark.createDataFrame([(g,) for g in grams], "shingle string")
+        sel = df.select(
+            "shingle",
+            *[
+                F.expr(dedup.bloom_position_sql(j)).alias(f"p{j}")
+                for j in range(3)
+            ],
+        )
+        for r in sel.collect():
+            for j in range(3):
+                want = int(
+                    hashlib.md5(f"{j}:{r['shingle']}".encode()).hexdigest()[:5], 16
+                )
+                assert r[f"p{j}"] == want

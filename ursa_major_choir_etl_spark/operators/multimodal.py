@@ -174,3 +174,48 @@ def frame_sample_stub(
             )
 
     return blobs.mapInPandas(sample, schema=schema)
+
+
+def resize_image_stub(
+    blobs: DataFrame,
+    out_w: int = 32,
+    out_h: int = 32,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Image-resize plumbing: nearest-neighbor downsample of each
+    payload interpreted as the fake decoder's (height x width) byte
+    grid, emitting the resized bytes plus the output geometry — the
+    thumbnail/normalize stage between decode and embed. STUB pixel
+    semantics (real pipelines call PIL/cv2 here) but the Spark shape
+    is production-real: a narrow Arrow-batched mapInPandas, one
+    numpy fancy-index per row, binary in -> binary out, no shuffle.
+    """
+    import numpy as np
+
+    schema = f"{id_col} long, width int, height int, pixels binary"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pix = [], []
+            for rid, blob in zip(pdf[id_col].values, pdf[blob_col].values):
+                n = len(blob)
+                w = 64 + (n % 64)
+                h = 64 + ((n // 64) % 64)
+                grid = np.frombuffer(blob, dtype=np.uint8)
+                # pad/trim the payload to the fake decoder's geometry
+                grid = np.resize(grid, h * w).reshape(h, w)
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                ids.append(rid)
+                pix.append(grid[np.ix_(yi, xi)].tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "width": out_w,
+                    "height": out_h,
+                    "pixels": pix,
+                }
+            )
+
+    return blobs.mapInPandas(resize, schema=schema)

@@ -408,3 +408,44 @@ class TestStreamingQuantileSketch:
             for r in jobs.read_quantile_sketch_store(spark, wh, "v_sketch").collect()
         }
         assert merged2 == whole
+
+
+class TestStreamingNearDup:
+    def test_stream_pairs_match_batch_bucketed(self, spark, tmp_path_factory):
+        """The drained ingestion alert stream (deduped across bands)
+        equals the batch banded near-dup pair set on the same data at
+        the same planes/threshold."""
+        from ursa_major_choir_etl_spark.operators import similarity as sim
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        src = str(tmp_path_factory.mktemp("vec_stream"))
+        emb.coalesce(2).write.mode("overwrite").parquet(src)
+
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = jobs.streaming_embedding_near_dup(
+            stream, emb, threshold=0.4, planes_per_band=4, n_bands=16
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("neardup_t")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (min(r["stream_id"], r["corpus_id"]), max(r["stream_id"], r["corpus_id"]))
+            for r in spark.table("neardup_t").collect()
+        }
+        want = {
+            (r["id_a"], r["id_b"])
+            for r in sim.near_duplicate_pairs_bucketed(
+                emb, threshold=0.4, planes_per_band=4, n_bands=16
+            ).collect()
+        }
+        assert want  # fixture produces pairs
+        assert got == want

@@ -402,3 +402,74 @@ def read_quantile_sketch_store(spark, warehouse: str, name: str) -> DataFrame:
         .groupBy("bucket_lo")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def streaming_embedding_near_dup(
+    stream_vecs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes_per_band: int = 4,
+    n_bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate detection AT INGESTION: each arriving embedding
+    is sign-LSH banded (the deterministic integer planes shared with
+    q24/q76) and probes the STATIC corpus's bucket index; candidates
+    sharing a band bucket get an exact JVM cosine and matches above
+    the threshold are emitted as (stream_id, corpus_id, cosine_sim).
+
+    Stateless end to end: banding is an Arrow-batched narrow map
+    (mapInPandas runs fine on streaming DataFrames), the probe is a
+    stream-static equi-join on (band, key), and the verify is a
+    column expression — no state store, no watermark. A pair that
+    collides in several bands is emitted once per band (dedup is a
+    downstream choice: exact dedup needs cross-batch state, which
+    this alert stream deliberately avoids); self-matches are dropped.
+    """
+    from ursa_major_choir_etl_spark.operators.similarity import (
+        banded_signatures,
+        cosine,
+    )
+
+    index = banded_signatures(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        planes_per_band=planes_per_band,
+        n_bands=n_bands,
+        seed=seed,
+    ).select(
+        F.col("_id").alias("_cid"),
+        F.col("_v").alias("_cv"),
+        F.col("_band").alias("_cband"),
+        F.col("_key").alias("_ckey"),
+    )
+    probes = banded_signatures(
+        stream_vecs,
+        id_col=id_col,
+        vec_col=vec_col,
+        planes_per_band=planes_per_band,
+        n_bands=n_bands,
+        seed=seed,
+    )
+    # NO hard broadcast hint: the bucket index scales with the corpus
+    # (growth-class — the round-5 lesson); Spark's size threshold
+    # broadcasts it while small and falls back to a shuffle join per
+    # micro-batch when it isn't.
+    return (
+        probes.join(
+            index,
+            (F.col("_band") == F.col("_cband"))
+            & (F.col("_key") == F.col("_ckey"))
+            & (F.col("_id") != F.col("_cid")),
+        )
+        .withColumn("cosine_sim", F.round(cosine(F.col("_v"), F.col("_cv")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select(
+            F.col("_id").alias("stream_id"),
+            F.col("_cid").alias("corpus_id"),
+            "cosine_sim",
+        )
+    )

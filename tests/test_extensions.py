@@ -1313,3 +1313,58 @@ class TestBloomPositionFuzz:
                     hashlib.md5(f"{j}:{r['shingle']}".encode()).hexdigest()[:5], 16
                 )
                 assert r[f"p{j}"] == want
+
+
+class TestDuplicateSpans:
+    def test_shared_substring_produces_merged_span(self, spark):
+        """Copies at DIFFERENT offsets (5 vs 8 — not congruent mod any
+        stride > 1) are still found at stride=1, covering exactly the
+        shared region; a unique-content doc emits nothing."""
+        import random
+
+        rng = random.Random(3)
+        uniq = lambda n: "".join(rng.choice("abcdefghijklmnop") for _ in range(n))
+        shared = "the quick brown fox jumps over the lazy dog again and again"
+        pre1, pre2 = "AAAA ", "CCCCCCC "
+        docs = spark.createDataFrame(
+            [
+                (1, pre1 + shared + " " + uniq(50)),
+                (2, pre2 + shared + " " + uniq(50)),
+                (3, uniq(120)),  # unique content -> no spans
+            ],
+            "doc_id long, text string",
+        )
+        out = dedup.duplicate_spans(docs, k=20, stride=1)
+        spans = {}
+        for r in out.collect():
+            spans.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"], r["n_grams"])
+            )
+        assert 3 not in spans
+        assert set(spans) == {1, 2}
+        for d, pre in ((1, pre1), (2, pre2)):
+            assert len(spans[d]) == 1
+            s, e, n = spans[d][0]
+            # the true maximal shared substring is ' ' + shared + ' '
+            # (both prefixes end in a space and both suffixes start
+            # with one) — the span covers exactly that region
+            assert s == len(pre) - 1
+            assert e == len(pre) + len(shared) + 1
+            assert n == (len(shared) + 2) - 20 + 1
+
+    def test_within_doc_repeat_detected(self, spark):
+        block = "abcdefghij" * 4  # 40 chars
+        docs = spark.createDataFrame(
+            [(7, block + "-" * 30 + block)], "doc_id long, text string"
+        )
+        out = dedup.duplicate_spans(docs, k=40, stride=10).collect()
+        # the two copies of the block share 40-gram hashes at aligned
+        # strides -> at least one duplicated span reported
+        assert out and all(r["doc_id"] == 7 for r in out)
+
+    def test_span_bounds_clamped(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "pqr" * 20), (2, "pqr" * 20)], "doc_id long, text string"
+        )
+        for r in dedup.duplicate_spans(docs, k=40, stride=10).collect():
+            assert 0 <= r["span_start"] < r["span_end"] <= 60

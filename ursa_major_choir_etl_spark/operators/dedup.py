@@ -748,3 +748,80 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         *[F.when(F.col(f"v_{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(32)]
     )
     return agg.select(F.col(id_col), bits.alias("simhash"))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 40,
+    stride: int = 1,
+) -> DataFrame:
+    """Exact duplicated-substring SPANS (the Lee et al. 'Deduplicating
+    Training Data Makes Language Models Better' shape): every char
+    k-gram is hashed; a gram whose hash occurs anywhere else in the
+    corpus marks its position duplicated, and per-doc runs of
+    duplicated positions merge into maximal spans — the actionable
+    output (cut THESE char ranges), vs q88's winnowing which reports
+    document-pair overlap.
+
+    Scale shape: the duplicate test is one md5-groupBy COUNT (map-side
+    combined, one shuffle keyed on the hash) joined back — no pair
+    join, no quadratic term, no df cap needed. The island merge is a
+    lag window PARTITIONED BY doc (never global).
+
+    ``stride`` > 1 cuts the k-fold data amplification (the reason the
+    paper reaches for suffix arrays at their scale) but ONLY detects
+    copies whose offsets are congruent mod stride — near-useless for
+    cross-doc duplicates. Keep stride=1 for the exact semantics and
+    use winnowing (fingerprint_overlap_pairs) when sampling is needed:
+    its window-minimum anchors are content-defined, so they land at
+    the SAME text positions in both copies regardless of alignment.
+
+    Output: (id, span_start, span_end, n_grams) — 0-based start,
+    exclusive end, clamped to the doc length.
+    """
+    from pyspark.sql import Window
+
+    x = F.col(text_col)
+    grams = (
+        widen_if_narrow(df)
+        .select(F.col(id_col), x.alias("_t"))
+        .filter(F.length("_t") >= k)
+        .select(
+            F.col(id_col),
+            F.length("_t").alias("_len"),
+            F.explode(
+                F.sequence(F.lit(0), F.length("_t") - k, F.lit(stride))
+            ).alias("pos"),
+            F.col("_t"),
+        )
+        .select(
+            F.col(id_col),
+            "_len",
+            "pos",
+            F.md5(F.expr(f"substring(_t, pos + 1, {k})")).alias("_h"),
+        )
+    )
+    counts = grams.groupBy("_h").agg(F.count(F.lit(1)).alias("_n"))
+    dup_pos = (
+        grams.join(counts.filter(F.col("_n") >= 2), "_h")
+        .select(F.col(id_col), "_len", "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        dup_pos.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > k),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(w))
+    )
+    return islands.groupBy(F.col(id_col), F.col("_isl")).agg(
+        F.min("pos").alias("span_start"),
+        F.least(F.max("pos") + k, F.max("_len")).alias("span_end"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).drop("_isl")

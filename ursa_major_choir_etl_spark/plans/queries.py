@@ -96,6 +96,7 @@ Operator coverage map (SURVEY §2 ids -> query):
   SemDeDup semantic dedup ......... q102 (cluster-scoped cosine GEMM)
   weighted corpus sampling ........ q103 (sequential Poisson, exact)
   mergeable quantile sketch ....... q104 (log-histogram est vs exact)
+  exact duplicated-substring spans  q105 (Lee et al. substring dedup)
 """
 
 from __future__ import annotations
@@ -4360,6 +4361,49 @@ FROM est JOIN ex ON q2 = q
 """
 
 
+def q105_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. substring dedup):
+    strided char 40-gram hashes, corpus-wide count>=2 marks a position
+    duplicated, per-doc islands merge into maximal (start, end) spans
+    — the actionable 'cut these ranges' output, vs q88's winnowing
+    which reports document-pair overlap. One md5-count shuffle + a
+    per-doc window; no pair join anywhere — stride=1 keeps the exact
+    any-alignment semantics (see the operator docstring on why
+    sampling strides break cross-doc recall)."""
+    return dedup.duplicate_spans(
+        T(spark, sf_dir, "documents"), k=40, stride=1
+    )
+
+
+def _oracle_q105(k: int = 40, stride: int = 1) -> str:
+    return f"""
+WITH g AS (
+  SELECT doc_id, length(text) AS _len,
+         unnest(range(0, length(text) - {k} + 1, {stride})) AS pos, text
+  FROM documents WHERE length(text) >= {k}
+),
+h AS (
+  SELECT doc_id, _len, pos, md5(substring(text, pos + 1, {k})) AS _h FROM g
+),
+c AS (SELECT _h FROM h GROUP BY _h HAVING count(*) >= 2),
+d AS (SELECT doc_id, _len, pos FROM h JOIN c USING (_h)),
+i AS (
+  SELECT doc_id, _len, pos,
+         sum(CASE WHEN prev IS NULL OR pos - prev > {k} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM (
+    SELECT doc_id, _len, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM d
+  )
+)
+SELECT doc_id, min(pos) AS span_start,
+       least(max(pos) + {k}, max(_len)) AS span_end,
+       count(*) AS n_grams
+FROM i GROUP BY doc_id, isl
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4465,6 +4509,7 @@ QUERIES = {
     "q102_semantic_dedup": q102_semantic_dedup,
     "q103_weighted_sample": q103_weighted_sample,
     "q104_quantile_sketch_accuracy": q104_quantile_sketch_accuracy,
+    "q105_duplicate_spans": q105_duplicate_spans,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -4607,4 +4652,5 @@ ORACLES: dict[str, str | None] = {
     "q102_semantic_dedup": _oracle_q102(),
     "q103_weighted_sample": _oracle_q103(),
     "q104_quantile_sketch_accuracy": _oracle_q104(),
+    "q105_duplicate_spans": _oracle_q105(),
 }

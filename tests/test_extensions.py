@@ -1368,3 +1368,105 @@ class TestDuplicateSpans:
         )
         for r in dedup.duplicate_spans(docs, k=40, stride=10).collect():
             assert 0 <= r["span_start"] < r["span_end"] <= 60
+
+
+class TestDuplicateSpansBruteForce:
+    def test_random_corpus_matches_python_mirror(self, spark):
+        """30 random docs (with planted shared blocks and repeats):
+        duplicate_spans equals an exact pure-Python recomputation of
+        duplicated k-gram positions + island merge."""
+        import random
+
+        rng = random.Random(23)
+        k, alphabet = 12, "abcd "
+        blocks = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(15, 40)))
+            for _ in range(5)
+        ]
+
+        def make_doc():
+            parts = []
+            for _ in range(rng.randrange(2, 5)):
+                if rng.random() < 0.5:
+                    parts.append(rng.choice(blocks))  # planted duplicate
+                else:
+                    parts.append(
+                        "".join(
+                            rng.choice(alphabet)
+                            for _ in range(rng.randrange(10, 50))
+                        )
+                    )
+            return "".join(parts)
+
+        docs = [(i, make_doc()) for i in range(30)]
+
+        # python mirror
+        from collections import Counter
+
+        counts = Counter()
+        for _, t in docs:
+            for p in range(len(t) - k + 1):
+                counts[t[p : p + k]] += 1
+        want = set()
+        for did, t in docs:
+            dup = [
+                p
+                for p in range(len(t) - k + 1)
+                if counts[t[p : p + k]] >= 2
+            ]
+            if not dup:
+                continue
+            start, prev, n = dup[0], dup[0], 1
+            for p in dup[1:]:
+                if p - prev > k:
+                    want.add((did, start, min(prev + k, len(t)), n))
+                    start, n = p, 0
+                prev = p
+                n += 1
+            want.add((did, start, min(prev + k, len(t)), n))
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+            for r in dedup.duplicate_spans(df, k=k, stride=1).collect()
+        }
+        assert want  # planted duplicates really exist
+        assert got == want
+
+
+class TestRemoveSpans:
+    def test_cuts_match_python_slicing(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "0123456789abcdefghij"), (2, "untouched text here")],
+            "doc_id long, text string",
+        )
+        spans = spark.createDataFrame(
+            [(1, 2, 5, 1), (1, 10, 14, 1)],
+            "doc_id long, span_start int, span_end int, n_grams int",
+        )
+        out = {
+            r["doc_id"]: r["text"]
+            for r in dedup.remove_spans(docs, spans).collect()
+        }
+        src = "0123456789abcdefghij"
+        assert out[1] == src[:2] + src[5:10] + src[14:]
+        assert out[2] == "untouched text here"
+
+    def test_composes_with_duplicate_spans(self, spark):
+        """End-to-end: detect duplicated substrings, cut them, and the
+        planted shared block is gone from every doc."""
+        import random
+
+        rng = random.Random(5)
+        uniq = lambda n: "".join(rng.choice("xyzvw") for _ in range(n))
+        block = "SHARED-BLOCK-" * 4
+        docs = spark.createDataFrame(
+            [(1, uniq(30) + block + uniq(30)), (2, block + uniq(40))],
+            "doc_id long, text string",
+        )
+        spans = dedup.duplicate_spans(docs, k=20, stride=1)
+        cleaned = {
+            r["doc_id"]: r["text"]
+            for r in dedup.remove_spans(docs, spans).collect()
+        }
+        assert all("SHARED-BLOCK-" not in t for t in cleaned.values())

@@ -97,6 +97,7 @@ Operator coverage map (SURVEY §2 ids -> query):
   weighted corpus sampling ........ q103 (sequential Poisson, exact)
   mergeable quantile sketch ....... q104 (log-histogram est vs exact)
   exact duplicated-substring spans  q105 (Lee et al. substring dedup)
+  substring-dedup attrition report  q106 (per-doc cut impact, q105+join)
 """
 
 from __future__ import annotations
@@ -4404,6 +4405,53 @@ FROM i GROUP BY doc_id, isl
 """
 
 
+def q106_dedup_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What substring dedup would DO to the corpus: per document, the
+    original length, how many duplicated spans q105 finds, the chars
+    they cover, and the post-cut length — the attrition report a
+    curation run reviews before actually cutting (dedup.remove_spans
+    executes the decisions). Every doc appears, clean docs with
+    zeros."""
+    docs = T(spark, sf_dir, "documents")
+    spans = dedup.duplicate_spans(docs, k=40, stride=1)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("removed_chars"),
+    )
+    return (
+        docs.select("doc_id", F.length("text").alias("orig_len"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "orig_len",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("removed_chars", F.lit(0)).cast("long").alias(
+                "removed_chars"
+            ),
+            (
+                F.col("orig_len")
+                - F.coalesce("removed_chars", F.lit(0))
+            ).cast("long").alias("cleaned_len"),
+        )
+    )
+
+
+def _oracle_q106() -> str:
+    return f"""
+WITH spans AS ({_oracle_q105()}),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_spans,
+         CAST(sum(span_end - span_start) AS BIGINT) AS removed_chars
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id, length(d.text) AS orig_len,
+       coalesce(p.n_spans, 0) AS n_spans,
+       coalesce(p.removed_chars, 0) AS removed_chars,
+       length(d.text) - coalesce(p.removed_chars, 0) AS cleaned_len
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4510,6 +4558,7 @@ QUERIES = {
     "q103_weighted_sample": q103_weighted_sample,
     "q104_quantile_sketch_accuracy": q104_quantile_sketch_accuracy,
     "q105_duplicate_spans": q105_duplicate_spans,
+    "q106_dedup_attrition": q106_dedup_attrition,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -4653,4 +4702,5 @@ ORACLES: dict[str, str | None] = {
     "q103_weighted_sample": _oracle_q103(),
     "q104_quantile_sketch_accuracy": _oracle_q104(),
     "q105_duplicate_spans": _oracle_q105(),
+    "q106_dedup_attrition": _oracle_q106(),
 }

@@ -803,6 +803,12 @@ def duplicate_spans(
             F.md5(F.expr(f"substring(_t, pos + 1, {k})")).alias("_h"),
         )
     )
+    # Two consumers (the count and the probe join) — persist so the
+    # k-fold gram explode + md5 chain runs once, same staging-table
+    # pattern as jaccard_pairs / bloom_contamination.
+    from pyspark import StorageLevel
+
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     counts = grams.groupBy("_h").agg(F.count(F.lit(1)).alias("_n"))
     dup_pos = (
         grams.join(counts.filter(F.col("_n") >= 2), "_h")

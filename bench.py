@@ -39,6 +39,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    from ursa_major_choir_etl_spark.caching import release_staged
     from ursa_major_choir_etl_spark.plans.queries import QUERIES
     from ursa_major_choir_etl_spark.session import get_spark
 
@@ -77,6 +78,7 @@ def main() -> None:
             except Exception:
                 pass  # warm-up is best-effort; the timed run reports errors
             try:
+                release_staged()
                 spark.catalog.clearCache()
                 for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
                     jrdd.unpersist(False)
@@ -110,6 +112,7 @@ def main() -> None:
         # linger until the nondeterministic ContextCleaner runs —
         # the source of intermittent multi-second spikes mid-suite.
         try:
+            release_staged()
             spark.catalog.clearCache()
             for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
                 jrdd.unpersist(False)

@@ -1470,3 +1470,123 @@ class TestRemoveSpans:
             for r in dedup.remove_spans(docs, spans).collect()
         }
         assert all("SHARED-BLOCK-" not in t for t in cleaned.values())
+
+
+class TestRound7AdviceFixes:
+    """Round-6 ADVICE items: fractional sampling weights, quantized
+    semantic-dedup threshold, oracle-independent Bloom positions, and
+    released staging persists."""
+
+    def test_weighted_sample_fractional_weights_kept(self, spark):
+        """Weights in (0, 1) participate proportionally — an earlier
+        revision cast to long, truncating them to 0 and silently
+        excluding the docs."""
+        from ursa_major_choir_etl_spark.operators.sampling import (
+            weighted_sample_sequential_poisson,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, 0.5), (2, 0.25), (3, 400000.0)], "doc_id long, w double"
+        )
+        out = weighted_sample_sequential_poisson(
+            docs, weight=F.col("w"), n=3, id_col="doc_id"
+        ).collect()
+        assert {r["doc_id"] for r in out} == {1, 2, 3}
+        # huge weight => smallest key => sampled first
+        assert out[0]["doc_id"] == 3
+
+    def test_bloom_position_duckdb_independence(self, spark):
+        """The oracle-side hex-cast derivation equals the operator's
+        instr-arithmetic derivation for every probed value — in DuckDB
+        (both expressions) and vs Spark's evaluation of the operator
+        expression."""
+        import duckdb
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            _bloom_position_duckdb,
+        )
+
+        con = duckdb.connect()
+        for j in (0, 1, 7):
+            op = dedup.bloom_position_sql(j, "s", 5)
+            orc = _bloom_position_duckdb(j, "s", 5)
+            n_bad = con.execute(
+                "SELECT count(*) FROM (SELECT CAST(range AS VARCHAR) s "
+                f"FROM range(2000)) WHERE ({op}) <> ({orc})"
+            ).fetchone()[0]
+            assert n_bad == 0
+        # Spark evaluates the operator text to the same values
+        spark_vals = [
+            r["p"]
+            for r in spark.range(50)
+            .select(F.expr(dedup.bloom_position_sql(3, "CAST(id AS STRING)")).alias("p"))
+            .collect()
+        ]
+        duck_vals = [
+            r[0]
+            for r in con.execute(
+                "SELECT "
+                + _bloom_position_duckdb(3, "CAST(range AS VARCHAR)")
+                + " FROM range(50)"
+            ).fetchall()
+        ]
+        assert spark_vals == duck_vals
+
+    def test_semantic_dedup_thresholds_on_quantized_cosine(self, spark):
+        """A pair whose raw GEMM cosine rounds DOWN across the
+        threshold at 6dp must be excluded: both engines compare
+        round(cos, 6) >= threshold, so the quantized value is the
+        contract."""
+        import numpy as np
+
+        # cos = 0.2999999 < 0.3 after 6dp rounding (0.3 raw-adjacent)
+        a = [1.0, 0.0]
+        c = 0.29999949
+        b = [c, float(np.sqrt(1 - c * c))]
+        emb = spark.createDataFrame(
+            [(1, a), (2, b)], "vec_id long, embedding array<double>"
+        )
+        assign = spark.createDataFrame([(1, 0), (2, 0)], "vec_id long, cid long")
+        assert similarity.semantic_dedup(emb, assign, threshold=0.3).count() == 0
+        # and one safely above the boundary is kept
+        c2 = 0.3000005
+        b2 = [c2, float(np.sqrt(1 - c2 * c2))]
+        emb2 = spark.createDataFrame(
+            [(1, a), (2, b2)], "vec_id long, embedding array<double>"
+        )
+        out = similarity.semantic_dedup(emb2, assign, threshold=0.3).collect()
+        assert len(out) == 1 and out[0]["drop_id"] == 2
+
+    def test_release_staged_unpersists(self, spark):
+        """Operators that persist staging tables register them; after
+        the consuming action, release_staged() frees every block so a
+        long-lived session doesn't accumulate cache for its lifetime
+        (round-6 ADVICE)."""
+        from ursa_major_choir_etl_spark.caching import release_staged
+
+        release_staged()  # clean slate from earlier tests
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta epsilon zeta {i}") for i in range(20)],
+            "doc_id long, text string",
+        )
+        sh = dedup.word_shingles(docs, n=3)
+        sigs = dedup.minhash_signatures(sh, num_hashes=8)
+        sigs.count()  # materialize => the staged shingles are cached
+        n_cached = len(spark.sparkContext._jsc.getPersistentRDDs())
+        assert n_cached >= 1
+        assert release_staged(blocking=True) >= 1
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+    def test_bloom_contamination_has_no_persist(self, spark):
+        """bloom_contamination and duplicate_spans were restructured to
+        single-consumer plans: nothing persisted, nothing leaked."""
+        docs = spark.createDataFrame(
+            [(i, f"one two three four five six seven {i}") for i in range(10)],
+            "doc_id long, text string",
+        )
+        spark.catalog.clearCache()
+        dedup.bloom_contamination(
+            docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1"), n=4
+        ).count()
+        dedup.duplicate_spans(docs, k=10).count()
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0

@@ -108,9 +108,9 @@ def minhash_signatures(
     join probe side); persisting it runs the shingle-generation
     expression chain once instead of twice.
     """
-    from pyspark import StorageLevel
+    from ursa_major_choir_etl_spark.caching import stage
 
-    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
+    shingles = stage(shingles)
     hashed = shingles.select("shingle").distinct().select(
         "shingle",
         *[
@@ -133,12 +133,13 @@ def lsh_candidate_pairs(
     """Banded LSH: docs agreeing on ALL rows of any band become a
     candidate pair (id_a < id_b). One narrow explode + one equi-join
     per plan — the 100 TB path (no all-pairs comparison)."""
-    from pyspark import StorageLevel
+    from ursa_major_choir_etl_spark.caching import stage
 
     # The banded index is both sides of the self-join below; persist so
     # the signature pipeline (shingle + k md5 mins) runs once, not twice.
-    # Size: docs x bands rows — small relative to the corpus.
-    signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
+    # Size: docs x bands rows — small relative to the corpus. Tracked
+    # via caching.stage so callers can release after materializing.
+    signatures = stage(signatures)
     rows_per_band = num_hashes // bands
     band_cols = [
         F.concat_ws(
@@ -249,15 +250,8 @@ def bloom_contamination(
     probe side's cost is unchanged (k md5s per distinct gram either
     way) and the bit set stays ~k x distinct-eval-grams ints.
     """
-    from pyspark import StorageLevel
-
-    # Two consumers (the probe and the per-doc gram totals) — persist
-    # the train shingle set so the normalize+shingle scan runs once,
-    # same staging-table pattern as jaccard_pairs.
-    t_sh = (
-        word_shingles(train, id_col=id_col, text_col=text_col, n=n)
-        .select(F.col(id_col).alias("train_id"), "shingle")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    t_sh = word_shingles(train, id_col=id_col, text_col=text_col, n=n).select(
+        F.col(id_col).alias("train_id"), "shingle"
     )
     e_sh = word_shingles(eval_set, id_col=id_col, text_col=text_col, n=n).select(
         "shingle"
@@ -267,21 +261,28 @@ def bloom_contamination(
     )
     bits = e_sh.select(F.explode(pos_arr).alias("pos")).distinct()
     probe = t_sh.select("train_id", "shingle", F.explode(pos_arr).alias("pos"))
-    # A gram is flagged iff all k probes hit set bits. count(*), not
-    # count(distinct): if two hashes of one gram collide on a position,
-    # the probe side carries that row twice and both match — the row
-    # count per (doc, gram) is k exactly when every probe hit.
-    flagged = (
-        probe.join(bits, "pos")
+    # ONE pass over the train grams: LEFT join against the bit set
+    # keeps every probe row, so the same stream yields both the hit
+    # counts and the per-doc gram totals — no second consumer, no
+    # persist to leak (round-6 ADVICE: the old two-consumer layout
+    # cached the shingle stage for the session lifetime). A gram is
+    # flagged iff all k probes hit set bits. count of hits, not
+    # count(distinct): if two hashes of one gram collide on a
+    # position, the probe side carries that row twice and both match
+    # — the hit count per (doc, gram) is k exactly when every probe
+    # hit. The bit set stays a compact int table AQE can broadcast.
+    per_gram = (
+        probe.join(bits.withColumn("_hit", F.lit(1)), "pos", "left")
         .groupBy("train_id", "shingle")
-        .agg(F.count(F.lit(1)).alias("_n_hit"))
-        .filter(F.col("_n_hit") == k_hashes)
+        .agg((F.count("_hit") == k_hashes).cast("int").alias("_flagged"))
     )
-    sizes = t_sh.groupBy("train_id").agg(F.count(F.lit(1)).alias("n_grams"))
     return (
-        flagged.groupBy("train_id")
-        .agg(F.count(F.lit(1)).alias("n_flagged"))
-        .join(sizes, "train_id")
+        per_gram.groupBy("train_id")
+        .agg(
+            F.sum("_flagged").alias("n_flagged"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .filter(F.col("n_flagged") >= 1)
         .select(
             "train_id",
             "n_flagged",
@@ -496,14 +497,14 @@ def jaccard_pairs(
     intermediate is corpus-token-sized, the natural staging table for
     this workload at any scale.
     """
-    from pyspark import StorageLevel
+    from ursa_major_choir_etl_spark.caching import stage
 
     # One shuffle: per-doc sorted shingle array; every branch below
-    # reuses this (persisted, spills to disk if needed).
-    doc_arrays = (
+    # reuses this (persisted, spills to disk if needed; tracked via
+    # caching.stage so callers can release after materializing).
+    doc_arrays = stage(
         shingles.groupBy(id_col)
         .agg(F.sort_array(F.collect_list("shingle")).alias("_sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = doc_arrays.select(
         F.col(id_col), F.size("_sh").alias("n_shingles")
@@ -699,9 +700,9 @@ def fingerprint_overlap_pairs(
 
     Output: (id_a, id_b, n_shared) with id_a < id_b.
     """
-    from pyspark import StorageLevel
+    from ursa_major_choir_etl_spark.caching import stage
 
-    fingerprints = fingerprints.persist(StorageLevel.MEMORY_AND_DISK)
+    fingerprints = stage(fingerprints)
     freq = fingerprints.groupBy("fingerprint").agg(F.count("*").alias("df"))
     rare = fingerprints.join(
         freq.filter(F.col("df") <= hot_fp_cap), on="fingerprint"
@@ -803,15 +804,18 @@ def duplicate_spans(
             F.md5(F.expr(f"substring(_t, pos + 1, {k})")).alias("_h"),
         )
     )
-    # Two consumers (the count and the probe join) — persist so the
-    # k-fold gram explode + md5 chain runs once, same staging-table
-    # pattern as jaccard_pairs / bloom_contamination.
-    from pyspark import StorageLevel
-
-    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
-    counts = grams.groupBy("_h").agg(F.count(F.lit(1)).alias("_n"))
+    # The duplicate test is a WINDOW count over the hash — one shuffle
+    # keyed on _h, no aggregate+self-join, and crucially no persisted
+    # staging table (round-6 ADVICE: the old two-consumer layout cached
+    # the k-fold gram explode for the session lifetime). A hash
+    # partition holds every occurrence of its grams, so the unordered
+    # whole-partition count is exact; heavily-duplicated grams are the
+    # hot keys either way, and here they cost one window partition
+    # instead of a skewed join.
+    wh = Window.partitionBy("_h")
     dup_pos = (
-        grams.join(counts.filter(F.col("_n") >= 2), "_h")
+        grams.withColumn("_n", F.count(F.lit(1)).over(wh))
+        .filter(F.col("_n") >= 2)
         .select(F.col(id_col), "_len", "pos")
     )
     w = Window.partitionBy(id_col).orderBy("pos")

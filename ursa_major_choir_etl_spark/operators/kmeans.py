@@ -52,14 +52,16 @@ def _lloyd_rounds(
     stats query (kmeans_lloyd_integer) and the semantic-dedup
     assignment consumer (kmeans_assignments_integer) replay the exact
     same deterministic rounds, so their SQL oracles share CTEs too."""
-    from pyspark import StorageLevel
+    from ursa_major_choir_etl_spark.caching import stage
 
-    xi_df = emb.select(
-        F.col(id_col),
-        F.transform(
-            vec_col, lambda x: F.round(x.cast("double") * scale, 0).cast("long")
-        ).alias("_xi"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    xi_df = stage(
+        emb.select(
+            F.col(id_col),
+            F.transform(
+                vec_col, lambda x: F.round(x.cast("double") * scale, 0).cast("long")
+            ).alias("_xi"),
+        )
+    )
 
     seed_rows = xi_df.orderBy(id_col).limit(k).collect()
     cents: list[tuple[int, list[int]]] = [

@@ -81,6 +81,14 @@ def weighted_sample_sequential_poisson(
     sort, no shuffle of the corpus. Rows with weight <= 0 are excluded
     (they'd sort first and hijack the sample).
 
+    Weights are kept as DOUBLE — fractional weights in (0, 1) keep
+    their proportionality (an earlier revision cast to long, which
+    silently truncated them to 0 and excluded them). For a SQL value
+    oracle the weight EXPRESSION must itself be engine-portable (an
+    integer-valued or otherwise exactly-representable computation,
+    e.g. octet_length); the u/weight key is then one IEEE division,
+    bit-identical in any engine.
+
     Output: (id, weight, sample_key), ascending by key.
     """
     from ursa_major_choir_etl_spark.operators.dedup import bloom_position_sql
@@ -88,7 +96,7 @@ def weighted_sample_sequential_poisson(
     m = 16**nibbles
     pos = F.expr(bloom_position_sql(seed, f"CAST({id_col} AS STRING)", nibbles))
     u = (pos + F.lit(0.5)) / F.lit(float(m))
-    w = weight.cast("long")
+    w = weight.cast("double")
     return (
         df.filter(w > 0)  # before the division: ANSI mode errors on /0
         .select(

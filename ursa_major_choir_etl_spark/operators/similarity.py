@@ -464,7 +464,14 @@ def semantic_dedup(
             return empty
         ids = pdf["_id"].to_numpy(dtype=np.int64)
         mat = np.array(list(pdf["_v"]), dtype=np.float64)
-        sims = _cosine_matrix(mat, mat)
+        # Threshold on the 6dp-QUANTIZED cosine, not the raw GEMM value:
+        # BLAS dot-sum association differs from a sequential fold, so a
+        # raw `sims >= threshold` could disagree with a SQL replay for a
+        # pair within ~1 ulp of the threshold. Quantizing first shrinks
+        # the disagreement window to the (measure-zero-ish) half-boundary
+        # of the 6th decimal, and the oracle applies the same
+        # round-then-compare on its side.
+        sims = np.round(_cosine_matrix(mat, mat), 6)
         li, ri = np.nonzero(sims >= threshold)
         keep = ids[li] < ids[ri]  # ordered pairs, drops the diagonal
         return pd.DataFrame(
@@ -472,7 +479,7 @@ def semantic_dedup(
                 "cid": np.full(int(keep.sum()), pdf["cid"].iat[0], dtype=np.int64),
                 "id_a": ids[li][keep],
                 "id_b": ids[ri][keep],
-                "cosine_sim": np.round(sims[li, ri][keep], 6),
+                "cosine_sim": sims[li, ri][keep],
             }
         )
 

@@ -4159,15 +4159,29 @@ def q101_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_q101(k_hashes: int = 3, nibbles: int = 5) -> str:
-    """Exact replay of the Bloom build + probe: the bit-position
-    expressions are the SAME SQL text the Spark operator evaluates
-    (dedup.bloom_position_sql), so set bits, probe hits, and the
-    deterministic false positives all reproduce bit-for-bit."""
-    from ursa_major_choir_etl_spark.operators.dedup import bloom_position_sql
+def _bloom_position_duckdb(j: int, col: str = "shingle", nibbles: int = 5) -> str:
+    """ORACLE-SIDE recomputation of ``dedup.bloom_position_sql``'s bit
+    position by a DIFFERENT mechanism: DuckDB's hex-literal string
+    cast ('0x' || hex)::BIGINT parses the first ``nibbles`` hex chars
+    of the md5 directly, where the operator assembles the same value
+    with per-nibble instr() arithmetic. Same mathematical result,
+    independently derived expression text — a bug in the shared
+    generator can no longer hide on both sides of the q101/q103
+    comparison (round-6 ADVICE, medium). Cross-checked against the
+    operator expression nibble-for-nibble in
+    tests/test_dedup.py::test_bloom_position_duckdb_independence."""
+    return f"CAST(('0x' || substr(md5('{j}:' || {col}), 1, {nibbles})) AS BIGINT)"
 
+
+def _oracle_q101(k_hashes: int = 3, nibbles: int = 5) -> str:
+    """Exact replay of the Bloom build + probe. The bit positions are
+    recomputed by an INDEPENDENT DuckDB expression
+    (``_bloom_position_duckdb``) rather than reusing the operator's
+    own SQL text, so set bits, probe hits, and the deterministic
+    false positives reproduce bit-for-bit only if both derivations
+    agree."""
     pos_list = ", ".join(
-        bloom_position_sql(j, "shingle", nibbles) for j in range(k_hashes)
+        _bloom_position_duckdb(j, "shingle", nibbles) for j in range(k_hashes)
     )
     return f"""
 WITH {osql.shingles_cte_sql(4)},
@@ -4218,19 +4232,22 @@ def q102_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_q102(k: int = 8, iters: int = 2, threshold: float = 0.3) -> str:
     """Replays the deterministic Lloyd rounds (shared CTEs with q90),
     restricts exact-cosine pairs to same-cluster id_a < id_b, filters
-    at the threshold on the UNROUNDED value (as the operator does),
-    then aggregates the per-drop decision."""
+    at the threshold on the 6dp-QUANTIZED cosine — the operator rounds
+    before its threshold test too, so both engines compare the same
+    quantized value and cross-engine dot-sum association can't flip a
+    threshold-adjacent pair — then aggregates the per-drop decision."""
     return f"""
 WITH {_kmeans_cte_sql(k, iters, _EMB_DIMS)},
 pairs AS (
-  SELECT x.cid, x.vec_id AS id_a, y.vec_id AS id_b, {_COS_AB} AS cs
+  SELECT x.cid, x.vec_id AS id_a, y.vec_id AS id_b,
+         round({_COS_AB}, 6) AS cs
   FROM a_{iters - 1} x
   JOIN a_{iters - 1} y ON y.cid = x.cid AND x.vec_id < y.vec_id
   JOIN embeddings a ON a.vec_id = x.vec_id
   JOIN embeddings b ON b.vec_id = y.vec_id
 )
 SELECT cid, id_b AS drop_id, min(id_a) AS keep_id,
-       count(*) AS n_dups, max(round(cs, 6)) AS max_sim
+       count(*) AS n_dups, max(cs) AS max_sim
 FROM pairs
 WHERE cs >= {threshold}
 GROUP BY cid, id_b
@@ -4254,15 +4271,16 @@ def q103_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_q103(n: int = 200, seed: int = 0, nibbles: int = 5) -> str:
-    from ursa_major_choir_etl_spark.operators.dedup import bloom_position_sql
-
-    pos = bloom_position_sql(seed, "CAST(doc_id AS STRING)", nibbles)
+    """Weighted-sample replay; the md5-nibble uniform is recomputed
+    via the independent hex-cast derivation (see _bloom_position_duckdb)
+    instead of the operator's instr()-arithmetic SQL text."""
+    pos = _bloom_position_duckdb(seed, "CAST(doc_id AS STRING)", nibbles)
     return f"""
 SELECT doc_id, weight, sample_key FROM (
   SELECT doc_id,
-         CAST(strlen(text) AS BIGINT) AS weight,
+         CAST(strlen(text) AS DOUBLE) AS weight,
          (({pos} + 0.5) / {float(16 ** nibbles)})
-           / CAST(strlen(text) AS BIGINT) AS sample_key
+           / CAST(strlen(text) AS DOUBLE) AS sample_key
   FROM documents
   WHERE strlen(text) > 0
 )

@@ -884,3 +884,170 @@ def remove_spans(
         ),
     )
     return joined.select(F.col(id_col), cleaned.alias(text_col))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS via the Manku/Jain/Sarma pigeonhole
+    (the Google web-dedup layout): split each 32-bit simhash into
+    ``bands`` equal blocks; any two hashes within Hamming distance
+    ``max_hamming`` < ``bands`` must agree EXACTLY on at least one
+    block, so candidates are an equi-join on (block index, block
+    bits) and only candidates pay the exact Hamming verification —
+    never an all-pairs comparison.
+
+    The verification is a zip of the two bit strings (pure JVM
+    higher-order functions); with bands=4 over 32 bits each block key
+    is 8 bits, so a uniform corpus spreads over 4*256 buckets and a
+    hot bucket is the natural skew (same profile as LSH bands — at
+    100 TB add more bands/longer hashes, same plan shape).
+
+    Output: (id_a, id_b, hamming) with id_a < id_b, hamming <=
+    ``max_hamming``, deduped across blocks.
+    """
+    assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
+    sh = simhash32(df, id_col=id_col, text_col=text_col)
+    width = 32 // bands
+    block_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.substring("simhash", b * width + 1, width).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    blocked = sh.select(
+        F.col(id_col), F.col("simhash"), F.explode(block_arr).alias("_b")
+    ).select(id_col, "simhash", F.col("_b.blk").alias("blk"), F.col("_b.key").alias("key"))
+    left = blocked.alias("l")
+    right = blocked.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("_ha"),
+            F.col("r.simhash").alias("_hb"),
+        )
+        .distinct()  # a pair can share several blocks
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.split("_ha", ""),
+            F.split("_hb", ""),
+            lambda x, y: (x != y).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, d: acc + d,
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def containment_pairs(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    hot_shingle_cap: int = 100,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT dedup: pairs where the smaller shingle
+    set is mostly inside the larger — C = |A ∩ B| / min(|A|, |B|).
+    Jaccard misses these (a tweet quoted inside an article has tiny
+    |A∩B|/|A∪B| but containment ~1); partial-copy and quote detection
+    in pretraining pipelines thresholds containment, not Jaccard.
+
+    Same sub-quadratic layout as ``jaccard_pairs``: postings-array
+    candidate expansion over shingles with document frequency <=
+    ``hot_shingle_cap`` (stop-shingles never generate pairs), an
+    EXACT prune — hot shingles add at most min(hot_a, hot_b) to the
+    true intersection, so a pair with
+    (rare_shared + min(hot_a, hot_b)) < t * min(n_a, n_b) provably
+    cannot reach C >= t — then array_intersect verification on the
+    per-doc sorted arrays for exactly the surviving candidates.
+
+    ``shingles`` must hold DISTINCT (id, shingle) rows (word_shingles
+    does). Output: (id_a, id_b, n_inter, containment) with id_a <
+    id_b, containment >= ``threshold``, rounded 6dp.
+    """
+    from ursa_major_choir_etl_spark.caching import stage
+
+    doc_arrays = stage(
+        shingles.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("shingle")).alias("_sh"))
+    )
+    sizes = doc_arrays.select(F.col(id_col), F.size("_sh").alias("n_shingles"))
+    flat = doc_arrays.select(F.col(id_col), F.explode("_sh").alias("shingle"))
+    postings_all = flat.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
+    )
+    postings = postings_all.filter(F.size("_ids").between(2, hot_shingle_cap))
+    pair_expr = F.flatten(
+        F.expr(
+            "transform(_ids, (x, i) -> "
+            "transform(slice(_ids, i + 2, size(_ids) - i - 1), "
+            "y -> struct(x AS id_a, y AS id_b)))"
+        )
+    )
+    pair_rare = (
+        postings.select(F.explode(pair_expr).alias("_p"))
+        .groupBy(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_n_rare_shared"))
+    )
+    hot_counts = (
+        postings_all.filter(F.size("_ids") > hot_shingle_cap)
+        .select(F.explode("_ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n_hot"))
+    )
+    szh = sizes.join(hot_counts, on=id_col, how="left").select(
+        F.col(id_col),
+        F.col("n_shingles"),
+        F.coalesce(F.col("_n_hot"), F.lit(0)).alias("_n_hot"),
+    )
+    szh_a = szh.select(
+        F.col(id_col).alias("id_a"),
+        F.col("n_shingles").alias("_pn_a"),
+        F.col("_n_hot").alias("_h_a"),
+    )
+    szh_b = szh.select(
+        F.col(id_col).alias("id_b"),
+        F.col("n_shingles").alias("_pn_b"),
+        F.col("_n_hot").alias("_h_b"),
+    )
+    candidates = (
+        pair_rare.join(szh_a, "id_a")
+        .join(szh_b, "id_b")
+        .filter(
+            (F.col("_n_rare_shared") + F.least("_h_a", "_h_b"))
+            >= threshold * F.least("_pn_a", "_pn_b") - 1e-9
+        )
+        .select("id_a", "id_b")
+    )
+    arr_a = doc_arrays.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
+    arr_b = doc_arrays.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
+    return (
+        candidates.join(arr_a, "id_a")
+        .join(arr_b, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("_sh_a", "_sh_b")))
+        .withColumn(
+            "_c",
+            F.col("n_inter")
+            / F.least(F.size("_sh_a"), F.size("_sh_b")).cast("double"),
+        )
+        .filter(F.col("_c") >= threshold)
+        .select("id_a", "id_b", "n_inter", F.round("_c", 6).alias("containment"))
+    )

@@ -107,3 +107,52 @@ def weighted_sample_sequential_poisson(
         .orderBy("sample_key", id_col)
         .limit(n)
     )
+
+
+def grouped_weighted_sample(
+    df: DataFrame,
+    group_col: str,
+    weight: "F.Column",
+    n_per_group: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    nibbles: int = 5,
+) -> DataFrame:
+    """Per-stratum weight-proportional sampling: within every
+    ``group_col`` value (language, source, domain), draw
+    ``n_per_group`` docs with inclusion probability ~ ``weight`` —
+    the "keep the best N docs per language" curation step, where a
+    single global sample would let the dominant language swallow the
+    budget.
+
+    Keys are the same deterministic sequential-Poisson u/weight as
+    ``weighted_sample_sequential_poisson`` (md5-nibble uniform, one
+    IEEE division — bit-replayable in SQL); the per-group top-n is a
+    row_number window PARTITIONED BY the group, so the only shuffle
+    is on the group key and no global sort exists. Groups with fewer
+    than ``n_per_group`` eligible docs return all of them (the honest
+    contract). Weights <= 0 are excluded, as in the global variant.
+
+    Output: (group, id, weight, sample_key, rn), rn = 1..n within
+    group ordered by key.
+    """
+    from pyspark.sql import Window
+
+    from ursa_major_choir_etl_spark.operators.dedup import bloom_position_sql
+
+    m = 16**nibbles
+    pos = F.expr(bloom_position_sql(seed, f"CAST({id_col} AS STRING)", nibbles))
+    u = (pos + F.lit(0.5)) / F.lit(float(m))
+    w = weight.cast("double")
+    win = Window.partitionBy(group_col).orderBy("sample_key", id_col)
+    return (
+        df.filter(w > 0)
+        .select(
+            F.col(group_col),
+            F.col(id_col),
+            w.alias("weight"),
+            (u / w).alias("sample_key"),
+        )
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= n_per_group)
+    )

@@ -299,3 +299,115 @@ def with_text_stats(
         .withColumn("fingerprint", fingerprint(text_col))
         .drop("_ltoks")
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: what fraction of a doc's distinct
+    word n-grams first appear (minimum ``id_col`` over the corpus) in
+    THIS doc — the standard "how much does this document add"
+    curation signal (a doc whose grams all debuted elsewhere is quote/
+    boilerplate/copy material even when no single pair-wise duplicate
+    exists; novelty-ordered ingestion is how iterative corpus growth
+    decides what to keep).
+
+    Scale shape: ONE shuffle keyed on the shingle (a window min over
+    the gram's partition — every occurrence of a gram lands in one
+    partition, so the unordered min is exact), then one per-doc
+    aggregate. No joins, no candidate pairs, no quadratic term; hot
+    grams cost a wide window partition, not a blowup. Ordering by
+    ``id_col`` makes the result deterministic and replayable — id is
+    ingestion order in this corpus, the curation-relevant order.
+
+    Output: (id, n_shingles, n_novel, novelty_rate) — docs with >= 1
+    n-gram; novelty_rate rounded 6dp.
+    """
+    from pyspark.sql import Window
+
+    from ursa_major_choir_etl_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(df, id_col=id_col, text_col=text_col, n=n)
+    first = F.min(id_col).over(Window.partitionBy("shingle"))
+    per_gram = sh.withColumn("_first", first)
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("_first") == F.col(id_col)).cast("int")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel") / F.col("n_shingles").cast("double"), 6
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+def boilerplate_sentences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    min_docs: int = 3,
+    min_chars: int = 15,
+) -> DataFrame:
+    """Per-document boilerplate ratio via repeated-sentence detection:
+    a sentence (split on '. ') of >= ``min_chars`` chars appearing in
+    >= ``min_docs`` DISTINCT documents of the same ``group_col``
+    (site/source/domain) is boilerplate — headers, footers, cookie
+    banners, license blurbs. The per-source grouping is the web-scale
+    trick: boilerplate is a property of a SITE template, and scoping
+    the frequency count to the source keeps common-but-legitimate
+    cross-site sentences out.
+
+    Scale shape: sentence explode -> one shuffle keyed on
+    (group, sentence) for the distinct-doc frequency (window count
+    over the pre-deduped (group, sentence, doc) rows — exact, no join
+    back), then one per-doc aggregate. Same no-pair-join layout as
+    ngram_novelty; a viral template sentence is a wide window
+    partition, never a quadratic term.
+
+    Output: (id, n_sentences, n_boiler, boiler_ratio) for docs with
+    >= 1 qualifying sentence; ratio rounded 6dp.
+    """
+    from pyspark.sql import Window
+
+    sents = (
+        widen_if_narrow(df)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.explode(F.split(F.col(text_col), r"\. ")).alias("_s"),
+        )
+        .select(id_col, group_col, F.trim("_s").alias("_s"))
+        .filter(F.length("_s") >= min_chars)
+        .distinct()  # one vote per (doc, sentence)
+    )
+    n_docs = F.count(F.lit(1)).over(
+        Window.partitionBy(group_col, "_s")
+    )  # rows are distinct per doc => count == distinct docs
+    return (
+        sents.withColumn("_nd", n_docs)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum((F.col("_nd") >= min_docs).cast("int")).alias("n_boiler"),
+        )
+        .select(
+            F.col(id_col),
+            "n_sentences",
+            "n_boiler",
+            F.round(
+                F.col("n_boiler") / F.col("n_sentences").cast("double"), 6
+            ).alias("boiler_ratio"),
+        )
+    )

@@ -4470,6 +4470,238 @@ FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Round 7: novelty / simhash pairing / layout / boilerplate / sampling
+# --------------------------------------------------------------------------
+
+def q107_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty: the fraction of a doc's distinct word
+    3-grams whose corpus-wide first occurrence (min doc_id) is this
+    doc — the "what does this document add" curation signal that
+    catches quote/boilerplate/copy-heavy docs no pairwise dedup
+    flags. One window shuffle on the shingle, one per-doc aggregate;
+    no joins, no candidate pairs (text.ngram_novelty)."""
+    return text.ngram_novelty(T(spark, sf_dir, "documents"), n=3)
+
+
+def _oracle_q107(n: int = 3) -> str:
+    return f"""
+WITH {osql.shingles_cte_sql(n)},
+fg AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY shingle) AS first_doc
+  FROM doc_shingles
+)
+SELECT doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS novelty_rate
+FROM fg GROUP BY doc_id
+"""
+
+
+def q108_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS via the Manku pigeonhole: 32-bit
+    simhash split into 4 blocks; Hamming <= 3 forces agreement on
+    >= 1 block, so candidates are a block-key equi-join (never
+    all-pairs) and only candidates pay the exact Hamming check
+    (dedup.simhash_hamming_pairs)."""
+    return dedup.simhash_hamming_pairs(
+        T(spark, sf_dir, "documents"), max_hamming=3, bands=4
+    )
+
+
+def _oracle_q108(max_hamming: int = 3, bands: int = 4) -> str:
+    width = 32 // bands
+    ham = (
+        "CAST(list_sum(list_transform(range(1, 33), i -> "
+        "CASE WHEN substr(ha, CAST(i AS INTEGER), 1) <> "
+        "substr(hb, CAST(i AS INTEGER), 1) THEN 1 ELSE 0 END)) AS INTEGER)"
+    )
+    return f"""
+WITH sh AS ({osql.simhash_select_sql(32)}),
+blocks AS (
+  SELECT doc_id, simhash, b,
+         substr(simhash, CAST(b * {width} + 1 AS INTEGER), {width}) AS key
+  FROM sh, (SELECT unnest([{", ".join(str(b) for b in range(bands))}]) AS b) bs
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.simhash AS ha, r.simhash AS hb
+  FROM blocks l JOIN blocks r
+    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, {ham} AS hamming
+FROM cand
+WHERE {ham} <= {max_hamming}
+"""
+
+
+_Z_BITS = 12       # 12 bits per dimension -> 24-bit Morton key
+_Z_SHIFT = 18      # key >> 18 -> at most 64 write buckets
+_Z_PRICE_DIV = 16384  # cents // 2^14: max ~50M cents -> < 4096 = 2^12
+
+
+def q109_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering report over orders: interleave the
+    quantized total price (cents // 2^14) with the order date (days
+    since 1995-01-01), bucket rows by the key's top bits — the file
+    split an OPTIMIZE ZORDER write would produce — and report each
+    bucket's min/max of BOTH dimensions. Narrow per-bucket ranges in
+    both columns are what make file-level min/max stats prune scans
+    on EITHER predicate at 100 TB (operators/layout.py). All integer
+    bit arithmetic; the oracle re-derives the interleave with
+    independent shift/mask expression text."""
+    from ursa_major_choir_etl_spark.operators.layout import zorder_bucket_stats
+
+    orders = T(spark, sf_dir, "orders")
+    pre = orders.select(
+        F.expr(
+            f"CAST(round(o_totalprice * 100, 0) AS BIGINT) div {_Z_PRICE_DIV}"
+        ).alias("x"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).alias("y"),
+    )
+    return zorder_bucket_stats(
+        pre, F.col("x"), F.col("y"), bits=_Z_BITS, bucket_shift=_Z_SHIFT
+    )
+
+
+def _morton_duckdb(xc: str, yc: str, bits: int) -> str:
+    """Independent oracle-side Morton interleave: plain shift/mask
+    ARITHMETIC text (&, >>, *, +), not a reuse of the operator's
+    column-expression builder — same independence rationale as
+    _bloom_position_duckdb."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xc}) >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((({yc}) >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _oracle_q109() -> str:
+    morton = _morton_duckdb("x", "y", _Z_BITS)
+    return f"""
+WITH pre AS (
+  SELECT (CAST(round(o_totalprice * 100, 0) AS BIGINT) // {_Z_PRICE_DIV}) AS x,
+         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS y
+  FROM orders
+),
+keyed AS (SELECT x, y, {morton} AS zkey FROM pre)
+SELECT (zkey >> {_Z_SHIFT}) AS bucket, count(*) AS n_rows,
+       min(x) AS x_min, max(x) AS x_max,
+       min(y) AS y_min, max(y) AS y_max
+FROM keyed GROUP BY 1
+"""
+
+
+def q110_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate ratio: sentences (split on '. ', >= 15
+    chars) appearing in >= 3 distinct docs of the same source are
+    template boilerplate (headers/footers/banners); report each doc's
+    boilerplate sentence share. Source-scoped frequency + window
+    count — no pair joins (text.boilerplate_sentences)."""
+    return text.boilerplate_sentences(
+        T(spark, sf_dir, "documents"), min_docs=3, min_chars=15
+    )
+
+
+def _oracle_q110(min_docs: int = 3, min_chars: int = 15) -> str:
+    return f"""
+WITH sents AS (
+  SELECT DISTINCT doc_id, source, s FROM (
+    SELECT doc_id, source, trim(s) AS s FROM (
+      SELECT doc_id, source, unnest(string_split(text, '. ')) AS s
+      FROM documents
+    )
+  ) WHERE length(s) >= {min_chars}
+),
+freq AS (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY source, s) AS nd
+  FROM sents
+)
+SELECT doc_id, count(*) AS n_sentences,
+       CAST(sum(CASE WHEN nd >= {min_docs} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       round(CAST(sum(CASE WHEN nd >= {min_docs} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS boiler_ratio
+FROM freq GROUP BY doc_id
+"""
+
+
+def q111_grouped_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language weighted sampling: 20 docs per lang with
+    inclusion probability ~ byte length (sequential-Poisson keys, a
+    row_number window per group — the only shuffle is on the group
+    key; sampling.grouped_weighted_sample)."""
+    from ursa_major_choir_etl_spark.operators.sampling import (
+        grouped_weighted_sample,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    return grouped_weighted_sample(
+        docs, "lang", F.octet_length("text"), n_per_group=20
+    )
+
+
+def _oracle_q111(n: int = 20, seed: int = 0, nibbles: int = 5) -> str:
+    pos = _bloom_position_duckdb(seed, "CAST(doc_id AS STRING)", nibbles)
+    return f"""
+SELECT lang, doc_id, weight, sample_key, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT lang, doc_id, weight, sample_key,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY sample_key, doc_id) AS rn
+  FROM (
+    SELECT lang, doc_id,
+           CAST(strlen(text) AS DOUBLE) AS weight,
+           (({pos} + 0.5) / {float(16 ** nibbles)})
+             / CAST(strlen(text) AS DOUBLE) AS sample_key
+    FROM documents
+    WHERE strlen(text) > 0
+  )
+) WHERE rn <= {n}
+"""
+
+
+def q112_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs |A∩B| / min(|A|,|B|) >= 0.6 over
+    word 3-gram shingles — partial-copy/quote detection that Jaccard
+    misses. Postings-array candidates, exact prune, array_intersect
+    verify (dedup.containment_pairs)."""
+    sh = dedup.word_shingles(T(spark, sf_dir, "documents"), n=3)
+    return dedup.containment_pairs(sh, threshold=0.6, hot_shingle_cap=100)
+
+
+def _oracle_q112(threshold: float = 0.6, cap: int = 100) -> str:
+    return f"""
+WITH {osql.shingles_cte_sql(3)},
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM doc_shingles GROUP BY 1),
+freq AS (SELECT shingle, count(*) AS df FROM doc_shingles GROUP BY 1),
+rare AS (SELECT d.doc_id, d.shingle FROM doc_shingles d
+         JOIN freq USING (shingle) WHERE df <= {cap}),
+cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         FROM rare l JOIN rare r
+           ON l.shingle = r.shingle AND l.doc_id < r.doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS INTEGER) AS n_inter
+  FROM doc_shingles a
+  JOIN doc_shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter,
+       round(n_inter / CAST(least(sa.n_shingles, sb.n_shingles) AS DOUBLE), 6)
+         AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / CAST(least(sa.n_shingles, sb.n_shingles) AS DOUBLE)
+      >= {threshold}
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4577,6 +4809,12 @@ QUERIES = {
     "q104_quantile_sketch_accuracy": q104_quantile_sketch_accuracy,
     "q105_duplicate_spans": q105_duplicate_spans,
     "q106_dedup_attrition": q106_dedup_attrition,
+    "q107_ngram_novelty": q107_ngram_novelty,
+    "q108_simhash_hamming": q108_simhash_hamming,
+    "q109_zorder_stats": q109_zorder_stats,
+    "q110_boilerplate": q110_boilerplate,
+    "q111_grouped_weighted_sample": q111_grouped_weighted_sample,
+    "q112_containment": q112_containment,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -4721,4 +4959,10 @@ ORACLES: dict[str, str | None] = {
     "q104_quantile_sketch_accuracy": _oracle_q104(),
     "q105_duplicate_spans": _oracle_q105(),
     "q106_dedup_attrition": _oracle_q106(),
+    "q107_ngram_novelty": _oracle_q107(),
+    "q108_simhash_hamming": _oracle_q108(),
+    "q109_zorder_stats": _oracle_q109(),
+    "q110_boilerplate": _oracle_q110(),
+    "q111_grouped_weighted_sample": _oracle_q111(),
+    "q112_containment": _oracle_q112(),
 }

@@ -1564,7 +1564,15 @@ class TestRound7AdviceFixes:
         (round-6 ADVICE)."""
         from ursa_major_choir_etl_spark.caching import release_staged
 
-        release_staged()  # clean slate from earlier tests
+        # Assert on the DELTA of persistent RDDs only: other fixtures
+        # legitimately hold session-scoped caches (conftest.raw) and
+        # iterative tests leave localCheckpoint blocks — evicting them
+        # here would force recomputes under whatever session conf a
+        # later test happens to set (observed: a multisplit re-scan
+        # regenerating file-order ids under a shrunken
+        # maxPartitionBytes).
+        release_staged()  # drop any staging from earlier tests
+        base = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
         docs = spark.createDataFrame(
             [(i, f"alpha beta gamma delta epsilon zeta {i}") for i in range(20)],
             "doc_id long, text string",
@@ -1572,10 +1580,11 @@ class TestRound7AdviceFixes:
         sh = dedup.word_shingles(docs, n=3)
         sigs = dedup.minhash_signatures(sh, num_hashes=8)
         sigs.count()  # materialize => the staged shingles are cached
-        n_cached = len(spark.sparkContext._jsc.getPersistentRDDs())
-        assert n_cached >= 1
+        added = set(spark.sparkContext._jsc.getPersistentRDDs().keySet()) - base
+        assert added
         assert release_staged(blocking=True) >= 1
-        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+        after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+        assert not (added & after)
 
     def test_bloom_contamination_has_no_persist(self, spark):
         """bloom_contamination and duplicate_spans were restructured to
@@ -1584,9 +1593,10 @@ class TestRound7AdviceFixes:
             [(i, f"one two three four five six seven {i}") for i in range(10)],
             "doc_id long, text string",
         )
-        spark.catalog.clearCache()
+        base = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
         dedup.bloom_contamination(
             docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1"), n=4
         ).count()
         dedup.duplicate_spans(docs, k=10).count()
-        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+        after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+        assert after - base == set()

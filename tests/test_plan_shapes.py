@@ -151,7 +151,7 @@ class TestNewQueryShapes:
 class TestRegistrySweep:
     """Scale-audit across EVERY registry query: no Cartesian products,
     no row-at-a-time Python, and no data-sized global window/sort
-    funnels anywhere in the 100-query surface."""
+    funnels anywhere in the full registry surface."""
 
     #: post-aggregation global windows over provably bounded rows
     #: (q53: one row per month after the rollup)

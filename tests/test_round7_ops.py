@@ -1,0 +1,240 @@
+"""Round-7 operators: n-gram novelty, 64-bit SimHash Hamming pairs,
+Z-order layout, boilerplate sentences, per-group weighted sampling,
+containment pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ursa_major_choir_etl_spark.operators import dedup, text
+
+
+class TestNgramNovelty:
+    def test_first_doc_fully_novel_copy_fully_stale(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta"),
+                (2, "alpha beta gamma delta"),  # exact copy: zero novel
+                (3, "epsilon zeta eta theta"),  # disjoint: fully novel
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in text.ngram_novelty(docs, n=3).collect()}
+        assert out[1]["novelty_rate"] == 1.0
+        assert out[2]["n_novel"] == 0 and out[2]["novelty_rate"] == 0.0
+        assert out[3]["novelty_rate"] == 1.0
+        assert out[1]["n_shingles"] == 2  # 4 tokens -> 2 trigrams
+
+    def test_partial_overlap_counts(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, "b c d e")],  # doc2 shares trigram "b c d"
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in text.ngram_novelty(docs, n=3).collect()}
+        assert out[2]["n_shingles"] == 2
+        assert out[2]["n_novel"] == 1  # "c d e" is new, "b c d" debuted in 1
+
+
+class TestSimhash64:
+    def test_prefix_is_simhash32(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "pack my box with jugs")],
+            "doc_id long, text string",
+        )
+        h32 = {r["doc_id"]: r["simhash"] for r in dedup.simhash32(docs).collect()}
+        h64 = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+        for k in h32:
+            assert len(h64[k]) == 64
+            assert h64[k][:32] == h32[k]
+
+    def test_hamming_pairs_match_brute_force(self, spark):
+        """Pigeonhole EXACTNESS: with max_hamming < bands the block
+        index must find every qualifying pair — compare against the
+        all-pairs Hamming over a templated corpus."""
+        rows = []
+        for i in range(24):
+            base = "the shared template sentence about data pipelines"
+            extra = f"variant {i % 6} token{i % 3}"
+            rows.append((i, f"{base} {extra}"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in dedup.simhash_hamming_pairs(docs, max_hamming=3).collect()
+        }
+        sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+        want = {}
+        ids = sorted(sh)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                d = sum(1 for x, y in zip(sh[a], sh[b]) if x != y)
+                if d <= 3:
+                    want[(a, b)] = d
+        assert got == want
+        assert want  # non-vacuous: the template forces close pairs
+
+    def test_no_persisted_leak_after_release(self, spark):
+        from ursa_major_choir_etl_spark.caching import release_staged
+
+        release_staged()
+        base = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+        docs = spark.createDataFrame(
+            [(i, f"some words here {i}") for i in range(6)],
+            "doc_id long, text string",
+        )
+        dedup.simhash_hamming_pairs(docs).count()
+        added = set(spark.sparkContext._jsc.getPersistentRDDs().keySet()) - base
+        assert added
+        assert release_staged(blocking=True) >= 1
+        assert not (
+            added & set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+        )
+
+
+class TestZorder:
+    def test_morton_key_matches_python(self, spark):
+        from ursa_major_choir_etl_spark.operators.layout import morton_key
+
+        def py_morton(x, y, bits):
+            out = 0
+            for i in range(bits):
+                out |= ((x >> i) & 1) << (2 * i)
+                out |= ((y >> i) & 1) << (2 * i + 1)
+            return out
+
+        df = spark.createDataFrame(
+            [(x, y) for x in (0, 1, 5, 1023) for y in (0, 2, 7, 800)],
+            "x long, y long",
+        )
+        rows = df.select(
+            "x", "y", morton_key(F.col("x"), F.col("y"), bits=10).alias("z")
+        ).collect()
+        for r in rows:
+            assert r["z"] == py_morton(r["x"], r["y"], 10)
+
+    def test_bucket_ranges_are_tight_in_both_dims(self, spark):
+        """The point of Z-order: each bucket (zkey >> shift) spans a
+        bounded range of BOTH dimensions — here shift=8 over bits=8
+        keys bounds each dim's in-bucket range by 2^4."""
+        from ursa_major_choir_etl_spark.operators.layout import (
+            zorder_bucket_stats,
+        )
+
+        df = spark.range(4096).select(
+            (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+        )
+        stats = zorder_bucket_stats(
+            df, F.col("x"), F.col("y"), bits=8, bucket_shift=8
+        ).collect()
+        assert sum(r["n_rows"] for r in stats) == 4096
+        for r in stats:
+            assert r["x_max"] - r["x_min"] <= 15
+            assert r["y_max"] - r["y_min"] <= 15
+
+
+class TestBoilerplate:
+    def test_template_flagged_within_source_only(self, spark):
+        tpl = "subscribe to our newsletter for updates"
+        docs = spark.createDataFrame(
+            [
+                (1, f"unique alpha content one. {tpl}", "siteA"),
+                (2, f"unique beta content two. {tpl}", "siteA"),
+                (3, f"unique gamma content three. {tpl}", "siteA"),
+                (4, f"unique delta content four. {tpl}", "siteB"),  # < 3 in B
+            ],
+            "doc_id long, text string, source string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in text.boilerplate_sentences(
+                docs, min_docs=3, min_chars=10
+            ).collect()
+        }
+        assert out[1]["n_boiler"] == 1 and out[1]["n_sentences"] == 2
+        assert out[1]["boiler_ratio"] == 0.5
+        assert out[4]["n_boiler"] == 0  # template rare within siteB
+
+    def test_short_fragments_ignored(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "ok. tiny. this sentence is long enough to count", "s")
+             for i in range(3)],
+            "doc_id long, text string, source string",
+        )
+        out = text.boilerplate_sentences(docs, min_docs=3, min_chars=15).collect()
+        assert all(r["n_sentences"] == 1 for r in out)  # "ok"/"tiny" dropped
+        assert all(r["n_boiler"] == 1 for r in out)
+
+
+class TestGroupedWeightedSample:
+    def test_caps_per_group_and_orders_by_key(self, spark):
+        from ursa_major_choir_etl_spark.operators.sampling import (
+            grouped_weighted_sample,
+        )
+
+        rows = [(i, "en" if i % 3 else "de", (i % 7 + 1) * 10) for i in range(90)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+        out = grouped_weighted_sample(
+            df, "lang", F.col("w"), n_per_group=5
+        ).collect()
+        by_lang = {}
+        for r in out:
+            by_lang.setdefault(r["lang"], []).append(r)
+        assert set(by_lang) == {"en", "de"}
+        for lang, rs in by_lang.items():
+            assert len(rs) == 5
+            keys = [r["sample_key"] for r in sorted(rs, key=lambda r: r["rn"])]
+            assert keys == sorted(keys)
+
+    def test_small_group_returns_all(self, spark):
+        from ursa_major_choir_etl_spark.operators.sampling import (
+            grouped_weighted_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "fr", 5), (2, "fr", 3)], "doc_id long, lang string, w long"
+        )
+        assert grouped_weighted_sample(df, "lang", F.col("w"), 10).count() == 2
+
+
+class TestContainmentPairs:
+    def test_subset_doc_scores_one(self, spark):
+        quote = "to be or not to be that is the question"
+        article = (
+            "the critic wrote a long analysis saying "
+            + quote
+            + " and then continued with commentary about staging choices"
+        )
+        docs = spark.createDataFrame(
+            [(1, quote), (2, article), (3, "completely unrelated words here")],
+            "doc_id long, text string",
+        )
+        sh = dedup.word_shingles(docs, n=3)
+        out = dedup.containment_pairs(sh, threshold=0.6).collect()
+        pairs = {(r["id_a"], r["id_b"]): r["containment"] for r in out}
+        assert pairs == {(1, 2): 1.0}
+
+    def test_matches_brute_force(self, spark):
+        rows = []
+        for i in range(20):
+            shared = "common phrase block shared across docs"
+            rows.append((i, f"{shared} filler{i % 4} extra{i % 5} tail{i}"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sh = dedup.word_shingles(docs, n=3)
+        got = {
+            (r["id_a"], r["id_b"]): (r["n_inter"], r["containment"])
+            for r in dedup.containment_pairs(sh, threshold=0.5).collect()
+        }
+        arrs = {
+            r["doc_id"]: set(r["sh"])
+            for r in sh.groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("sh"))
+            .collect()
+        }
+        want = {}
+        ids = sorted(arrs)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                inter = len(arrs[a] & arrs[b])
+                c = inter / min(len(arrs[a]), len(arrs[b]))
+                if c >= 0.5:
+                    want[(a, b)] = (inter, round(c, 6))
+        assert got == want and want

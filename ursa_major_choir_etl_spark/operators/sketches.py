@@ -198,3 +198,36 @@ def log_quantile_estimates(sketch: DataFrame, qs: list[float]) -> DataFrame:
         .groupBy("q")
         .agg(F.min("bucket_lo").alias("est_lo"))
     )
+
+
+def cm_sketch_from_counts(
+    counts: DataFrame,
+    col: str,
+    cnt_col: str,
+    depth: int = 4,
+    width: int = 4096,
+) -> DataFrame:
+    """Build the SAME sketch as ``cm_sketch`` from a per-value count
+    table instead of the raw stream: cell(d, bucket) = sum of the
+    counts of values hashing there, which equals the occurrence count
+    — bit-identical output, md5 evaluated once per DISTINCT value
+    instead of once per occurrence (the minhash_signatures vocabulary
+    trick).
+
+    When to use which: ``cm_sketch`` is the pure streaming-build path
+    — its only shuffle is the depth*width cell grid (map-side
+    combined), no value-keyed shuffle at any volume. This variant is
+    for plans that ALREADY aggregate per value (q100 needs exact
+    truth counts anyway): reusing that aggregate makes the hash cost
+    vocabulary-sized for free.
+    """
+    return (
+        counts.select(
+            F.col(cnt_col).alias("_c"),
+            F.posexplode(
+                F.array(*[cms_bucket(col, d, width) for d in range(depth)])
+            ).alias("d", "bucket"),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.sum("_c").alias("cnt"))
+    )

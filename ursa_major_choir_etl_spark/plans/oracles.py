@@ -214,3 +214,28 @@ WITH toks AS (
 hashed AS (SELECT doc_id, md5(token) AS h FROM toks),
 votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
 SELECT doc_id, {bit_concat} AS simhash FROM votes"""
+
+
+def simhash64_select_sql(table: str = "documents") -> str:
+    """Full query computing the 64-bit double-md5 SimHash per doc.
+    Mirror of operators.dedup.simhash64: bits 0-31 vote on
+    md5(token) nibbles, bits 32-63 on md5('#' || token)."""
+    norm = norm_text_sql("text")
+    votes = ", ".join(
+        f"sum(CASE WHEN instr('89abcdef', "
+        f"substr({'h0' if j < 32 else 'h1'}, {(j % 32) + 1}, 1)) > 0 "
+        f"THEN 1 ELSE -1 END) AS v_{j}"
+        for j in range(64)
+    )
+    bit_concat = " || ".join(
+        f"(CASE WHEN v_{j} > 0 THEN '1' ELSE '0' END)" for j in range(64)
+    )
+    return f"""
+WITH toks64 AS (
+  SELECT doc_id, unnest({tokens_sql(norm)}) AS token FROM {table}
+),
+hashed64 AS (
+  SELECT doc_id, md5(token) AS h0, md5('#' || token) AS h1 FROM toks64
+),
+votes64 AS (SELECT doc_id, {votes} FROM hashed64 GROUP BY doc_id)
+SELECT doc_id, {bit_concat} AS simhash FROM votes64"""

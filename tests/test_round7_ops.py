@@ -238,3 +238,47 @@ class TestContainmentPairs:
                 if c >= 0.5:
                     want[(a, b)] = (inter, round(c, 6))
         assert got == want and want
+
+
+class TestIncrementalDedup:
+    def test_agrees_with_batch_dedup(self, spark):
+        """The incremental decision for a shard equals what the batch
+        exact dedup would decide about those docs."""
+        rows = [(i, f"doc body {i % 4}") for i in range(12)]  # 4 contents
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        shard = docs.filter("doc_id >= 8")
+        corpus = docs.filter("doc_id < 8")
+        out = {
+            r["doc_id"]: r["dup_of"]
+            for r in dedup.incremental_dedup_probe(shard, corpus).collect()
+        }
+        # content i%4 first appears at doc_id = i%4 in the corpus
+        assert out == {8: 0, 9: 1, 10: 2, 11: 3}
+
+    def test_fresh_docs_pass_with_null(self, spark):
+        shard = spark.createDataFrame(
+            [(10, "completely new content")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [(1, "old content")], "doc_id long, text string"
+        )
+        out = dedup.incremental_dedup_probe(shard, corpus).collect()
+        assert len(out) == 1 and out[0]["dup_of"] is None
+
+
+class TestCurriculumBins:
+    def test_bins_partition_the_corpus(self, spark):
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q114_curriculum_bins,
+        )
+
+        out = q114_curriculum_bins(spark, "/root/testdata/sf0.001").collect()
+        assert {r["bin"] for r in out} <= {0, 1, 2, 3}
+        n_docs_in = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).count()
+        assert sum(r["n_docs"] for r in out) == n_docs_in
+        # monotone: higher bins hold longer docs
+        by_bin = sorted(out, key=lambda r: r["bin"])
+        for a, b in zip(by_bin, by_bin[1:]):
+            assert a["max_tokens"] <= b["min_tokens"] or a["max_tokens"] <= b["max_tokens"]

@@ -449,3 +449,70 @@ class TestStreamingNearDup:
         }
         assert want  # fixture produces pairs
         assert got == want
+
+
+class TestStreamingCmsStore:
+    def test_store_merges_to_batch_sketch_and_estimates(
+        self, spark, tmp_path_factory
+    ):
+        """Per-micro-batch CMS cells sum to EXACTLY the whole-data
+        sketch (cell-wise additivity); point estimates from the
+        merged store keep the one-sided CMS guarantee; replaying the
+        same checkpoint adds nothing."""
+        from ursa_major_choir_etl_spark.operators import sketches as sk
+
+        src = str(tmp_path_factory.mktemp("tok_stream"))
+        wh = str(tmp_path_factory.mktemp("cms_wh"))
+        ckpt = str(tmp_path_factory.mktemp("cms_ckpt"))
+
+        df = spark.range(1, 2001).select(
+            F.concat(F.lit("tok"), (F.col("id") % 37).cast("string")).alias("t")
+        )
+        df.repartition(4).write.mode("overwrite").parquet(src)
+
+        stream = (
+            spark.readStream.schema("t string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = jobs.streaming_cms_sink(stream, "t", wh, "t_cms", checkpoint_dir=ckpt)
+        q.awaitTermination(180)
+
+        merged = {
+            (r["d"], r["bucket"]): r["cnt"]
+            for r in jobs.read_cms_store(spark, wh, "t_cms").collect()
+        }
+        whole = {
+            (r["d"], r["bucket"]): r["cnt"]
+            for r in sk.cm_sketch(df, "t").collect()
+        }
+        assert merged == whole
+        assert (
+            spark.read.parquet(f"{wh}/t_cms").select("batch_id").distinct().count()
+            >= 2
+        )
+
+        # estimates from the merged store: one-sided (est >= truth)
+        truth = df.groupBy("t").agg(F.count(F.lit(1)).alias("true_n"))
+        est = sk.cm_estimate(
+            jobs.read_cms_store(spark, wh, "t_cms"), truth, "t"
+        )
+        for r in est.collect():
+            assert r["est_n"] >= r["true_n"]
+
+        # replay on the same checkpoint: store unchanged
+        q2 = jobs.streaming_cms_sink(
+            spark.readStream.schema("t string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            "t",
+            wh,
+            "t_cms",
+            checkpoint_dir=ckpt,
+        )
+        q2.awaitTermination(120)
+        merged2 = {
+            (r["d"], r["bucket"]): r["cnt"]
+            for r in jobs.read_cms_store(spark, wh, "t_cms").collect()
+        }
+        assert merged2 == whole

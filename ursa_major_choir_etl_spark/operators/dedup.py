@@ -1116,3 +1116,40 @@ def containment_pairs(
         .filter(F.col("_c") >= threshold)
         .select("id_a", "id_b", "n_inter", F.round("_c", 6).alias("containment"))
     )
+
+
+def incremental_dedup_probe(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingest exact dedup: every NEW document's
+    normalization fingerprint probes the EXISTING corpus's
+    fingerprint index — the shape of continuous corpus growth, where
+    re-running whole-corpus dedup per arriving shard would rescan
+    100 TB for a 100 GB delta. A doc is a duplicate when some
+    existing doc has identical normalized content; fresh docs pass
+    with a NULL ``dup_of``.
+
+    Scale shape: the index side is one aggregate over the corpus —
+    at scale it is the PERSISTED artifact (one (fingerprint, keep_id)
+    row per distinct content, bucketed by fingerprint on disk), built
+    once and probed by every arriving batch with a map-side join; the
+    new shard never shuffles the corpus. First-wins keep_id (min id)
+    matches exact_duplicate_groups' convention, so the incremental
+    decision agrees with what a batch dedup would have decided.
+
+    Output: (id, fingerprint, dup_of) — one row per new doc.
+    """
+    newf = new_docs.select(
+        F.col(id_col), F.md5(normalized_text(text_col)).alias("fingerprint")
+    )
+    idx = (
+        corpus.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("dup_of"))
+    )
+    return newf.join(idx, "fingerprint", "left").select(
+        id_col, "fingerprint", "dup_of"
+    )

@@ -4719,6 +4719,93 @@ WHERE n_inter / CAST(least(sa.n_shingles, sb.n_shingles) AS DOUBLE)
 """
 
 
+def q113_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup probe: an arriving shard (doc_id % 7
+    == 3) checks its normalization fingerprints against the existing
+    corpus's fingerprint index — continuous-growth dedup without
+    re-running the whole-corpus job (dedup.incremental_dedup_probe);
+    first-wins keep ids agree with the batch dedup's decisions."""
+    docs = T(spark, sf_dir, "documents")
+    return dedup.incremental_dedup_probe(
+        docs.filter(F.col("doc_id") % 7 == 3),
+        docs.filter(F.col("doc_id") % 7 != 3),
+    )
+
+
+def _oracle_q113() -> str:
+    fp = osql.fingerprint_sql("text")
+    return f"""
+WITH newf AS (
+  SELECT doc_id, {fp} AS fingerprint FROM documents WHERE doc_id % 7 = 3
+),
+idx AS (
+  SELECT {fp} AS fingerprint, min(doc_id) AS dup_of
+  FROM documents WHERE doc_id % 7 <> 3 GROUP BY 1
+)
+SELECT n.doc_id, n.fingerprint, i.dup_of
+FROM newf n LEFT JOIN idx i USING (fingerprint)
+"""
+
+
+def q114_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum binning: token-count quartile boundaries
+    (the portable exact-percentile pair q29/q67 established) bucket
+    the corpus into 4 curriculum stages; per stage the doc count and
+    token budget — the report a curriculum-ordered training run
+    consumes. The boundary pass reduces to ONE row broadcast back
+    onto the corpus: no global window, no sort, two aggregates
+    total."""
+    docs = T(spark, sf_dir, "documents")
+    toked = docs.select(
+        F.col("doc_id"), text.token_count("text").alias("n_tokens")
+    )
+    bounds = toked.agg(
+        F.percentile("n_tokens", F.lit(0.25)).alias("b1"),
+        F.percentile("n_tokens", F.lit(0.5)).alias("b2"),
+        F.percentile("n_tokens", F.lit(0.75)).alias("b3"),
+    )
+    binned = toked.crossJoin(
+        bbound(bounds, "single global quartile-boundary row")
+    ).select(
+        "n_tokens",
+        (
+            (F.col("n_tokens") > F.col("b1")).cast("int")
+            + (F.col("n_tokens") > F.col("b2")).cast("int")
+            + (F.col("n_tokens") > F.col("b3")).cast("int")
+        ).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+def _oracle_q114() -> str:
+    tc = osql.token_count_sql("text")
+    return f"""
+WITH toked AS (SELECT doc_id, {tc} AS n_tokens FROM documents),
+bounds AS (
+  SELECT quantile_cont(n_tokens, 0.25) AS b1,
+         quantile_cont(n_tokens, 0.5) AS b2,
+         quantile_cont(n_tokens, 0.75) AS b3
+  FROM toked
+),
+binned AS (
+  SELECT n_tokens,
+         (CASE WHEN n_tokens > b1 THEN 1 ELSE 0 END
+          + CASE WHEN n_tokens > b2 THEN 1 ELSE 0 END
+          + CASE WHEN n_tokens > b3 THEN 1 ELSE 0 END) AS bin
+  FROM toked CROSS JOIN bounds
+)
+SELECT bin, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+FROM binned GROUP BY bin
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4832,6 +4919,8 @@ QUERIES = {
     "q110_boilerplate": q110_boilerplate,
     "q111_grouped_weighted_sample": q111_grouped_weighted_sample,
     "q112_containment": q112_containment,
+    "q113_incremental_dedup": q113_incremental_dedup,
+    "q114_curriculum_bins": q114_curriculum_bins,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -4987,4 +5076,6 @@ ORACLES: dict[str, str | None] = {
     "q110_boilerplate": _oracle_q110(),
     "q111_grouped_weighted_sample": _oracle_q111(),
     "q112_containment": _oracle_q112(),
+    "q113_incremental_dedup": _oracle_q113(),
+    "q114_curriculum_bins": _oracle_q114(),
 }

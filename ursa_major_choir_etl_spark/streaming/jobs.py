@@ -473,3 +473,61 @@ def streaming_embedding_near_dup(
             "cosine_sim",
         )
     )
+
+
+def streaming_cms_sink(
+    stream_df: DataFrame,
+    col: str,
+    warehouse: str,
+    name: str,
+    depth: int = 4,
+    width: int = 4096,
+    checkpoint_dir: str | None = None,
+):
+    """Incremental heavy-hitter monitoring: each micro-batch reduces
+    to its count-min sketch (operators.sketches.cm_sketch — at most
+    depth*width cells regardless of batch size) and lands in a
+    parquet sketch store partitioned by batch_id. The frequency
+    sibling of streaming_quantile_sketch_sink, with the same
+    replay-safety contract: an additive merge is not idempotent, so
+    each batch DYNAMIC-partition-overwrites only its own batch_id
+    partition — a replayed batch replaces, never double-counts.
+
+    ``read_cms_store`` + sketches.cm_estimate answer "how often has
+    value X appeared so far" over any window of batches without
+    rescanning the stream.
+    """
+
+    def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os as _os
+
+        from ursa_major_choir_etl_spark.operators.sketches import cm_sketch
+
+        (
+            cm_sketch(batch_df, col, depth=depth, width=width)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(_os.path.join(warehouse, name))
+        )
+
+    writer = stream_df.writeStream.foreachBatch(sketch_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def read_cms_store(spark, warehouse: str, name: str) -> DataFrame:
+    """Merged view of a streaming CMS store: per-batch cells sum into
+    the corpus sketch (cell-wise additivity), ready for
+    sketches.cm_estimate."""
+    import os as _os
+
+    return (
+        spark.read.parquet(_os.path.join(warehouse, name))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

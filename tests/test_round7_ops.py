@@ -282,3 +282,31 @@ class TestCurriculumBins:
         by_bin = sorted(out, key=lambda r: r["bin"])
         for a, b in zip(by_bin, by_bin[1:]):
             assert a["max_tokens"] <= b["min_tokens"] or a["max_tokens"] <= b["max_tokens"]
+
+
+class TestUnigramSurprisal:
+    def test_rare_token_doc_scores_higher(self, spark):
+        common = " ".join(["the"] * 20)
+        rare = "zyxwv qponm lkjih gfedc babab"
+        docs = spark.createDataFrame(
+            [(1, common), (2, rare), (3, common)],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in text.unigram_surprisal_scores(docs).collect()
+        }
+        assert out[2]["mean_surprisal"] > out[1]["mean_surprisal"]
+        assert out[1]["mean_surprisal"] == out[3]["mean_surprisal"]
+
+    def test_integer_bit_surprisal_matches_python(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "aa aa aa bb"), (2, "bb cc")], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r for r in text.unigram_surprisal_scores(docs).collect()
+        }
+        # corpus: aa x3, bb x2, cc x1; N=6
+        s = lambda cnt: (6 // cnt).bit_length() - 1
+        assert out[1]["sum_surprisal"] == 3 * s(3) + s(2)
+        assert out[2]["sum_surprisal"] == s(2) + s(1)

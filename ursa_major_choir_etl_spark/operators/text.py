@@ -411,3 +411,64 @@ def boilerplate_sentences(
             ).alias("boiler_ratio"),
         )
     )
+
+
+def unigram_surprisal_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality scoring with a self-trained
+    unigram LM: every token's surprisal under the corpus's own token
+    distribution, averaged per document — the "does this read like
+    the corpus" filter (wikipedia-LM perplexity filtering is the same
+    computation with a nicer LM). High mean surprisal = rare-token
+    soup (OCR noise, codes, lists); low = fluent, common prose.
+
+    Determinism over libm: surprisal is the INTEGER floor(log2(N /
+    count)) computed as length(bin(N DIV count)) - 1 — pure integer /
+    string ops, bit-identical in any engine (the q60 integer-idf
+    philosophy applied to perplexity: cross-engine ln() would leave
+    every threshold comparison one ulp from disagreement). The
+    quantization to whole bits is the honest price; ranking quality
+    filters don't need sub-bit precision.
+
+    Scale shape: token explode -> vocabulary-sized count table
+    (AQE-broadcastable) joined back -> one per-doc aggregate. The
+    corpus total N is ONE row cross-joined on. No windows over the
+    corpus, no UDFs.
+
+    Output: (id, n_tokens, sum_surprisal, mean_surprisal) per doc
+    with >= 1 token; mean rounded 6dp.
+    """
+    toks = (
+        widen_if_narrow(df)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            ).alias("term"),
+        )
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("N"))
+    scored = counts.crossJoin(F.broadcast(total)).select(
+        "term",
+        (F.length(F.bin(F.expr("N div cnt"))) - 1).alias("surprisal"),
+    )
+    return (
+        toks.join(scored, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("surprisal").alias("sum_surprisal"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "sum_surprisal",
+            F.round(
+                F.col("sum_surprisal") / F.col("n_tokens").cast("double"), 6
+            ).alias("mean_surprisal"),
+        )
+    )

@@ -4806,6 +4806,38 @@ FROM binned GROUP BY bin
 """
 
 
+def q115_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring with a self-trained unigram
+    LM (text.unigram_surprisal_scores): per-doc mean token surprisal
+    under the corpus's own token distribution — the CCNet filter
+    shape. Surprisal is integer floor(log2(N/count)) via
+    length(bin(x))-1, so the score is bit-exact in SQL (no libm ln
+    in the comparison path)."""
+    return text.unigram_surprisal_scores(T(spark, sf_dir, "documents"))
+
+
+def _oracle_q115() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS term
+  FROM documents
+),
+counts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+total AS (SELECT CAST(sum(cnt) AS BIGINT) AS N FROM counts),
+scored AS (
+  SELECT term, length(bin(N // cnt)) - 1 AS surprisal
+  FROM counts CROSS JOIN total
+)
+SELECT t.doc_id, count(*) AS n_tokens,
+       CAST(sum(s.surprisal) AS BIGINT) AS sum_surprisal,
+       round(CAST(sum(s.surprisal) AS DOUBLE) / count(*), 6)
+         AS mean_surprisal
+FROM toks t JOIN scored s USING (term)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4921,6 +4953,7 @@ QUERIES = {
     "q112_containment": q112_containment,
     "q113_incremental_dedup": q113_incremental_dedup,
     "q114_curriculum_bins": q114_curriculum_bins,
+    "q115_unigram_surprisal": q115_unigram_surprisal,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -5078,4 +5111,5 @@ ORACLES: dict[str, str | None] = {
     "q112_containment": _oracle_q112(),
     "q113_incremental_dedup": _oracle_q113(),
     "q114_curriculum_bins": _oracle_q114(),
+    "q115_unigram_surprisal": _oracle_q115(),
 }

@@ -310,3 +310,30 @@ class TestUnigramSurprisal:
         s = lambda cnt: (6 // cnt).bit_length() - 1
         assert out[1]["sum_surprisal"] == 3 * s(3) + s(2)
         assert out[2]["sum_surprisal"] == s(2) + s(1)
+
+
+class TestConsensusPairs:
+    def test_requires_min_votes_across_methods(self, spark):
+        a = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+        b = spark.createDataFrame([(1, 2), (5, 6)], "id_a long, id_b long")
+        c = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+        out = {
+            (r["id_a"], r["id_b"]): (
+                r["by_m1"], r["by_m2"], r["by_m3"], r["n_methods"]
+            )
+            for r in dedup.consensus_pairs(
+                {"m1": a, "m2": b, "m3": c}, min_votes=2
+            ).collect()
+        }
+        assert out == {(1, 2): (1, 1, 1, 3), (3, 4): (1, 0, 1, 2)}
+        # min_votes=1 keeps the singleton too
+        assert (
+            dedup.consensus_pairs({"m1": a, "m2": b, "m3": c}, min_votes=1).count()
+            == 3
+        )
+
+    def test_duplicate_rows_within_method_count_once(self, spark):
+        a = spark.createDataFrame([(1, 2), (1, 2)], "id_a long, id_b long")
+        b = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        out = dedup.consensus_pairs({"x": a, "y": b}, min_votes=2).collect()
+        assert len(out) == 1 and out[0]["n_methods"] == 2

@@ -1153,3 +1153,54 @@ def incremental_dedup_probe(
     return newf.join(idx, "fingerprint", "left").select(
         id_col, "fingerprint", "dup_of"
     )
+
+
+def consensus_pairs(
+    tagged: "dict[str, DataFrame]", min_votes: int = 2
+) -> DataFrame:
+    """Ensemble near-duplicate consensus: merge several independently
+    computed pair sets (lexical Jaccard, SimHash Hamming, embedding
+    cosine, ...) and keep pairs flagged by >= ``min_votes`` methods.
+    Production dedup runs exactly this vote — every single method has
+    a characteristic false-positive family (shared boilerplate for
+    lexical, templated structure for simhash, topical-but-distinct
+    for embeddings), and requiring agreement between two UNRELATED
+    signal families suppresses all three.
+
+    Shape: union-all of the tagged (id_a, id_b) sets -> ONE groupBy
+    on the pair key with max() per method flag — no N-way outer
+    joins, one shuffle however many methods vote. Inputs must use the
+    same id space and the id_a < id_b convention (all pair operators
+    here do).
+
+    Output: (id_a, id_b, by_<method>..., n_methods), n_methods >=
+    ``min_votes``.
+    """
+    from functools import reduce
+
+    names = list(tagged)
+    parts = []
+    for i, (_, df) in enumerate(tagged.items()):
+        parts.append(
+            df.select("id_a", "id_b")
+            .distinct()
+            .select(
+                "id_a",
+                "id_b",
+                *[
+                    F.lit(1 if j == i else 0).alias(f"by_{n}")
+                    for j, n in enumerate(names)
+                ],
+            )
+        )
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    agg = u.groupBy("id_a", "id_b").agg(
+        *[F.max(f"by_{n}").alias(f"by_{n}") for n in names]
+    )
+    votes = None
+    for n in names:
+        c = F.col(f"by_{n}")
+        votes = c if votes is None else votes + c
+    return agg.withColumn("n_methods", votes).filter(
+        F.col("n_methods") >= min_votes
+    )

@@ -4838,6 +4838,54 @@ GROUP BY 1
 """
 
 
+def q116_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble near-dup consensus (dedup.consensus_pairs): pairs
+    flagged by >= 2 of three UNRELATED signal families — exact
+    n-gram Jaccard >= 0.5 (lexical), 64-bit SimHash Hamming <= 3
+    (structural), exact embedding cosine >= 0.4 (semantic, the q23
+    blocked GEMM). Each family's false-positive mode (boilerplate /
+    template / topical) is suppressed by requiring cross-family
+    agreement — the production dedup vote."""
+    docs = T(spark, sf_dir, "documents")
+    emb = T(spark, sf_dir, "embeddings")
+    sh = dedup.word_shingles(docs, n=3)
+    return dedup.consensus_pairs(
+        {
+            "jaccard": dedup.jaccard_pairs(sh, threshold=0.5),
+            "simhash": dedup.simhash_hamming_pairs(docs, max_hamming=3),
+            "embedding": similarity.near_duplicate_pairs_blocked(
+                emb, threshold=0.4, n_blocks=8
+            ).selectExpr("id_a", "id_b"),
+        },
+        min_votes=2,
+    )
+
+
+def _oracle_q116() -> str:
+    """Replays the vote over the three member oracles (q20 jaccard,
+    q108 simhash — itself independently derived — and q23's exact
+    cosine), with the same union-tag-max shape."""
+    return f"""
+WITH jp AS ({_oracle_q20()}),
+sp AS ({_oracle_q108()}),
+ep AS ({ORACLE_Q23}),
+u AS (
+  SELECT id_a, id_b, max(bj) AS by_jaccard, max(bs) AS by_simhash,
+         max(be) AS by_embedding
+  FROM (
+    SELECT id_a, id_b, 1 AS bj, 0 AS bs, 0 AS be FROM jp
+    UNION ALL SELECT id_a, id_b, 0, 1, 0 FROM sp
+    UNION ALL SELECT id_a, id_b, 0, 0, 1 FROM ep
+  )
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, by_jaccard, by_simhash, by_embedding,
+       (by_jaccard + by_simhash + by_embedding) AS n_methods
+FROM u
+WHERE by_jaccard + by_simhash + by_embedding >= 2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4954,6 +5002,7 @@ QUERIES = {
     "q113_incremental_dedup": q113_incremental_dedup,
     "q114_curriculum_bins": q114_curriculum_bins,
     "q115_unigram_surprisal": q115_unigram_surprisal,
+    "q116_dedup_consensus": q116_dedup_consensus,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -5112,4 +5161,5 @@ ORACLES: dict[str, str | None] = {
     "q113_incremental_dedup": _oracle_q113(),
     "q114_curriculum_bins": _oracle_q114(),
     "q115_unigram_surprisal": _oracle_q115(),
+    "q116_dedup_consensus": _oracle_q116(),
 }

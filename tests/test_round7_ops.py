@@ -337,3 +337,18 @@ class TestConsensusPairs:
         b = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
         out = dedup.consensus_pairs({"x": a, "y": b}, min_votes=2).collect()
         assert len(out) == 1 and out[0]["n_methods"] == 2
+
+
+class TestGradingWindowRotation:
+    def test_window_leads_with_ungraded_and_changed_paths(self):
+        """The driver grades the first 50 registry entries; every
+        query that has never earned a driver row (numbered past 100)
+        and every query whose code path changed after its last
+        grading must sit inside that window."""
+        from ursa_major_choir_etl_spark.plans.queries import QUERIES
+
+        window = list(QUERIES)[:50]
+        never_graded = [k for k in QUERIES if int(k[1 : k.index("_")]) > 100]
+        for k in never_graded:
+            assert k in window, f"{k} queued outside the graded window"
+        assert len(window) == 50

@@ -516,3 +516,44 @@ class TestStreamingCmsStore:
             for r in jobs.read_cms_store(spark, wh, "t_cms").collect()
         }
         assert merged2 == whole
+
+
+class TestStreamingIncrementalDedup:
+    def test_stream_verdicts_match_batch_probe(self, spark, tmp_path_factory):
+        """Drained ingestion-time dedup verdicts equal the batch
+        incremental probe's decisions on the same shard."""
+        from ursa_major_choir_etl_spark.operators import dedup as dd
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        corpus = docs.filter("doc_id % 5 != 0")
+        shard = docs.filter("doc_id % 5 = 0")
+
+        src = str(tmp_path_factory.mktemp("doc_stream"))
+        shard.select("doc_id", "text").repartition(3).write.mode(
+            "overwrite"
+        ).parquet(src)
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = jobs.streaming_incremental_dedup(stream, corpus)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("inc_dedup_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        got = {
+            r["doc_id"]: (r["fingerprint"], r["dup_of"])
+            for r in spark.sql("select * from inc_dedup_out").collect()
+        }
+        want = {
+            r["doc_id"]: (r["fingerprint"], r["dup_of"])
+            for r in dd.incremental_dedup_probe(shard, corpus).collect()
+        }
+        assert got == want and len(got) == shard.count()

@@ -531,3 +531,46 @@ def read_cms_store(spark, warehouse: str, name: str) -> DataFrame:
         .groupBy("d", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def streaming_incremental_dedup(
+    stream_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact dedup AT INGESTION: every arriving document's
+    normalization fingerprint probes the STATIC corpus fingerprint
+    index and is emitted with its duplicate verdict — the streaming
+    form of dedup.incremental_dedup_probe (q113), and the gate a
+    continuous ingestion pipeline places before the write.
+
+    Stateless: fingerprinting is a narrow column expression on the
+    stream, the probe is one stream-static LEFT join against the
+    index aggregate — no state store, no watermark, and the corpus
+    index is the persisted artifact at scale (never rebuilt per
+    batch by the planner's stream-static join contract... the index
+    subtree is re-evaluated per micro-batch, so a production run
+    points it at the PRE-BUILT (fingerprint, keep_id) table rather
+    than the raw corpus — same contract as the q24/q76 bucket index
+    in streaming_embedding_near_dup).
+
+    Output stream: (id, fingerprint, dup_of) — dup_of NULL for fresh
+    content, the smallest corpus id holding identical normalized
+    content otherwise.
+    """
+    from ursa_major_choir_etl_spark.operators.text import normalized_text
+
+    newf = stream_docs.select(
+        F.col(id_col), F.md5(normalized_text(text_col)).alias("fingerprint")
+    )
+    idx = (
+        corpus.select(
+            F.col(id_col), F.md5(normalized_text(text_col)).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("dup_of"))
+    )
+    return newf.join(idx, "fingerprint", "left").select(
+        id_col, "fingerprint", "dup_of"
+    )

@@ -352,3 +352,116 @@ class TestGradingWindowRotation:
         for k in never_graded:
             assert k in window, f"{k} queued outside the graded window"
         assert len(window) == 50
+
+
+class TestRound7Properties:
+    """Randomized (seeded) brute-force mirrors and conservation
+    invariants for the round-7 operators — the property-test layer
+    SURVEY §5 models, without per-example Spark-job blowup."""
+
+    def _random_corpus(self, seed, n_docs=18, vocab=12):
+        import random
+
+        rng = random.Random(seed)
+        words = [f"w{i}" for i in range(vocab)]
+        return [
+            (i, " ".join(rng.choice(words) for _ in range(rng.randint(3, 14))))
+            for i in range(n_docs)
+        ]
+
+    def test_novelty_matches_brute_force_and_conserves(self, spark):
+        for seed in (0, 7):
+            rows = self._random_corpus(seed)
+            docs = spark.createDataFrame(rows, "doc_id long, text string")
+            got = {
+                r["doc_id"]: (r["n_shingles"], r["n_novel"])
+                for r in text.ngram_novelty(docs, n=3).collect()
+            }
+            # python mirror
+            shingles = {}
+            for i, t in rows:
+                toks = t.split()
+                shingles[i] = {
+                    " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+                }
+            first = {}
+            for i in sorted(shingles):
+                for s in shingles[i]:
+                    first.setdefault(s, i)
+            want = {
+                i: (len(sh), sum(1 for s in sh if first[s] == i))
+                for i, sh in shingles.items()
+                if sh
+            }
+            assert got == want
+            # conservation: every distinct corpus shingle is novel in
+            # exactly one doc
+            assert sum(v[1] for v in got.values()) == len(first)
+
+    def test_boilerplate_matches_brute_force(self, spark):
+        import random
+
+        for seed in (1, 5):
+            rng = random.Random(seed)
+            frags = [f"fragment number {i} with enough chars" for i in range(6)]
+            rows = [
+                (
+                    i,
+                    ". ".join(rng.choice(frags) for _ in range(rng.randint(1, 4))),
+                    rng.choice(["sA", "sB"]),
+                )
+                for i in range(15)
+            ]
+            docs = spark.createDataFrame(
+                rows, "doc_id long, text string, source string"
+            )
+            got = {
+                r["doc_id"]: (r["n_sentences"], r["n_boiler"])
+                for r in text.boilerplate_sentences(
+                    docs, min_docs=3, min_chars=15
+                ).collect()
+            }
+            # python mirror (trim -> len>=15 -> distinct per doc)
+            per_doc = {}
+            for i, t, src in rows:
+                ss = {
+                    s.strip()
+                    for s in t.split(". ")
+                    if len(s.strip()) >= 15
+                }
+                per_doc[i] = (src, ss)
+            freq = {}
+            for i, (src, ss) in per_doc.items():
+                for s in ss:
+                    freq[(src, s)] = freq.get((src, s), 0) + 1
+            want = {
+                i: (len(ss), sum(1 for s in ss if freq[(src, s)] >= 3))
+                for i, (src, ss) in per_doc.items()
+                if ss
+            }
+            assert got == want
+
+    def test_morton_random_roundtrip(self, spark):
+        import random
+
+        rng = random.Random(3)
+        from ursa_major_choir_etl_spark.operators.layout import morton_key
+
+        pts = [(rng.randrange(4096), rng.randrange(4096)) for _ in range(64)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        rows = df.select(
+            "x", "y", morton_key(F.col("x"), F.col("y"), bits=12).alias("z")
+        ).collect()
+        for r in rows:
+            # de-interleave recovers both inputs exactly (bijectivity)
+            x = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(12))
+            y = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(12))
+            assert (x, y) == (r["x"], r["y"])
+
+    def test_surprisal_token_conservation(self, spark):
+        rows = self._random_corpus(9)
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = text.unigram_surprisal_scores(docs).collect()
+        total_tokens = sum(len(t.split()) for _, t in rows)
+        assert sum(r["n_tokens"] for r in out) == total_tokens
+        assert all(r["sum_surprisal"] >= 0 for r in out)

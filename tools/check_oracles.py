@@ -94,6 +94,16 @@ def main() -> None:
         spark_cols = df.columns
         spark_rows = [tuple(r) for r in df.collect()]
         t_spark = time.time() - t0
+        # Bounded memory across the all-registry sweep: operators
+        # register staging persists (caching.stage) and this session
+        # runs every query — release per query, same as bench.py.
+        try:
+            from ursa_major_choir_etl_spark.caching import release_staged
+
+            release_staged()
+            spark.catalog.clearCache()
+        except Exception:
+            pass
 
         if name not in oracles:
             print(f"{name:32s} rows={len(spark_rows):7d} [rows-only] {t_spark:5.1f}s")

@@ -471,6 +471,70 @@ def connected_components_star(
     return labels.unionByName(self_only)
 
 
+def _postings_candidate_stats(
+    doc_arrays: DataFrame, sizes: DataFrame, id_col: str, hot_shingle_cap: int
+):
+    """Shared inverted-index candidate machinery for the exact pair
+    verifiers (jaccard_pairs, containment_pairs).
+
+    Returns ``(pair_rare, szh_a, szh_b)``:
+    - ``pair_rare``: (id_a, id_b, _n_rare_shared) for every pair of
+      docs sharing >= 1 shingle whose document frequency is within
+      ``hot_shingle_cap`` — postings list per shingle in ONE
+      exchange, pair expansion array-side (<= cap^2 pairs per
+      shingle), sorted postings give id_a < id_b for free;
+    - ``szh_a``/``szh_b``: per-doc (id, _pn_* = n_shingles, _h_* =
+      count of the doc's HOT shingles), the inputs every exact prune
+      needs (hot shingles contribute at most min(_h_a, _h_b) to any
+      true intersection).
+
+    CANDIDATE CONTRACT (shared by both callers and their SQL
+    oracles): a pair whose EVERY shared shingle is hot (df > cap) is
+    never enumerated — the deliberate stop-shingle trade production
+    dedup makes to kill the quadratic term. The prunes downstream are
+    exact GIVEN this candidate set, not over all N^2 pairs.
+    """
+    flat = doc_arrays.select(F.col(id_col), F.explode("_sh").alias("shingle"))
+    postings_all = flat.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
+    )
+    postings = postings_all.filter(F.size("_ids").between(2, hot_shingle_cap))
+    pair_expr = F.flatten(
+        F.expr(
+            "transform(_ids, (x, i) -> "
+            "transform(slice(_ids, i + 2, size(_ids) - i - 1), "
+            "y -> struct(x AS id_a, y AS id_b)))"
+        )
+    )
+    pair_rare = (
+        postings.select(F.explode(pair_expr).alias("_p"))
+        .groupBy(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_n_rare_shared"))
+    )
+    hot_counts = (
+        postings_all.filter(F.size("_ids") > hot_shingle_cap)
+        .select(F.explode("_ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n_hot"))
+    )
+    szh = sizes.join(hot_counts, on=id_col, how="left").select(
+        F.col(id_col),
+        F.col("n_shingles"),
+        F.coalesce(F.col("_n_hot"), F.lit(0)).alias("_n_hot"),
+    )
+    szh_a = szh.select(
+        F.col(id_col).alias("id_a"),
+        F.col("n_shingles").alias("_pn_a"),
+        F.col("_n_hot").alias("_h_a"),
+    )
+    szh_b = szh.select(
+        F.col(id_col).alias("id_b"),
+        F.col("n_shingles").alias("_pn_b"),
+        F.col("_n_hot").alias("_h_b"),
+    )
+    return pair_rare, szh_a, szh_b
+
+
 def jaccard_pairs(
     shingles: DataFrame,
     candidates: DataFrame | None = None,
@@ -481,10 +545,12 @@ def jaccard_pairs(
     """Exact n-gram Jaccard over candidate pairs.
 
     Without ``candidates``, pairs come from the inverted shingle index
-    (docs sharing >= 1 shingle); shingles appearing in more than
-    ``hot_shingle_cap`` docs are dropped from candidate GENERATION
-    (stop-shingles would produce a quadratic blowup) but still count in
-    the exact |intersection|/|union| arithmetic.
+    — docs sharing >= 1 shingle WITH DOCUMENT FREQUENCY <=
+    ``hot_shingle_cap`` (see _postings_candidate_stats: a pair whose
+    every shared shingle is hot is never enumerated — the deliberate
+    stop-shingle trade, mirrored by the SQL oracle). Hot shingles
+    still count in the exact |intersection|/|union| arithmetic of
+    every enumerated pair.
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
 
     ``shingles`` must hold DISTINCT (id, shingle) rows (word_shingles
@@ -511,34 +577,12 @@ def jaccard_pairs(
     )
 
     if candidates is None:
-        flat = doc_arrays.select(
-            F.col(id_col), F.explode("_sh").alias("shingle")
-        )
-        # Inverted index in ONE exchange: postings list per shingle,
-        # pair expansion array-side (<= cap^2 pairs per shingle).
-        # Replaces the doc-frequency aggregate + join + shingle
-        # self-join of the naive form (two extra exchanges and a
-        # shuffle join) with identical candidate semantics: pairs of
-        # docs sharing >= 1 shingle whose document frequency is within
-        # ``hot_shingle_cap`` (df==1 shingles yield no pairs; sorted
-        # postings give id_a < id_b for free).
-        postings_all = flat.groupBy("shingle").agg(
-            F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
-        )
-        postings = postings_all.filter(
-            F.size("_ids").between(2, hot_shingle_cap)
-        )
-        pair_expr = F.flatten(
-            F.expr(
-                "transform(_ids, (x, i) -> "
-                "transform(slice(_ids, i + 2, size(_ids) - i - 1), "
-                "y -> struct(x AS id_a, y AS id_b)))"
-            )
-        )
-        # PPJoin-style EXACT prune before the expensive verification:
-        # the pair dedup shuffle doubles as a count of shared RARE
-        # shingles (I_rare), and hot shingles can add at most
-        # min(hot_a, hot_b) to the true intersection I. A pair with
+        # PPJoin-style EXACT prune (given the candidate contract of
+        # _postings_candidate_stats) before the expensive
+        # verification: the pair dedup shuffle doubles as a count of
+        # shared RARE shingles (I_rare), and hot shingles can add at
+        # most min(hot_a, hot_b) to the true intersection I. A pair
+        # with
         #   (I_rare + min(hot_a, hot_b)) * (1 + t) < t * (n_a + n_b)
         # provably cannot reach J >= t, so it never touches the
         # array_intersect join (measured: 1,130,536 candidates -> 256
@@ -546,33 +590,8 @@ def jaccard_pairs(
         # verification join was the dominant cost). The epsilon keeps
         # borderline pairs: the prune must never fire on float
         # round-off.
-        pair_rare = (
-            postings.select(F.explode(pair_expr).alias("_p"))
-            .groupBy(
-                F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b")
-            )
-            .agg(F.count(F.lit(1)).alias("_n_rare_shared"))
-        )
-        hot_counts = (
-            postings_all.filter(F.size("_ids") > hot_shingle_cap)
-            .select(F.explode("_ids").alias(id_col))
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("_n_hot"))
-        )
-        szh = sizes.join(hot_counts, on=id_col, how="left").select(
-            F.col(id_col),
-            F.col("n_shingles"),
-            F.coalesce(F.col("_n_hot"), F.lit(0)).alias("_n_hot"),
-        )
-        szh_a = szh.select(
-            F.col(id_col).alias("id_a"),
-            F.col("n_shingles").alias("_pn_a"),
-            F.col("_n_hot").alias("_h_a"),
-        )
-        szh_b = szh.select(
-            F.col(id_col).alias("id_b"),
-            F.col("n_shingles").alias("_pn_b"),
-            F.col("_n_hot").alias("_h_b"),
+        pair_rare, szh_a, szh_b = _postings_candidate_stats(
+            doc_arrays, sizes, id_col, hot_shingle_cap
         )
         candidates = (
             pair_rare.join(szh_a, "id_a")
@@ -1035,11 +1054,18 @@ def containment_pairs(
     |A∩B|/|A∪B| but containment ~1); partial-copy and quote detection
     in pretraining pipelines thresholds containment, not Jaccard.
 
-    Same sub-quadratic layout as ``jaccard_pairs``: postings-array
-    candidate expansion over shingles with document frequency <=
-    ``hot_shingle_cap`` (stop-shingles never generate pairs), an
-    EXACT prune — hot shingles add at most min(hot_a, hot_b) to the
-    true intersection, so a pair with
+    Same sub-quadratic layout as ``jaccard_pairs`` — the candidate
+    machinery is literally shared (``_postings_candidate_stats``),
+    including its CANDIDATE CONTRACT: a pair whose every shared
+    shingle is hot (df > ``hot_shingle_cap``) is never enumerated.
+    That miss is more plausible for containment than for Jaccard (a
+    short pure-boilerplate doc inside a bigger one shares only hot
+    shingles), so choose the cap for the corpus: raising it admits
+    more stop-shingles into candidate generation at quadratic cost in
+    their document frequency. The SQL oracle mirrors the same
+    contract. On top of the shared candidates, the
+    containment-specific EXACT prune — hot shingles add at most
+    min(hot_a, hot_b) to the true intersection, so a pair with
     (rare_shared + min(hot_a, hot_b)) < t * min(n_a, n_b) provably
     cannot reach C >= t — then array_intersect verification on the
     per-doc sorted arrays for exactly the surviving candidates.
@@ -1055,43 +1081,8 @@ def containment_pairs(
         .agg(F.sort_array(F.collect_list("shingle")).alias("_sh"))
     )
     sizes = doc_arrays.select(F.col(id_col), F.size("_sh").alias("n_shingles"))
-    flat = doc_arrays.select(F.col(id_col), F.explode("_sh").alias("shingle"))
-    postings_all = flat.groupBy("shingle").agg(
-        F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
-    )
-    postings = postings_all.filter(F.size("_ids").between(2, hot_shingle_cap))
-    pair_expr = F.flatten(
-        F.expr(
-            "transform(_ids, (x, i) -> "
-            "transform(slice(_ids, i + 2, size(_ids) - i - 1), "
-            "y -> struct(x AS id_a, y AS id_b)))"
-        )
-    )
-    pair_rare = (
-        postings.select(F.explode(pair_expr).alias("_p"))
-        .groupBy(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("_n_rare_shared"))
-    )
-    hot_counts = (
-        postings_all.filter(F.size("_ids") > hot_shingle_cap)
-        .select(F.explode("_ids").alias(id_col))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("_n_hot"))
-    )
-    szh = sizes.join(hot_counts, on=id_col, how="left").select(
-        F.col(id_col),
-        F.col("n_shingles"),
-        F.coalesce(F.col("_n_hot"), F.lit(0)).alias("_n_hot"),
-    )
-    szh_a = szh.select(
-        F.col(id_col).alias("id_a"),
-        F.col("n_shingles").alias("_pn_a"),
-        F.col("_n_hot").alias("_h_a"),
-    )
-    szh_b = szh.select(
-        F.col(id_col).alias("id_b"),
-        F.col("n_shingles").alias("_pn_b"),
-        F.col("_n_hot").alias("_h_b"),
+    pair_rare, szh_a, szh_b = _postings_candidate_stats(
+        doc_arrays, sizes, id_col, hot_shingle_cap
     )
     candidates = (
         pair_rare.join(szh_a, "id_a")

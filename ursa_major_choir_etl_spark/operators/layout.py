@@ -26,7 +26,12 @@ def morton_key(x: Column, y: Column, bits: int = 16) -> Column:
     expressions — one codegen'd projection, no UDF.
 
     Callers quantize first (e.g. value ranges to 16-bit rank buckets);
-    inputs outside [0, 2^bits) are masked, not errors.
+    inputs outside [0, 2^bits) are masked, not errors — note that a
+    NEGATIVE input therefore wraps to the TOP of its dimension's
+    keyspace (two's-complement low bits are all ones-ish), silently
+    interleaving it among the largest values. Quantize from the
+    domain minimum so inputs are non-negative (see q109: epoch =
+    min date).
     """
     terms = []
     for i in range(bits):

@@ -433,15 +433,24 @@ def unigram_surprisal_scores(
     quantization to whole bits is the honest price; ranking quality
     filters don't need sub-bit precision.
 
-    Scale shape: token explode -> vocabulary-sized count table
-    (AQE-broadcastable) joined back -> one per-doc aggregate. The
-    corpus total N is ONE row cross-joined on. No windows over the
-    corpus, no UDFs.
+    Scale shape: ONE token explode into a per-(doc, term) count
+    table; the global vocabulary counts, the corpus total N (one row,
+    broadcast), and the per-doc probe all derive from it — the
+    explode chain never runs twice (an earlier cut fed both the vocab
+    aggregate and the probe join from the raw token stream, and the
+    non-reusable exchanges re-ran the regex explode per branch). The
+    probe join is doc-vocabulary-sized, strictly smaller than the
+    token stream. No windows over the corpus, no UDFs.
 
     Output: (id, n_tokens, sum_surprisal, mean_surprisal) per doc
     with >= 1 token; mean rounded 6dp.
     """
-    toks = (
+    from ursa_major_choir_etl_spark.caching import stage
+
+    # doc_term feeds three consumers (vocab counts, total N, probe
+    # join) — stage it so the explode+aggregate runs once (tracked
+    # persist, released by the caller via caching.release_staged).
+    doc_term = stage(
         widen_if_narrow(df)
         .select(
             F.col(id_col),
@@ -449,19 +458,21 @@ def unigram_surprisal_scores(
                 F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
             ).alias("term"),
         )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("k"))
     )
-    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = doc_term.groupBy("term").agg(F.sum("k").alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("N"))
     scored = counts.crossJoin(F.broadcast(total)).select(
         "term",
         (F.length(F.bin(F.expr("N div cnt"))) - 1).alias("surprisal"),
     )
     return (
-        toks.join(scored, "term")
+        doc_term.join(scored, "term")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("surprisal").alias("sum_surprisal"),
+            F.sum("k").alias("n_tokens"),
+            F.sum(F.col("k") * F.col("surprisal")).alias("sum_surprisal"),
         )
         .select(
             F.col(id_col),

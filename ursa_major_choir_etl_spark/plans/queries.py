@@ -4507,11 +4507,13 @@ FROM fg GROUP BY doc_id
 
 
 def q108_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate PAIRS via the Manku pigeonhole: 32-bit
-    simhash split into 4 blocks; Hamming <= 3 forces agreement on
-    >= 1 block, so candidates are a block-key equi-join (never
-    all-pairs) and only candidates pay the exact Hamming check
-    (dedup.simhash_hamming_pairs)."""
+    """SimHash near-duplicate PAIRS via the Manku pigeonhole: 64-bit
+    double-md5 simhash split into 4 sixteen-bit blocks; Hamming <= 3
+    forces agreement on >= 1 block, so candidates are a block-key
+    equi-join (never all-pairs) and only candidates pay the exact
+    bit_count(xor) Hamming check (dedup.simhash_hamming_pairs — see
+    its docstring for why 8-bit keys from a 32-bit hash collapse on
+    templated corpora)."""
     return dedup.simhash_hamming_pairs(
         T(spark, sf_dir, "documents"), max_hamming=3, bands=4
     )
@@ -4562,13 +4564,20 @@ _Z_PRICE_DIV = 16384  # cents // 2^14: max ~50M cents -> < 4096 = 2^12
 def q109_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering report over orders: interleave the
     quantized total price (cents // 2^14) with the order date (days
-    since 1995-01-01), bucket rows by the key's top bits — the file
+    since 1992-01-01), bucket rows by the key's top bits — the file
     split an OPTIMIZE ZORDER write would produce — and report each
     bucket's min/max of BOTH dimensions. Narrow per-bucket ranges in
     both columns are what make file-level min/max stats prune scans
     on EITHER predicate at 100 TB (operators/layout.py). All integer
     bit arithmetic; the oracle re-derives the interleave with
-    independent shift/mask expression text."""
+    independent shift/mask expression text.
+
+    The epoch is the DOMAIN MINIMUM (TPC-H dates start 1992-01-01),
+    so y is non-negative for every valid order date — morton_key
+    masks to the low bits, and a negative day count would silently
+    wrap into the top of the keyspace, interleaving 1990s rows among
+    the latest dates. Domain bound: dates through ~2003 stay under
+    2^12 days; widen _Z_BITS before widening the date domain."""
     from ursa_major_choir_etl_spark.operators.layout import zorder_bucket_stats
 
     orders = T(spark, sf_dir, "orders")
@@ -4577,7 +4586,7 @@ def q109_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(round(o_totalprice * 100, 0) AS BIGINT) div {_Z_PRICE_DIV}"
         ).alias("x"),
         F.datediff(
-            F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
+            F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
         ).alias("y"),
     )
     return zorder_bucket_stats(
@@ -4602,7 +4611,7 @@ def _oracle_q109() -> str:
     return f"""
 WITH pre AS (
   SELECT (CAST(round(o_totalprice * 100, 0) AS BIGINT) // {_Z_PRICE_DIV}) AS x,
-         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS y
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS y
   FROM orders
 ),
 keyed AS (SELECT x, y, {morton} AS zkey FROM pre)
@@ -4685,7 +4694,9 @@ SELECT lang, doc_id, weight, sample_key, CAST(rn AS INTEGER) AS rn FROM (
 def q112_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment pairs |A∩B| / min(|A|,|B|) >= 0.6 over
     word 3-gram shingles — partial-copy/quote detection that Jaccard
-    misses. Postings-array candidates, exact prune, array_intersect
+    misses. Postings-array candidates (shared machinery with q20;
+    candidate contract: a pair sharing ONLY hot shingles is never
+    enumerated — mirrored by the oracle), exact prune, array_intersect
     verify (dedup.containment_pairs)."""
     sh = dedup.word_shingles(T(spark, sf_dir, "documents"), n=3)
     return dedup.containment_pairs(sh, threshold=0.6, hot_shingle_cap=100)
@@ -5011,7 +5022,7 @@ QUERIES = {
 # minus the r5 trio) — so every q01–q100 row is green within the last
 # two windows. Round-7 priority order:
 #   1. never-driver-graded: q101–q106 (added round 6, queued at the
-#      tail then) and q107–q112 (added this round) — 12 rows;
+#      tail then) and q107–q116 (added this round) — 16 rows;
 #   2. rows whose CODE PATH changed after their last grading:
 #      q105/q106 (duplicate_spans window-count rewrite) and
 #      q88/q90 (staged-persist routing) from the r6 window, plus
@@ -5038,11 +5049,16 @@ _never_graded = [k for k in _names if _qnum(k) > 100]
 _changed_paths = [
     k
     for k in _names
-    if k.startswith(("q105_", "q106_", "q88_", "q90_", "q19_", "q20_", "q100_"))
+    if k.startswith(("q88_", "q90_", "q19_", "q20_", "q100_"))
+    and k not in _never_graded
 ]
 _head = _never_graded + _changed_paths
 _head += [k for k in _r5_green if k not in _head]
 _order = _head + [k for k in _names if k not in _head]
+# The guard the driver's 50-entry window depends on: exact coverage,
+# no duplicates, every never-graded row inside the window.
+assert len(_order) == len(set(_order)) == len(_names), "duplicate keys"
+assert all(k in _order[:50] for k in _never_graded), "ungraded outside window"
 QUERIES = {k: QUERIES[k] for k in _order}
 
 ORACLES: dict[str, str | None] = {

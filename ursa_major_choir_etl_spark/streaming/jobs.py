@@ -559,18 +559,13 @@ def streaming_incremental_dedup(
     content, the smallest corpus id holding identical normalized
     content otherwise.
     """
-    from ursa_major_choir_etl_spark.operators.text import normalized_text
+    from ursa_major_choir_etl_spark.operators.dedup import (
+        incremental_dedup_probe,
+    )
 
-    newf = stream_docs.select(
-        F.col(id_col), F.md5(normalized_text(text_col)).alias("fingerprint")
-    )
-    idx = (
-        corpus.select(
-            F.col(id_col), F.md5(normalized_text(text_col)).alias("fingerprint")
-        )
-        .groupBy("fingerprint")
-        .agg(F.min(id_col).alias("dup_of"))
-    )
-    return newf.join(idx, "fingerprint", "left").select(
-        id_col, "fingerprint", "dup_of"
+    # Delegate to the batch operator: the plan is stream-static-join
+    # compatible as-is, and one definition means the streaming gate
+    # can never silently disagree with the q113 batch decision.
+    return incremental_dedup_probe(
+        stream_docs, corpus, id_col=id_col, text_col=text_col
     )

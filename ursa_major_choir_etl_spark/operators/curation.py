@@ -1,0 +1,242 @@
+"""Corpus-curation operators: per-domain quotas, log-capped soft
+dedup, and cluster-representative selection.
+
+These are the "apply" half of a training-data pipeline: the dedup /
+quality operators (operators.dedup, operators.text) DETECT; the
+operators here DECIDE which rows survive, deterministically, and
+report the attrition — the numbers a data-curation run publishes
+(FineWeb/Gopher-style domain caps, C4-style duplicate down-weighting,
+cluster representative election).
+
+Scale design notes
+------------------
+Top-N-per-key is the core primitive and the naive form — one window
+partitioned by the key — serializes each key's rows through a single
+task, which dies on the heavy-hitter key (the giant domain, the
+boilerplate duplicate cluster with 10^7 members). Every selection
+here therefore runs the two-phase bounded form
+(:func:`bounded_topn_per_key`): a salted local top-N (any per-task
+partial order keeps a superset of the global top-N), then an exact
+re-rank over at most ``cap * n_salts`` rows per key. Phase 2's window
+partitions are BOUNDED by construction, independent of key skew.
+
+Determinism: every rank order ends with the unique id as the final
+tie-break, so the kept set is a pure function of the input — the
+property the DuckDB oracles (which use plain single-window SQL, a
+deliberately different algorithm) verify end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ursa_major_choir_etl_spark.operators import text
+from ursa_major_choir_etl_spark.operators.text import normalized_text
+
+
+def bounded_topn_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[Column],
+    cap: int,
+    salt_on: Column | str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Exact top-``cap`` rows per key with bounded window partitions.
+
+    Phase 1 ranks within (key, salt) — ``n_salts`` parallel tasks per
+    key, each keeping its local top-``cap`` (a superset of the global
+    winners: a row in the global top-cap is in the top-cap of
+    whichever salt bucket it landed in). Phase 2 re-ranks the
+    survivors exactly; its partitions hold at most ``cap * n_salts``
+    rows per key regardless of input skew, so no single task ever
+    sees a heavy-hitter key's full row set. Output: input columns +
+    ``rank`` (1-based, globally exact within key).
+
+    ``salt_on``: plain column (NOT a SortOrder) whose deterministic
+    hash spreads rows across salt buckets — pass the unique id. The
+    salt never affects the result set, only phase-1 balance.
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(salt_on), F.lit(n_salts))
+    )
+    local = Window.partitionBy(*key_cols, "_salt").orderBy(*order_cols)
+    survivors = (
+        salted.withColumn("_lrank", F.row_number().over(local))
+        .filter(F.col("_lrank") <= cap)
+        .drop("_lrank", "_salt")
+    )
+    exact = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        survivors.withColumn("rank", F.row_number().over(exact))
+        .filter(F.col("rank") <= cap)
+    )
+
+
+def domain_quota_report(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cap: int = 50,
+) -> DataFrame:
+    """Per-domain quality quota (the FineWeb/Gopher domain-cap
+    curation step): within each domain keep the ``cap``
+    highest-quality documents (quality desc, id asc tie-break), and
+    report the attrition per domain.
+
+    Two aggregation paths meet in one broadcast-friendly join:
+    totals are a plain groupBy over the full corpus (no window), the
+    kept set comes from the bounded two-phase top-N — so the only
+    per-key ordered work runs on bounded partitions.
+
+    Output per domain: ``domain, n_docs, n_kept, n_dropped,
+    tokens_total, tokens_kept, min_kept_quality``.
+    """
+    scored = df.select(
+        F.col(domain_col).alias("domain"),
+        F.col(id_col),
+        text.token_count(text_col).alias("_n_tokens"),
+        text.quality_score(text_col).alias("_quality"),
+    )
+    totals = scored.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n_tokens").alias("tokens_total"),
+    )
+    kept = bounded_topn_per_key(
+        scored,
+        ["domain"],
+        [F.col("_quality").desc(), F.col(id_col).asc()],
+        cap=cap,
+        salt_on=F.col(id_col),
+    )
+    kept_agg = kept.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("_n_tokens").alias("tokens_kept"),
+        F.min("_quality").alias("min_kept_quality"),
+    )
+    return totals.join(kept_agg, "domain").select(
+        "domain",
+        "n_docs",
+        "n_kept",
+        (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+        "tokens_total",
+        "tokens_kept",
+        "min_kept_quality",
+    )
+
+
+def soft_dedup_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_tokens: int | None = None,
+) -> DataFrame:
+    """Log-capped duplicate down-sampling: duplicate clusters keep
+    ``floor(log2(n)) + 1`` members — the "don't delete, down-weight"
+    C4/CCNet policy that preserves a frequency signal (n copies ->
+    ~log n copies) instead of exact dedup's flat 1.
+
+    The cluster key is the md5 of the normalized text, or — with
+    ``prefix_tokens=k`` — of its first k tokens only: lead/prefix
+    clustering (same news wire lead, mirrored article openings),
+    which groups templated families exact dedup misses.
+
+    keep_k = bit_length(n) = length(bin(n)); kept members are the
+    keep_k smallest ids (deterministic). keep_k <= 64 for any bigint
+    count, so the selection runs through the bounded two-phase top-N
+    with cap 64 — immune to the giant boilerplate cluster.
+
+    Output: (id, fingerprint, cluster_size, keep_k, kept).
+    """
+    norm = normalized_text(text_col)
+    key = (
+        norm
+        if prefix_tokens is None
+        else F.array_join(
+            F.slice(text.tokens(norm), 1, prefix_tokens), " "
+        )
+    )
+    fp = df.select(F.col(id_col), F.md5(key).alias("fingerprint"))
+    sizes = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("cluster_size"))
+    ranked = bounded_topn_per_key(
+        fp, ["fingerprint"], [F.col(id_col).asc()], cap=64,
+        salt_on=F.col(id_col),
+    )
+    return (
+        ranked.join(sizes, "fingerprint")
+        .select(
+            F.col(id_col),
+            "fingerprint",
+            "cluster_size",
+            F.length(F.bin("cluster_size")).cast("int").alias("keep_k"),
+            (F.col("rank") <= F.length(F.bin("cluster_size"))).alias("kept"),
+        )
+    )
+
+
+def soft_dedup_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_tokens: int | None = None,
+) -> DataFrame:
+    """Attrition report for :func:`soft_dedup_flags`, grouped by
+    cluster size: how many clusters of each size, docs before/after.
+    (Clusters larger than the 64-row selection bound would surface
+    here as docs_kept < keep_k * n_clusters — impossible for bigint
+    counts, asserted by the property tests.)"""
+    flags = soft_dedup_flags(df, id_col, text_col, prefix_tokens)
+    return (
+        flags.groupBy("cluster_size")
+        .agg(
+            F.count_distinct("fingerprint").alias("n_clusters"),
+            F.count(F.lit(1)).alias("docs_ranked"),
+            F.sum(F.col("kept").cast("bigint")).alias("docs_kept"),
+        )
+        .withColumn(
+            "docs_total", F.col("cluster_size") * F.col("n_clusters")
+        )
+        .drop("docs_ranked")
+    )
+
+
+def cluster_representatives(
+    labels: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Representative election per near-duplicate cluster: given CC
+    labels (node, component) from
+    :func:`~ursa_major_choir_etl_spark.operators.dedup.connected_components`,
+    keep the highest-quality member (quality desc, id asc) of each
+    cluster and report the attrition.
+
+    A pure aggregation — ``min_by`` over a (neg-quality, id) struct
+    picks the argmax with a deterministic tie-break in ONE shuffle on
+    the component key; no window at all, so cluster-size skew only
+    costs partial-aggregation memory (constant per group).
+
+    Output per component: ``component, cluster_size, rep_doc_id,
+    rep_quality, tokens_total, tokens_kept``.
+    """
+    scored = docs.select(
+        F.col(id_col).alias("node"),
+        text.token_count(text_col).alias("_n_tokens"),
+        text.quality_score(text_col).alias("_quality"),
+    )
+    members = labels.join(scored, "node")
+    pick = F.min_by(
+        F.struct(F.col("node").alias("id"), F.col("_quality").alias("q"),
+                 F.col("_n_tokens").alias("t")),
+        F.struct((-F.col("_quality")).alias("nq"), F.col("node").alias("id")),
+    )
+    return members.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        pick.getField("id").alias("rep_doc_id"),
+        pick.getField("q").alias("rep_quality"),
+        F.sum("_n_tokens").alias("tokens_total"),
+        pick.getField("t").alias("tokens_kept"),
+    )

@@ -87,3 +87,72 @@ def zorder_bucket_stats(
             F.max("_y").alias("y_max"),
         )
     )
+
+
+def adaptive_shard_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    size_col: str = "n_tokens",
+    target_per_shard: int = 20_000,
+    seed: int = 0,
+    nibbles: int = 5,
+) -> DataFrame:
+    """Write-side shard sizing + balance report: pick the shard count
+    from the DATA (ceil(total_size / target)) and verify a
+    deterministic hash placement actually balances — the calculation
+    every large writer runs before `repartition(n).write` so output
+    files land near a target size instead of inheriting whatever
+    parallelism the last shuffle had (the classic
+    10,000-tiny-files/3-giant-files failure at 100 TB).
+
+    The shard count is a one-row aggregate broadcast back onto the
+    corpus (never collected); placement is the md5-nibble uniform
+    (dedup.bloom_position_sql) mod n_shards — engine-portable, id-pure
+    (stable under re-partitioning and incremental growth, unlike
+    xxhash/partition-id schemes), and replayable by the SQL oracle.
+
+    Output: one row per shard — (shard, n_docs, shard_size,
+    dev_ppm = |shard_size - ideal| * 1e6 / ideal, integer-exact) plus
+    the n_shards/ideal_size context columns. The report IS the test:
+    max(dev_ppm) is the number a writer alerts on.
+    """
+    from ursa_major_choir_etl_spark.operators.dedup import bloom_position_sql
+
+    sized = df.select(
+        F.col(id_col), F.col(size_col).cast("bigint").alias("_sz")
+    )
+    totals = sized.agg(
+        F.sum("_sz").alias("_total"),
+        F.ceil(F.sum("_sz") / F.lit(float(target_per_shard)))
+        .cast("int")
+        .alias("n_shards"),
+    )
+    pos = F.expr(bloom_position_sql(seed, f"CAST({id_col} AS STRING)", nibbles))
+    placed = sized.crossJoin(F.broadcast(totals)).select(
+        F.pmod(pos, F.col("n_shards")).cast("int").alias("shard"),
+        "_sz",
+        "n_shards",
+        "_total",
+    )
+    ideal = F.col("_total").cast("double") / F.col("n_shards").cast("double")
+    return (
+        placed.groupBy("shard", "n_shards", "_total")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_sz").alias("shard_size"),
+        )
+        .select(
+            "shard",
+            "n_shards",
+            "n_docs",
+            "shard_size",
+            F.round(
+                F.abs(F.col("shard_size").cast("double") - ideal)
+                * 1_000_000.0
+                / ideal,
+                0,
+            )
+            .cast("bigint")
+            .alias("dev_ppm"),
+        )
+    )

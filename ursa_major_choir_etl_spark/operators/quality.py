@@ -188,3 +188,50 @@ def profile_table(
         base.join(F.broadcast(distincts), "col_name")
         .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
     )
+
+
+def robust_outlier_report(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    k: float = 3.0,
+) -> DataFrame:
+    """Median/MAD robust outlier screening per key — the data-quality
+    monitor a pipeline runs over a metric stream before trusting it
+    (mean/stddev break down exactly when the data is bad; the
+    median/MAD pair has a 50% breakdown point).
+
+    Two exact-percentile aggregation passes (median of the value,
+    then median absolute deviation around it), then one scoring pass
+    counting values with |v - med| > k * MAD. Both engines use the
+    same interpolated exact median (Spark ``percentile`` == DuckDB
+    ``quantile_cont``), and the outlier comparison quantizes both
+    sides to 6dp first, so an exactly-on-threshold value cannot flip
+    between engines on a last-ulp disagreement.
+
+    Per-key medians are one row per key; the joins back onto the
+    stream are key-equi joins Spark resolves as broadcasts while the
+    key cardinality is small and as shuffle joins when it grows — no
+    hard hint, deliberately.
+
+    Output: (key, n_events, med_value, mad_value, n_outliers,
+    max_abs_dev), 6dp.
+    """
+    med = df.groupBy(key_col).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("_med")
+    )
+    with_med = df.join(med, key_col).withColumn(
+        "_adev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    mad = with_med.groupBy(key_col).agg(
+        F.percentile("_adev", F.lit(0.5)).alias("_mad")
+    )
+    scored = with_med.join(mad, key_col)
+    is_out = F.round(F.col("_adev"), 6) > F.round(F.lit(k) * F.col("_mad"), 6)
+    return scored.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.min("_med"), 6).alias("med_value"),
+        F.round(F.min("_mad"), 6).alias("mad_value"),
+        F.sum(is_out.cast("bigint")).alias("n_outliers"),
+        F.round(F.max("_adev"), 6).alias("max_abs_dev"),
+    )

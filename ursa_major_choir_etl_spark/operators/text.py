@@ -483,3 +483,78 @@ def unigram_surprisal_scores(
             ).alias("mean_surprisal"),
         )
     )
+
+
+def char_bigram_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    low_bits: float = 1.0,
+    high_bits: float = 6.0,
+) -> DataFrame:
+    """Gibberish / repetition detector via character-bigram entropy.
+
+    Character-level distributional signals catch what token-level
+    filters miss: a doc of random base64 has plausible token counts
+    but near-uniform bigrams (entropy ~ log2 of alphabet^2), while
+    "aaaa..." spam collapses to ~0 bits. Flag both tails.
+
+    Determinism over libm (the q115 unigram-surprisal playbook): each
+    bigram's surprisal is the INTEGER floor(log2(m / count)) via
+    length(bin(m DIV count)) - 1 — pure integer ops, bit-identical in
+    any engine; the per-doc mean is the count-weighted average of
+    whole-bit surprisals, rounded 6dp. Quantized to whole bits, which
+    a tail-flag filter does not miss.
+
+    Shape: bigrams are materialized per doc with one transform over a
+    MATERIALIZED normalized-text column (substring inside the lambda
+    re-reads the column, not the normalize chain), one explode, one
+    (doc, bigram) count aggregate, one per-doc rollup. All scan-stage
+    work before a single shuffle; no UDFs, no windows.
+
+    Output: (id, n_bigrams, distinct_bigrams, mean_bits, suspicious).
+    """
+    df = widen_if_narrow(df)
+    normed = df.select(
+        F.col(id_col), normalized_text(text_col).alias("_norm")
+    ).filter(F.length("_norm") >= 2)
+    grams = normed.select(
+        F.col(id_col),
+        F.explode(
+            F.expr("transform(sequence(1, length(_norm) - 1),"
+                   " i -> substring(_norm, i, 2))")
+        ).alias("bg"),
+    )
+    counts = grams.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("k"))
+    # The surprisal needs the per-doc total m alongside each bigram
+    # count: one per-doc total aggregate, joined back on the doc key
+    # (both sides already hash-partitioned by the doc key, so AQE
+    # plans the join without a second full shuffle of `counts`).
+    totals = counts.groupBy(id_col).agg(F.sum("k").alias("m"))
+    scored = (
+        counts.join(totals, id_col)
+        .select(
+            F.col(id_col),
+            "k",
+            (F.length(F.bin(F.expr("m div k"))) - 1).alias("bits"),
+        )
+    )
+    rollup = scored.groupBy(id_col).agg(
+        F.sum("k").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("distinct_bigrams"),
+        F.round(
+            F.sum(F.col("k") * F.col("bits"))
+            / F.sum("k").cast("double"),
+            6,
+        ).alias("mean_bits"),
+    )
+    return rollup.select(
+        id_col,
+        "n_bigrams",
+        "distinct_bigrams",
+        "mean_bits",
+        (
+            (F.col("mean_bits") <= F.lit(low_bits))
+            | (F.col("mean_bits") >= F.lit(high_bits))
+        ).alias("suspicious"),
+    )

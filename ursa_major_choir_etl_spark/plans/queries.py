@@ -2022,9 +2022,12 @@ def q55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
-def _oracle_q55() -> str:
-    return f"""
-WITH RECURSIVE {osql.shingles_cte_sql(3)},
+def _cc_oracle_ctes() -> str:
+    """Shared CTE chain: q20 jaccard pairs -> symmetric edges ->
+    recursive transitive closure ``reach(n, m)``. Callers prefix
+    ``WITH RECURSIVE`` and aggregate reach (q55/q77 labels; q122
+    representative election)."""
+    return f"""{osql.shingles_cte_sql(3)},
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM doc_shingles GROUP BY 1),
 freq AS (SELECT shingle, count(*) AS df FROM doc_shingles GROUP BY 1),
 rare AS (SELECT d.doc_id, d.shingle FROM doc_shingles d
@@ -2055,7 +2058,12 @@ reach(n, m) AS (
   SELECT DISTINCT a, a FROM edges
   UNION
   SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
-)
+)"""
+
+
+def _oracle_q55() -> str:
+    return f"""
+WITH RECURSIVE {_cc_oracle_ctes()}
 SELECT n AS node, min(m) AS component FROM reach GROUP BY n
 """
 
@@ -4897,6 +4905,345 @@ WHERE by_jaccard + by_simhash + by_embedding >= 2
 """
 
 
+def q117_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality quota (FineWeb/Gopher-style domain caps):
+    keep the 50 highest-quality docs per source, report attrition.
+    The Spark side selects via the bounded two-phase top-N
+    (curation.bounded_topn_per_key — salted local top-N, then exact
+    re-rank over <= cap*n_salts rows per key, so no task ever sees a
+    heavy-hitter domain's full row set); the oracle deliberately uses
+    the naive single-window formulation — independent derivations of
+    the same kept set. cap=15 binds at every graded scale (>= 25
+    docs/source from sf0.01 up), so the report always exercises the
+    drop path."""
+    from ursa_major_choir_etl_spark.operators import curation
+
+    return curation.domain_quota_report(
+        T(spark, sf_dir, "documents"), cap=15
+    )
+
+
+def _oracle_q117(cap: int = 15) -> str:
+    return f"""
+WITH scored AS (
+  SELECT source AS domain, doc_id,
+         {osql.token_count_sql('text')} AS n_tokens,
+         {osql.quality_score_sql('text')} AS q
+  FROM documents
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY q DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT domain, count(*) AS n_docs,
+       CAST(sum(CASE WHEN rn <= {cap} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(count(*) - sum(CASE WHEN rn <= {cap} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+       CAST(sum(CASE WHEN rn <= {cap} THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS tokens_kept,
+       min(CASE WHEN rn <= {cap} THEN q END) AS min_kept_quality
+FROM ranked GROUP BY domain
+"""
+
+
+def q118_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary induction: the first 3 BPE merges learned
+    from the corpus (vocab.bpe_merge_table). One corpus-sized explode
+    builds the staged word vocabulary; each merge is a
+    vocabulary-sized pair aggregation + a 1-row argmax collect (the
+    k-means collect contract) + a column-level replace. Merge
+    semantics are plain left-to-right non-overlapping string replace
+    on |-delimited symbols — identical in both engines by
+    construction; the oracle replays all 3 iterations as chained
+    CTEs."""
+    from ursa_major_choir_etl_spark.operators import vocab
+
+    return vocab.bpe_merge_table(T(spark, sf_dir, "documents"), n_merges=3)
+
+
+def _oracle_q118() -> str:
+    def level(i: int) -> str:
+        return f"""
+p{i} AS (
+  SELECT p[1] AS left_sym, p[2] AS right_sym,
+         CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+                                 i -> [syms[i], syms[i + 1]])) AS p, cnt
+    FROM (SELECT list_filter(string_split(w, '|'), x -> x <> '') AS syms,
+                 cnt
+          FROM sym{i - 1})
+  )
+  GROUP BY 1, 2
+),
+b{i} AS (SELECT * FROM p{i}
+         ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1),
+sym{i} AS (
+  SELECT replace(w, '|' || b.left_sym || '|' || b.right_sym || '|',
+                    '|' || b.left_sym || b.right_sym || '|') AS w, cnt
+  FROM sym{i - 1} CROSS JOIN b{i} b
+)"""
+
+    return f"""
+WITH words0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS word
+    FROM documents
+  ) GROUP BY 1
+),
+sym0 AS (
+  SELECT '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS w, cnt
+  FROM words0
+),{level(1)},{level(2)},{level(3)}
+SELECT 1 AS merge_rank, left_sym, right_sym, pair_count FROM b1
+UNION ALL SELECT 2, left_sym, right_sym, pair_count FROM b2
+UNION ALL SELECT 3, left_sym, right_sym, pair_count FROM b3
+"""
+
+
+def q119_adaptive_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side shard sizing: shard count derived from total corpus
+    bytes (one-row aggregate, broadcast back — never collected),
+    md5-nibble deterministic placement, per-shard balance report in
+    integer ppm (layout.adaptive_shard_plan). The report is what a
+    100 TB writer checks before `repartition(n).write`."""
+    from ursa_major_choir_etl_spark.operators.layout import adaptive_shard_plan
+
+    docs = T(spark, sf_dir, "documents")
+    return adaptive_shard_plan(
+        docs, size_col="n_chars", target_per_shard=20_000
+    )
+
+
+def _oracle_q119(target: int = 20_000, seed: int = 0, nibbles: int = 5) -> str:
+    pos = _bloom_position_duckdb(seed, "CAST(doc_id AS STRING)", nibbles)
+    return f"""
+WITH sized AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS sz FROM documents
+),
+tot AS (
+  SELECT CAST(sum(sz) AS BIGINT) AS total,
+         CAST(ceil(CAST(sum(sz) AS DOUBLE) / {float(target)}) AS INTEGER)
+           AS n_shards
+  FROM sized
+),
+placed AS (
+  SELECT CAST(({pos}) % n_shards AS INTEGER) AS shard, sz, n_shards, total
+  FROM sized CROSS JOIN tot
+)
+SELECT shard, CAST(min(n_shards) AS INTEGER) AS n_shards,
+       count(*) AS n_docs,
+       CAST(sum(sz) AS BIGINT) AS shard_size,
+       CAST(round(abs(CAST(sum(sz) AS DOUBLE)
+                      - CAST(min(total) AS DOUBLE) / min(n_shards))
+                  * 1000000.0
+                  / (CAST(min(total) AS DOUBLE) / min(n_shards)), 0) AS BIGINT)
+         AS dev_ppm
+FROM placed GROUP BY shard
+"""
+
+
+def q120_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-capped duplicate down-sampling (C4/CCNet "down-weight,
+    don't delete"): exact-dup clusters keep bit_length(n) members —
+    n copies become ~log2(n), preserving the frequency signal exact
+    dedup flattens. Clusters key on the 10-token normalized PREFIX
+    (lead clustering — templated openings group even when tails
+    differ, and the test corpus has real prefix families at every
+    sf). Selection is the bounded two-phase top-N (cap 64
+    covers any bigint count), so the giant boilerplate cluster never
+    serializes through one task; the oracle uses the naive
+    single-window form (curation.soft_dedup_report)."""
+    from ursa_major_choir_etl_spark.operators import curation
+
+    return curation.soft_dedup_report(
+        T(spark, sf_dir, "documents"), prefix_tokens=10
+    )
+
+
+def _oracle_q120(prefix_tokens: int = 10) -> str:
+    return f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_slice(string_split({osql.norm_text_sql('text')}, ' '),
+                      1, {prefix_tokens}), ' ')) AS f
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, f,
+         row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY f) AS n
+  FROM fp
+)
+SELECT CAST(n AS BIGINT) AS cluster_size,
+       CAST(count(DISTINCT f) AS BIGINT) AS n_clusters,
+       CAST(sum(CASE WHEN rn <= length(bin(n)) THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_kept,
+       count(*) AS docs_total
+FROM ranked GROUP BY n
+"""
+
+
+def q121_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gibberish/repetition screening by character-bigram entropy
+    (text.char_bigram_entropy): integer floor-log2 surprisal per
+    bigram (bit-exact in SQL — the q115 playbook at character level),
+    count-weighted per-doc mean, both tails flagged. Catches
+    random-string noise and "aaaa" spam that token-level quality
+    scores miss."""
+    return text.char_bigram_entropy(T(spark, sf_dir, "documents"))
+
+
+def _oracle_q121(low: float = 1.0, high: float = 6.0) -> str:
+    return f"""
+WITH normed AS (
+  SELECT doc_id, {osql.norm_text_sql('text')} AS nt FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, length(nt) - 1),
+                               i -> substr(nt, i, 2))) AS bg
+  FROM normed WHERE length(nt) >= 2
+),
+counts AS (SELECT doc_id, bg, count(*) AS k FROM grams GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS m FROM counts GROUP BY 1),
+scored AS (
+  SELECT c.doc_id, k, length(bin(m // k)) - 1 AS bits
+  FROM counts c JOIN tot USING (doc_id)
+),
+rolled AS (
+  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+         count(*) AS distinct_bigrams,
+         round(CAST(sum(k * bits) AS DOUBLE) / CAST(sum(k) AS DOUBLE), 6)
+           AS mean_bits
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, n_bigrams, distinct_bigrams, mean_bits,
+       (mean_bits <= {low} OR mean_bits >= {high}) AS suspicious
+FROM rolled
+"""
+
+
+def q122_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative election per near-dup cluster: q55's connected
+    components + a one-shuffle min_by argmax picking each cluster's
+    highest-quality member (quality desc, id asc) with the attrition
+    totals — the "which copy survives" decision after transitive
+    dedup. No window at all on the Spark side (pure aggregation, skew
+    only costs constant partial-agg state); the oracle extends the
+    recursive-CTE closure with a window argmax — independent
+    algorithms, same election."""
+    from ursa_major_choir_etl_spark.operators import curation
+
+    docs = T(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs)
+    pairs = dedup.jaccard_pairs(sh, threshold=0.5)
+    labels = dedup.connected_components(pairs)
+    return curation.cluster_representatives(labels, docs)
+
+
+def _oracle_q122() -> str:
+    return f"""
+WITH RECURSIVE {_cc_oracle_ctes()},
+labels AS (SELECT n AS node, min(m) AS component FROM reach GROUP BY n),
+scored AS (
+  SELECT doc_id AS node, {osql.token_count_sql('text')} AS t,
+         {osql.quality_score_sql('text')} AS q
+  FROM documents
+),
+mem AS (SELECT component, node, q, t FROM labels JOIN scored USING (node)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY component
+                               ORDER BY q DESC, node) AS rn
+  FROM mem
+)
+SELECT component, count(*) AS cluster_size,
+       CAST(min(CASE WHEN rn = 1 THEN node END) AS BIGINT) AS rep_doc_id,
+       min(CASE WHEN rn = 1 THEN q END) AS rep_quality,
+       CAST(sum(t) AS BIGINT) AS tokens_total,
+       CAST(min(CASE WHEN rn = 1 THEN t END) AS BIGINT) AS tokens_kept
+FROM ranked GROUP BY component
+"""
+
+
+def q123_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier screening of the event-value stream
+    per event type (quality.robust_outlier_report) — the
+    before-you-trust-it monitor for a metric feed; 50% breakdown
+    point where mean/stddev has 0. Exact interpolated medians (Spark
+    percentile == DuckDB quantile_cont), 6dp quantization on BOTH
+    sides of the outlier comparison so a threshold-straddling value
+    cannot flip between engines."""
+    from ursa_major_choir_etl_spark.operators.quality import (
+        robust_outlier_report,
+    )
+
+    return robust_outlier_report(T(spark, sf_dir, "events"))
+
+
+def _oracle_q123(k: float = 3.0) -> str:
+    return f"""
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS m
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, e.value, abs(e.value - m) AS adev, m
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS md
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type, count(*) AS n_events,
+       round(min(d.m), 6) AS med_value,
+       round(min(md), 6) AS mad_value,
+       CAST(sum(CASE WHEN round(adev, 6) > round({k} * md, 6)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(max(adev), 6) AS max_abs_dev
+FROM dev d JOIN mad USING (event_type) GROUP BY 1
+"""
+
+
+def q124_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation in the q20 near-dup pair graph
+    (graph.triangle_counts): degree-ordered wedge join — each wedge
+    generated at its lowest-degree apex, bounding per-node fan-out at
+    O(sqrt(m)) and killing the hub blowup a naive wedge join hits on
+    skewed similarity graphs. The oracle counts the same triangles
+    with the naive a<b<c three-way self-join — independent
+    algorithms, same set. Triangle-rich neighborhoods = template
+    families; triangle-free stars = hub false-positives."""
+    from ursa_major_choir_etl_spark.operators.graph import triangle_counts
+
+    sh = dedup.word_shingles(T(spark, sf_dir, "documents"))
+    pairs = dedup.jaccard_pairs(sh, threshold=0.5)
+    return triangle_counts(pairs)
+
+
+def _oracle_q124() -> str:
+    return f"""
+WITH jp AS ({_oracle_q20()}),
+e AS (SELECT DISTINCT id_a AS a, id_b AS b FROM jp),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, count(*) AS n_triangles FROM nodes GROUP BY node
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -5014,6 +5361,14 @@ QUERIES = {
     "q114_curriculum_bins": q114_curriculum_bins,
     "q115_unigram_surprisal": q115_unigram_surprisal,
     "q116_dedup_consensus": q116_dedup_consensus,
+    "q117_domain_quota": q117_domain_quota,
+    "q118_bpe_merges": q118_bpe_merges,
+    "q119_adaptive_shards": q119_adaptive_shards,
+    "q120_soft_dedup": q120_soft_dedup,
+    "q121_char_entropy": q121_char_entropy,
+    "q122_cluster_representatives": q122_cluster_representatives,
+    "q123_robust_outliers": q123_robust_outliers,
+    "q124_triangle_counts": q124_triangle_counts,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -5178,4 +5533,12 @@ ORACLES: dict[str, str | None] = {
     "q114_curriculum_bins": _oracle_q114(),
     "q115_unigram_surprisal": _oracle_q115(),
     "q116_dedup_consensus": _oracle_q116(),
+    "q117_domain_quota": _oracle_q117(),
+    "q118_bpe_merges": _oracle_q118(),
+    "q119_adaptive_shards": _oracle_q119(),
+    "q120_soft_dedup": _oracle_q120(),
+    "q121_char_entropy": _oracle_q121(),
+    "q122_cluster_representatives": _oracle_q122(),
+    "q123_robust_outliers": _oracle_q123(),
+    "q124_triangle_counts": _oracle_q124(),
 }

@@ -398,3 +398,56 @@ class TestClusterRepresentatives:
         assert got[1]["rep_doc_id"] == 2
         assert got[7]["rep_doc_id"] == 8
         assert got[1]["tokens_kept"] <= got[1]["tokens_total"]
+
+
+class TestMixturePlan:
+    def test_rates_and_yields(self, spark):
+        from ursa_major_choir_etl_spark.operators.curation import mixture_plan
+
+        # Domain "big" has 10x the tokens of "small": equal targets
+        # mean big is downsampled, small is underfilled.
+        rows = [(i, "tok " * 100, "big") for i in range(10)]
+        rows += [(100, "tok " * 100, "small")]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {r["domain"]: r for r in mixture_plan(df, budget_ppm_of_corpus=400_000).collect()}
+        total = 1100
+        target = total * 400_000 // 1_000_000 // 2  # 220
+        for dom, avail in (("big", 1000), ("small", 100)):
+            r = got[dom]
+            assert r["tokens_available"] == avail
+            assert r["target_tokens"] == target
+            expect_rate = min(1_000_000, target * 1_000_000 // avail)
+            assert r["rate_ppm"] == expect_rate
+            assert r["expected_tokens"] == avail * expect_rate // 1_000_000
+        assert got["small"]["underfilled"] is True
+        assert got["big"]["underfilled"] is False
+
+    def test_zero_token_domain_excluded(self, spark):
+        from ursa_major_choir_etl_spark.operators.curation import mixture_plan
+
+        df = spark.createDataFrame(
+            [(0, "some text", "a"), (1, "", "empty")],
+            "doc_id long, text string, source string",
+        )
+        doms = {r["domain"] for r in mixture_plan(df).collect()}
+        assert doms == {"a"}
+
+
+class TestCurationFunnel:
+    def test_stages_are_monotone_and_match_manual(self, spark):
+        from ursa_major_choir_etl_spark.operators.curation import (
+            curation_funnel,
+        )
+        from ursa_major_choir_etl_spark.operators import text as t
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        rep = {r["stage_idx"]: r for r in curation_funnel(docs).collect()}
+        assert [rep[i]["stage"] for i in (1, 2, 3, 4)] == [
+            "all", "quality_gate", "soft_dedup", "domain_cap",
+        ]
+        for i in (2, 3, 4):
+            assert rep[i]["n_docs"] <= rep[i - 1]["n_docs"]
+            assert rep[i]["n_tokens"] <= rep[i - 1]["n_tokens"]
+        assert rep[1]["n_docs"] == docs.count()
+        s2 = docs.filter(t.quality_score("text") >= 0.5).count()
+        assert rep[2]["n_docs"] == s2

@@ -557,3 +557,88 @@ class TestStreamingIncrementalDedup:
             for r in dd.incremental_dedup_probe(shard, corpus).collect()
         }
         assert got == want and len(got) == shard.count()
+
+
+class TestStreamingOutlierGate:
+    def test_stream_flags_match_batch_report(self, spark, tmp_path_factory):
+        """Drained gate verdicts agree with the batch median/MAD
+        report recomputed over history: every flagged stream event is
+        one the batch comparison flags, with identical thresholds."""
+        from ursa_major_choir_etl_spark.operators.quality import (
+            robust_outlier_report,
+        )
+
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        history = events.filter("event_id % 5 != 0")
+        arriving = events.filter("event_id % 5 = 0").select(
+            "event_id", "event_type", "value"
+        )
+        prof = robust_outlier_report(history)
+
+        src = str(tmp_path_factory.mktemp("ev_stream"))
+        arriving.repartition(3).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("event_id long, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = jobs.streaming_outlier_gate(stream, prof)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("outlier_gate_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        got = {
+            r["event_id"]: (r["is_outlier"], r["abs_dev"])
+            for r in spark.sql("select * from outlier_gate_out").collect()
+        }
+        # Batch mirror: same join + comparison in one batch plan.
+        from pyspark.sql import functions as F
+
+        want = {}
+        for r in (
+            arriving.join(
+                prof.select("event_type", "med_value", "mad_value"),
+                "event_type",
+                "left",
+            )
+            .select(
+                "event_id",
+                F.round(F.abs(F.col("value") - F.col("med_value")), 6).alias("ad"),
+                (
+                    F.round(F.abs(F.col("value") - F.col("med_value")), 6)
+                    > F.round(F.lit(3.0) * F.col("mad_value"), 6)
+                ).alias("flag"),
+            )
+            .collect()
+        ):
+            want[r["event_id"]] = (r["flag"], r["ad"])
+        assert got == want and len(got) == arriving.count()
+
+    def test_unprofiled_key_passes_with_null(self, spark, tmp_path_factory):
+        src = str(tmp_path_factory.mktemp("ev_stream2"))
+        spark.createDataFrame(
+            [(1, "unseen", 5.0)], "event_id long, event_type string, value double"
+        ).write.mode("overwrite").parquet(src)
+        prof = spark.createDataFrame(
+            [("known", 1.0, 0.1)], "event_type string, med_value double, mad_value double"
+        )
+        stream = (
+            spark.readStream.schema("event_id long, event_type string, value double")
+            .parquet(src)
+        )
+        out = jobs.streaming_outlier_gate(stream, prof)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("outlier_gate_null")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("select * from outlier_gate_null").collect()
+        assert len(rows) == 1 and rows[0]["is_outlier"] is None

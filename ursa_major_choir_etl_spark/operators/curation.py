@@ -240,3 +240,139 @@ def cluster_representatives(
         F.sum("_n_tokens").alias("tokens_total"),
         pick.getField("t").alias("tokens_kept"),
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    budget_ppm_of_corpus: int = 400_000,
+) -> DataFrame:
+    """Source-mixture planning: given a token budget (as ppm of the
+    corpus total) split EQUALLY across domains, compute each domain's
+    sampling rate and expected token yield — the static version of
+    the DoReMi/data-mixture step every multi-source training run
+    executes before sampling ("how hard do I downsample CommonCrawl
+    so books get their share?").
+
+    All integer arithmetic end-to-end (ppm rates, DIV division) so
+    the plan is bit-exact in SQL: rate_ppm = min(1e6, target*1e6 /
+    available); expected_tokens = available * rate_ppm / 1e6
+    (truncating); a domain with fewer tokens than its target is
+    flagged ``underfilled`` (rate capped at 1.0 — the plan cannot
+    mint data, so the shortfall is explicit rather than silently
+    re-spread).
+
+    Shape: one per-domain aggregate + one 1-row corpus total
+    broadcast back. Output per domain: (domain, tokens_available,
+    target_tokens, rate_ppm, expected_tokens, underfilled).
+    """
+    per_dom = (
+        df.select(
+            F.col(domain_col).alias("domain"),
+            text.token_count(text_col).alias("_t"),
+        )
+        .groupBy("domain")
+        .agg(F.sum("_t").alias("tokens_available"))
+        # A domain with zero tokens has no rate (and would divide by
+        # zero under ANSI mode): excluded, like the <=0-weight rule in
+        # sampling.weighted_sample_sequential_poisson.
+        .filter(F.col("tokens_available") > 0)
+    )
+    totals = per_dom.agg(
+        F.sum("tokens_available").alias("_corpus_tokens"),
+        F.count(F.lit(1)).alias("_n_domains"),
+    )
+    planned = per_dom.crossJoin(F.broadcast(totals)).select(
+        "domain",
+        "tokens_available",
+        F.expr(
+            f"_corpus_tokens * {budget_ppm_of_corpus} DIV 1000000"
+            " DIV _n_domains"
+        ).alias("target_tokens"),
+    )
+    rate = F.least(
+        F.lit(1_000_000).cast("bigint"),
+        F.expr("target_tokens * 1000000 DIV tokens_available"),
+    )
+    return planned.select(
+        "domain",
+        "tokens_available",
+        "target_tokens",
+        rate.alias("rate_ppm"),
+        F.expr(
+            "tokens_available * least(CAST(1000000 AS BIGINT),"
+            " target_tokens * 1000000 DIV tokens_available)"
+            " DIV 1000000"
+        ).alias("expected_tokens"),
+        (F.col("tokens_available") < F.col("target_tokens")).alias(
+            "underfilled"
+        ),
+    )
+
+
+def curation_funnel(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+    quality_threshold: float = 0.5,
+    prefix_tokens: int = 10,
+    domain_cap: int = 15,
+) -> DataFrame:
+    """End-to-end curation attrition funnel: quality gate -> soft
+    dedup -> domain cap, reporting docs/tokens surviving each stage —
+    the one-page summary a corpus-curation run publishes (and the
+    composition proof that the apply-side operators chain: each
+    stage's input is the previous stage's kept set).
+
+    Stages: (1) all docs; (2) quality_score >= threshold; (3)
+    log-capped soft dedup on the token-prefix cluster key, survivors
+    of (2) only; (4) per-domain quality cap over survivors of (3).
+    Selections reuse the bounded two-phase machinery throughout, so
+    no stage windows over an unbounded partition.
+
+    Output: (stage_idx, stage, n_docs, n_tokens) — 4 rows.
+    """
+    from ursa_major_choir_etl_spark.caching import stage as _stage
+
+    scored = _stage(
+        df.select(
+            F.col(id_col),
+            F.col(domain_col).alias("domain"),
+            text.token_count(text_col).alias("_t"),
+            text.quality_score(text_col).alias("_q"),
+            F.col(text_col),
+        )
+    )
+    s2 = scored.filter(F.col("_q") >= quality_threshold)
+    flags = soft_dedup_flags(s2, id_col, text_col, prefix_tokens)
+    s3 = _stage(
+        s2.join(
+            flags.filter("kept").select(id_col), id_col, "left_semi"
+        )
+    )
+    s4 = bounded_topn_per_key(
+        s3.drop(text_col),
+        ["domain"],
+        [F.col("_q").desc(), F.col(id_col).asc()],
+        cap=domain_cap,
+        salt_on=F.col(id_col),
+    )
+
+    def rep(idx: int, name: str, d: DataFrame) -> DataFrame:
+        return d.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("_t").alias("n_tokens")
+        ).select(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    return (
+        rep(1, "all", scored)
+        .unionByName(rep(2, "quality_gate", s2))
+        .unionByName(rep(3, "soft_dedup", s3))
+        .unionByName(rep(4, "domain_cap", s4))
+    )

@@ -5244,6 +5244,99 @@ SELECT node, count(*) AS n_triangles FROM nodes GROUP BY node
 """
 
 
+def q125_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture planning (curation.mixture_plan): a 40%-of-
+    corpus token budget split equally across domains -> per-domain
+    sampling rate and expected yield, with the DoReMi-style
+    underfilled flag where a domain can't cover its share. Integer
+    ppm arithmetic end-to-end (DIV), so the plan is bit-exact in SQL;
+    one per-domain aggregate + a 1-row total broadcast back."""
+    from ursa_major_choir_etl_spark.operators import curation
+
+    return curation.mixture_plan(
+        T(spark, sf_dir, "documents"), budget_ppm_of_corpus=400_000
+    )
+
+
+def _oracle_q125(budget_ppm: int = 400_000) -> str:
+    tc = osql.token_count_sql("text")
+    return f"""
+WITH per_dom AS (
+  SELECT source AS domain, CAST(sum({tc}) AS BIGINT) AS tokens_available
+  FROM documents GROUP BY 1
+  HAVING sum({tc}) > 0
+),
+tot AS (
+  SELECT CAST(sum(tokens_available) AS BIGINT) AS ct,
+         count(*) AS nd
+  FROM per_dom
+),
+planned AS (
+  SELECT domain, tokens_available,
+         CAST(ct * {budget_ppm} // 1000000 // nd AS BIGINT) AS target_tokens
+  FROM per_dom CROSS JOIN tot
+)
+SELECT domain, tokens_available, target_tokens,
+       CAST(least(1000000, target_tokens * 1000000 // tokens_available)
+            AS BIGINT) AS rate_ppm,
+       CAST(tokens_available
+            * least(1000000, target_tokens * 1000000 // tokens_available)
+            // 1000000 AS BIGINT) AS expected_tokens,
+       (tokens_available < target_tokens) AS underfilled
+FROM planned
+"""
+
+
+def q126_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation attrition funnel
+    (curation.curation_funnel): quality gate (>= 0.5) -> log-capped
+    prefix soft dedup -> per-domain quality cap, one report row per
+    stage with surviving docs/tokens. The composition proof for the
+    apply-side family: each stage consumes the previous stage's kept
+    set, all selections on bounded window partitions. The oracle
+    chains the naive window formulations."""
+    from ursa_major_choir_etl_spark.operators import curation
+
+    return curation.curation_funnel(T(spark, sf_dir, "documents"))
+
+
+def _oracle_q126(
+    threshold: float = 0.5, prefix_tokens: int = 10, cap: int = 15
+) -> str:
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source AS domain,
+         {osql.token_count_sql('text')} AS t,
+         {osql.quality_score_sql('text')} AS q,
+         {osql.norm_text_sql('text')} AS nt
+  FROM documents
+),
+s2 AS (SELECT * FROM scored WHERE q >= {threshold}),
+fp AS (
+  SELECT *, md5(array_to_string(
+    list_slice(string_split(nt, ' '), 1, {prefix_tokens}), ' ')) AS f
+  FROM s2
+),
+r3 AS (
+  SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY f) AS n
+  FROM fp
+),
+s3 AS (SELECT doc_id, domain, t, q FROM r3 WHERE rn <= length(bin(n))),
+r4 AS (
+  SELECT *, row_number() OVER (PARTITION BY domain
+                               ORDER BY q DESC, doc_id) AS rn
+  FROM s3
+),
+s4 AS (SELECT doc_id, t FROM r4 WHERE rn <= {cap})
+SELECT 1 AS stage_idx, 'all' AS stage, count(*) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS n_tokens FROM scored
+UNION ALL SELECT 2, 'quality_gate', count(*), CAST(sum(t) AS BIGINT) FROM s2
+UNION ALL SELECT 3, 'soft_dedup', count(*), CAST(sum(t) AS BIGINT) FROM s3
+UNION ALL SELECT 4, 'domain_cap', count(*), CAST(sum(t) AS BIGINT) FROM s4
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -5369,6 +5462,8 @@ QUERIES = {
     "q122_cluster_representatives": q122_cluster_representatives,
     "q123_robust_outliers": q123_robust_outliers,
     "q124_triangle_counts": q124_triangle_counts,
+    "q125_mixture_plan": q125_mixture_plan,
+    "q126_curation_funnel": q126_curation_funnel,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -5541,4 +5636,6 @@ ORACLES: dict[str, str | None] = {
     "q122_cluster_representatives": _oracle_q122(),
     "q123_robust_outliers": _oracle_q123(),
     "q124_triangle_counts": _oracle_q124(),
+    "q125_mixture_plan": _oracle_q125(),
+    "q126_curation_funnel": _oracle_q126(),
 }

@@ -569,3 +569,45 @@ def streaming_incremental_dedup(
     return incremental_dedup_probe(
         stream_docs, corpus, id_col=id_col, text_col=text_col
     )
+
+
+def streaming_outlier_gate(
+    stream_events: DataFrame,
+    thresholds: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    k: float = 3.0,
+) -> DataFrame:
+    """Median/MAD outlier gating AT INGESTION: each arriving event is
+    flagged against per-key robust thresholds profiled from history —
+    the streaming form of quality.robust_outlier_report (q123), and
+    the monitor a metric pipeline runs before admitting a batch.
+
+    ``thresholds`` is the STATIC (key, med_value, mad_value) profile
+    (e.g. q123's output persisted by the nightly job — at scale the
+    pre-built table, same contract as the q113 fingerprint index).
+    Stateless: one stream-static LEFT join on the key + a column
+    comparison, no state store. The comparison mirrors the batch
+    operator bit-for-bit: 6dp-quantized |v - med| > 6dp-quantized
+    k * MAD. Keys absent from the profile pass with a NULL verdict
+    (is_outlier NULL = "no baseline yet", distinct from false).
+
+    Output stream: input columns + (med_value, mad_value,
+    abs_dev, is_outlier).
+    """
+    from pyspark.sql import functions as F
+
+    prof = thresholds.select(
+        F.col(key_col),
+        F.col("med_value"),
+        F.col("mad_value"),
+    )
+    joined = stream_events.join(prof, key_col, "left")
+    adev = F.round(F.abs(F.col(value_col) - F.col("med_value")), 6)
+    return joined.select(
+        "*",
+        adev.alias("abs_dev"),
+        (adev > F.round(F.lit(k) * F.col("mad_value"), 6)).alias(
+            "is_outlier"
+        ),
+    )

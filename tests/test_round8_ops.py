@@ -451,3 +451,38 @@ class TestCurationFunnel:
         assert rep[1]["n_docs"] == docs.count()
         s2 = docs.filter(t.quality_score("text") >= 0.5).count()
         assert rep[2]["n_docs"] == s2
+
+
+class TestAnnRecall:
+    def test_overlap_arithmetic(self, spark):
+        from ursa_major_choir_etl_spark.operators.similarity import (
+            ann_recall_report,
+        )
+
+        exact = spark.createDataFrame(
+            [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+            "query_id long, neighbor_id long",
+        )
+        approx = spark.createDataFrame(
+            [(1, 10), (1, 99), (2, 20), (2, 21)],
+            "query_id long, neighbor_id long",
+        )
+        got = {r["query_id"]: r for r in ann_recall_report(exact, approx).collect()}
+        assert (got[1]["n_exact"], got[1]["n_approx"], got[1]["n_overlap"]) == (3, 2, 1)
+        assert abs(got[1]["recall"] - round(1 / 3, 6)) < 1e-9
+        assert got[2]["n_overlap"] == 2 and got[2]["recall"] == 1.0
+
+    def test_query_with_no_approx_results(self, spark):
+        from ursa_major_choir_etl_spark.operators.similarity import (
+            ann_recall_report,
+        )
+
+        exact = spark.createDataFrame(
+            [(1, 10), (3, 30)], "query_id long, neighbor_id long"
+        )
+        approx = spark.createDataFrame(
+            [(1, 10)], "query_id long, neighbor_id long"
+        )
+        got = {r["query_id"]: r for r in ann_recall_report(exact, approx).collect()}
+        assert got[3]["n_approx"] == 0 and got[3]["n_overlap"] == 0
+        assert got[3]["recall"] == 0.0

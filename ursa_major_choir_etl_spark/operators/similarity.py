@@ -782,3 +782,50 @@ def quantize_int8_stats(
         F.sum("_row_sqerr").alias("sum_sqerr_nano"),
         F.sum("_scale_nano").alias("sum_scale_nano"),
     )
+
+
+def ann_recall_report(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall@k evaluation of an ANN index against exact top-k — the
+    measurement every approximate-similarity deployment publishes
+    before anyone trusts its candidate lists (q91 is the same idea
+    for MinHash-vs-Jaccard; this closes the loop for the vector
+    side).
+
+    Inputs are the two result sets (query, neighbor[, ...]); the
+    report is three aggregates + two query-keyed joins, all on
+    query-cardinality data — evaluating recall costs nothing compared
+    to producing either ranking, at any corpus size.
+
+    Output per query: (query, n_exact, n_approx, n_overlap,
+    recall) with recall = n_overlap / n_exact rounded 6dp.
+    """
+    from pyspark.sql import functions as F
+
+    ex = exact.select(query_col, neighbor_col)
+    ap = approx.select(query_col, neighbor_col)
+    ov = (
+        ex.join(ap, [query_col, neighbor_col])
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    exn = ex.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    apn = ap.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_approx"))
+    return (
+        exn.join(apn, query_col, "left")
+        .join(ov, query_col, "left")
+        .select(
+            query_col,
+            "n_exact",
+            F.coalesce("n_approx", F.lit(0)).alias("n_approx"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)) / F.col("n_exact").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )

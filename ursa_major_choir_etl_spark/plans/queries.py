@@ -5337,6 +5337,44 @@ UNION ALL SELECT 4, 'domain_cap', count(*), CAST(sum(t) AS BIGINT) FROM s4
 """
 
 
+def q127_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@5 evaluation (similarity.ann_recall_report): the
+    q24 sign-LSH index measured against the q22 exact brute-force
+    top-5 per query — the eval an approximate index publishes before
+    its candidates are trusted (q91's minhash-accuracy idea for the
+    vector side). Aggregates + query-keyed joins only; the evaluation
+    is query-cardinality work regardless of corpus size."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    approx = similarity.sign_lsh_topk(
+        emb, queries, k=5, planes_per_band=4, n_bands=16
+    )
+    return similarity.ann_recall_report(exact, approx)
+
+
+def _oracle_q127() -> str:
+    return f"""
+WITH ex AS ({ORACLE_Q22}),
+ap AS ({_oracle_q24()}),
+ov AS (
+  SELECT ex.query_id, count(*) AS n_overlap
+  FROM ex JOIN ap ON ex.query_id = ap.query_id
+              AND ex.neighbor_id = ap.neighbor_id
+  GROUP BY 1
+),
+exn AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1),
+apn AS (SELECT query_id, count(*) AS n_approx FROM ap GROUP BY 1)
+SELECT exn.query_id, n_exact,
+       CAST(coalesce(n_approx, 0) AS BIGINT) AS n_approx,
+       CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(n_overlap, 0) * 1.0 / n_exact, 6) AS recall
+FROM exn
+LEFT JOIN apn USING (query_id)
+LEFT JOIN ov USING (query_id)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -5464,6 +5502,7 @@ QUERIES = {
     "q124_triangle_counts": q124_triangle_counts,
     "q125_mixture_plan": q125_mixture_plan,
     "q126_curation_funnel": q126_curation_funnel,
+    "q127_ann_recall": q127_ann_recall,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -5638,4 +5677,5 @@ ORACLES: dict[str, str | None] = {
     "q124_triangle_counts": _oracle_q124(),
     "q125_mixture_plan": _oracle_q125(),
     "q126_curation_funnel": _oracle_q126(),
+    "q127_ann_recall": _oracle_q127(),
 }

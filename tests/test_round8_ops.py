@@ -486,3 +486,67 @@ class TestAnnRecall:
         got = {r["query_id"]: r for r in ann_recall_report(exact, approx).collect()}
         assert got[3]["n_approx"] == 0 and got[3]["n_overlap"] == 0
         assert got[3]["recall"] == 0.0
+
+
+class TestBpeCompression:
+    def test_matches_python_reference(self, spark):
+        from ursa_major_choir_etl_spark.operators.vocab import (
+            bpe_compression_report,
+        )
+
+        corpus = [(0, "low low low lower lowest"), (1, "low lowest ab")]
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        counts: dict[str, int] = {}
+        for _, txt in corpus:
+            for w in txt.split():
+                counts[w] = counts.get(w, 0) + 1
+        merges = _py_bpe(counts, 3)
+        syms = {f"|{'|'.join(w)}|": c for w, c in counts.items()}
+        for _, a, b, _c in merges:
+            new: dict[str, int] = {}
+            for w, c in syms.items():
+                w2 = w.replace(f"|{a}|{b}|", f"|{a}{b}|")
+                new[w2] = new.get(w2, 0) + c
+            syms = new
+        total_words = sum(syms.values())
+        total_chars = sum(len(w.replace("|", "")) * c for w, c in syms.items())
+        total_syms = sum(
+            len([p for p in w.split("|") if p]) * c for w, c in syms.items()
+        )
+        r = bpe_compression_report(df, n_merges=3).collect()[0]
+        assert r["n_merges"] == 3
+        assert r["n_distinct_words"] == len(counts)
+        assert r["total_words"] == total_words
+        assert r["total_chars"] == total_chars
+        assert r["total_symbols"] == total_syms
+        assert abs(r["compression"] - round(total_chars / total_syms, 6)) < 1e-9
+
+    def test_zero_merges_is_identity(self, spark):
+        from ursa_major_choir_etl_spark.operators.vocab import (
+            bpe_compression_report,
+        )
+
+        df = spark.createDataFrame([(0, "ab cd ab")], "doc_id long, text string")
+        r = bpe_compression_report(df, n_merges=0).collect()[0]
+        assert r["n_merges"] == 0 and r["compression"] == 1.0
+
+
+class TestVocabDrift:
+    def test_identical_sources_fully_overlap(self, spark):
+        from ursa_major_choir_etl_spark.operators.text import vocab_drift_report
+
+        rows = [(i, "alpha beta gamma delta", "s%d" % (i % 2)) for i in range(8)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = vocab_drift_report(df, k=4).collect()
+        assert all(r["overlap_ratio"] == 1.0 and r["n_top"] == 4 for r in got)
+        assert all(r["top_term"] == "alpha" for r in got)
+
+    def test_divergent_source_scores_low(self, spark):
+        from ursa_major_choir_etl_spark.operators.text import vocab_drift_report
+
+        rows = [(i, "common words shared here", "main") for i in range(20)]
+        rows += [(100, "zzz qqq xxx vvv", "weird")]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {r["domain"]: r for r in vocab_drift_report(df, k=4).collect()}
+        assert got["main"]["overlap_ratio"] == 1.0
+        assert got["weird"]["overlap_ratio"] == 0.0

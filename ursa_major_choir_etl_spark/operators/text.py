@@ -558,3 +558,85 @@ def char_bigram_entropy(
             | (F.col("mean_bits") >= F.lit(high_bits))
         ).alias("suspicious"),
     )
+
+
+def vocab_drift_report(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """Per-source vocabulary drift: how much of each source's top-k
+    token list overlaps the corpus-wide top-k — the cheap
+    distribution-shift monitor a multi-source pipeline runs per
+    ingest batch (a source whose frequent vocabulary diverges from
+    the corpus is a different KIND of data: new language, format
+    break, spam flood — all surface here before any model does).
+
+    One token explode feeds a (source, term) count table; the global
+    top-k is a k-row TakeOrdered (never a full sort), the per-source
+    top-k runs through the bounded two-phase selection
+    (curation.bounded_topn_per_key, term-salted), and the overlap is
+    a semi-join of two k-row-per-source sets. Deterministic
+    tie-breaks: count desc, term asc — both sides of the oracle.
+
+    Output per source: (domain, n_top, n_overlap, overlap_ratio,
+    top_term, top_term_count).
+    """
+    from ursa_major_choir_etl_spark.caching import stage
+    from ursa_major_choir_etl_spark.operators.curation import (
+        bounded_topn_per_key,
+    )
+
+    per_st = stage(
+        widen_if_narrow(df)
+        .select(
+            F.col(domain_col).alias("domain"),
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            ).alias("term"),
+        )
+        .groupBy("domain", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top_global = (
+        per_st.groupBy("term")
+        .agg(F.sum("cnt").alias("gcnt"))
+        .orderBy(F.col("gcnt").desc(), F.col("term").asc())
+        .limit(k)
+        .select("term")
+    )
+    top_src = bounded_topn_per_key(
+        per_st,
+        ["domain"],
+        [F.col("cnt").desc(), F.col("term").asc()],
+        cap=k,
+        salt_on=F.col("term"),
+    )
+    overlap = (
+        top_src.join(top_global, "term", "left_semi")
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    per_src = top_src.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_top"),
+        F.min_by(
+            F.col("term"), F.struct((-F.col("cnt")).alias("nc"), F.col("term"))
+        ).alias("top_term"),
+        F.max("cnt").alias("top_term_count"),
+    )
+    return (
+        per_src.join(overlap, "domain", "left")
+        .select(
+            "domain",
+            "n_top",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0))
+                / F.col("n_top").cast("double"),
+                6,
+            ).alias("overlap_ratio"),
+            "top_term",
+            "top_term_count",
+        )
+    )

@@ -74,24 +74,13 @@ def _adjacent_pairs(words: DataFrame, sym_col: str = "sym") -> DataFrame:
     ).agg(F.sum("cnt").alias("pair_count"))
 
 
-def bpe_merge_table(
-    df: DataFrame,
-    text_col: str = "text",
-    n_merges: int = 3,
-) -> DataFrame:
-    """Learn the first ``n_merges`` BPE merges from a corpus.
-
-    Per iteration: one vocabulary-sized aggregation (adjacent-pair
-    weights), one 1-row collect (the argmax pair), one column-level
-    ``replace`` on the staged vocabulary. The corpus-sized explode
-    runs exactly once (the staged word vocabulary feeds all
-    iterations); iteration i's plan chains i cheap replaces on top of
-    the staged scan.
-
-    Returns (merge_rank, left_sym, right_sym, pair_count) — one row
-    per learned merge, rank 1 = first/most frequent.
-    """
-    spark: SparkSession = df.sparkSession
+def _learn_merges(
+    df: DataFrame, text_col: str, n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Shared learning loop: returns (merge list, vocabulary with the
+    merges applied). Per iteration: one vocabulary-sized aggregation
+    (adjacent-pair weights), one 1-row collect (the argmax pair), one
+    column-level ``replace`` on the staged vocabulary."""
     words = stage(
         word_vocabulary(df, text_col).withColumn(
             "sym",
@@ -123,7 +112,69 @@ def bpe_merge_table(
         words = words.withColumn(
             "sym", F.replace(F.col("sym"), F.lit(pat), F.lit(repl))
         )
+    return merges, words
+
+
+def bpe_merge_table(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from a corpus.
+
+    The corpus-sized explode runs exactly once (the staged word
+    vocabulary feeds all iterations); iteration i's plan chains i
+    cheap replaces on top of the staged scan (see _learn_merges).
+
+    Returns (merge_rank, left_sym, right_sym, pair_count) — one row
+    per learned merge, rank 1 = first/most frequent.
+    """
+    spark: SparkSession = df.sparkSession
+    merges, _ = _learn_merges(df, text_col, n_merges)
     return spark.createDataFrame(
         merges,
         schema="merge_rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+
+
+def bpe_compression_report(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges, APPLY them to the vocabulary,
+    and report the corpus-level tokenization economics — the number a
+    tokenizer-training run optimizes (chars per emitted symbol, i.e.
+    compression; a merge only earns its vocab slot if it moves this).
+
+    Everything after the one corpus-sized word count runs on the
+    vocabulary; the occurrence-weighted sums (cnt-weighted chars /
+    symbols) recover corpus totals from vocabulary-sized data.
+
+    Output (1 row): (n_merges, n_distinct_words, total_words,
+    total_chars, total_symbols, compression) — compression =
+    total_chars / total_symbols rounded 6dp; with 0 merges it is
+    exactly 1.0 and grows as merges land.
+    """
+    n_applied, words = _learn_merges(df, text_col, n_merges)
+    syms = F.filter(F.split(F.col("sym"), r"\|"), lambda x: x != "")
+    per_word = words.select(
+        "cnt",
+        F.length("word").alias("_chars"),
+        F.size(syms).alias("_syms"),
+    )
+    return per_word.agg(
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.sum("cnt").alias("total_words"),
+        F.sum(F.col("_chars") * F.col("cnt")).alias("total_chars"),
+        F.sum(F.col("_syms") * F.col("cnt")).alias("total_symbols"),
+    ).select(
+        F.lit(len(n_applied)).alias("n_merges"),
+        "n_distinct_words",
+        "total_words",
+        "total_chars",
+        "total_symbols",
+        F.round(
+            F.col("total_chars") / F.col("total_symbols").cast("double"), 6
+        ).alias("compression"),
     )

@@ -4964,7 +4964,10 @@ def q118_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab.bpe_merge_table(T(spark, sf_dir, "documents"), n_merges=3)
 
 
-def _oracle_q118() -> str:
+def _bpe_oracle_ctes(n_merges: int = 3) -> str:
+    """words0/sym0 + n merge iterations (p{i}/b{i}/sym{i}) — shared
+    by q118 (merge table) and q128 (compression report)."""
+
     def level(i: int) -> str:
         return f"""
 p{i} AS (
@@ -4987,8 +4990,8 @@ sym{i} AS (
   FROM sym{i - 1} CROSS JOIN b{i} b
 )"""
 
-    return f"""
-WITH words0 AS (
+    levels = "".join(f",{level(i)}" for i in range(1, n_merges + 1))
+    return f"""words0 AS (
   SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
     SELECT unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS word
     FROM documents
@@ -4997,10 +5000,19 @@ WITH words0 AS (
 sym0 AS (
   SELECT '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS w, cnt
   FROM words0
-),{level(1)},{level(2)},{level(3)}
-SELECT 1 AS merge_rank, left_sym, right_sym, pair_count FROM b1
-UNION ALL SELECT 2, left_sym, right_sym, pair_count FROM b2
-UNION ALL SELECT 3, left_sym, right_sym, pair_count FROM b3
+){levels}"""
+
+
+def _oracle_q118(n_merges: int = 3) -> str:
+    union = "\nUNION ALL ".join(
+        f"SELECT {i} AS merge_rank, left_sym, right_sym, pair_count FROM b{i}"
+        if i == 1
+        else f"SELECT {i}, left_sym, right_sym, pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""
+WITH {_bpe_oracle_ctes(n_merges)}
+{union}
 """
 
 
@@ -5375,6 +5387,94 @@ LEFT JOIN ov USING (query_id)
 """
 
 
+def q128_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY half of q118 (vocab.bpe_compression_report):
+    learn 3 BPE merges, apply them to the staged vocabulary, and
+    report chars-per-symbol compression — the number a merge must
+    move to earn its vocab slot. All post-explode work is
+    vocabulary-sized; occurrence-weighted sums recover corpus totals
+    without a second corpus pass."""
+    from ursa_major_choir_etl_spark.operators import vocab
+
+    return vocab.bpe_compression_report(
+        T(spark, sf_dir, "documents"), n_merges=3
+    )
+
+
+def _oracle_q128(n_merges: int = 3) -> str:
+    return f"""
+WITH {_bpe_oracle_ctes(n_merges)},
+final_syms AS (
+  SELECT cnt,
+         length(replace(w, '|', '')) AS chars,
+         len(list_filter(string_split(w, '|'), x -> x <> '')) AS nsym
+  FROM sym{n_merges}
+)
+SELECT {n_merges} AS n_merges,
+       count(*) AS n_distinct_words,
+       CAST(sum(cnt) AS BIGINT) AS total_words,
+       CAST(sum(chars * cnt) AS BIGINT) AS total_chars,
+       CAST(sum(nsym * cnt) AS BIGINT) AS total_symbols,
+       round(CAST(sum(chars * cnt) AS DOUBLE)
+             / CAST(sum(nsym * cnt) AS DOUBLE), 6) AS compression
+FROM final_syms
+"""
+
+
+def q129_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary drift (text.vocab_drift_report): overlap
+    of each source's top-50 token list with the corpus-wide top-50 —
+    the distribution-shift monitor a multi-source ingest runs per
+    batch. Global top-k is a k-row TakeOrdered; per-source top-k uses
+    the bounded two-phase selection; the oracle replays both with
+    naive windows."""
+    return text.vocab_drift_report(T(spark, sf_dir, "documents"), k=50)
+
+
+def _oracle_q129(k: int = 50) -> str:
+    return f"""
+WITH toks AS (
+  SELECT source AS domain,
+         unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS term
+  FROM documents
+),
+per_st AS (SELECT domain, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+top_global AS (
+  SELECT term FROM (
+    SELECT term, sum(cnt) AS gcnt FROM per_st GROUP BY 1
+  ) ORDER BY gcnt DESC, term LIMIT {k}
+),
+top_src AS (
+  SELECT domain, term, cnt FROM (
+    SELECT *, row_number() OVER (PARTITION BY domain
+                                 ORDER BY cnt DESC, term) AS rn
+    FROM per_st
+  ) WHERE rn <= {k}
+),
+ov AS (
+  SELECT domain, count(*) AS n_overlap
+  FROM top_src SEMI JOIN top_global USING (term)
+  GROUP BY 1
+),
+per_src AS (
+  SELECT domain, count(*) AS n_top,
+         min(CASE WHEN rn2 = 1 THEN term END) AS top_term,
+         max(cnt) AS top_term_count
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY domain
+                                 ORDER BY cnt DESC, term) AS rn2
+    FROM top_src
+  )
+  GROUP BY 1
+)
+SELECT domain, n_top,
+       CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(n_overlap, 0) * 1.0 / n_top, 6) AS overlap_ratio,
+       top_term, CAST(top_term_count AS BIGINT) AS top_term_count
+FROM per_src LEFT JOIN ov USING (domain)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -5503,6 +5603,8 @@ QUERIES = {
     "q125_mixture_plan": q125_mixture_plan,
     "q126_curation_funnel": q126_curation_funnel,
     "q127_ann_recall": q127_ann_recall,
+    "q128_bpe_compression": q128_bpe_compression,
+    "q129_vocab_drift": q129_vocab_drift,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -5678,4 +5780,6 @@ ORACLES: dict[str, str | None] = {
     "q125_mixture_plan": _oracle_q125(),
     "q126_curation_funnel": _oracle_q126(),
     "q127_ann_recall": _oracle_q127(),
+    "q128_bpe_compression": _oracle_q128(),
+    "q129_vocab_drift": _oracle_q129(),
 }

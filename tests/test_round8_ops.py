@@ -550,3 +550,33 @@ class TestVocabDrift:
         got = {r["domain"]: r for r in vocab_drift_report(df, k=4).collect()}
         assert got["main"]["overlap_ratio"] == 1.0
         assert got["weird"]["overlap_ratio"] == 0.0
+
+
+class TestThresholdSensitivity:
+    def test_counts_match_brute_force(self, spark):
+        from ursa_major_choir_etl_spark.operators.dedup import (
+            threshold_sensitivity,
+        )
+
+        pairs = [(1, 2, 0.95), (1, 3, 0.72), (2, 3, 0.55), (4, 5, 0.61)]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long, jaccard double")
+        got = {
+            r["threshold"]: (r["n_pairs"], r["n_docs"])
+            for r in threshold_sensitivity(df, [0.5, 0.6, 0.7, 0.9]).collect()
+        }
+        for t in (0.5, 0.6, 0.7, 0.9):
+            sel = [(a, b) for a, b, j in pairs if j >= t]
+            docs = {d for p in sel for d in p}
+            if sel:
+                assert got[t] == (len(sel), len(docs))
+            else:
+                assert t not in got
+
+    def test_empty_cut_drops_out(self, spark):
+        from ursa_major_choir_etl_spark.operators.dedup import (
+            threshold_sensitivity,
+        )
+
+        df = spark.createDataFrame([(1, 2, 0.4)], "id_a long, id_b long, jaccard double")
+        got = threshold_sensitivity(df, [0.5, 0.9]).collect()
+        assert got == []

@@ -1195,3 +1195,48 @@ def consensus_pairs(
     return agg.withColumn("n_methods", votes).filter(
         F.col("n_methods") >= min_votes
     )
+
+
+def threshold_sensitivity(
+    pairs: DataFrame,
+    thresholds: list[float],
+    score_col: str = "jaccard",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Dedup threshold tuning report: for each candidate threshold,
+    how many pairs and how many distinct documents the cut would
+    flag — computed from ONE candidate-pair pass (the scored pairs
+    at the loosest threshold), never re-running the pipeline per
+    setting. This is the table a curation owner reads before picking
+    the threshold that survives to production.
+
+    The pair set is replicated once per threshold via an array
+    explode (|thresholds| is a handful; the pair list is already the
+    small end of the pipeline), then two aggregates. Comparisons use
+    the ROUNDED score both engines emit, so a boundary pair cannot
+    split between Spark and the oracle.
+
+    Output: (threshold, n_pairs, n_docs) for thresholds with >= 1
+    pair (empty cuts drop out of the group-by on both sides alike).
+    """
+    from ursa_major_choir_etl_spark.caching import stage
+
+    # Two aggregate branches read the replicated pair set; stage it
+    # so the candidate pipeline upstream of `pairs` runs once.
+    sel = stage(
+        pairs.select(
+            F.col(a_col), F.col(b_col), F.col(score_col),
+            F.explode(
+                F.array(*[F.lit(t) for t in thresholds])
+            ).alias("threshold"),
+        ).filter(F.col(score_col) >= F.col("threshold"))
+    )
+    n_pairs = sel.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_docs = (
+        sel.select("threshold", F.col(a_col).alias("d"))
+        .unionAll(sel.select("threshold", F.col(b_col).alias("d")))
+        .groupBy("threshold")
+        .agg(F.count_distinct("d").alias("n_docs"))
+    )
+    return n_pairs.join(n_docs, "threshold")

@@ -5475,6 +5475,40 @@ FROM per_src LEFT JOIN ov USING (domain)
 """
 
 
+_Q130_THRESHOLDS = [0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+def q130_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold tuning (dedup.threshold_sensitivity): pairs
+    and distinct docs flagged at each candidate Jaccard cut, from ONE
+    scored-candidate pass at the loosest threshold — the table a
+    curation owner reads before picking the production setting.
+    Comparisons use the 6dp-rounded score both engines emit."""
+    sh = dedup.word_shingles(T(spark, sf_dir, "documents"))
+    pairs = dedup.jaccard_pairs(sh, threshold=0.5)
+    return dedup.threshold_sensitivity(pairs, _Q130_THRESHOLDS)
+
+
+def _oracle_q130() -> str:
+    tl = ", ".join(str(t) for t in _Q130_THRESHOLDS)
+    return f"""
+WITH jp AS ({_oracle_q20()}),
+th AS (SELECT CAST(unnest([{tl}]) AS DOUBLE) AS threshold),
+sel AS (
+  SELECT threshold, id_a, id_b
+  FROM jp CROSS JOIN th WHERE jaccard >= threshold
+),
+pa AS (SELECT threshold, count(*) AS n_pairs FROM sel GROUP BY 1),
+da AS (
+  SELECT threshold, CAST(count(DISTINCT d) AS BIGINT) AS n_docs FROM (
+    SELECT threshold, id_a AS d FROM sel
+    UNION ALL SELECT threshold, id_b FROM sel
+  ) GROUP BY 1
+)
+SELECT threshold, n_pairs, n_docs FROM pa JOIN da USING (threshold)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -5605,6 +5639,7 @@ QUERIES = {
     "q127_ann_recall": q127_ann_recall,
     "q128_bpe_compression": q128_bpe_compression,
     "q129_vocab_drift": q129_vocab_drift,
+    "q130_threshold_sweep": q130_threshold_sweep,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -5782,4 +5817,5 @@ ORACLES: dict[str, str | None] = {
     "q127_ann_recall": _oracle_q127(),
     "q128_bpe_compression": _oracle_q128(),
     "q129_vocab_drift": _oracle_q129(),
+    "q130_threshold_sweep": _oracle_q130(),
 }

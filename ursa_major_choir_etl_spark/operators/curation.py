@@ -94,11 +94,18 @@ def domain_quota_report(
     Output per domain: ``domain, n_docs, n_kept, n_dropped,
     tokens_total, tokens_kept, min_kept_quality``.
     """
-    scored = df.select(
-        F.col(domain_col).alias("domain"),
-        F.col(id_col),
-        text.token_count(text_col).alias("_n_tokens"),
-        text.quality_score(text_col).alias("_quality"),
+    from ursa_major_choir_etl_spark.caching import stage
+
+    # The scored projection feeds BOTH the totals aggregate and the
+    # top-N selection; stage it so the (3x tokenize) quality score is
+    # evaluated once per row, not once per branch.
+    scored = stage(
+        df.select(
+            F.col(domain_col).alias("domain"),
+            F.col(id_col),
+            text.token_count(text_col).alias("_n_tokens"),
+            text.quality_score(text_col).alias("_quality"),
+        )
     )
     totals = scored.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -158,7 +165,11 @@ def soft_dedup_flags(
             F.slice(text.tokens(norm), 1, prefix_tokens), " "
         )
     )
-    fp = df.select(F.col(id_col), F.md5(key).alias("fingerprint"))
+    from ursa_major_choir_etl_spark.caching import stage
+
+    # fp feeds both the size aggregate and the ranked selection —
+    # stage it so the normalize+md5 chain runs once per row.
+    fp = stage(df.select(F.col(id_col), F.md5(key).alias("fingerprint")))
     sizes = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("cluster_size"))
     ranked = bounded_topn_per_key(
         fp, ["fingerprint"], [F.col(id_col).asc()], cap=64,
@@ -279,6 +290,12 @@ def mixture_plan(
         # sampling.weighted_sample_sequential_poisson.
         .filter(F.col("tokens_available") > 0)
     )
+    from ursa_major_choir_etl_spark.caching import stage
+
+    # per_dom (domain-cardinality rows, one corpus scan to build)
+    # feeds both the totals row and the planned join: stage it so the
+    # corpus token count runs once.
+    per_dom = stage(per_dom)
     totals = per_dom.agg(
         F.sum("tokens_available").alias("_corpus_tokens"),
         F.count(F.lit(1)).alias("_n_domains"),

@@ -525,7 +525,14 @@ def char_bigram_entropy(
                    " i -> substring(_norm, i, 2))")
         ).alias("bg"),
     )
-    counts = grams.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("k"))
+    from ursa_major_choir_etl_spark.caching import stage
+
+    # counts heads the bigram explode+aggregate and feeds BOTH the
+    # per-doc totals and the surprisal join: stage it so the explode
+    # chain runs once (released by the caller via release_staged).
+    counts = stage(
+        grams.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("k"))
+    )
     # The surprisal needs the per-doc total m alongside each bigram
     # count: one per-doc total aggregate, joined back on the doc key
     # (both sides already hash-partitioned by the doc key, so AQE

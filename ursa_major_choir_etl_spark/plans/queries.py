@@ -5647,18 +5647,21 @@ QUERIES = {
 # q76/q77/q85; round-6 graded the exact complement (q31, q49–q100
 # minus the r5 trio) — so every q01–q100 row is green within the last
 # two windows. Round-7 priority order:
-#   1. never-driver-graded: q101–q106 (added round 6, queued at the
-#      tail then) and q107–q116 (added this round) — 16 rows;
+#   1. never-driver-graded: q101–q116 (added rounds 6/early-7) and
+#      q117–q130 (added in the round-7 continuation: curation
+#      apply-side, BPE, entropy, outliers, triangles, mixture/funnel,
+#      ANN recall, compression, drift, threshold sweep) — 30 rows;
 #   2. rows whose CODE PATH changed after their last grading:
 #      q105/q106 (duplicate_spans window-count rewrite) and
 #      q88/q90 (staged-persist routing) from the r6 window, plus
 #      q19/q20 from the r5 block (same routing);
 #   3. the stalest block (r5-green, two rounds old) in numeric order,
 #      filling the window to 50.
-# The r5-green tail that doesn't fit (last ~14 rows) is untouched
-# code graded green twice; it rotates back in next round.
-# tools/check_oracles.py still provides the all-registry single-run
-# sweep locally (CORRECTNESS_LOCAL_ALL.txt).
+# The r5-green tail that doesn't fit is untouched code graded green
+# twice; it rotates back in next round. tools/check_oracles.py still
+# provides the all-registry single-run sweep locally
+# (CORRECTNESS_LOCAL_ALL.txt) — re-run this session at 126 and again
+# at the closing tree.
 
 
 def _qnum(k: str) -> int:

@@ -580,3 +580,117 @@ class TestThresholdSensitivity:
         df = spark.createDataFrame([(1, 2, 0.4)], "id_a long, id_b long, jaccard double")
         got = threshold_sensitivity(df, [0.5, 0.9]).collect()
         assert got == []
+
+
+def _py_pq_recall(vecs: dict[int, list[float]], query_ids, m, k_codes, iters, k_nn,
+                  scale=1_000_000):
+    """Pure-python mirror of similarity.pq_recall_report's contract:
+    integer scaling, smallest-id seeds, (dist, cid) argmin, trunc-div
+    updates, final assignment against PRE-update centroids, ADC, and
+    (adc, neighbor) / (exact, neighbor) top-k ordering."""
+    ids = sorted(vecs)
+    xi = {i: [int(round(x * scale)) for x in vecs[i]] for i in ids}
+    dims = len(next(iter(xi.values())))
+    ds = dims // m
+
+    def sq(a, b):
+        return sum((p - q) * (p - q) for p, q in zip(a, b))
+
+    codes = {i: [] for i in ids}
+    luts = []  # per s: {(qid, cid): d}
+    for s in range(m):
+        sub = {i: xi[i][s * ds:(s + 1) * ds] for i in ids}
+        cents = {cid: list(sub[i]) for cid, i in enumerate(ids[:k_codes])}
+        assign = {}
+        for it in range(iters):
+            assign = {
+                i: min(cents, key=lambda c: (sq(sub[i], cents[c]), c))
+                for i in ids
+            }
+            if it == iters - 1:
+                break
+            new = {}
+            for c in cents:
+                members = [i for i in ids if assign[i] == c]
+                if members:
+                    new[c] = [
+                        int_div(sum(sub[i][d] for i in members), len(members))
+                        for d in range(ds)
+                    ]
+                else:
+                    new[c] = cents[c]
+            cents = new
+        for i in ids:
+            codes[i].append(assign[i])
+        luts.append({
+            (q, c): sq(xi[q][s * ds:(s + 1) * ds], cents[c])
+            for q in query_ids for c in cents
+        })
+
+    out = {}
+    for q in query_ids:
+        adc = {
+            i: sum(luts[s][(q, codes[i][s])] for s in range(m))
+            for i in ids if i != q
+        }
+        approx = sorted(adc, key=lambda i: (adc[i], i))[:k_nn]
+        exact_d = {i: sq(xi[q], xi[i]) for i in ids if i != q}
+        exact = sorted(exact_d, key=lambda i: (exact_d[i], i))[:k_nn]
+        ov = len(set(approx) & set(exact))
+        out[q] = (len(exact), len(approx), ov, round(ov / len(exact), 6))
+    return out
+
+
+def int_div(a, b):
+    """Truncating integer division matching Spark DIV / DuckDB //."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+class TestPqRecall:
+    def test_matches_python_mirror(self, spark):
+        from ursa_major_choir_etl_spark.operators.similarity import (
+            pq_recall_report,
+        )
+
+        import random
+
+        rng = random.Random(7)
+        vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(24)}
+        df = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()],
+            "vec_id long, embedding array<float>",
+        )
+        # float32 storage: mirror must see the same float32 values
+        stored = {
+            r["vec_id"]: list(r["embedding"]) for r in df.collect()
+        }
+        got = {
+            r["query_id"]: (
+                r["n_exact"], r["n_approx"], r["n_overlap"], r["recall"]
+            )
+            for r in pq_recall_report(
+                df, df.filter("vec_id < 3"), m=2, k_codes=4, iters=2, k_nn=3
+            ).collect()
+        }
+        want = _py_pq_recall(stored, [0, 1, 2], m=2, k_codes=4, iters=2, k_nn=3)
+        assert got == want
+
+    def test_exactly_clustered_corpus_has_full_recall(self, spark):
+        from ursa_major_choir_etl_spark.operators.similarity import (
+            pq_recall_report,
+        )
+
+        # Vectors exactly on 2 prototypes per subspace: the codebook
+        # reconstructs every vector exactly, so ADC == exact distance
+        # and recall must be 1.0 for every query.
+        protos = [[1.0, 0.0], [0.0, 1.0]]
+        rows = []
+        for i in range(12):
+            a, b = protos[i % 2], protos[(i // 2) % 2]
+            rows.append((i, a + b))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = pq_recall_report(
+            df, df.filter("vec_id < 2"), m=2, k_codes=4, iters=2, k_nn=3
+        ).collect()
+        assert all(r["recall"] == 1.0 for r in got)

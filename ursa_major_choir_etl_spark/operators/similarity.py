@@ -829,3 +829,218 @@ def ann_recall_report(
             ).alias("recall"),
         )
     )
+
+
+def _pq_lloyd_subspace(
+    spark,
+    xi_df: DataFrame,
+    s: int,
+    sub_dims: int,
+    k_codes: int,
+    iters: int,
+    id_col: str,
+):
+    """Integer Lloyd rounds over subspace ``s`` of a staged
+    integer-vector table. Returns (assigned, cents_used): the FINAL
+    assignment and the centroid set it was computed against (i.e. NO
+    trailing update — the set ADC lookup tables must use, or codes
+    and distances disagree). Same determinism contract as
+    operators/kmeans.py: integer math, smallest-id seeds, trunc-div
+    updates, (distance, cid) argmin ties."""
+    from pyspark.sql import functions as F
+
+    sub = xi_df.select(
+        F.col(id_col),
+        F.slice(F.col("_xi"), s * sub_dims + 1, sub_dims).alias("_sx"),
+    )
+    seed_rows = sub.orderBy(id_col).limit(k_codes).collect()
+    cents: list[tuple[int, list[int]]] = [
+        (cid, list(row["_sx"])) for cid, row in enumerate(seed_rows)
+    ]
+    sqd = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    assigned = None
+    for it in range(iters):
+        cents_df = spark.createDataFrame(
+            cents, schema="cid bigint, c array<bigint>"
+        )
+        scored = sub.crossJoin(F.broadcast(cents_df)).withColumn(
+            "_d", sqd(F.col("_sx"), F.col("c"))
+        )
+        best = F.min(
+            F.struct(
+                F.col("_d").alias("d"),
+                F.col("cid").alias("cid"),
+                F.col("_sx").alias("sx"),
+            )
+        ).alias("m")
+        assigned = (
+            scored.groupBy(id_col)
+            .agg(best)
+            .select(
+                F.col(id_col),
+                F.col("m.cid").alias("cid"),
+                F.col("m.sx").alias("_sx"),
+            )
+        )
+        if it == iters - 1:
+            break  # cents now matches this assignment — no update
+        sums = (
+            assigned.select("cid", F.posexplode("_sx").alias("pos", "xd"))
+            .groupBy("cid", "pos")
+            .agg(F.expr("sum(xd) DIV count(*)").alias("cv"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, int]] = {}
+        for row in sums:
+            by_cid.setdefault(row["cid"], {})[row["pos"]] = row["cv"]
+        cents = [
+            (
+                cid,
+                [by_cid[cid][d] for d in range(len(old))]
+                if cid in by_cid
+                else old,
+            )
+            for cid, old in cents
+        ]
+    return assigned.select(id_col, "cid"), cents
+
+
+def pq_recall_report(
+    emb: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    k_nn: int = 5,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization ANN + its own recall evaluation — the
+    fourth member of the ANN family (brute q22, sign-LSH q24, IVF
+    q30, and now PQ): split vectors into ``m`` subspaces, learn a
+    ``k_codes``-entry integer codebook per subspace (Lloyd), encode
+    the corpus as m-byte codes, and answer queries by asymmetric
+    distance computation (ADC) — per-query lookup tables of
+    query-to-centroid distances, summed per subspace. Memory per
+    corpus vector collapses from dims floats to m code ids; the
+    query-time scan reads codes + a broadcast LUT, never the vectors.
+
+    Every step is exact integer arithmetic on micro-scaled vectors
+    (the operators/kmeans.py playbook), so codes, ADC distances, AND
+    the recall numbers are bit-replayable in SQL.
+
+    Distributed shape at 100 TB: codebooks/LUTs are model state
+    (m * k_codes * sub_dims bigints; the LUT build collects the
+    QUERY BATCH — bounded by contract, like the q22 broadcast side —
+    never the corpus). The corpus is touched by: the per-subspace
+    assignment rounds (broadcast nested-loop over k_codes
+    centroids), the code join, and one ADC aggregation of
+    codes x LUT; the per-query top-k runs through the bounded
+    two-phase selection, so no window partition holds the corpus.
+
+    Output per query: (query_id, n_exact, n_approx, n_overlap,
+    recall) — PQ-ADC top-k measured against exact integer-L2 top-k.
+    """
+    from pyspark.sql import functions as F
+
+    from ursa_major_choir_etl_spark.caching import stage
+    from ursa_major_choir_etl_spark.operators.curation import (
+        bounded_topn_per_key,
+    )
+
+    spark = emb.sparkSession
+    dims = len(emb.select(vec_col).first()[0])
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m {m}")
+    sub_dims = dims // m
+    xi_df = stage(
+        emb.select(
+            F.col(id_col),
+            F.transform(
+                vec_col,
+                lambda x: F.round(x.cast("double") * scale, 0).cast("long"),
+            ).alias("_xi"),
+        )
+    )
+    q_rows = (
+        xi_df.join(queries.select(id_col), id_col, "left_semi")
+        .orderBy(id_col)
+        .collect()
+    )
+
+    code_cols = []
+    lut_rows: list[tuple[int, int, int, int]] = []  # (query, s, cid, d)
+    codes = None
+    for s in range(m):
+        assigned, cents = _pq_lloyd_subspace(
+            spark, xi_df, s, sub_dims, k_codes, iters, id_col
+        )
+        a = assigned.withColumnRenamed("cid", f"code_{s}")
+        codes = a if codes is None else codes.join(a, id_col)
+        code_cols.append(f"code_{s}")
+        for qr in q_rows:
+            qsub = list(qr["_xi"])[s * sub_dims : (s + 1) * sub_dims]
+            for cid, cvec in cents:
+                d = sum((qx - cx) * (qx - cx) for qx, cx in zip(qsub, cvec))
+                lut_rows.append((qr[id_col], s, cid, d))
+    lut = spark.createDataFrame(
+        lut_rows, schema="query_id bigint, s int, cid bigint, d bigint"
+    )
+    exploded = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"), F.col(f"code_{s}").alias("cid")
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("sc"),
+    ).select("neighbor_id", F.col("sc.s").alias("s"), F.col("sc.cid").alias("cid"))
+    adc = (
+        exploded.join(F.broadcast(lut), ["s", "cid"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    approx = bounded_topn_per_key(
+        adc,
+        ["query_id"],
+        [F.col("adc_dist").asc(), F.col("neighbor_id").asc()],
+        cap=k_nn,
+        salt_on=F.col("neighbor_id"),
+    ).select("query_id", "neighbor_id")
+
+    q_df = spark.createDataFrame(
+        [(qr[id_col], list(qr["_xi"])) for qr in q_rows],
+        schema=f"query_id bigint, qx array<bigint>",
+    )
+    sqd_full = F.aggregate(
+        F.zip_with(F.col("qx"), F.col("_xi"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    exact_scored = (
+        xi_df.crossJoin(F.broadcast(q_df))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            sqd_full.alias("_ed"),
+        )
+    )
+    exact = bounded_topn_per_key(
+        exact_scored,
+        ["query_id"],
+        [F.col("_ed").asc(), F.col("neighbor_id").asc()],
+        cap=k_nn,
+        salt_on=F.col("neighbor_id"),
+    ).select("query_id", "neighbor_id")
+    return ann_recall_report(exact, approx)

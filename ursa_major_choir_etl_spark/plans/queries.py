@@ -5509,6 +5509,148 @@ SELECT threshold, n_pairs, n_docs FROM pa JOIN da USING (threshold)
 """
 
 
+def q131_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with its own recall eval
+    (similarity.pq_recall_report): 4 subspaces x 8-entry integer
+    codebooks (Lloyd, the q90 playbook), ADC distance via broadcast
+    query LUTs over the code table, per-query top-5 through the
+    bounded two-phase selection, measured against exact integer-L2
+    top-5. Completes the ANN family (brute q22 / sign-LSH q24 / IVF
+    q30 / PQ) — and like the rest of it, every number is integer
+    arithmetic the SQL oracle replays bit-for-bit."""
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.pq_recall_report(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        m=4,
+        k_codes=8,
+        iters=2,
+        k_nn=5,
+    )
+
+
+def _oracle_q131(
+    m: int = 4, k_codes: int = 8, iters: int = 2, k_nn: int = 5
+) -> str:
+    dims = _EMB_DIMS
+    ds = dims // m
+
+    def sub_ctes(s: int) -> str:
+        lo, hi = s * ds + 1, (s + 1) * ds
+        parts = [
+            f"""
+es{s} AS (SELECT vec_id, list_slice(xi, {lo}, {hi}) AS xi FROM emb_i),
+cs{s}_0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, xi AS c
+  FROM (SELECT vec_id, xi FROM es{s} ORDER BY vec_id LIMIT {k_codes})
+)"""
+        ]
+        for it in range(iters):
+            parts.append(f"""
+as{s}_{it} AS (
+  SELECT vec_id, xi, cid FROM (
+    SELECT e.vec_id, e.xi, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, {ds + 1}),
+               d -> (e.xi[d] - c.c[d]) * (e.xi[d] - c.c[d]))) ASC,
+             c.cid ASC) AS rn
+    FROM es{s} e CROSS JOIN cs{s}_{it} c) WHERE rn = 1
+)""")
+            if it < iters - 1:
+                parts.append(f"""
+cs{s}_{it + 1}_m AS (
+  SELECT cid, list(cv ORDER BY pos) AS c FROM (
+    SELECT cid, pos, CAST(sum(xd) AS BIGINT) // count(*) AS cv
+    FROM (SELECT cid, generate_subscripts(xi, 1) AS pos, unnest(xi) AS xd
+          FROM as{s}_{it})
+    GROUP BY cid, pos
+  ) GROUP BY cid
+),
+cs{s}_{it + 1} AS (
+  SELECT i.cid, coalesce(mm.c, i.c) AS c
+  FROM cs{s}_{it} i LEFT JOIN cs{s}_{it + 1}_m mm ON mm.cid = i.cid
+)""")
+        parts.append(f"""
+q{s} AS (SELECT vec_id AS query_id, xi AS qx FROM es{s} WHERE vec_id < 10),
+lut{s} AS (
+  SELECT query_id, c.cid,
+         CAST(list_sum(list_transform(range(1, {ds + 1}),
+           d -> (qx[d] - c.c[d]) * (qx[d] - c.c[d]))) AS BIGINT) AS d
+  FROM q{s} CROSS JOIN cs{s}_{iters - 1} c
+)""")
+        return ",".join(parts)
+
+    last = iters - 1
+    code_joins = "\n  ".join(
+        f"JOIN as{s}_{last} a{s} ON a{s}.vec_id = a0.vec_id" if s else ""
+        for s in range(m)
+    )
+    lut_joins = "\n  ".join(
+        f"JOIN lut{s} l{s} ON l{s}.cid = k.code_{s}"
+        + (" AND l{0}.query_id = l0.query_id".format(s) if s else "")
+        for s in range(m)
+    )
+    adc_sum = " + ".join(f"l{s}.d" for s in range(m))
+    code_cols = ", ".join(f"a{s}.cid AS code_{s}" for s in range(m))
+    return f"""
+WITH emb_i AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 1000000) AS BIGINT)) AS xi
+  FROM embeddings
+),{",".join(sub_ctes(s) for s in range(m))},
+codes AS (
+  SELECT a0.vec_id, {code_cols}
+  FROM as0_{last} a0
+  {code_joins}
+),
+adc AS (
+  SELECT l0.query_id, k.vec_id AS neighbor_id, {adc_sum} AS adc_dist
+  FROM codes k
+  {lut_joins}
+  WHERE k.vec_id <> l0.query_id
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+    FROM adc
+  ) WHERE rn <= {k_nn}
+),
+ex_scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, {dims + 1}),
+           d -> (q.qx[d] - e.xi[d]) * (q.qx[d] - e.xi[d]))) AS BIGINT) AS ed
+  FROM (SELECT vec_id AS query_id, xi AS qx FROM emb_i WHERE vec_id < 10) q
+  JOIN emb_i e ON e.vec_id <> q.query_id
+),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ed ASC, neighbor_id ASC) AS rn
+    FROM ex_scored
+  ) WHERE rn <= {k_nn}
+),
+ov AS (
+  SELECT ex.query_id, count(*) AS n_overlap
+  FROM ex JOIN approx ap ON ex.query_id = ap.query_id
+                 AND ex.neighbor_id = ap.neighbor_id
+  GROUP BY 1
+),
+exn AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1),
+apn AS (SELECT query_id, count(*) AS n_approx FROM approx GROUP BY 1)
+SELECT exn.query_id, n_exact,
+       CAST(coalesce(n_approx, 0) AS BIGINT) AS n_approx,
+       CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(n_overlap, 0) * 1.0 / n_exact, 6) AS recall
+FROM exn
+LEFT JOIN apn USING (query_id)
+LEFT JOIN ov USING (query_id)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -5640,6 +5782,7 @@ QUERIES = {
     "q128_bpe_compression": q128_bpe_compression,
     "q129_vocab_drift": q129_vocab_drift,
     "q130_threshold_sweep": q130_threshold_sweep,
+    "q131_pq_recall": q131_pq_recall,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -5821,4 +5964,5 @@ ORACLES: dict[str, str | None] = {
     "q128_bpe_compression": _oracle_q128(),
     "q129_vocab_drift": _oracle_q129(),
     "q130_threshold_sweep": _oracle_q130(),
+    "q131_pq_recall": _oracle_q131(),
 }

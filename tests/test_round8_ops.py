@@ -694,3 +694,65 @@ class TestPqRecall:
             df, df.filter("vec_id < 2"), m=2, k_codes=4, iters=2, k_nn=3
         ).collect()
         assert all(r["recall"] == 1.0 for r in got)
+
+
+class TestSpanCorruption:
+    def test_reconstruction_invariants(self, spark):
+        from ursa_major_choir_etl_spark.operators.samples import (
+            span_corruption,
+        )
+
+        df = spark.createDataFrame(
+            [(i, " ".join(f"w{j}" for j in range(20))) for i in range(6)]
+            + [(100, ""), (101, "single")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in span_corruption(df).collect()}
+        assert 100 not in got  # empty doc dropped
+        assert got[101]["n_tokens"] == 1
+        for did, r in got.items():
+            # Unmasked tokens survive in order; masked ones move to
+            # the target after their sentinel; counts reconcile.
+            inp, tgt = r["input_text"].split(), r["target_text"].split()
+            sentinels_in = [t for t in inp if t.startswith("<X_")]
+            sentinels_tg = [t for t in tgt if t.startswith("<X_")]
+            assert sentinels_in == sentinels_tg
+            assert sentinels_in == [f"<X_{i}>" for i in range(len(sentinels_in))]
+            plain_in = [t for t in inp if not t.startswith("<X_")]
+            plain_tg = [t for t in tgt if not t.startswith("<X_")]
+            assert len(plain_in) + len(plain_tg) == r["n_tokens"]
+            assert len(plain_tg) == r["n_masked"]
+            assert r["n_spans"] == len(sentinels_in)
+            # Round-trip: interleaving target spans back at sentinel
+            # positions restores the original token sequence.
+            by_sent: dict[str, list[str]] = {}
+            cur = None
+            for t in tgt:
+                if t.startswith("<X_"):
+                    cur = t
+                    by_sent[cur] = []
+                else:
+                    by_sent[cur].append(t)
+            rebuilt: list[str] = []
+            for t in inp:
+                rebuilt.extend(by_sent[t] if t.startswith("<X_") else [t])
+            orig = [r2 for r2 in df.filter(F.col("doc_id") == did).collect()]
+            assert rebuilt == orig[0]["text"].split()
+
+    def test_deterministic_and_id_pure(self, spark):
+        from ursa_major_choir_etl_spark.operators.samples import (
+            span_corruption,
+        )
+
+        df1 = spark.createDataFrame(
+            [(7, "a b c d e f g h i j k l")], "doc_id long, text string"
+        )
+        df2 = spark.createDataFrame(
+            [(7, "a b c d e f g h i j k l"), (8, "other text here")],
+            "doc_id long, text string",
+        ).repartition(5)
+        r1 = span_corruption(df1).filter("doc_id = 7").collect()[0]
+        r2 = span_corruption(df2).filter("doc_id = 7").collect()[0]
+        assert (r1["input_text"], r1["target_text"]) == (
+            r2["input_text"], r2["target_text"]
+        )

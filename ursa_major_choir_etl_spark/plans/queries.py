@@ -5651,6 +5651,62 @@ LEFT JOIN ov USING (query_id)
 """
 
 
+def q132_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (samples.span_corruption): the
+    training-sample construction mile — deterministic md5-decided
+    token-span masking, <X_i> sentinels, and ACTUAL (input, target)
+    strings per document, value-hashed against an oracle that
+    rebuilds them with ORDER BY string_agg and an independently
+    derived hash expression. Per-doc windows only."""
+    from ursa_major_choir_etl_spark.operators import samples
+
+    return samples.span_corruption(T(spark, sf_dir, "documents"))
+
+
+def _oracle_q132(span_len: int = 3, mask_pct: int = 15, seed: int = 0) -> str:
+    pos_h = _bloom_position_duckdb(
+        seed, "CAST(doc_id AS STRING) || ':' || CAST(g AS STRING)", 5
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+  FROM (
+    SELECT doc_id, {osql.tokens_sql('text')} AS t
+    FROM documents WHERE trim(text) <> ''
+  )
+),
+flagged AS (
+  SELECT doc_id, pos, tok, g, ({pos_h}) % 100 < {mask_pct} AS masked
+  FROM (SELECT *, pos - (pos % {span_len}) AS g FROM toks)
+),
+sents AS (
+  SELECT doc_id, g,
+         row_number() OVER (PARTITION BY doc_id ORDER BY g) - 1 AS sent
+  FROM (SELECT DISTINCT doc_id, g FROM flagged WHERE masked)
+),
+pieces AS (
+  SELECT f.doc_id, f.pos, f.masked, f.g,
+         CASE WHEN NOT f.masked THEN f.tok
+              WHEN f.pos = f.g THEN '<X_' || s.sent || '>'
+              ELSE '' END AS ip,
+         CASE WHEN f.masked THEN
+                CASE WHEN f.pos = f.g
+                     THEN '<X_' || s.sent || '> ' || f.tok
+                     ELSE f.tok END
+              ELSE '' END AS tp
+  FROM flagged f LEFT JOIN sents s ON s.doc_id = f.doc_id AND s.g = f.g
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       CAST(count(DISTINCT CASE WHEN masked THEN g END) AS BIGINT) AS n_spans,
+       coalesce(string_agg(ip, ' ' ORDER BY pos) FILTER (WHERE ip <> ''), '')
+         AS input_text,
+       coalesce(string_agg(tp, ' ' ORDER BY pos) FILTER (WHERE tp <> ''), '')
+         AS target_text
+FROM pieces GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -5783,6 +5839,7 @@ QUERIES = {
     "q129_vocab_drift": q129_vocab_drift,
     "q130_threshold_sweep": q130_threshold_sweep,
     "q131_pq_recall": q131_pq_recall,
+    "q132_span_corruption": q132_span_corruption,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -5965,4 +6022,5 @@ ORACLES: dict[str, str | None] = {
     "q129_vocab_drift": _oracle_q129(),
     "q130_threshold_sweep": _oracle_q130(),
     "q131_pq_recall": _oracle_q131(),
+    "q132_span_corruption": _oracle_q132(),
 }

@@ -756,3 +756,54 @@ class TestSpanCorruption:
         assert (r1["input_text"], r1["target_text"]) == (
             r2["input_text"], r2["target_text"]
         )
+
+
+class TestEmptyInputRobustness:
+    """ANSI mode makes silent-corrupt paths loud; the flip side is
+    that edge expressions (DIV, sequence bounds) must be guarded.
+    Every round-7-continuation operator must accept an EMPTY input
+    without raising and return an empty (or empty-report) result."""
+
+    def _empty_docs(self, spark):
+        return spark.createDataFrame([], "doc_id long, text string, source string")
+
+    def test_docs_operators(self, spark):
+        from ursa_major_choir_etl_spark.operators import curation, vocab
+        from ursa_major_choir_etl_spark.operators.text import (
+            char_bigram_entropy,
+            vocab_drift_report,
+        )
+        from ursa_major_choir_etl_spark.operators.samples import span_corruption
+
+        e = self._empty_docs(spark)
+        assert curation.domain_quota_report(e).count() == 0
+        assert curation.soft_dedup_report(e, prefix_tokens=10).count() == 0
+        assert curation.mixture_plan(e).count() == 0
+        assert char_bigram_entropy(e).count() == 0
+        assert vocab_drift_report(e).count() == 0
+        assert span_corruption(e).count() == 0
+        assert vocab.bpe_merge_table(e).count() == 0
+        funnel = curation.curation_funnel(e).collect()
+        assert [r["n_docs"] for r in funnel] == [0, 0, 0, 0]
+
+    def test_pairs_and_events_operators(self, spark):
+        from ursa_major_choir_etl_spark.operators.dedup import (
+            threshold_sensitivity,
+        )
+        from ursa_major_choir_etl_spark.operators.graph import triangle_counts
+        from ursa_major_choir_etl_spark.operators.quality import (
+            robust_outlier_report,
+        )
+        from ursa_major_choir_etl_spark.operators.layout import (
+            adaptive_shard_plan,
+        )
+
+        ep = spark.createDataFrame([], "id_a long, id_b long, jaccard double")
+        assert threshold_sensitivity(ep, [0.5]).count() == 0
+        assert triangle_counts(ep).count() == 0
+        ee = spark.createDataFrame(
+            [], "event_id long, event_type string, value double"
+        )
+        assert robust_outlier_report(ee).count() == 0
+        ed = spark.createDataFrame([], "doc_id long, n_chars long")
+        assert adaptive_shard_plan(ed, size_col="n_chars").count() == 0

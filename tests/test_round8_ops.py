@@ -807,3 +807,26 @@ class TestEmptyInputRobustness:
         assert robust_outlier_report(ee).count() == 0
         ed = spark.createDataFrame([], "doc_id long, n_chars long")
         assert adaptive_shard_plan(ed, size_col="n_chars").count() == 0
+
+
+class TestDatasetCard:
+    def test_metrics_match_manual(self, spark):
+        from ursa_major_choir_etl_spark.operators.quality import dataset_card
+
+        df = spark.createDataFrame(
+            [
+                (0, "the cat sat on the mat", "a"),
+                (1, "the cat sat on the mat", "a"),     # exact dup of 0
+                (2, "contact me at a@b.co today", "b"),
+                (3, "der und das ist die", "b"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        got = {r["metric"]: r["value"] for r in dataset_card(df).collect()}
+        assert got["n_docs"] == 4.0
+        assert got["n_sources"] == 2.0
+        assert got["exact_dup_rate"] == round(1 - 3 / 4, 6)
+        assert got["pii_doc_rate"] == 0.25
+        assert got["mean_doc_tokens"] == round((6 + 6 + 5 + 5) / 4, 6)
+        assert 0.0 <= got["mean_quality"] <= 1.0
+        assert got["pct_en_predicted"] >= 0.5  # docs 0/1 vote 'en'

@@ -235,3 +235,82 @@ def robust_outlier_report(
         F.sum(is_out.cast("bigint")).alias("n_outliers"),
         F.round(F.max("_adev"), 6).alias("max_abs_dev"),
     )
+
+
+def dataset_card(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """The dataset card: the one-page metric table a corpus release
+    publishes (docs/tokens, source/language breadth, quality,
+    duplication, PII exposure) — every number derived in ONE pass
+    over a staged scored projection plus a single global aggregate.
+
+    Cross-engine exactness: every ratio is ONE IEEE division of
+    exact integer aggregates (counts, integer-ppm quality sums) —
+    no multi-term float accumulation whose order could differ
+    between engines — rounded 6dp.
+
+    Output: (metric, value) — tall, double-typed, stable order by
+    metric name under the driver's sorted compare.
+    """
+    from ursa_major_choir_etl_spark.caching import stage
+    from ursa_major_choir_etl_spark.operators import text as t
+    from ursa_major_choir_etl_spark.operators.text import normalized_text
+
+    scored = stage(
+        df.select(
+            F.col(id_col),
+            F.col(domain_col).alias("_dom"),
+            t.token_count(text_col).alias("_tc"),
+            F.round(t.quality_score(text_col) * 1_000_000, 0)
+            .cast("bigint")
+            .alias("_qppm"),
+            t.language_id(text_col).alias("_lang"),
+            F.md5(normalized_text(text_col)).alias("_fp"),
+            (
+                (t.pii_count(text_col, "url")
+                 + t.pii_count(text_col, "email")
+                 + t.pii_count(text_col, "phone")) > 0
+            ).cast("bigint").alias("_pii"),
+        )
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tc").alias("n_tokens"),
+        F.count_distinct("_dom").alias("n_sources"),
+        F.count_distinct("_lang").alias("n_langs"),
+        F.sum((F.col("_lang") == "en").cast("bigint")).alias("n_en"),
+        F.sum("_qppm").alias("q_ppm_sum"),
+        F.count_distinct("_fp").alias("n_distinct_fp"),
+        F.sum("_pii").alias("n_pii"),
+    )
+    nd = F.col("n_docs").cast("double")
+    metrics = [
+        ("n_docs", F.col("n_docs").cast("double")),
+        ("n_tokens", F.col("n_tokens").cast("double")),
+        ("mean_doc_tokens", F.round(F.col("n_tokens") / nd, 6)),
+        ("n_sources", F.col("n_sources").cast("double")),
+        ("n_langs_predicted", F.col("n_langs").cast("double")),
+        ("pct_en_predicted", F.round(F.col("n_en") / nd, 6)),
+        (
+            "mean_quality",
+            F.round(
+                F.col("q_ppm_sum").cast("double") / (nd * 1_000_000.0), 6
+            ),
+        ),
+        (
+            "exact_dup_rate",
+            F.round(1.0 - F.col("n_distinct_fp") / nd, 6),
+        ),
+        ("pii_doc_rate", F.round(F.col("n_pii") / nd, 6)),
+    ]
+    # One wide row -> tall (metric, value) via stack: a single plan
+    # branch over the aggregate instead of a 9-way union.
+    wide = agg.select(*[expr.alias(name) for name, expr in metrics])
+    stack_args = ", ".join(f"'{name}', {name}" for name, _ in metrics)
+    return wide.select(
+        F.expr(f"stack({len(metrics)}, {stack_args}) AS (metric, value)")
+    )

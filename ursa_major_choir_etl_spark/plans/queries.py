@@ -5707,6 +5707,65 @@ FROM pieces GROUP BY doc_id
 """
 
 
+def q133_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card (quality.dataset_card): docs/tokens, source
+    and language breadth, mean quality, exact-dup rate, PII exposure
+    — the one-page table a corpus release publishes, in one staged
+    pass + one global aggregate. Every ratio is a single IEEE
+    division of exact integer aggregates (counts, integer-ppm
+    quality sums), so the card value-hashes cross-engine."""
+    from ursa_major_choir_etl_spark.operators.quality import dataset_card
+
+    return dataset_card(T(spark, sf_dir, "documents"))
+
+
+def _oracle_q133() -> str:
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source AS dom,
+         {osql.token_count_sql('text')} AS tc,
+         CAST(round(({osql.quality_score_sql('text')}) * 1000000, 0)
+              AS BIGINT) AS qppm,
+         {osql.language_id_sql('text')} AS lang,
+         md5({osql.norm_text_sql('text')}) AS fp,
+         CASE WHEN len(regexp_extract_all(text, 'https?://[^\\s]+', 0))
+                   + len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', 0))
+                   + len(regexp_extract_all(text,
+                       '\\+?[0-9][0-9\\-() ]{{6,}}[0-9]', 0)) > 0
+              THEN 1 ELSE 0 END AS pii
+  FROM documents
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(tc) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT dom) AS BIGINT) AS n_sources,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         CAST(sum(qppm) AS BIGINT) AS q_ppm_sum,
+         CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+         CAST(sum(pii) AS BIGINT) AS n_pii
+  FROM scored
+)
+SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM agg
+UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM agg
+UNION ALL SELECT 'mean_doc_tokens',
+  round(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM agg
+UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM agg
+UNION ALL SELECT 'n_langs_predicted', CAST(n_langs AS DOUBLE) FROM agg
+UNION ALL SELECT 'pct_en_predicted',
+  round(CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM agg
+UNION ALL SELECT 'mean_quality',
+  round(CAST(q_ppm_sum AS DOUBLE)
+        / (CAST(n_docs AS DOUBLE) * 1000000.0), 6) FROM agg
+UNION ALL SELECT 'exact_dup_rate',
+  round(1.0 - CAST(n_distinct_fp AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+  FROM agg
+UNION ALL SELECT 'pii_doc_rate',
+  round(CAST(n_pii AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM agg
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -5840,6 +5899,7 @@ QUERIES = {
     "q130_threshold_sweep": q130_threshold_sweep,
     "q131_pq_recall": q131_pq_recall,
     "q132_span_corruption": q132_span_corruption,
+    "q133_dataset_card": q133_dataset_card,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -6023,4 +6083,5 @@ ORACLES: dict[str, str | None] = {
     "q130_threshold_sweep": _oracle_q130(),
     "q131_pq_recall": _oracle_q131(),
     "q132_span_corruption": _oracle_q132(),
+    "q133_dataset_card": _oracle_q133(),
 }

@@ -831,32 +831,54 @@ def ann_recall_report(
     )
 
 
-def _pq_lloyd_subspace(
+def _pq_lloyd_all_subspaces(
     spark,
     xi_df: DataFrame,
-    s: int,
+    m: int,
     sub_dims: int,
     k_codes: int,
     iters: int,
     id_col: str,
 ):
-    """Integer Lloyd rounds over subspace ``s`` of a staged
-    integer-vector table. Returns (assigned, cents_used): the FINAL
-    assignment and the centroid set it was computed against (i.e. NO
-    trailing update — the set ADC lookup tables must use, or codes
-    and distances disagree). Same determinism contract as
-    operators/kmeans.py: integer math, smallest-id seeds, trunc-div
-    updates, (distance, cid) argmin ties."""
+    """Integer Lloyd rounds over ALL ``m`` subspaces batched into one
+    corpus pass per iteration: the corpus is exploded once to
+    (id, s, sx) rows and every round is ONE broadcast join against
+    the (s, cid, c) centroid table + one argmin aggregate — m
+    subspaces cost the same job count as one (an earlier cut looped
+    subspaces serially: m x iters corpus jobs; this is iters).
+
+    Returns (assigned, cents): ``assigned`` = (id, s, cid) of the
+    FINAL assignment, ``cents`` = the {(s, cid): vec} dict it was
+    computed against (NO trailing update — the set the ADC lookup
+    tables must use, or codes and distances disagree). Per-subspace
+    results are identical to independent runs (subspaces never
+    interact): integer math, smallest-id seeds, trunc-div updates,
+    (distance, cid) argmin ties — the operators/kmeans.py contract.
+    """
     from pyspark.sql import functions as F
 
-    sub = xi_df.select(
-        F.col(id_col),
-        F.slice(F.col("_xi"), s * sub_dims + 1, sub_dims).alias("_sx"),
+    from ursa_major_choir_etl_spark.caching import stage
+
+    subs = stage(
+        xi_df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {m - 1}),"
+                    f" s -> slice(_xi, s * {sub_dims} + 1, {sub_dims}))"
+                )
+            ).alias("s", "_sx"),
+        )
     )
-    seed_rows = sub.orderBy(id_col).limit(k_codes).collect()
-    cents: list[tuple[int, list[int]]] = [
-        (cid, list(row["_sx"])) for cid, row in enumerate(seed_rows)
-    ]
+    seed_rows = (
+        xi_df.orderBy(id_col).limit(k_codes).collect()
+    )
+    cents: dict[tuple[int, int], list[int]] = {}
+    for cid, row in enumerate(seed_rows):
+        full = list(row["_xi"])
+        for s in range(m):
+            cents[(s, cid)] = full[s * sub_dims : (s + 1) * sub_dims]
+
     sqd = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
@@ -865,9 +887,10 @@ def _pq_lloyd_subspace(
     assigned = None
     for it in range(iters):
         cents_df = spark.createDataFrame(
-            cents, schema="cid bigint, c array<bigint>"
+            [(s, cid, v) for (s, cid), v in sorted(cents.items())],
+            schema="s int, cid bigint, c array<bigint>",
         )
-        scored = sub.crossJoin(F.broadcast(cents_df)).withColumn(
+        scored = subs.join(F.broadcast(cents_df), "s").withColumn(
             "_d", sqd(F.col("_sx"), F.col("c"))
         )
         best = F.min(
@@ -878,10 +901,11 @@ def _pq_lloyd_subspace(
             )
         ).alias("m")
         assigned = (
-            scored.groupBy(id_col)
+            scored.groupBy(id_col, "s")
             .agg(best)
             .select(
                 F.col(id_col),
+                "s",
                 F.col("m.cid").alias("cid"),
                 F.col("m.sx").alias("_sx"),
             )
@@ -889,24 +913,23 @@ def _pq_lloyd_subspace(
         if it == iters - 1:
             break  # cents now matches this assignment — no update
         sums = (
-            assigned.select("cid", F.posexplode("_sx").alias("pos", "xd"))
-            .groupBy("cid", "pos")
+            assigned.select("s", "cid", F.posexplode("_sx").alias("pos", "xd"))
+            .groupBy("s", "cid", "pos")
             .agg(F.expr("sum(xd) DIV count(*)").alias("cv"))
             .collect()
         )
-        by_cid: dict[int, dict[int, int]] = {}
+        by_key: dict[tuple[int, int], dict[int, int]] = {}
         for row in sums:
-            by_cid.setdefault(row["cid"], {})[row["pos"]] = row["cv"]
-        cents = [
-            (
-                cid,
-                [by_cid[cid][d] for d in range(len(old))]
-                if cid in by_cid
-                else old,
+            by_key.setdefault((row["s"], row["cid"]), {})[row["pos"]] = row["cv"]
+        cents = {
+            key: (
+                [by_key[key][d] for d in range(sub_dims)]
+                if key in by_key
+                else old
             )
-            for cid, old in cents
-        ]
-    return assigned.select(id_col, "cid"), cents
+            for key, old in cents.items()
+        }
+    return assigned.select(id_col, "s", "cid"), cents
 
 
 def pq_recall_report(
@@ -937,11 +960,12 @@ def pq_recall_report(
     Distributed shape at 100 TB: codebooks/LUTs are model state
     (m * k_codes * sub_dims bigints; the LUT build collects the
     QUERY BATCH — bounded by contract, like the q22 broadcast side —
-    never the corpus). The corpus is touched by: the per-subspace
-    assignment rounds (broadcast nested-loop over k_codes
-    centroids), the code join, and one ADC aggregation of
-    codes x LUT; the per-query top-k runs through the bounded
-    two-phase selection, so no window partition holds the corpus.
+    never the corpus). The corpus is touched by: ONE batched
+    assignment round per Lloyd iteration (all m subspaces against a
+    broadcast (s, cid) centroid table — see _pq_lloyd_all_subspaces),
+    and one ADC aggregation of the long-form code table x LUT; the
+    per-query top-k runs through the bounded two-phase selection, so
+    no window partition holds the corpus.
 
     Output per query: (query_id, n_exact, n_approx, n_overlap,
     recall) — PQ-ADC top-k measured against exact integer-L2 top-k.
@@ -973,39 +997,22 @@ def pq_recall_report(
         .collect()
     )
 
-    code_cols = []
+    assigned, cents = _pq_lloyd_all_subspaces(
+        spark, xi_df, m, sub_dims, k_codes, iters, id_col
+    )
     lut_rows: list[tuple[int, int, int, int]] = []  # (query, s, cid, d)
-    codes = None
-    for s in range(m):
-        assigned, cents = _pq_lloyd_subspace(
-            spark, xi_df, s, sub_dims, k_codes, iters, id_col
-        )
-        a = assigned.withColumnRenamed("cid", f"code_{s}")
-        codes = a if codes is None else codes.join(a, id_col)
-        code_cols.append(f"code_{s}")
-        for qr in q_rows:
-            qsub = list(qr["_xi"])[s * sub_dims : (s + 1) * sub_dims]
-            for cid, cvec in cents:
-                d = sum((qx - cx) * (qx - cx) for qx, cx in zip(qsub, cvec))
-                lut_rows.append((qr[id_col], s, cid, d))
+    for qr in q_rows:
+        full = list(qr["_xi"])
+        for (s, cid), cvec in cents.items():
+            qsub = full[s * sub_dims : (s + 1) * sub_dims]
+            d = sum((qx - cx) * (qx - cx) for qx, cx in zip(qsub, cvec))
+            lut_rows.append((qr[id_col], s, cid, d))
     lut = spark.createDataFrame(
         lut_rows, schema="query_id bigint, s int, cid bigint, d bigint"
     )
-    exploded = codes.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"), F.col(f"code_{s}").alias("cid")
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("sc"),
-    ).select("neighbor_id", F.col("sc.s").alias("s"), F.col("sc.cid").alias("cid"))
     adc = (
-        exploded.join(F.broadcast(lut), ["s", "cid"])
+        assigned.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(lut), ["s", "cid"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d").alias("adc_dist"))
@@ -1020,7 +1027,7 @@ def pq_recall_report(
 
     q_df = spark.createDataFrame(
         [(qr[id_col], list(qr["_xi"])) for qr in q_rows],
-        schema=f"query_id bigint, qx array<bigint>",
+        schema="query_id bigint, qx array<bigint>",
     )
     sqd_full = F.aggregate(
         F.zip_with(F.col("qx"), F.col("_xi"), lambda x, y: (x - y) * (x - y)),

@@ -86,7 +86,10 @@ def pagerank_integer(
 
 
 def triangle_counts(
-    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    assume_unique: bool = False,
 ) -> DataFrame:
     """Per-node triangle participation over an undirected edge list —
     the clustering-coefficient numerator, and for a near-dup pair
@@ -114,11 +117,11 @@ def triangle_counts(
     # feeds FOUR plan branches (degrees, orientation, wedge self-join,
     # closing join) — stage it once or every branch re-runs the whole
     # upstream dedup pipeline (measured 85s -> ~2s at sf0.001).
-    e = stage(
-        pairs.select(
-            F.col(a_col).alias("u"), F.col(b_col).alias("v")
-        ).distinct()
-    )
+    # ``assume_unique=True`` skips the dedup shuffle when the caller
+    # guarantees one row per undirected edge (e.g. dedup.jaccard_pairs
+    # output, which is grouped by pair upstream).
+    edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    e = stage(edges if assume_unique else edges.distinct())
     und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     # Orient each undirected edge from lower (degree, id) to higher.

@@ -5234,7 +5234,7 @@ def q124_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh = dedup.word_shingles(T(spark, sf_dir, "documents"))
     pairs = dedup.jaccard_pairs(sh, threshold=0.5)
-    return triangle_counts(pairs)
+    return triangle_counts(pairs, assume_unique=True)
 
 
 def _oracle_q124() -> str:

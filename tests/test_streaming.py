@@ -642,3 +642,54 @@ class TestStreamingOutlierGate:
         q.awaitTermination(120)
         rows = spark.sql("select * from outlier_gate_null").collect()
         assert len(rows) == 1 and rows[0]["is_outlier"] is None
+
+
+class TestStreamingCardStore:
+    def test_store_merges_to_batch_card(self, spark, tmp_path_factory):
+        """The merged streaming card equals the batch dataset card on
+        the additive metrics exactly; the three distinct metrics are
+        HLL estimates within the sketch's error bound of the exact
+        truth (a union result and a direct sketch may differ by a few
+        counts — Datasketches mode transitions — so equality is only
+        asserted against the EXACT batch values with 5% tolerance)."""
+        from ursa_major_choir_etl_spark.operators.quality import (
+            dataset_card,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        src = str(tmp_path_factory.mktemp("card_stream"))
+        wh = str(tmp_path_factory.mktemp("card_wh"))
+        docs.select("doc_id", "text", "source").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string, source string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = jobs.streaming_card_sink(stream, wh, "card")
+        q.awaitTermination(180)
+        # multiple batches actually landed
+        import os
+
+        batches = [d for d in os.listdir(os.path.join(wh, "card")) if d.startswith("batch_id=")]
+        assert len(batches) >= 2
+
+        got = {r["metric"]: r["value"] for r in jobs.read_card_store(spark, wh, "card").collect()}
+        want = {r["metric"]: r["value"] for r in dataset_card(docs).collect()}
+        from ursa_major_choir_etl_spark import caching
+
+        caching.release_staged()
+        for m in ("n_docs", "n_tokens", "mean_doc_tokens", "pct_en_predicted",
+                  "mean_quality", "pii_doc_rate"):
+            assert got[m] == want[m], m
+        # Distinct metrics: within the HLL error bound of exact truth.
+        assert abs(got["n_sources_approx"] - want["n_sources"]) <= max(
+            1.0, 0.05 * want["n_sources"]
+        )
+        assert abs(got["n_langs_predicted_approx"] - want["n_langs_predicted"]) <= max(
+            1.0, 0.05 * want["n_langs_predicted"]
+        )
+        exact_fp = (1.0 - want["exact_dup_rate"]) * want["n_docs"]
+        approx_fp = (1.0 - got["exact_dup_rate_approx"]) * got["n_docs"]
+        assert abs(approx_fp - exact_fp) <= 0.05 * exact_fp

@@ -314,3 +314,47 @@ def dataset_card(
     return wide.select(
         F.expr(f"stack({len(metrics)}, {stack_args}) AS (metric, value)")
     )
+
+
+def card_batch_row(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+    lgk: int = 12,
+) -> DataFrame:
+    """One mergeable dataset-card row: the ADDITIVE card components
+    (doc/token/en/pii counts, integer-ppm quality sum) plus HLL
+    sketches for the distinct-valued ones (sources, languages,
+    content fingerprints). sum() the additive columns and
+    hll_union_agg() the sketches across any set of rows and the
+    merged row describes the union corpus — the shape a streaming
+    card store persists per batch (see
+    streaming.jobs.streaming_card_sink)."""
+    from ursa_major_choir_etl_spark.operators import text as t
+    from ursa_major_choir_etl_spark.operators.text import normalized_text
+
+    scored = df.select(
+        F.col(domain_col).alias("_dom"),
+        t.token_count(text_col).alias("_tc"),
+        F.round(t.quality_score(text_col) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("_qppm"),
+        t.language_id(text_col).alias("_lang"),
+        F.md5(normalized_text(text_col)).alias("_fp"),
+        (
+            (t.pii_count(text_col, "url")
+             + t.pii_count(text_col, "email")
+             + t.pii_count(text_col, "phone")) > 0
+        ).cast("bigint").alias("_pii"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tc").alias("n_tokens"),
+        F.sum((F.col("_lang") == "en").cast("bigint")).alias("n_en"),
+        F.sum("_qppm").alias("q_ppm_sum"),
+        F.sum("_pii").alias("n_pii"),
+        F.hll_sketch_agg("_dom", F.lit(lgk)).alias("sources_hll"),
+        F.hll_sketch_agg("_lang", F.lit(lgk)).alias("langs_hll"),
+        F.hll_sketch_agg("_fp", F.lit(lgk)).alias("fp_hll"),
+    )

@@ -611,3 +611,90 @@ def streaming_outlier_gate(
             "is_outlier"
         ),
     )
+
+
+def streaming_card_sink(
+    stream_docs: DataFrame,
+    warehouse: str,
+    name: str,
+    checkpoint_dir: str | None = None,
+):
+    """Incremental dataset-card monitoring: each micro-batch reduces
+    to ONE mergeable card row (quality.card_batch_row — additive
+    counts + HLL sketches for the distinct metrics) landed in a
+    parquet store partitioned by batch_id. Same replay-safety
+    contract as the CMS/quantile stores: additive merges are not
+    idempotent, so each batch dynamic-partition-overwrites only its
+    own batch_id — a replayed batch replaces, never double-counts.
+    The corpus card at any moment is a sum + sketch-union over the
+    store (read_card_store) — no rescan of the stream, ever."""
+    from ursa_major_choir_etl_spark.operators.quality import card_batch_row
+
+    def card_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os as _os
+
+        (
+            card_batch_row(batch_df)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(_os.path.join(warehouse, name))
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(card_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def read_card_store(spark, warehouse: str, name: str) -> DataFrame:
+    """Merged dataset card over a streaming card store: exact sums
+    for the additive metrics, HLL-union estimates for the distinct
+    ones. The union merge is order- and batching-insensitive, but a
+    union result and a direct single-shot sketch may differ by a few
+    counts (Datasketches sparse->dense mode transitions), so the
+    distinct metrics are explicitly suffixed _approx and carry the
+    usual HLL error bound (~1.6%/sqrt(2^lgk/2)) — the drain test pins
+    them within 5% of the exact batch truth. Output mirrors
+    quality.dataset_card's tall metric table."""
+    import os as _os
+
+    merged = spark.read.parquet(_os.path.join(warehouse, name)).agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_en").alias("n_en"),
+        F.sum("q_ppm_sum").alias("q_ppm_sum"),
+        F.sum("n_pii").alias("n_pii"),
+        F.hll_sketch_estimate(F.hll_union_agg("sources_hll"))
+        .alias("n_sources_approx"),
+        F.hll_sketch_estimate(F.hll_union_agg("langs_hll"))
+        .alias("n_langs_approx"),
+        F.hll_sketch_estimate(F.hll_union_agg("fp_hll"))
+        .alias("n_distinct_fp_approx"),
+    )
+    nd = F.col("n_docs").cast("double")
+    metrics = [
+        ("n_docs", F.col("n_docs").cast("double")),
+        ("n_tokens", F.col("n_tokens").cast("double")),
+        ("mean_doc_tokens", F.round(F.col("n_tokens") / nd, 6)),
+        ("n_sources_approx", F.col("n_sources_approx").cast("double")),
+        ("n_langs_predicted_approx", F.col("n_langs_approx").cast("double")),
+        ("pct_en_predicted", F.round(F.col("n_en") / nd, 6)),
+        (
+            "mean_quality",
+            F.round(F.col("q_ppm_sum").cast("double") / (nd * 1_000_000.0), 6),
+        ),
+        (
+            "exact_dup_rate_approx",
+            F.round(1.0 - F.col("n_distinct_fp_approx") / nd, 6),
+        ),
+        ("pii_doc_rate", F.round(F.col("n_pii") / nd, 6)),
+    ]
+    wide = merged.select(*[e.alias(n) for n, e in metrics])
+    stack_args = ", ".join(f"'{n}', {n}" for n, _ in metrics)
+    return wide.select(
+        F.expr(f"stack({len(metrics)}, {stack_args}) AS (metric, value)")
+    )

@@ -830,3 +830,26 @@ class TestDatasetCard:
         assert got["mean_doc_tokens"] == round((6 + 6 + 5 + 5) / 4, 6)
         assert 0.0 <= got["mean_quality"] <= 1.0
         assert got["pct_en_predicted"] >= 0.5  # docs 0/1 vote 'en'
+
+
+class TestFimTransform:
+    def test_psm_reconstruction(self, spark):
+        from ursa_major_choir_etl_spark.operators.samples import fim_transform
+
+        txt = " ".join(f"t{j}" for j in range(10))
+        df = spark.createDataFrame(
+            [(0, txt), (1, "one"), (2, "")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r for r in fim_transform(df).collect()}
+        assert 2 not in got
+        r = got[0]
+        assert (r["n_prefix"], r["n_middle"], r["n_suffix"]) == (4, 2, 4)
+        body = r["fim_text"]
+        pre = body.split(" <SUF> ")[0].removeprefix("<PRE> ")
+        suf = body.split(" <SUF> ")[1].split(" <MID> ")[0]
+        mid = body.split(" <MID> ")[1]
+        assert (pre + " " + mid + " " + suf).split() == txt.split()
+        # 1-token doc: everything lands in the suffix.
+        r1 = got[1]
+        assert (r1["n_prefix"], r1["n_middle"], r1["n_suffix"]) == (0, 0, 1)
+        assert r1["fim_text"] == "<PRE>  <SUF> one <MID> "

@@ -120,3 +120,51 @@ def span_corruption(
         joined("ip").alias("input_text"),
         joined("tp").alias("target_text"),
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mid_lo_pct: int = 40,
+    mid_hi_pct: int = 60,
+) -> DataFrame:
+    """Fill-in-the-middle (FIM) sample construction, PSM order: cut
+    each document at the [mid_lo_pct%, mid_hi_pct%) token boundaries
+    (integer DIV — deterministic, id-independent of partitioning)
+    and emit ``<PRE> prefix <SUF> suffix <MID> middle`` — the infill
+    objective's data layout, as an actual string.
+
+    Unlike q132's hashed span selection, the cut points are pure
+    positional arithmetic: zero shuffles, zero windows — the whole
+    transform is per-row JVM expressions on the token array (the
+    with_repetition_stats no-explode pattern), so a 100 TB corpus
+    scans once and nothing else happens.
+
+    Output: (id, n_tokens, n_prefix, n_middle, n_suffix, fim_text);
+    empty docs are dropped.
+    """
+    toked = df.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    n = F.size("_toks")
+    a = F.expr(f"size(_toks) * {mid_lo_pct} DIV 100")
+    b = F.expr(f"size(_toks) * {mid_hi_pct} DIV 100")
+    part = lambda start, length: F.array_join(  # noqa: E731
+        F.slice(F.col("_toks"), start, length), " "
+    )
+    prefix = part(F.lit(1), a)
+    middle = part(a + 1, b - a)
+    suffix = part(b + 1, n - b)
+    return toked.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        a.cast("int").alias("n_prefix"),
+        (b - a).cast("int").alias("n_middle"),
+        (n - b).cast("int").alias("n_suffix"),
+        F.concat(
+            F.lit("<PRE> "), prefix,
+            F.lit(" <SUF> "), suffix,
+            F.lit(" <MID> "), middle,
+        ).alias("fim_text"),
+    )

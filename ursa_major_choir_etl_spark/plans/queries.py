@@ -5766,6 +5766,40 @@ UNION ALL SELECT 'pii_doc_rate',
 """
 
 
+def q134_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle sample construction (samples.fim_transform,
+    PSM order): positional 40/60 token cuts, zero shuffles and zero
+    windows — per-row JVM array expressions only; the emitted
+    `<PRE>..<SUF>..<MID>..` strings value-hash cross-engine.
+    Completes the sample-prep pair with q132's span corruption."""
+    from ursa_major_choir_etl_spark.operators import samples
+
+    return samples.fim_transform(T(spark, sf_dir, "documents"))
+
+
+def _oracle_q134(lo: int = 40, hi: int = 60) -> str:
+    return f"""
+WITH toked AS (
+  SELECT doc_id, {osql.tokens_sql('text')} AS t
+  FROM documents WHERE trim(text) <> ''
+),
+cut AS (
+  SELECT doc_id, t, len(t) AS n,
+         len(t) * {lo} // 100 AS a, len(t) * {hi} // 100 AS b
+  FROM toked
+)
+SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+       CAST(a AS INTEGER) AS n_prefix,
+       CAST(b - a AS INTEGER) AS n_middle,
+       CAST(n - b AS INTEGER) AS n_suffix,
+       '<PRE> ' || array_to_string(list_slice(t, 1, a), ' ')
+       || ' <SUF> ' || array_to_string(list_slice(t, b + 1, n), ' ')
+       || ' <MID> ' || array_to_string(list_slice(t, a + 1, b), ' ')
+         AS fim_text
+FROM cut
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -5900,6 +5934,7 @@ QUERIES = {
     "q131_pq_recall": q131_pq_recall,
     "q132_span_corruption": q132_span_corruption,
     "q133_dataset_card": q133_dataset_card,
+    "q134_fim_transform": q134_fim_transform,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -6084,4 +6119,5 @@ ORACLES: dict[str, str | None] = {
     "q131_pq_recall": _oracle_q131(),
     "q132_span_corruption": _oracle_q132(),
     "q133_dataset_card": _oracle_q133(),
+    "q134_fim_transform": _oracle_q134(),
 }

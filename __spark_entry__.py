@@ -4,15 +4,15 @@
 - ``queries()``: every implemented operator family from SURVEY.md §2
   plus the LLM-pipeline extensions, as (spark, sf_dir) -> DataFrame.
 - ``oracle_sql()``: DuckDB SQL recomputing each query bit-for-bit —
-  ALL entries (134 as of round 7), no omissions. Every query added in
-  rounds 6-7 (q101-q134: Bloom decontamination, semantic dedup,
+  ALL entries (136 as of round 7), no omissions. Every query added in
+  rounds 6-7 (q101-q136: Bloom decontamination, semantic dedup,
   weighted sampling, quantile sketch, substring spans + attrition,
   n-gram novelty, SimHash Hamming pairs, Z-order layout, boilerplate,
   per-group sampling, containment, incremental dedup, curriculum
   bins, unigram-surprisal quality scoring, ensemble dedup consensus,
   domain quotas, BPE merge learning, adaptive shard sizing, log-capped
   soft dedup, char-bigram entropy, cluster representative election,
-  median/MAD outliers, triangle counting, mixture planning, curation funnel, ANN recall@k eval, BPE compression, vocabulary drift, threshold sweep, PQ ANN recall, span-corruption + FIM sample prep, dataset card) is value-oracled from birth — several with deliberately
+  median/MAD outliers, triangle counting, mixture planning, curation funnel, ANN recall@k eval, BPE compression, vocabulary drift, threshold sweep, PQ ANN recall, span-corruption + FIM sample prep, dataset card, decontaminated holdout, embedding drift) is value-oracled from birth — several with deliberately
   INDEPENDENT oracle-side derivations (hex-cast vs instr arithmetic,
   0b-literal vs conv, arithmetic vs shift-builder Morton) so a shared
   expression bug cannot hide on both sides. The formerly rows-only four are

@@ -853,3 +853,81 @@ class TestFimTransform:
         r1 = got[1]
         assert (r1["n_prefix"], r1["n_middle"], r1["n_suffix"]) == (0, 0, 1)
         assert r1["fim_text"] == "<PRE>  <SUF> one <MID> "
+
+
+class TestHoldoutConstruction:
+    def test_contamination_flags_planted_leak(self, spark):
+        from ursa_major_choir_etl_spark.operators.curation import (
+            holdout_construction_report,
+            bounded_topn_per_key,  # noqa: F401 (import guard)
+        )
+        from ursa_major_choir_etl_spark.operators.dedup import (
+            bloom_position_sql,
+        )
+
+        # Find one id in the eval bucket and one in train, plant a
+        # shared 8-gram between them; every other doc is unique text.
+        import hashlib
+
+        def bucket(i):
+            return int(hashlib.md5(f"0:{i}".encode()).hexdigest()[:5], 16) % 100
+
+        eval_ids = [i for i in range(200) if bucket(i) < 10]
+        train_ids = [i for i in range(200) if bucket(i) >= 10]
+        leak = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = []
+        for i in range(200):
+            if i == eval_ids[0] or i == train_ids[0]:
+                rows.append((i, f"{leak} marker{i}", "en"))
+            else:
+                rows.append((i, " ".join(f"u{i}w{j}" for j in range(12)), "en"))
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        rep = holdout_construction_report(df).collect()
+        r = {x["lang"]: x for x in rep}["en"]
+        assert r["n_eval"] == len(eval_ids)
+        assert r["n_contaminated"] == 1   # exactly the planted leak
+        assert r["n_clean"] == len(eval_ids) - 1
+
+    def test_split_is_id_pure(self, spark):
+        from ursa_major_choir_etl_spark.operators.curation import (
+            holdout_construction_report,
+        )
+
+        rows = [(i, " ".join(f"d{i}t{j}" for j in range(10)), "en") for i in range(60)]
+        df1 = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        df2 = spark.createDataFrame(rows, "doc_id long, text string, lang string").repartition(9)
+        a = sorted(map(tuple, holdout_construction_report(df1).collect()))
+        b = sorted(map(tuple, holdout_construction_report(df2).collect()))
+        assert a == b
+
+
+class TestEmbeddingDrift:
+    def test_identical_halves_have_zero_shift(self, spark):
+        from ursa_major_choir_etl_spark.operators.similarity import (
+            embedding_drift_ab,
+        )
+
+        # Every vector identical within a label: both half-centroids
+        # equal the vector -> exact zero shift.
+        rows = [(i, [float(l), float(-l)], l) for l in (1, 2) for i in range(l * 100, l * 100 + 40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        got = {r["label"]: r for r in embedding_drift_ab(df).collect()}
+        for l in (1, 2):
+            assert got[l]["l2sq_shift_micro"] == 0
+            assert got[l]["n_a"] + got[l]["n_b"] == 40
+
+    def test_shifted_half_detected(self, spark):
+        from ursa_major_choir_etl_spark.operators.similarity import (
+            embedding_drift_ab,
+        )
+        import hashlib
+
+        def half(i):
+            return int(hashlib.md5(f"0:{i}".encode()).hexdigest()[:5], 16) % 2
+
+        # Vectors depend on the SAME md5 parity the operator uses, so
+        # half A sits at 0.0 and half B at 1.0 -> shift = dims * 1e12.
+        rows = [(i, [float(half(i))] * 4, 0) for i in range(50)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        r = embedding_drift_ab(df).collect()[0]
+        assert r["l2sq_shift_micro"] == 4 * (1_000_000 ** 2)

@@ -393,3 +393,79 @@ def curation_funnel(
         .unionByName(rep(3, "soft_dedup", s3))
         .unionByName(rep(4, "domain_cap", s4))
     )
+
+
+def holdout_construction_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    eval_pct: int = 10,
+    gram_n: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Decontaminated-holdout construction: carve an id-pure ~
+    ``eval_pct``% eval split (md5-nibble bucket — stable under
+    re-partitioning AND incremental corpus growth, so a doc never
+    migrates between splits), flag eval docs sharing any word
+    ``gram_n``-gram with the remaining train split, and report the
+    clean-holdout yield per language — the hygiene pass before an
+    internal eval set is trusted.
+
+    Shape: shingles are computed ONCE over the corpus (staged) and
+    tagged train/eval by the bucket; contamination is a distinct-gram
+    semi-join (train gram vocabulary against eval doc grams). Unlike
+    q78's benchmark check — where the eval side is small by
+    definition and broadcast — BOTH sides here scale with the corpus,
+    so the join shuffles on the gram key and inherits AQE sizing; no
+    hard hint.
+
+    Output per language: (lang, n_eval, n_contaminated, n_clean).
+    """
+    from ursa_major_choir_etl_spark.caching import stage
+    from ursa_major_choir_etl_spark.operators.dedup import (
+        bloom_position_sql,
+        word_shingles,
+    )
+
+    pos = F.expr(
+        bloom_position_sql(seed, f"CAST({id_col} AS STRING)", 5)
+    )
+    tagged = df.withColumn("_is_eval", F.pmod(pos, F.lit(100)) < eval_pct)
+    sh = stage(
+        word_shingles(
+            tagged.select(id_col, text_col, "_is_eval"),
+            id_col=id_col,
+            text_col=text_col,
+            n=gram_n,
+        ).join(
+            tagged.select(id_col, "_is_eval"), id_col
+        )
+    )
+    train_grams = sh.filter(~F.col("_is_eval")).select("shingle").distinct()
+    contaminated = (
+        sh.filter(F.col("_is_eval"))
+        .join(train_grams, "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("_contam", F.lit(True))
+    )
+    ev = tagged.filter(F.col("_is_eval")).select(
+        id_col, F.col(lang_col).alias("lang")
+    )
+    return (
+        ev.join(contaminated, id_col, "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(F.coalesce("_contam", F.lit(False)).cast("bigint")).alias(
+                "n_contaminated"
+            ),
+        )
+        .select(
+            "lang",
+            "n_eval",
+            "n_contaminated",
+            (F.col("n_eval") - F.col("n_contaminated")).alias("n_clean"),
+        )
+    )

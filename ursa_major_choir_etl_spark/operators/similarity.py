@@ -1051,3 +1051,71 @@ def pq_recall_report(
         salt_on=F.col("neighbor_id"),
     ).select("query_id", "neighbor_id")
     return ann_recall_report(exact, approx)
+
+
+def embedding_drift_ab(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+    seed: int = 0,
+) -> DataFrame:
+    """Embedding-distribution drift monitor: split the corpus into
+    two id-pure halves (md5-nibble parity — the A/B a monitoring job
+    runs to estimate its own noise floor; pointed at two real
+    snapshots, the same computation measures true temporal drift)
+    and compare per-label centroids. A large shift on a stable split
+    means the embedding space moved — re-index the ANN structures.
+
+    Integer micro-unit centroids (sum DIV count per dimension — the
+    operators/kmeans.py determinism playbook) make the squared-L2
+    shift exact bigint math; the oracle replays it bit-for-bit.
+    One explode-aggregate per half over (label, dim) cells — no
+    windows, no joins bigger than label-cardinality.
+
+    Output per label present in both halves: (label, n_a, n_b,
+    l2sq_shift_micro) — squared centroid distance in micro^2 units.
+    """
+    from pyspark.sql import functions as F
+
+    from ursa_major_choir_etl_spark.operators.dedup import bloom_position_sql
+
+    pos = F.expr(bloom_position_sql(seed, f"CAST({id_col} AS STRING)", 5))
+    xi = emb.select(
+        F.col(label_col).alias("label"),
+        F.pmod(pos, F.lit(2)).alias("half"),
+        F.posexplode(
+            F.transform(
+                vec_col,
+                lambda x: F.round(x.cast("double") * scale, 0).cast("long"),
+            )
+        ).alias("dim", "xv"),
+    )
+    from ursa_major_choir_etl_spark.caching import stage
+
+    # cents (label x 2 x dims rows) feeds both join branches — stage
+    # it so the corpus explode-aggregate runs once.
+    cents = stage(
+        xi.groupBy("label", "half", "dim")
+        .agg(
+            F.expr("sum(xv) DIV count(*)").alias("cv"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    a = cents.filter("half = 0").select(
+        "label", "dim", F.col("cv").alias("ca"), F.col("n").alias("n_a")
+    )
+    b = cents.filter("half = 1").select(
+        "label", "dim", F.col("cv").alias("cb"), F.col("n").alias("n_b")
+    )
+    return (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+            F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+            .alias("l2sq_shift_micro"),
+        )
+    )

@@ -5800,6 +5800,90 @@ FROM cut
 """
 
 
+def q135_holdout_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminated-holdout construction
+    (curation.holdout_construction_report): id-pure md5-bucket ~10%
+    eval split, word-8-gram contamination check against the train
+    split (both sides corpus-scale, so the gram join shuffles under
+    AQE — unlike q78's broadcast benchmark case), clean-yield report
+    per language. The hygiene pass before an internal eval set is
+    trusted."""
+    from ursa_major_choir_etl_spark.operators import curation
+
+    return curation.holdout_construction_report(
+        T(spark, sf_dir, "documents")
+    )
+
+
+def _oracle_q135(eval_pct: int = 10, gram_n: int = 8, seed: int = 0) -> str:
+    pos = _bloom_position_duckdb(seed, "CAST(doc_id AS STRING)", 5)
+    return f"""
+WITH {osql.shingles_cte_sql(gram_n)},
+b AS (
+  SELECT doc_id, lang, ({pos}) % 100 < {eval_pct} AS is_eval
+  FROM documents
+),
+tg AS (
+  SELECT DISTINCT s.shingle
+  FROM doc_shingles s JOIN b ON b.doc_id = s.doc_id AND NOT b.is_eval
+),
+contam AS (
+  SELECT DISTINCT s.doc_id
+  FROM doc_shingles s
+  JOIN b ON b.doc_id = s.doc_id AND b.is_eval
+  SEMI JOIN tg ON s.shingle = tg.shingle
+)
+SELECT lang, count(*) AS n_eval,
+       CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(count(*) - sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clean
+FROM b LEFT JOIN contam c ON c.doc_id = b.doc_id
+WHERE b.is_eval
+GROUP BY lang
+"""
+
+
+def q136_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift A/B (similarity.embedding_drift_ab):
+    id-pure md5-parity halves, integer micro-unit per-label centroids
+    (sum DIV count per dim — the q90 playbook), exact squared-L2
+    centroid shift per label. The monitor that says "re-index the
+    ANN structures" when the space moves."""
+    return similarity.embedding_drift_ab(T(spark, sf_dir, "embeddings"))
+
+
+def _oracle_q136(scale: int = 1_000_000, seed: int = 0) -> str:
+    pos = _bloom_position_duckdb(seed, "CAST(vec_id AS STRING)", 5)
+    return f"""
+WITH xi AS (
+  SELECT label, ({pos}) % 2 AS half,
+         generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS xv
+  FROM (
+    SELECT vec_id, label,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(round(x * {scale}) AS BIGINT)) AS v
+    FROM embeddings
+  )
+),
+cents AS (
+  SELECT label, half, dim,
+         CAST(sum(xv) AS BIGINT) // count(*) AS cv,
+         count(*) AS n
+  FROM xi GROUP BY 1, 2, 3
+)
+SELECT a.label,
+       CAST(min(a.n) AS BIGINT) AS n_a,
+       CAST(min(bb.n) AS BIGINT) AS n_b,
+       CAST(sum((a.cv - bb.cv) * (a.cv - bb.cv)) AS BIGINT)
+         AS l2sq_shift_micro
+FROM cents a
+JOIN cents bb ON bb.label = a.label AND bb.dim = a.dim
+            AND a.half = 0 AND bb.half = 1
+GROUP BY a.label
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -5935,6 +6019,8 @@ QUERIES = {
     "q132_span_corruption": q132_span_corruption,
     "q133_dataset_card": q133_dataset_card,
     "q134_fim_transform": q134_fim_transform,
+    "q135_holdout_construction": q135_holdout_construction,
+    "q136_embedding_drift": q136_embedding_drift,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -6120,4 +6206,6 @@ ORACLES: dict[str, str | None] = {
     "q132_span_corruption": _oracle_q132(),
     "q133_dataset_card": _oracle_q133(),
     "q134_fim_transform": _oracle_q134(),
+    "q135_holdout_construction": _oracle_q135(),
+    "q136_embedding_drift": _oracle_q136(),
 }

@@ -123,14 +123,24 @@ def domain_quota_report(
         F.sum("_n_tokens").alias("tokens_kept"),
         F.min("_quality").alias("min_kept_quality"),
     )
-    return totals.join(kept_agg, "domain").select(
-        "domain",
-        "n_docs",
-        "n_kept",
-        (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
-        "tokens_total",
-        "tokens_kept",
-        "min_kept_quality",
+    # Null-safe join: a NULL domain is a real group to the window
+    # oracle (and to the groupBys above) — a plain equi-join would
+    # silently drop it (review finding).
+    kept_agg = kept_agg.withColumnRenamed("domain", "_kd")
+    return (
+        totals.join(
+            kept_agg, F.col("domain").eqNullSafe(F.col("_kd"))
+        )
+        .drop("_kd")
+        .select(
+            "domain",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+            "tokens_total",
+            "tokens_kept",
+            "min_kept_quality",
+        )
     )
 
 
@@ -175,8 +185,15 @@ def soft_dedup_flags(
         fp, ["fingerprint"], [F.col(id_col).asc()], cap=64,
         salt_on=F.col(id_col),
     )
+    # Null-safe join: md5(NULL text) is NULL and NULL fingerprints
+    # form a real cluster under the window oracle — a plain equi-join
+    # would silently drop them (review finding).
+    sizes = sizes.withColumnRenamed("fingerprint", "_fpk")
     return (
-        ranked.join(sizes, "fingerprint")
+        ranked.join(
+            sizes, F.col("fingerprint").eqNullSafe(F.col("_fpk"))
+        )
+        .drop("_fpk")
         .select(
             F.col(id_col),
             "fingerprint",
@@ -300,27 +317,37 @@ def mixture_plan(
         F.sum("tokens_available").alias("_corpus_tokens"),
         F.count(F.lit(1)).alias("_n_domains"),
     )
+    # Every ppm multiply routes through DECIMAL(38,0): a bigint
+    # `tokens * 1e6` overflows int64 (ANSI exception) right at the
+    # 100 TB design point (~2.3e13 tokens); Spark's DECIMAL DIV and
+    # DuckDB's HUGEINT // return identical truncated bigints (review
+    # finding, verified cross-engine). rate_ppm is computed ONCE and
+    # referenced — the earlier re-inlined copy could drift.
     planned = per_dom.crossJoin(F.broadcast(totals)).select(
         "domain",
         "tokens_available",
         F.expr(
-            f"_corpus_tokens * {budget_ppm_of_corpus} DIV 1000000"
-            " DIV _n_domains"
+            f"CAST(CAST(_corpus_tokens AS DECIMAL(38,0))"
+            f" * {budget_ppm_of_corpus} DIV 1000000"
+            " DIV _n_domains AS BIGINT)"
         ).alias("target_tokens"),
     )
-    rate = F.least(
-        F.lit(1_000_000).cast("bigint"),
-        F.expr("target_tokens * 1000000 DIV tokens_available"),
+    with_rate = planned.withColumn(
+        "rate_ppm",
+        F.expr(
+            "least(CAST(1000000 AS BIGINT),"
+            " CAST(target_tokens AS DECIMAL(38,0)) * 1000000"
+            " DIV tokens_available)"
+        ),
     )
-    return planned.select(
+    return with_rate.select(
         "domain",
         "tokens_available",
         "target_tokens",
-        rate.alias("rate_ppm"),
+        "rate_ppm",
         F.expr(
-            "tokens_available * least(CAST(1000000 AS BIGINT),"
-            " target_tokens * 1000000 DIV tokens_available)"
-            " DIV 1000000"
+            "CAST(CAST(tokens_available AS DECIMAL(38,0)) * rate_ppm"
+            " DIV 1000000 AS BIGINT)"
         ).alias("expected_tokens"),
         (F.col("tokens_available") < F.col("target_tokens")).alias(
             "underfilled"
@@ -432,9 +459,11 @@ def holdout_construction_report(
         bloom_position_sql(seed, f"CAST({id_col} AS STRING)", 5)
     )
     tagged = df.withColumn("_is_eval", F.pmod(pos, F.lit(100)) < eval_pct)
+    # word_shingles outputs only (id, shingle); the split flag comes
+    # from the explicit join below.
     sh = stage(
         word_shingles(
-            tagged.select(id_col, text_col, "_is_eval"),
+            tagged.select(id_col, text_col),
             id_col=id_col,
             text_col=text_col,
             n=gram_n,

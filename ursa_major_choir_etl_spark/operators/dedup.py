@@ -207,9 +207,13 @@ def bloom_position_sql(j: int, col: str = "shingle", nibbles: int = 5) -> str:
     instr-based nibble arithmetic into an integer in [0, 16^nibbles).
     Shared by the Spark operator (via F.expr) and the DuckDB oracle,
     so the bit positions agree bit-for-bit by construction."""
+    # Weights are BIGINT literals: with nibbles > 7 the int32 product
+    # 15 * 16^7 overflows under ANSI mode; the cast keeps the whole
+    # sum in long arithmetic for any nibble count (values unchanged
+    # for the small-nibble callers).
     terms = " + ".join(
         f"(instr('0123456789abcdef', substr(md5('{j}:' || {col}), {i + 1}, 1)) - 1)"
-        f" * {16 ** (nibbles - 1 - i)}"
+        f" * CAST({16 ** (nibbles - 1 - i)} AS BIGINT)"
         for i in range(nibbles)
     )
     return f"({terms})"

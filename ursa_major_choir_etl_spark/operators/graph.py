@@ -118,10 +118,18 @@ def triangle_counts(
     # closing join) — stage it once or every branch re-runs the whole
     # upstream dedup pipeline (measured 85s -> ~2s at sf0.001).
     # ``assume_unique=True`` skips the dedup shuffle when the caller
-    # guarantees one row per undirected edge (e.g. dedup.jaccard_pairs
-    # output, which is grouped by pair upstream).
+    # guarantees one row per undirected edge in canonical (a<b) form
+    # (e.g. dedup.jaccard_pairs output, which is grouped by pair
+    # upstream). The sanitizing path canonicalizes the orientation
+    # BEFORE distinct — an edge arriving as both (a,b) and (b,a)
+    # must collapse to one row, or degrees/wedges/triangle counts all
+    # double (review finding).
     edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-    e = stage(edges if assume_unique else edges.distinct())
+    if not assume_unique:
+        edges = edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        ).distinct()
+    e = stage(edges)
     und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     # Orient each undirected edge from lower (degree, id) to higher.

@@ -95,7 +95,7 @@ def adaptive_shard_plan(
     size_col: str = "n_tokens",
     target_per_shard: int = 20_000,
     seed: int = 0,
-    nibbles: int = 5,
+    nibbles: int = 8,
 ) -> DataFrame:
     """Write-side shard sizing + balance report: pick the shard count
     from the DATA (ceil(total_size / target)) and verify a
@@ -121,15 +121,22 @@ def adaptive_shard_plan(
     sized = df.select(
         F.col(id_col), F.col(size_col).cast("bigint").alias("_sz")
     )
+    # n_shards >= 1 always (an all-zero-size input would otherwise
+    # produce pmod(pos, 0) — ANSI divide-by-zero); nibbles=8 gives a
+    # 16^8 ≈ 4.3e9 hash space, so placement covers shard counts far
+    # past the ~1e9 a 100 TB corpus needs (the old 5-nibble space
+    # capped usable shards at ~1M — review finding).
     totals = sized.agg(
         F.sum("_sz").alias("_total"),
-        F.ceil(F.sum("_sz") / F.lit(float(target_per_shard)))
-        .cast("int")
-        .alias("n_shards"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(F.sum("_sz") / F.lit(float(target_per_shard)))
+            .cast("bigint"),
+        ).alias("n_shards"),
     )
     pos = F.expr(bloom_position_sql(seed, f"CAST({id_col} AS STRING)", nibbles))
     placed = sized.crossJoin(F.broadcast(totals)).select(
-        F.pmod(pos, F.col("n_shards")).cast("int").alias("shard"),
+        F.pmod(pos, F.col("n_shards")).cast("bigint").alias("shard"),
         "_sz",
         "n_shards",
         "_total",
@@ -146,13 +153,16 @@ def adaptive_shard_plan(
             "n_shards",
             "n_docs",
             "shard_size",
-            F.round(
-                F.abs(F.col("shard_size").cast("double") - ideal)
-                * 1_000_000.0
-                / ideal,
-                0,
+            F.when(
+                F.col("_total") > 0,
+                F.round(
+                    F.abs(F.col("shard_size").cast("double") - ideal)
+                    * 1_000_000.0
+                    / ideal,
+                    0,
+                ).cast("bigint"),
             )
-            .cast("bigint")
+            .otherwise(F.lit(0).cast("bigint"))
             .alias("dev_ppm"),
         )
     )

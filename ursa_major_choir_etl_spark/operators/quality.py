@@ -217,14 +217,20 @@ def robust_outlier_report(
     Output: (key, n_events, med_value, mad_value, n_outliers,
     max_abs_dev), 6dp.
     """
+    # The median is ROUNDED 6dp BEFORE deviations are taken (and the
+    # MAD likewise before the threshold product): the oracle, the
+    # python mirror, and the streaming gate's persisted profile all
+    # see the 6dp values, so the batch operator must derive its
+    # deviations from the same quantized medians or sub-6dp inputs
+    # diverge cross-engine (review finding, verified with DuckDB).
     med = df.groupBy(key_col).agg(
-        F.percentile(value_col, F.lit(0.5)).alias("_med")
+        F.round(F.percentile(value_col, F.lit(0.5)), 6).alias("_med")
     )
     with_med = df.join(med, key_col).withColumn(
         "_adev", F.abs(F.col(value_col) - F.col("_med"))
     )
     mad = with_med.groupBy(key_col).agg(
-        F.percentile("_adev", F.lit(0.5)).alias("_mad")
+        F.round(F.percentile("_adev", F.lit(0.5)), 6).alias("_mad")
     )
     scored = with_med.join(mad, key_col)
     is_out = F.round(F.col("_adev"), 6) > F.round(F.lit(k) * F.col("_mad"), 6)
@@ -234,6 +240,46 @@ def robust_outlier_report(
         F.round(F.min("_mad"), 6).alias("mad_value"),
         F.sum(is_out.cast("bigint")).alias("n_outliers"),
         F.round(F.max("_adev"), 6).alias("max_abs_dev"),
+    )
+
+
+def _card_projection(
+    df: DataFrame,
+    text_col: str,
+    domain_col: str,
+) -> DataFrame:
+    """The scored per-doc projection both card builders aggregate:
+    ONE definition, so the batch dataset card and the streaming card
+    store can never silently disagree on what the metrics mean
+    (review finding — three copies previously had to be edited in
+    lockstep)."""
+    from ursa_major_choir_etl_spark.operators import text as t
+    from ursa_major_choir_etl_spark.operators.text import normalized_text
+
+    return df.select(
+        F.col(domain_col).alias("_dom"),
+        t.token_count(text_col).alias("_tc"),
+        F.round(t.quality_score(text_col) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("_qppm"),
+        t.language_id(text_col).alias("_lang"),
+        F.md5(normalized_text(text_col)).alias("_fp"),
+        (
+            (t.pii_count(text_col, "url")
+             + t.pii_count(text_col, "email")
+             + t.pii_count(text_col, "phone")) > 0
+        ).cast("bigint").alias("_pii"),
+    )
+
+
+def stack_metrics(agg: DataFrame, metrics: list) -> DataFrame:
+    """One wide aggregate row -> tall (metric, value) via stack: a
+    single plan branch instead of an n-way union. Shared by the batch
+    card and the streaming card store reader."""
+    wide = agg.select(*[expr.alias(name) for name, expr in metrics])
+    stack_args = ", ".join(f"'{name}', {name}" for name, _ in metrics)
+    return wide.select(
+        F.expr(f"stack({len(metrics)}, {stack_args}) AS (metric, value)")
     )
 
 
@@ -257,26 +303,8 @@ def dataset_card(
     metric name under the driver's sorted compare.
     """
     from ursa_major_choir_etl_spark.caching import stage
-    from ursa_major_choir_etl_spark.operators import text as t
-    from ursa_major_choir_etl_spark.operators.text import normalized_text
 
-    scored = stage(
-        df.select(
-            F.col(id_col),
-            F.col(domain_col).alias("_dom"),
-            t.token_count(text_col).alias("_tc"),
-            F.round(t.quality_score(text_col) * 1_000_000, 0)
-            .cast("bigint")
-            .alias("_qppm"),
-            t.language_id(text_col).alias("_lang"),
-            F.md5(normalized_text(text_col)).alias("_fp"),
-            (
-                (t.pii_count(text_col, "url")
-                 + t.pii_count(text_col, "email")
-                 + t.pii_count(text_col, "phone")) > 0
-            ).cast("bigint").alias("_pii"),
-        )
-    )
+    scored = stage(_card_projection(df, text_col, domain_col))
     agg = scored.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_tc").alias("n_tokens"),
@@ -307,13 +335,7 @@ def dataset_card(
         ),
         ("pii_doc_rate", F.round(F.col("n_pii") / nd, 6)),
     ]
-    # One wide row -> tall (metric, value) via stack: a single plan
-    # branch over the aggregate instead of a 9-way union.
-    wide = agg.select(*[expr.alias(name) for name, expr in metrics])
-    stack_args = ", ".join(f"'{name}', {name}" for name, _ in metrics)
-    return wide.select(
-        F.expr(f"stack({len(metrics)}, {stack_args}) AS (metric, value)")
-    )
+    return stack_metrics(agg, metrics)
 
 
 def card_batch_row(
@@ -331,23 +353,7 @@ def card_batch_row(
     merged row describes the union corpus — the shape a streaming
     card store persists per batch (see
     streaming.jobs.streaming_card_sink)."""
-    from ursa_major_choir_etl_spark.operators import text as t
-    from ursa_major_choir_etl_spark.operators.text import normalized_text
-
-    scored = df.select(
-        F.col(domain_col).alias("_dom"),
-        t.token_count(text_col).alias("_tc"),
-        F.round(t.quality_score(text_col) * 1_000_000, 0)
-        .cast("bigint")
-        .alias("_qppm"),
-        t.language_id(text_col).alias("_lang"),
-        F.md5(normalized_text(text_col)).alias("_fp"),
-        (
-            (t.pii_count(text_col, "url")
-             + t.pii_count(text_col, "email")
-             + t.pii_count(text_col, "phone")) > 0
-        ).cast("bigint").alias("_pii"),
-    )
+    scored = _card_projection(df, text_col, domain_col)
     return scored.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_tc").alias("n_tokens"),

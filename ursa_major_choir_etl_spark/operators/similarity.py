@@ -978,7 +978,18 @@ def pq_recall_report(
     )
 
     spark = emb.sparkSession
-    dims = len(emb.select(vec_col).first()[0])
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    probe = emb.select(vec_col).first()
+    if probe is None:  # empty corpus: empty report, not a crash
+        return spark.createDataFrame(
+            [],
+            schema=(
+                "query_id bigint, n_exact bigint, n_approx bigint,"
+                " n_overlap bigint, recall double"
+            ),
+        )
+    dims = len(probe[0])
     if dims % m:
         raise ValueError(f"dims {dims} not divisible by m {m}")
     sub_dims = dims // m

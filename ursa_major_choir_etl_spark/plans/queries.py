@@ -5030,7 +5030,7 @@ def q119_adaptive_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_q119(target: int = 20_000, seed: int = 0, nibbles: int = 5) -> str:
+def _oracle_q119(target: int = 20_000, seed: int = 0, nibbles: int = 8) -> str:
     pos = _bloom_position_duckdb(seed, "CAST(doc_id AS STRING)", nibbles)
     return f"""
 WITH sized AS (
@@ -5038,15 +5038,16 @@ WITH sized AS (
 ),
 tot AS (
   SELECT CAST(sum(sz) AS BIGINT) AS total,
-         CAST(ceil(CAST(sum(sz) AS DOUBLE) / {float(target)}) AS INTEGER)
+         greatest(CAST(1 AS BIGINT),
+           CAST(ceil(CAST(sum(sz) AS DOUBLE) / {float(target)}) AS BIGINT))
            AS n_shards
   FROM sized
 ),
 placed AS (
-  SELECT CAST(({pos}) % n_shards AS INTEGER) AS shard, sz, n_shards, total
+  SELECT CAST(({pos}) % n_shards AS BIGINT) AS shard, sz, n_shards, total
   FROM sized CROSS JOIN tot
 )
-SELECT shard, CAST(min(n_shards) AS INTEGER) AS n_shards,
+SELECT shard, CAST(min(n_shards) AS BIGINT) AS n_shards,
        count(*) AS n_docs,
        CAST(sum(sz) AS BIGINT) AS shard_size,
        CAST(round(abs(CAST(sum(sz) AS DOUBLE)
@@ -5285,17 +5286,21 @@ tot AS (
 ),
 planned AS (
   SELECT domain, tokens_available,
-         CAST(ct * {budget_ppm} // 1000000 // nd AS BIGINT) AS target_tokens
+         CAST(CAST(ct AS HUGEINT) * {budget_ppm} // 1000000 // nd AS BIGINT)
+           AS target_tokens
   FROM per_dom CROSS JOIN tot
+),
+rated AS (
+  SELECT *, CAST(least(1000000,
+           CAST(target_tokens AS HUGEINT) * 1000000 // tokens_available)
+           AS BIGINT) AS rate_ppm
+  FROM planned
 )
-SELECT domain, tokens_available, target_tokens,
-       CAST(least(1000000, target_tokens * 1000000 // tokens_available)
-            AS BIGINT) AS rate_ppm,
-       CAST(tokens_available
-            * least(1000000, target_tokens * 1000000 // tokens_available)
-            // 1000000 AS BIGINT) AS expected_tokens,
+SELECT domain, tokens_available, target_tokens, rate_ppm,
+       CAST(CAST(tokens_available AS HUGEINT) * rate_ppm // 1000000
+            AS BIGINT) AS expected_tokens,
        (tokens_available < target_tokens) AS underfilled
-FROM planned
+FROM rated
 """
 
 

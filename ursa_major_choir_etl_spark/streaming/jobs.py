@@ -693,8 +693,6 @@ def read_card_store(spark, warehouse: str, name: str) -> DataFrame:
         ),
         ("pii_doc_rate", F.round(F.col("n_pii") / nd, 6)),
     ]
-    wide = merged.select(*[e.alias(n) for n, e in metrics])
-    stack_args = ", ".join(f"'{n}', {n}" for n, _ in metrics)
-    return wide.select(
-        F.expr(f"stack({len(metrics)}, {stack_args}) AS (metric, value)")
-    )
+    from ursa_major_choir_etl_spark.operators.quality import stack_metrics
+
+    return stack_metrics(merged, metrics)

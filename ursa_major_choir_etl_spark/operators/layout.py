@@ -111,9 +111,10 @@ def adaptive_shard_plan(
     (stable under re-partitioning and incremental growth, unlike
     xxhash/partition-id schemes), and replayable by the SQL oracle.
 
-    Output: one row per shard — (shard, n_docs, shard_size,
-    dev_ppm = |shard_size - ideal| * 1e6 / ideal, integer-exact) plus
-    the n_shards/ideal_size context columns. The report IS the test:
+    Output: one row per shard — (shard, n_shards, n_docs, shard_size,
+    dev_ppm = |shard_size - ideal| * 1e6 / ideal, integer-exact). The
+    ideal size is not a column; reconstruct it as shard_size adjusted
+    by dev_ppm, or total/n_shards. The report IS the test:
     max(dev_ppm) is the number a writer alerts on.
     """
     from ursa_major_choir_etl_spark.operators.dedup import bloom_position_sql

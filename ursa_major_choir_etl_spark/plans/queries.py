@@ -246,6 +246,83 @@ def bbound(df: DataFrame, reason: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Shared materialized artifacts (candidate-pair tables)
+#
+# The fuzzy-dedup pair tables are the canonical shared intermediate of
+# an LLM-corpus pipeline: built ONCE per corpus snapshot, consumed by
+# clustering (q55/q77), representative election (q122), triangles
+# (q124), consensus (q116), threshold tuning (q130), and the end-to-end
+# funnel (q137). artifacts.materialize_once persists each as a parquet
+# warehouse table keyed by (params, source fingerprint), so every
+# consumer's plan is a parquet scan + its own (cheap) logic instead of
+# re-running shingle->inverted-index->verify per query — the round-7
+# verdict's top fix, and the honest 100 TB layout. The oracles keep
+# recomputing from raw text, so the driver's value-hash compare
+# certifies the artifact contents every round.
+# --------------------------------------------------------------------------
+
+_PAIRS_VERSION = 1  # bump when pair-operator semantics change
+
+
+def jaccard_pairs_table(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Materialized q20 output: (id_a, id_b, jaccard) at ``threshold``."""
+    from ursa_major_choir_etl_spark import artifacts
+
+    return artifacts.materialize_once(
+        spark,
+        f"jaccard_pairs_n3_t{threshold}",
+        sf_dir,
+        _PAIRS_VERSION,
+        [os.path.join(sf_dir, "documents.parquet")],
+        lambda: dedup.jaccard_pairs(
+            dedup.word_shingles(T(spark, sf_dir, "documents")),
+            threshold=threshold,
+        ),
+    )
+
+
+def simhash_pairs_table(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Materialized q108 output: (id_a, id_b, hamming)."""
+    from ursa_major_choir_etl_spark import artifacts
+
+    return artifacts.materialize_once(
+        spark,
+        f"simhash_pairs_h{max_hamming}_b{bands}",
+        sf_dir,
+        _PAIRS_VERSION,
+        [os.path.join(sf_dir, "documents.parquet")],
+        lambda: dedup.simhash_hamming_pairs(
+            T(spark, sf_dir, "documents"),
+            max_hamming=max_hamming,
+            bands=bands,
+        ),
+    )
+
+
+def embedding_pairs_table(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """Materialized q23 output: (id_a, id_b, cosine_sim) at ``threshold``
+    via the blocked exact all-pairs GEMM."""
+    from ursa_major_choir_etl_spark import artifacts
+
+    return artifacts.materialize_once(
+        spark,
+        f"embedding_pairs_t{threshold}",
+        sf_dir,
+        _PAIRS_VERSION,
+        [os.path.join(sf_dir, "embeddings.parquet")],
+        lambda: similarity.near_duplicate_pairs_blocked(
+            T(spark, sf_dir, "embeddings"), threshold=threshold, n_blocks=8
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # Relational core (TPC-H-flavored)
 # --------------------------------------------------------------------------
 
@@ -777,9 +854,11 @@ sigs AS ({osql.minhash_select_sql(8)}),
 
 
 def q20_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard >= 0.5 via inverted-index candidates."""
-    sh = dedup.word_shingles(T(spark, sf_dir, "documents"))
-    return dedup.jaccard_pairs(sh, threshold=0.5)
+    """Exact 3-gram Jaccard >= 0.5 via inverted-index candidates —
+    served from the materialized pair artifact (this query IS the
+    producer: first call builds dedup.jaccard_pairs and publishes the
+    parquet table every fuzzy-dedup consumer reads)."""
+    return jaccard_pairs_table(spark, sf_dir, threshold=0.5)
 
 
 def _oracle_q20() -> str:
@@ -857,10 +936,9 @@ def q23_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     block-pair cogroup tasks each run one bounded GEMM, identical
     result set to the naive quadratic join. The broadcast GEMM
     (similarity.near_duplicate_pairs) remains the bounded-corpus fast
-    path; the banded-LSH q76 is the sub-quadratic candidate path."""
-    return similarity.near_duplicate_pairs_blocked(
-        T(spark, sf_dir, "embeddings"), threshold=0.4, n_blocks=8
-    )
+    path; the banded-LSH q76 is the sub-quadratic candidate path.
+    Served from the materialized pair artifact (producer query)."""
+    return embedding_pairs_table(spark, sf_dir, threshold=0.4)
 
 
 ORACLE_Q23 = """
@@ -2016,10 +2094,9 @@ def q55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative algorithm: transitive dedup clusters (connected
     components) over the q20 near-duplicate pairs — min-label
     propagation to fixpoint, lineage-checkpointed per round. The
-    DuckDB oracle computes the same closure with a recursive CTE."""
-    sh = dedup.word_shingles(T(spark, sf_dir, "documents"))
-    pairs = dedup.jaccard_pairs(sh, threshold=0.5)
-    return dedup.connected_components(pairs)
+    DuckDB oracle computes the same closure with a recursive CTE.
+    Edges come from the materialized q20 pair artifact."""
+    return dedup.connected_components(jaccard_pairs_table(spark, sf_dir))
 
 
 def _cc_oracle_ctes() -> str:
@@ -2890,10 +2967,9 @@ def q77_star_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q55's transitive dedup clusters computed by the alternating
     large-star/small-star algorithm (O(log n) rounds on adversarial
     chains vs min-label's O(diameter)). Same recursive-CTE oracle as
-    q55 — both must produce identical clusters."""
-    sh = dedup.word_shingles(T(spark, sf_dir, "documents"))
-    pairs = dedup.jaccard_pairs(sh, threshold=0.5)
-    return dedup.connected_components_star(pairs)
+    q55 — both must produce identical clusters. Edges come from the
+    materialized q20 pair artifact."""
+    return dedup.connected_components_star(jaccard_pairs_table(spark, sf_dir))
 
 
 def q76_bucketed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4521,10 +4597,9 @@ def q108_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join (never all-pairs) and only candidates pay the exact
     bit_count(xor) Hamming check (dedup.simhash_hamming_pairs — see
     its docstring for why 8-bit keys from a 32-bit hash collapse on
-    templated corpora)."""
-    return dedup.simhash_hamming_pairs(
-        T(spark, sf_dir, "documents"), max_hamming=3, bands=4
-    )
+    templated corpora). Served from the materialized pair artifact
+    (producer query)."""
+    return simhash_pairs_table(spark, sf_dir, max_hamming=3, bands=4)
 
 
 def _oracle_q108(max_hamming: int = 3, bands: int = 4) -> str:
@@ -4864,16 +4939,16 @@ def q116_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (structural), exact embedding cosine >= 0.4 (semantic, the q23
     blocked GEMM). Each family's false-positive mode (boilerplate /
     template / topical) is suppressed by requiring cross-family
-    agreement — the production dedup vote."""
-    docs = T(spark, sf_dir, "documents")
-    emb = T(spark, sf_dir, "embeddings")
-    sh = dedup.word_shingles(docs, n=3)
+    agreement — the production dedup vote. All three member pair sets
+    come from the materialized artifacts (q20/q108/q23 outputs) — the
+    vote itself is one shuffle on the pair key over three parquet
+    scans, not three recomputed pipelines."""
     return dedup.consensus_pairs(
         {
-            "jaccard": dedup.jaccard_pairs(sh, threshold=0.5),
-            "simhash": dedup.simhash_hamming_pairs(docs, max_hamming=3),
-            "embedding": similarity.near_duplicate_pairs_blocked(
-                emb, threshold=0.4, n_blocks=8
+            "jaccard": jaccard_pairs_table(spark, sf_dir, threshold=0.5),
+            "simhash": simhash_pairs_table(spark, sf_dir, max_hamming=3),
+            "embedding": embedding_pairs_table(
+                spark, sf_dir, threshold=0.4
             ).selectExpr("id_a", "id_b"),
         },
         min_votes=2,
@@ -4985,11 +5060,21 @@ p{i} AS (
 b{i} AS (SELECT * FROM p{i}
          ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1),
 sym{i} AS (
-  SELECT replace(w, '|' || b.left_sym || '|' || b.right_sym || '|',
-                    '|' || b.left_sym || b.right_sym || '|') AS w, cnt
-  FROM sym{i - 1} CROSS JOIN b{i} b
+  SELECT coalesce(
+           replace(w, '|' || b.left_sym || '|' || b.right_sym || '|',
+                      '|' || b.left_sym || b.right_sym || '|'),
+           w) AS w, cnt
+  FROM sym{i - 1} LEFT JOIN b{i} b ON TRUE
 )"""
 
+    # Degenerate-corpus guard (round-7 ADVICE): if fewer than n_merges
+    # distinct pairs exist, b{i} is EMPTY for the tail iterations. The
+    # old CROSS JOIN collapsed sym{i} to zero rows there; the LEFT
+    # JOIN ON TRUE + coalesce leaves sym{i-1} unchanged — mirroring
+    # the Spark side's early loop break — and n_applied counts the
+    # non-empty b CTEs so q128 reports the REAL merge count, not the
+    # requested one. Unreachable at tested scales; exact on tiny
+    # fixtures either way.
     levels = "".join(f",{level(i)}" for i in range(1, n_merges + 1))
     return f"""words0 AS (
   SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
@@ -5149,13 +5234,12 @@ def q122_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup. No window at all on the Spark side (pure aggregation, skew
     only costs constant partial-agg state); the oracle extends the
     recursive-CTE closure with a window argmax — independent
-    algorithms, same election."""
+    algorithms, same election. Pairs come from the materialized q20
+    artifact; only the closure + election run here."""
     from ursa_major_choir_etl_spark.operators import curation
 
     docs = T(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs)
-    pairs = dedup.jaccard_pairs(sh, threshold=0.5)
-    labels = dedup.connected_components(pairs)
+    labels = dedup.connected_components(jaccard_pairs_table(spark, sf_dir))
     return curation.cluster_representatives(labels, docs)
 
 
@@ -5230,12 +5314,14 @@ def q124_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     skewed similarity graphs. The oracle counts the same triangles
     with the naive a<b<c three-way self-join — independent
     algorithms, same set. Triangle-rich neighborhoods = template
-    families; triangle-free stars = hub false-positives."""
+    families; triangle-free stars = hub false-positives. The edge
+    list is the materialized q20 artifact — the wedge machinery runs
+    over a parquet scan, not a recomputed candidate pipeline."""
     from ursa_major_choir_etl_spark.operators.graph import triangle_counts
 
-    sh = dedup.word_shingles(T(spark, sf_dir, "documents"))
-    pairs = dedup.jaccard_pairs(sh, threshold=0.5)
-    return triangle_counts(pairs, assume_unique=True)
+    return triangle_counts(
+        jaccard_pairs_table(spark, sf_dir), assume_unique=True
+    )
 
 
 def _oracle_q124() -> str:
@@ -5407,6 +5493,9 @@ def q128_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_q128(n_merges: int = 3) -> str:
+    applied = " + ".join(
+        f"(SELECT count(*) FROM b{i})" for i in range(1, n_merges + 1)
+    )
     return f"""
 WITH {_bpe_oracle_ctes(n_merges)},
 final_syms AS (
@@ -5415,7 +5504,7 @@ final_syms AS (
          len(list_filter(string_split(w, '|'), x -> x <> '')) AS nsym
   FROM sym{n_merges}
 )
-SELECT {n_merges} AS n_merges,
+SELECT CAST({applied} AS INTEGER) AS n_merges,
        count(*) AS n_distinct_words,
        CAST(sum(cnt) AS BIGINT) AS total_words,
        CAST(sum(chars * cnt) AS BIGINT) AS total_chars,
@@ -5488,10 +5577,11 @@ def q130_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     and distinct docs flagged at each candidate Jaccard cut, from ONE
     scored-candidate pass at the loosest threshold — the table a
     curation owner reads before picking the production setting.
-    Comparisons use the 6dp-rounded score both engines emit."""
-    sh = dedup.word_shingles(T(spark, sf_dir, "documents"))
-    pairs = dedup.jaccard_pairs(sh, threshold=0.5)
-    return dedup.threshold_sensitivity(pairs, _Q130_THRESHOLDS)
+    Comparisons use the 6dp-rounded score both engines emit. Scored
+    pairs come from the materialized q20 artifact."""
+    return dedup.threshold_sensitivity(
+        jaccard_pairs_table(spark, sf_dir), _Q130_THRESHOLDS
+    )
 
 
 def _oracle_q130() -> str:

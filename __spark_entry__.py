@@ -4,7 +4,10 @@
 - ``queries()``: every implemented operator family from SURVEY.md §2
   plus the LLM-pipeline extensions, as (spark, sf_dir) -> DataFrame.
 - ``oracle_sql()``: DuckDB SQL recomputing each query bit-for-bit —
-  ALL entries (136 as of round 7), no omissions. Every query added in
+  ALL entries (137 as of round 8), no omissions. Round 8 added q137,
+  the six-stage end-to-end pretraining funnel over the materialized
+  candidate-pair artifact (see artifacts.py), with a chained
+  recursive-CTE oracle. Every query added in
   rounds 6-7 (q101-q136: Bloom decontamination, semantic dedup,
   weighted sampling, quantile sketch, substring spans + attrition,
   n-gram novelty, SimHash Hamming pairs, Z-order layout, boilerplate,

@@ -340,17 +340,32 @@ class TestConsensusPairs:
 
 
 class TestGradingWindowRotation:
-    def test_window_leads_with_ungraded_and_changed_paths(self):
-        """The driver grades the first 50 registry entries; every
-        query that has never earned a driver row (numbered past 100)
-        and every query whose code path changed after its last
-        grading must sit inside that window."""
-        from ursa_major_choir_etl_spark.plans.queries import QUERIES
+    def test_window_leads_with_changed_paths_then_stalest(self):
+        """The driver grades the first 50 registry entries. Round-8
+        policy (the round-7 verdict's rotation ask): every query whose
+        code path or oracle changed this round — including the
+        never-graded q137 — leads the window, and the remaining slots
+        are filled by GRADING AGE, stalest first (the round-5-era
+        block before anything round-6/7-graded)."""
+        from ursa_major_choir_etl_spark.plans.queries import (
+            _CHANGED_R8,
+            QUERIES,
+        )
 
         window = list(QUERIES)[:50]
-        never_graded = [k for k in QUERIES if int(k[1 : k.index("_")]) > 100]
-        for k in never_graded:
-            assert k in window, f"{k} queued outside the graded window"
+        for k in QUERIES:
+            if k.startswith(_CHANGED_R8):
+                assert k in window, f"changed {k} queued outside the window"
+        assert "q137_pretraining_pipeline" in window
+        # the filler is the round-5-era stale block, not freshly
+        # graded rows: nothing numbered 101-136 may occupy a slot
+        # (they all earned green driver rows in round 7)
+        r7_fresh = [
+            k for k in window
+            if 100 < int(k[1 : k.index("_")]) < 137
+            and not k.startswith(_CHANGED_R8)
+        ]
+        assert not r7_fresh, f"fresh rows crowd the window: {r7_fresh}"
         assert len(window) == 50
 
 

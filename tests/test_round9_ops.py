@@ -1,0 +1,363 @@
+"""Tests for the round-8 additions: the materialize-once artifact
+layer and the six-stage pretraining funnel (q137).
+
+Strategy (SURVEY §5 model): the funnel is replayed stage by stage in
+plain Python on a hand-built fixture with known duplicates, a
+transitive near-dup chain, a contaminated doc, a capped domain, and
+multi-bin packing; the artifact layer is exercised for build-once,
+reread, fingerprint invalidation, and stale-generation pruning."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+class TestArtifacts:
+    def test_build_once_then_reread_and_invalidate(self, spark, tmp_path, monkeypatch):
+        from ursa_major_choir_etl_spark import artifacts
+
+        monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path))
+        artifacts._VERIFIED.clear()
+        src = tmp_path / "src.txt"
+        src.write_text("v1")
+
+        builds = []
+
+        def builder():
+            builds.append(1)
+            return spark.range(5).withColumnRenamed("id", "doc_id")
+
+        for _ in range(2):
+            got = artifacts.materialize_once(
+                spark, "t", "scope", 1, [str(src)], builder
+            )
+            assert got.count() == 5
+        assert len(builds) == 1  # second call read the parquet
+
+        # Changed source content/mtime -> new generation, old pruned.
+        os.utime(src, (1, 1))
+        artifacts._VERIFIED.clear()
+        artifacts.materialize_once(spark, "t", "scope", 1, [str(src)], builder)
+        assert len(builds) == 2
+        gens = [d for d in os.listdir(tmp_path) if d.startswith("t__scope__")]
+        assert len(gens) == 1  # superseded generation pruned
+
+        # Version bump -> rebuild even with identical inputs.
+        artifacts._VERIFIED.clear()
+        artifacts.materialize_once(spark, "t", "scope", 2, [str(src)], builder)
+        assert len(builds) == 3
+
+    def test_scopes_do_not_collide(self, spark, tmp_path, monkeypatch):
+        from ursa_major_choir_etl_spark import artifacts
+
+        monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path))
+        artifacts._VERIFIED.clear()
+        a = artifacts.materialize_once(
+            spark, "t", "s1", 1, [], lambda: spark.range(2)
+        )
+        b = artifacts.materialize_once(
+            spark, "t", "s2", 1, [], lambda: spark.range(9)
+        )
+        # Publishing s2 must not prune s1 (prefix includes the scope).
+        assert a.count() == 2 and b.count() == 9
+        assert artifacts.materialize_once(
+            spark, "t", "s1", 1, [], lambda: spark.range(99)
+        ).count() == 2
+
+
+class TestPretrainingFunnel:
+    def _funnel(self, spark, **kw):
+        from ursa_major_choir_etl_spark.operators.curation import (
+            pretraining_funnel,
+        )
+
+        # 60-token body passes the quality length component; ids are
+        # chosen so every stage drops something specific:
+        #   2 = exact copy of 1            -> exact_dedup drop
+        #   3,5 = near-dups of 1 (pairs)   -> fuzzy_dedup keeps min=1
+        #   7 = shares a 4-gram with eval  -> decontaminate drop
+        #   domain B has 2 survivors, cap=1 -> domain_cap drop
+        body = " ".join(
+            "the quick brown fox jumps over a lazy dog and it was then that"
+            .split() * 5
+        )
+        mk = lambda i, dom, extra="": (i, dom, f"{body} tail{i} {extra}")
+        eval_marker = "alpha beta gamma delta"
+        train = spark.createDataFrame(
+            [
+                mk(1, "A"),
+                (2, "A", f"{body} tail1 "),  # normalized-identical to 1
+                mk(3, "A"),
+                mk(5, "A"),
+                mk(7, "B", eval_marker),
+                mk(9, "B"),
+                mk(11, "B"),
+            ],
+            "doc_id long, source string, text string",
+        )
+        evalset = spark.createDataFrame(
+            [(50, "E", f"unrelated words only {eval_marker} here")],
+            "doc_id long, source string, text string",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 3), (3, 5)], "id_a long, id_b long"
+        )
+        got = pretraining_funnel(train, evalset, pairs, **kw)
+        return {r["stage"]: r for r in got.collect()}
+
+    def test_stage_semantics(self, spark):
+        st = self._funnel(
+            spark, quality_threshold=0.0, domain_cap=1, pack_budget=70
+        )
+        assert [st[s]["stage_idx"] for s in (
+            "raw", "quality_gate", "exact_dedup", "fuzzy_dedup",
+            "decontaminate", "domain_cap", "pack",
+        )] == [1, 2, 3, 4, 5, 6, 7]
+        assert st["raw"]["n_docs"] == 7
+        assert st["quality_gate"]["n_docs"] == 7  # threshold 0
+        assert st["exact_dedup"]["n_docs"] == 6  # 2 dropped (copy of 1)
+        # chain 1-3-5 collapses to min id 1; 7,9,11 unlabeled pass
+        assert st["fuzzy_dedup"]["n_docs"] == 4
+        assert st["decontaminate"]["n_docs"] == 3  # 7 contaminated
+        # domain A has {1}, domain B has {9,11} -> cap 1 keeps 2 total
+        assert st["domain_cap"]["n_docs"] == 2
+        # each survivor is ~62 tokens > budget 70? 62 < 70, so each
+        # domain packs into 1 bin -> 2 packed sequences
+        assert st["pack"]["n_docs"] == 2
+        assert st["pack"]["n_tokens"] == st["domain_cap"]["n_tokens"]
+
+    def test_packing_splits_bins(self, spark):
+        st = self._funnel(
+            spark, quality_threshold=0.0, domain_cap=15, pack_budget=150
+        )
+        # domain B keeps 9 and 11 (~71 tokens each): the second doc's
+        # cumulative start (71) < 150 -> same bin; with budget 70 the
+        # start passes the boundary and they split.
+        st2 = self._funnel(
+            spark, quality_threshold=0.0, domain_cap=15, pack_budget=70
+        )
+        assert st2["pack"]["n_docs"] > st["pack"]["n_docs"]
+        assert st2["pack"]["n_tokens"] == st["pack"]["n_tokens"]
+
+    def test_empty_pair_table_passes_everyone_through_fuzzy(self, spark):
+        from ursa_major_choir_etl_spark.operators.curation import (
+            pretraining_funnel,
+        )
+
+        train = spark.createDataFrame(
+            [(1, "A", "one two three four five six seven")],
+            "doc_id long, source string, text string",
+        )
+        evalset = spark.createDataFrame(
+            [], "doc_id long, source string, text string"
+        )
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        st = {
+            r["stage"]: r
+            for r in pretraining_funnel(
+                train, evalset, pairs, quality_threshold=0.0
+            ).collect()
+        }
+        assert st["fuzzy_dedup"]["n_docs"] == 1
+        assert st["decontaminate"]["n_docs"] == 1
+
+
+class TestRemoveSpansAgainstRealDetector:
+    def test_matches_python_mirror_on_sf01_detector_output(self, spark):
+        """remove_spans driven by the REAL q105 detector at sf0.1 (the
+        bench scale), not a hand-built fixture: detector output
+        includes adjacent/run-merged spans and doc-end clamps, and the
+        cleaned text must equal a plain Python cut of the same sorted
+        ranges for EVERY affected doc (round-7 verdict hardening
+        item)."""
+        import os
+
+        from ursa_major_choir_etl_spark.operators import dedup
+        from ursa_major_choir_etl_spark.plans.queries import T
+
+        sf = "/root/testdata/sf0.1"
+        if not os.path.isdir(sf):
+            sf = "/root/testdata/sf0.01"
+        docs = T(spark, sf, "documents")
+        spans = dedup.duplicate_spans(docs, k=40)
+        span_rows = spans.collect()
+        assert span_rows, "detector found no spans — fixture too small"
+        by_doc: dict[int, list[tuple[int, int]]] = {}
+        for r in span_rows:
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"])
+            )
+        # Contract check: detector spans are sorted, non-overlapping,
+        # non-adjacent-mergeable (gap > 0 after the island merge).
+        for sl in by_doc.values():
+            sl.sort()
+            for (s1, e1), (s2, e2) in zip(sl, sl[1:]):
+                assert e1 <= s2, "detector emitted overlapping spans"
+
+        affected = sorted(by_doc)
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in docs.filter(F.col("doc_id").isin(affected))
+            .select("doc_id", "text")
+            .collect()
+        }
+        cleaned = {
+            r["doc_id"]: r["text"]
+            for r in dedup.remove_spans(
+                docs.filter(F.col("doc_id").isin(affected)), spans
+            ).collect()
+        }
+        for d in affected:
+            t = texts[d]
+            out, p = [], 0
+            for s, e in by_doc[d]:
+                out.append(t[p:s])
+                p = e
+            out.append(t[p:])
+            assert cleaned[d] == "".join(out), f"doc {d} mismatch"
+
+    def test_untouched_docs_pass_through(self, spark):
+        from ursa_major_choir_etl_spark.operators import dedup
+
+        docs = spark.createDataFrame(
+            [(1, "short doc"), (2, "x" * 100)], "doc_id long, text string"
+        )
+        spans = spark.createDataFrame(
+            [(2, 10, 50)], "doc_id long, span_start long, span_end long"
+        )
+        got = {r["doc_id"]: r["text"] for r in dedup.remove_spans(docs, spans).collect()}
+        assert got[1] == "short doc"
+        assert got[2] == "x" * 10 + "x" * 50
+
+
+class TestSemanticDedupSkew:
+    def test_mega_cluster_matches_brute_force(self, spark):
+        """Skew fixture (round-7 verdict hardening item): ONE k-means
+        cluster holds 50% of the corpus. semantic_dedup must stay
+        EXACT — the mega-cluster runs as one bounded GEMM task (sum of
+        |c|^2 compute, |c| rows of task memory). This documents the
+        operating envelope the docstring promises: when the largest
+        cluster outgrows a task, re-cluster hierarchically (feed the
+        mega-cluster's members back through kmeans and union the
+        sub-assignments) — the DECISION semantics below are what any
+        such split must preserve."""
+        import itertools
+        import math
+
+        from ursa_major_choir_etl_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        n = 200
+        rows = []
+        for i in range(n):
+            # half the corpus in a tight cone (cluster 0), the rest
+            # spread over 4 small clusters
+            if i % 2 == 0:
+                v = [100.0, float(i % 7), 1.0, 0.0]
+            else:
+                c = i % 4
+                v = [0.0, 0.0, float(c + 1) * 10.0, 100.0 + float(i % 5)]
+            rows.append((i, v, 0 if i % 2 == 0 else 1 + (i % 4)))
+        emb = spark.createDataFrame(
+            [(i, v) for i, v, _ in rows],
+            "vec_id long, embedding array<double>",
+        )
+        asg = spark.createDataFrame(
+            [(i, c) for i, _, c in rows], "vec_id long, cid int"
+        )
+        got = {
+            r["drop_id"]: (r["cid"], r["keep_id"], r["n_dups"])
+            for r in semantic_dedup(emb, asg, threshold=0.9999).collect()
+        }
+
+        # Brute force per cluster.
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return round(
+                d
+                / (
+                    math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(x * x for x in b))
+                ),
+                6,
+            )
+
+        expect = {}
+        clusters: dict[int, list[tuple[int, list[float]]]] = {}
+        for i, v, c in rows:
+            clusters.setdefault(c, []).append((i, v))
+        for c, members in clusters.items():
+            for (ia, va), (ib, vb) in itertools.combinations(
+                sorted(members), 2
+            ):
+                if cos(va, vb) >= 0.9999:
+                    cur = expect.get(ib)
+                    if cur is None:
+                        expect[ib] = (c, ia, 1)
+                    else:
+                        expect[ib] = (c, min(cur[1], ia), cur[2] + 1)
+        assert set(got) == set(expect)
+        for d in expect:
+            assert got[d][:2] == expect[d][:2]
+            assert got[d][2] == expect[d][2]
+        # the mega-cluster actually contributed decisions
+        assert any(v[0] == 0 for v in got.values())
+
+
+class TestIncrementalJaccardProbe:
+    def test_matches_brute_force_new_vs_corpus(self, spark):
+        from ursa_major_choir_etl_spark.operators import dedup
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        corpus_rows = [
+            (1, f"{base} one two three"),
+            (2, f"{base} one two four"),
+            (3, "totally different words entirely here now"),
+        ]
+        new_rows = [
+            (101, f"{base} one two three"),   # near-identical to 1
+            (102, "no overlap with anything at all"),
+        ]
+        corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        new = spark.createDataFrame(new_rows, "doc_id long, text string")
+        got = {
+            (r["new_id"], r["corpus_id"]): r["jaccard"]
+            for r in dedup.incremental_jaccard_probe(
+                new, corpus, threshold=0.3
+            ).collect()
+        }
+
+        def sh(t):
+            w = t.split()
+            return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+        expect = {}
+        for ni, nt in new_rows:
+            for ci, ct in corpus_rows:
+                a, b = sh(nt), sh(ct)
+                j = round(len(a & b) / len(a | b), 6)
+                if (a & b) and j >= 0.3:
+                    expect[(ni, ci)] = j
+        assert got == expect
+        assert (101, 1) in got and got[(101, 1)] == 1.0
+
+    def test_hot_shingles_do_not_generate_candidates(self, spark):
+        from ursa_major_choir_etl_spark.operators import dedup
+
+        # every corpus doc shares the same 3-gram -> df=4 > cap=3, so
+        # a new doc touching ONLY that gram yields no candidates
+        corpus = spark.createDataFrame(
+            [(i, f"common shared gram tail{i} filler{i} more{i}") for i in range(4)],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(100, "common shared gram unique suffix words")],
+            "doc_id long, text string",
+        )
+        got = dedup.incremental_jaccard_probe(
+            new, corpus, threshold=0.0, hot_shingle_cap=3
+        ).collect()
+        assert got == []

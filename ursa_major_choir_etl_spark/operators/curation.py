@@ -510,3 +510,168 @@ def holdout_construction_report(
             (F.col("n_eval") - F.col("n_contaminated")).alias("n_clean"),
         )
     )
+
+
+def pretraining_funnel(
+    train: DataFrame,
+    evalset: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+    quality_threshold: float = 0.5,
+    contam_n: int = 4,
+    domain_cap: int = 15,
+    pack_budget: int = 2048,
+) -> DataFrame:
+    """The canonical six-stage pretraining-corpus pipeline as ONE
+    attrition funnel — the production sequence every large-scale
+    training-data run executes, composed from this repo's operators:
+
+    1. ``raw``           the training corpus as ingested;
+    2. ``quality_gate``  quality_score >= ``quality_threshold``;
+    3. ``exact_dedup``   keep the min-id doc per normalized-text
+                         fingerprint (md5), survivors of (2);
+    4. ``fuzzy_dedup``   transitive near-dup clusters over ``pairs``
+                         (the MATERIALIZED corpus-wide candidate-pair
+                         table — built once upstream, not recomputed
+                         here) restricted to (3)'s survivors; keep
+                         each cluster's min-id member (the connected-
+                         components component label IS the min id);
+    5. ``decontaminate`` drop survivors sharing any word
+                         ``contam_n``-gram with ``evalset`` (the
+                         benchmark-leak hygiene pass, q78's check
+                         applied as a filter);
+    6. ``domain_cap``    top-``domain_cap`` docs per domain by
+                         quality (salted bounded top-N);
+    7. ``pack``          greedy fixed-token-budget packing per domain
+                         — for THIS row n_docs counts PACKED
+                         SEQUENCES (bins of ``pack_budget`` tokens),
+                         the corpus's final training-batch unit.
+
+    Output: (stage_idx, stage, n_docs, n_tokens) — 7 rows.
+
+    Scale shape: stages 2/3/6/7 are one aggregate or bounded window
+    each; stage 4 consumes the persisted pair artifact (membership
+    semi-joins + the lineage-checkpointed CC loop over the pair list,
+    which is orders of magnitude smaller than the corpus); stage 5
+    broadcasts the eval-side gram index (a benchmark is small by
+    definition — same rationale as cross_corpus_contamination). No
+    stage re-reads raw text after the initial staged projection
+    except stage 5's shingling of the (already heavily pruned)
+    stage-4 survivor set.
+    """
+    from ursa_major_choir_etl_spark.caching import stage as _stage
+    from ursa_major_choir_etl_spark.operators import dedup as _dedup
+
+    scored = _stage(
+        train.select(
+            F.col(id_col),
+            F.col(domain_col).alias("domain"),
+            text.token_count(text_col).alias("_t"),
+            text.quality_score(text_col).alias("_q"),
+            F.md5(normalized_text(text_col)).alias("_fp"),
+            F.col(text_col),
+        )
+    )
+    s2 = scored.filter(F.col("_q") >= quality_threshold)
+    # Stage 3: keep-first exact dedup as an aggregate + semi-join (no
+    # window over the unbounded fingerprint partition). eqNullSafe:
+    # md5(NULL text) is NULL and that cluster is real.
+    keep3 = s2.groupBy(F.col("_fp").alias("_kfp")).agg(
+        F.min(id_col).alias("_kid")
+    )
+    s3 = _stage(
+        s2.join(
+            keep3,
+            F.col("_fp").eqNullSafe(F.col("_kfp"))
+            & (F.col(id_col) == F.col("_kid")),
+            "left_semi",
+        )
+    )
+    # Stage 4: restrict the corpus-wide pair table to stage-3
+    # survivors (both endpoints), close transitively, keep min-id
+    # members. Unlabeled survivors (no near-dup partner) pass.
+    ids3 = s3.select(id_col)
+    p4 = (
+        pairs.select("id_a", "id_b")
+        .join(ids3.withColumnRenamed(id_col, "id_a"), "id_a", "left_semi")
+        .join(ids3.withColumnRenamed(id_col, "id_b"), "id_b", "left_semi")
+    )
+    labels = _dedup.connected_components(p4)
+    s4 = _stage(
+        s3.join(labels, s3[id_col] == labels["node"], "left")
+        .filter(
+            F.col("component").isNull()
+            | (F.col("component") == F.col(id_col))
+        )
+        .drop("node", "component")
+    )
+    # Stage 5: benchmark decontamination — any shared contam_n-gram
+    # disqualifies the training doc.
+    contam = _dedup.cross_corpus_contamination(
+        s4, evalset, id_col=id_col, text_col=text_col, n=contam_n,
+        min_shared=1,
+    )
+    s5 = _stage(
+        s4.join(
+            contam.select(F.col("train_id").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        )
+    )
+    s6 = _stage(
+        bounded_topn_per_key(
+            s5.drop(text_col),
+            ["domain"],
+            [F.col("_q").desc(), F.col(id_col).asc()],
+            cap=domain_cap,
+            salt_on=F.col(id_col),
+        )
+    )
+    # Stage 7: q64-style greedy packing, per domain (partitions are
+    # bounded at domain_cap rows after stage 6).
+    w = (
+        Window.partitionBy("domain")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packs = (
+        s6.select(
+            "domain",
+            "_t",
+            ((F.sum("_t").over(w) - F.col("_t")) / F.lit(pack_budget))
+            .cast("long")
+            .alias("_bin"),
+        )
+        .groupBy("domain", "_bin")
+        .agg(F.sum("_t").alias("_bt"))
+    )
+
+    def rep(idx: int, name: str, d: DataFrame) -> DataFrame:
+        return d.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("_t").alias("n_tokens")
+        ).select(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    rep7 = packs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("_bt").alias("n_tokens")
+    ).select(
+        F.lit(7).alias("stage_idx"),
+        F.lit("pack").alias("stage"),
+        "n_docs",
+        "n_tokens",
+    )
+    return (
+        rep(1, "raw", scored)
+        .unionByName(rep(2, "quality_gate", s2))
+        .unionByName(rep(3, "exact_dedup", s3))
+        .unionByName(rep(4, "fuzzy_dedup", s4))
+        .unionByName(rep(5, "decontaminate", s5))
+        .unionByName(rep(6, "domain_cap", s6))
+        .unionByName(rep7)
+    )

@@ -1150,6 +1150,94 @@ def incremental_dedup_probe(
     )
 
 
+def incremental_jaccard_probe(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    hot_shingle_cap: int = 100,
+) -> DataFrame:
+    """Incremental-ingest FUZZY dedup: every new document's word
+    n-gram shingles probe the EXISTING corpus's inverted index, and
+    only (new x touched-corpus-doc) candidates pay the exact Jaccard
+    verification — the fuzzy sibling of :func:`incremental_dedup_probe`
+    (exact fingerprints) for the continuous-growth shape where
+    re-running whole-corpus pair generation per arriving shard would
+    rescan 100 TB for a 100 GB delta.
+
+    Scale shape: the corpus side is represented by exactly the two
+    tables a production index persists — the per-doc sorted shingle
+    array and its exploded postings list (at scale: the PERSISTED
+    artifact, bucketed by shingle; here rebuilt from ``corpus`` and
+    staged). The arriving shard shuffles only ITS OWN shingles plus
+    the postings rows it actually touches; the corpus is never
+    pair-joined against itself. Rareness (df <= ``hot_shingle_cap``)
+    is a property of the CORPUS index — the same stop-shingle trade
+    as ``jaccard_pairs``, deliberately measured against corpus
+    document frequency alone (an index cannot know future shards).
+    The batch operator's PPJoin prune is omitted: the candidate count
+    is already bounded by |shard| x touched postings.
+
+    Output: (new_id, corpus_id, jaccard) with jaccard >= ``threshold``
+    — new-vs-corpus only; dedup WITHIN the arriving shard is the
+    batch operator run on the (small) shard itself.
+    """
+    from ursa_major_choir_etl_spark.caching import stage
+
+    sh_new = word_shingles(new_docs, id_col=id_col, text_col=text_col, n=n)
+    sh_corp = word_shingles(corpus, id_col=id_col, text_col=text_col, n=n)
+    new_arrays = stage(
+        sh_new.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("shingle")).alias("_sh_n"))
+    )
+    corp_arrays = stage(
+        sh_corp.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("shingle")).alias("_sh_c"))
+    )
+    postings = corp_arrays.select(
+        F.col(id_col).alias("corpus_id"), F.explode("_sh_c").alias("shingle")
+    )
+    dfreq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    rare_postings = postings.join(
+        dfreq.filter(F.col("_df") <= hot_shingle_cap), "shingle"
+    ).select("corpus_id", "shingle")
+    cand = (
+        new_arrays.select(
+            F.col(id_col).alias("new_id"), F.explode("_sh_n").alias("shingle")
+        )
+        .join(rare_postings, "shingle")
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            new_arrays.select(
+                F.col(id_col).alias("new_id"), F.col("_sh_n")
+            ),
+            "new_id",
+        )
+        .join(
+            corp_arrays.select(
+                F.col(id_col).alias("corpus_id"), F.col("_sh_c")
+            ),
+            "corpus_id",
+        )
+        .withColumn("_ni", F.size(F.array_intersect("_sh_n", "_sh_c")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_ni")
+                / (F.size("_sh_n") + F.size("_sh_c") - F.col("_ni")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("new_id", "corpus_id", "jaccard")
+
+
 def consensus_pairs(
     tagged: "dict[str, DataFrame]", min_votes: int = 2
 ) -> DataFrame:

@@ -361,3 +361,40 @@ class TestIncrementalJaccardProbe:
             new, corpus, threshold=0.0, hot_shingle_cap=3
         ).collect()
         assert got == []
+
+
+class TestBpeOracleDegenerateGuard:
+    def test_fewer_pairs_than_requested_merges_match_cross_engine(self, spark):
+        """Round-7 ADVICE: a corpus with fewer distinct symbol pairs
+        than requested merges used to collapse the oracle's vocabulary
+        to zero rows (empty b{i} CROSS JOIN) while Spark early-broke
+        with real totals. The LEFT JOIN + applied-count guard must
+        make BOTH engines report the same real merge count and
+        totals. Corpus: the single word 'ab' — exactly ONE mergeable
+        pair exists, then none."""
+        import duckdb
+
+        from ursa_major_choir_etl_spark.operators.vocab import (
+            bpe_compression_report,
+        )
+        from ursa_major_choir_etl_spark.plans.queries import _oracle_q128
+
+        docs = spark.createDataFrame(
+            [(1, "ab ab"), (2, "ab")], "doc_id long, text string"
+        )
+        got = bpe_compression_report(docs, n_merges=3).collect()[0]
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM (VALUES "
+            "(1, 'ab ab'), (2, 'ab')) t(doc_id, text)"
+        )
+        want = con.execute(_oracle_q128(3)).fetchone()
+        cols = [d[0] for d in con.description]
+        want = dict(zip(cols, want))
+        assert got["n_merges"] == want["n_merges"] == 1
+        assert got["total_words"] == want["total_words"] == 3
+        assert got["total_chars"] == want["total_chars"] == 6
+        # one merge fuses a|b -> ab: one symbol per word
+        assert got["total_symbols"] == want["total_symbols"] == 3
+        assert float(got["compression"]) == float(want["compression"]) == 2.0

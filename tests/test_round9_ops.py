@@ -398,3 +398,54 @@ class TestBpeOracleDegenerateGuard:
         # one merge fuses a|b -> ab: one symbol per word
         assert got["total_symbols"] == want["total_symbols"] == 3
         assert float(got["compression"]) == float(want["compression"]) == 2.0
+
+
+class TestIncrementalProbeBatchConsistency:
+    def test_probe_equals_batch_pairs_restricted_to_shard_cross_corpus(
+        self, spark
+    ):
+        """The invariant that makes the incremental path trustworthy:
+        with a non-binding hot-shingle cap (where the corpus-df vs
+        union-df rareness framings coincide), probe(new, corpus) must
+        equal the BATCH jaccard_pairs over the union, restricted to
+        (new x corpus) pairs. Seeded random corpora with heavy
+        word-overlap so near-dups actually occur."""
+        import random
+
+        from ursa_major_choir_etl_spark.operators import dedup
+
+        for seed in (3, 11):
+            rng = random.Random(seed)
+            words = [f"w{i}" for i in range(10)]
+            rows = []
+            for i in range(24):
+                base = [rng.choice(words) for _ in range(rng.randint(5, 12))]
+                rows.append((i, " ".join(base)))
+                if rng.random() < 0.4:  # planted near-dup of doc i
+                    mut = list(base)
+                    if rng.random() < 0.5 and len(mut) > 5:
+                        mut[rng.randrange(len(mut))] = rng.choice(words)
+                    rows.append((100 + i, " ".join(mut)))
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            new = df.filter("doc_id % 3 = 0")
+            corpus = df.filter("doc_id % 3 != 0")
+
+            got = {
+                (r["new_id"], r["corpus_id"]): r["jaccard"]
+                for r in dedup.incremental_jaccard_probe(
+                    new, corpus, threshold=0.4, hot_shingle_cap=10**6
+                ).collect()
+            }
+
+            sh = dedup.word_shingles(df)
+            batch = dedup.jaccard_pairs(
+                sh, threshold=0.4, hot_shingle_cap=10**6
+            ).collect()
+            new_ids = {r[0] for r in rows if r[0] % 3 == 0}
+            want = {}
+            for r in batch:
+                a, b = r["id_a"], r["id_b"]
+                if (a in new_ids) != (b in new_ids):
+                    ni, ci = (a, b) if a in new_ids else (b, a)
+                    want[(ni, ci)] = r["jaccard"]
+            assert got == want, f"seed {seed}: {got} != {want}"

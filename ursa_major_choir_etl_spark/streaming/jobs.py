@@ -571,6 +571,80 @@ def streaming_incremental_dedup(
     )
 
 
+def streaming_fuzzy_dedup_sink(
+    stream_docs: DataFrame,
+    corpus: DataFrame,
+    warehouse: str,
+    name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    checkpoint_dir: str | None = None,
+):
+    """FUZZY dedup at ingestion: each arriving micro-batch probes the
+    static corpus shingle-postings index for near-duplicate partners
+    (dedup.incremental_jaccard_probe, q138) and its verdicts land in a
+    parquet store partitioned by batch_id — the streaming form of the
+    continuous-ingest fuzzy gate, completing the ingestion-dedup pair
+    started by streaming_incremental_dedup (exact fingerprints).
+
+    foreachBatch rather than a stream-static join: the probe
+    aggregates the ARRIVING side (per-doc sorted shingle arrays),
+    which the append-mode stream planner cannot express statelessly;
+    per-batch delegation keeps ONE definition shared with the batch
+    operator, so the gate can never silently disagree with a q138
+    batch decision. Replay safety: verdicts are deterministic given
+    (batch, corpus), so a replayed batch dynamic-partition-overwrites
+    its own batch_id partition with identical rows. At scale the
+    corpus argument is the PERSISTED postings/array index, not raw
+    text — same contract as streaming_incremental_dedup.
+
+    Store rows: (new_id, corpus_id, jaccard, batch_id).
+    """
+
+    def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os as _os
+
+        from ursa_major_choir_etl_spark.caching import release_staged
+        from ursa_major_choir_etl_spark.operators.dedup import (
+            incremental_jaccard_probe,
+        )
+
+        (
+            incremental_jaccard_probe(
+                batch_df,
+                corpus,
+                id_col=id_col,
+                text_col=text_col,
+                n=n,
+                threshold=threshold,
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(_os.path.join(warehouse, name))
+        )
+        release_staged()  # the probe stages shard/corpus arrays per batch
+
+    writer = stream_docs.writeStream.foreachBatch(probe_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def read_fuzzy_probe_store(spark, warehouse: str, name: str) -> DataFrame:
+    """All fuzzy-dedup verdicts accumulated by
+    streaming_fuzzy_dedup_sink: (new_id, corpus_id, jaccard,
+    batch_id)."""
+    import os as _os
+
+    return spark.read.parquet(_os.path.join(warehouse, name))
+
+
 def streaming_outlier_gate(
     stream_events: DataFrame,
     thresholds: DataFrame,

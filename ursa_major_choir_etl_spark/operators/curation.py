@@ -555,15 +555,20 @@ def pretraining_funnel(
     each; stage 4 consumes the persisted pair artifact (membership
     semi-joins + the lineage-checkpointed CC loop over the pair list,
     which is orders of magnitude smaller than the corpus); stage 5
-    broadcasts the eval-side gram index (a benchmark is small by
-    definition — same rationale as cross_corpus_contamination). No
-    stage re-reads raw text after the initial staged projection
-    except stage 5's shingling of the (already heavily pruned)
-    stage-4 survivor set.
+    broadcasts the eval-side distinct gram set (a benchmark is small
+    by definition — same rationale as cross_corpus_contamination).
+    NOTHING re-reads raw text after the initial staged projection:
+    stage 5's survivor grams are built from the staged normalized
+    token arrays, and the raw text column is never persisted.
     """
     from ursa_major_choir_etl_spark.caching import stage as _stage
     from ursa_major_choir_etl_spark.operators import dedup as _dedup
 
+    # The staged projection carries the NORMALIZED TOKEN ARRAY, not
+    # the raw text: stage 5's shingling reuses it (the normalize+split
+    # chain — the module's most expensive expression — runs once per
+    # surviving row, not once per stage), and no staged frame holds
+    # the raw text column at all.
     scored = _stage(
         train.select(
             F.col(id_col),
@@ -571,7 +576,7 @@ def pretraining_funnel(
             text.token_count(text_col).alias("_t"),
             text.quality_score(text_col).alias("_q"),
             F.md5(normalized_text(text_col)).alias("_fp"),
-            F.col(text_col),
+            text.tokens(normalized_text(text_col)).alias("_toks"),
         )
     )
     s2 = scored.filter(F.col("_q") >= quality_threshold)
@@ -608,21 +613,32 @@ def pretraining_funnel(
         .drop("node", "component")
     )
     # Stage 5: benchmark decontamination — any shared contam_n-gram
-    # disqualifies the training doc.
-    contam = _dedup.cross_corpus_contamination(
-        s4, evalset, id_col=id_col, text_col=text_col, n=contam_n,
-        min_shared=1,
+    # disqualifies the training doc. Survivor grams come from the
+    # staged token arrays (no text re-scan); the eval side needs only
+    # its DISTINCT gram set (smaller than a per-doc index), broadcast
+    # because a benchmark is small by definition (q78's rationale).
+    tg = s4.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(_dedup.shingle_array(F.col("_toks"), contam_n))
+        ).alias("shingle"),
     )
-    s5 = _stage(
-        s4.join(
-            contam.select(F.col("train_id").alias(id_col)).distinct(),
-            id_col,
-            "left_anti",
+    ev_grams = (
+        _dedup.word_shingles(
+            evalset, id_col=id_col, text_col=text_col, n=contam_n
         )
+        .select("shingle")
+        .distinct()
     )
+    contam_ids = (
+        tg.join(F.broadcast(ev_grams), "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    s5 = _stage(s4.join(contam_ids, id_col, "left_anti"))
     s6 = _stage(
         bounded_topn_per_key(
-            s5.drop(text_col),
+            s5.drop("_toks"),
             ["domain"],
             [F.col("_q").desc(), F.col(id_col).asc()],
             cap=domain_cap,

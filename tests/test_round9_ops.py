@@ -449,3 +449,155 @@ class TestIncrementalProbeBatchConsistency:
                     ni, ci = (a, b) if a in new_ids else (b, a)
                     want[(ni, ci)] = r["jaccard"]
             assert got == want, f"seed {seed}: {got} != {want}"
+
+
+class TestArtifactPublishRace:
+    def test_lost_rename_race_reads_winner(self, spark, tmp_path, monkeypatch):
+        """Two builders racing the same key: the loser's os.rename
+        fails (dest exists), it discards its temp dir and reads the
+        winner's table — simulated deterministically by publishing the
+        winner's directory between the loser's build and rename."""
+        import os
+        import shutil
+
+        from ursa_major_choir_etl_spark import artifacts
+
+        monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path))
+        artifacts._VERIFIED.clear()
+
+        real_rename = os.rename
+        state = {"fired": False}
+
+        def racing_rename(src, dst):
+            if not state["fired"] and "race__scope" in dst:
+                state["fired"] = True
+                # winner publishes first: an equivalent table appears
+                # at the destination before our rename lands
+                spark.range(7).write.mode("overwrite").parquet(dst + ".win")
+                real_rename(dst + ".win", dst)
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(os, "rename", racing_rename)
+        got = artifacts.materialize_once(
+            spark, "race", "scope", 1, [], lambda: spark.range(7)
+        )
+        assert state["fired"]
+        assert got.count() == 7
+        # exactly one generation on disk, no leftover temp dirs
+        entries = [d for d in os.listdir(tmp_path) if d.startswith("race__")]
+        assert len(entries) == 1 and ".tmp" not in entries[0]
+
+
+class TestTemperatureMixture:
+    def test_sqrt_weights_hand_computed(self, spark):
+        from ursa_major_choir_etl_spark.operators.curation import (
+            temperature_mixture_plan,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "A", "w " * 100), (2, "B", "w " * 400)],
+            "doc_id long, source string, text string",
+        )
+        got = {
+            r["domain"]: r
+            for r in temperature_mixture_plan(
+                docs, budget_ppm_of_corpus=500_000
+            ).collect()
+        }
+        # weights = floor(sqrt(100)), floor(sqrt(400)) = 10, 20
+        assert got["A"]["weight"] == 10 and got["B"]["weight"] == 20
+        # budget = 500 * 500000 // 1e6 = 250; targets 250*10//30, 250*20//30
+        assert got["A"]["target_tokens"] == 83
+        assert got["B"]["target_tokens"] == 166
+        assert got["A"]["rate_ppm"] == 830_000
+        assert got["B"]["rate_ppm"] == 415_000
+        assert got["A"]["expected_tokens"] == 83
+        assert got["B"]["expected_tokens"] == 166
+        assert not got["A"]["underfilled"] and not got["B"]["underfilled"]
+        # temperature property: the small domain's rate EXCEEDS the
+        # big one's (sqrt flattening), while natural sampling would
+        # give them equal rates
+        assert got["A"]["rate_ppm"] > got["B"]["rate_ppm"]
+
+    def test_underfilled_small_domain_caps_at_full_rate(self, spark):
+        from ursa_major_choir_etl_spark.operators.curation import (
+            temperature_mixture_plan,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "tiny", "w w w"), (2, "big", "w " * 10_000)],
+            "doc_id long, source string, text string",
+        )
+        got = {
+            r["domain"]: r
+            for r in temperature_mixture_plan(
+                docs, budget_ppm_of_corpus=900_000
+            ).collect()
+        }
+        assert got["tiny"]["underfilled"]
+        assert got["tiny"]["rate_ppm"] == 1_000_000
+        assert got["tiny"]["expected_tokens"] == 3
+
+
+class TestZipfSlope:
+    def test_exact_power_law_two_points_gives_minus_one(self, spark):
+        from ursa_major_choir_etl_spark.operators.text import (
+            zipf_slope_report,
+        )
+
+        # counts 4 and 2 at ranks 1 and 2: slope = ln(2/4)/ln(2) = -1
+        docs = spark.createDataFrame(
+            [(1, "S", "aa aa aa aa bb bb")],
+            "doc_id long, source string, text string",
+        )
+        got = zipf_slope_report(docs, k=10).collect()
+        assert len(got) == 1
+        assert float(got[0]["zipf_slope"]) == -1.0
+        assert got[0]["n_terms"] == 2 and got[0]["top_count"] == 4
+
+    def test_matches_python_least_squares(self, spark):
+        import math
+        import random
+
+        from ursa_major_choir_etl_spark.operators.text import (
+            zipf_slope_report,
+        )
+
+        rng = random.Random(5)
+        # alphabetic-only words: the operator tokenizes with [a-z]+,
+        # so digits would collapse every wN into one term "w"
+        words = ["".join(rng.choice("abcdefghij") for _ in range(4))
+                 for _ in range(30)]
+        body = " ".join(
+            rng.choice(words) for _ in range(800)
+        )
+        docs = spark.createDataFrame(
+            [(1, "S", body)], "doc_id long, source string, text string"
+        )
+        got = zipf_slope_report(docs, k=10).collect()[0]
+
+        counts: dict[str, int] = {}
+        for w in body.split():
+            counts[w] = counts.get(w, 0) + 1
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        pts = [
+            (math.log(r + 1), math.log(c)) for r, (_, c) in enumerate(top)
+        ]
+        mx = sum(p[0] for p in pts) / len(pts)
+        my = sum(p[1] for p in pts) / len(pts)
+        cov = sum((x - mx) * (y - my) for x, y in pts) / len(pts)
+        var = sum((x - mx) ** 2 for x, _ in pts) / len(pts)
+        assert abs(float(got["zipf_slope"]) - round(cov / var, 6)) < 1e-9
+        assert got["n_terms"] == 10
+
+    def test_single_token_source_excluded(self, spark):
+        from ursa_major_choir_etl_spark.operators.text import (
+            zipf_slope_report,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "mono", "same same same"), (2, "多", "aa bb aa")],
+            "doc_id long, source string, text string",
+        )
+        got = {r["domain"] for r in zipf_slope_report(docs).collect()}
+        assert got == {"多"}  # 'mono' has var_pop(ln rank) = 0

@@ -367,6 +367,85 @@ def mixture_plan(
     )
 
 
+def temperature_mixture_plan(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    budget_ppm_of_corpus: int = 400_000,
+) -> DataFrame:
+    """Temperature-weighted source mixture (T=2): domain shares
+    proportional to sqrt(tokens_available) rather than equal
+    (:func:`mixture_plan`) or proportional (natural sampling) — the
+    GPT-3/PaLM-style flattening that up-weights small high-value
+    sources without drowning in the largest crawl. share_i =
+    budget * sqrt(t_i) / sum_j sqrt(t_j).
+
+    Determinism with a non-integer weight function: the ONLY float
+    op is sqrt(bigint), computed as floor(sqrt(CAST(t AS DOUBLE))) —
+    both engines evaluate the identical IEEE double sqrt on the
+    identical input and floor it, so the bigint weight agrees
+    bit-for-bit even where it differs from the true integer sqrt by
+    an ulp-rounding. Everything downstream is DECIMAL(38,0) integer
+    arithmetic exactly like mixture_plan (truncating DIV, ppm rates),
+    so the plan value-hashes cross-engine at any corpus size.
+
+    Shape: one corpus scan -> per-domain aggregate, one 1-row
+    totals broadcast. Output per domain: (domain, tokens_available,
+    weight, target_tokens, rate_ppm, expected_tokens, underfilled).
+    """
+    from ursa_major_choir_etl_spark.caching import stage
+
+    per_dom = stage(
+        df.select(
+            F.col(domain_col).alias("domain"),
+            text.token_count(text_col).alias("_t"),
+        )
+        .groupBy("domain")
+        .agg(F.sum("_t").alias("tokens_available"))
+        .filter(F.col("tokens_available") > 0)
+        .withColumn(
+            "weight",
+            F.expr("CAST(floor(sqrt(CAST(tokens_available AS DOUBLE)))"
+                   " AS BIGINT)"),
+        )
+    )
+    totals = per_dom.agg(
+        F.sum("tokens_available").alias("_ct"),
+        F.sum("weight").alias("_sw"),
+    )
+    planned = per_dom.crossJoin(F.broadcast(totals)).select(
+        "domain",
+        "tokens_available",
+        "weight",
+        F.expr(
+            f"CAST(((CAST(_ct AS DECIMAL(38,0)) * {budget_ppm_of_corpus}"
+            " DIV 1000000) * weight) DIV _sw AS BIGINT)"
+        ).alias("target_tokens"),
+    )
+    with_rate = planned.withColumn(
+        "rate_ppm",
+        F.expr(
+            "least(CAST(1000000 AS BIGINT),"
+            " CAST(target_tokens AS DECIMAL(38,0)) * 1000000"
+            " DIV tokens_available)"
+        ),
+    )
+    return with_rate.select(
+        "domain",
+        "tokens_available",
+        "weight",
+        "target_tokens",
+        "rate_ppm",
+        F.expr(
+            "CAST(CAST(tokens_available AS DECIMAL(38,0)) * rate_ppm"
+            " DIV 1000000 AS BIGINT)"
+        ).alias("expected_tokens"),
+        (F.col("tokens_available") < F.col("target_tokens")).alias(
+            "underfilled"
+        ),
+    )
+
+
 def curation_funnel(
     df: DataFrame,
     id_col: str = "doc_id",

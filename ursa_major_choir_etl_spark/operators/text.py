@@ -647,3 +647,75 @@ def vocab_drift_report(
             "top_term_count",
         )
     )
+
+
+def zipf_slope_report(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """Per-source Zipf-law fit: the least-squares slope of
+    ln(count) against ln(rank) over each source's top-``k`` tokens —
+    the one-number "does this source look like natural language"
+    check (natural text sits near -1; templated/generated floods
+    flatten toward 0, key-value dumps fall steeper). The corpus-health
+    sibling of vocab_drift_report: drift says a source's vocabulary
+    CHANGED, the Zipf slope says its frequency SHAPE is wrong.
+
+    slope = covar_pop(ln rank, ln count) / var_pop(ln rank) — closed
+    form, no iterative fit. Ranks exist only on the top-k rows (the
+    bounded two-phase selection supplies `rank` directly), so the
+    ordered work per source is capped at k rows regardless of corpus
+    size; the count table is the same one token explode every vocab
+    op shares. ln/var/covar are IEEE double ops with identical
+    semantics in DuckDB, rounded 6dp on output. Sources with a
+    single distinct token carry no slope (var_pop = 0) and are
+    excluded rather than emitting a cross-engine NaN.
+
+    Output per source: (domain, n_terms, top_count, zipf_slope).
+    """
+    from ursa_major_choir_etl_spark.operators.curation import (
+        bounded_topn_per_key,
+    )
+
+    per_st = (
+        widen_if_narrow(df)
+        .select(
+            F.col(domain_col).alias("domain"),
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            ).alias("term"),
+        )
+        .groupBy("domain", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = bounded_topn_per_key(
+        per_st,
+        ["domain"],
+        [F.col("cnt").desc(), F.col("term").asc()],
+        cap=k,
+        salt_on=F.col("term"),
+    )
+    pts = top.select(
+        "domain",
+        F.log(F.col("rank").cast("double")).alias("_lr"),
+        F.log(F.col("cnt").cast("double")).alias("_lc"),
+        "cnt",
+    )
+    return (
+        pts.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.max("cnt").alias("top_count"),
+            F.covar_pop("_lr", "_lc").alias("_cov"),
+            F.var_pop("_lr").alias("_var"),
+        )
+        .filter(F.col("_var") > 0)
+        .select(
+            "domain",
+            "n_terms",
+            "top_count",
+            F.round(F.col("_cov") / F.col("_var"), 6).alias("zipf_slope"),
+        )
+    )

@@ -6147,6 +6147,90 @@ WHERE round(ni * 1.0 / (sn + sc - ni), 6) >= {threshold}
 """
 
 
+def q139_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixture (T=2, shares proportional
+    to sqrt(tokens) — the GPT-3/PaLM flattening that up-weights small
+    high-value sources; curation.temperature_mixture_plan). The only
+    float op is one IEEE double sqrt floored to a bigint weight
+    (bit-identical cross-engine on identical inputs); everything else
+    is the q125 DECIMAL(38,0) integer-ppm arithmetic."""
+    from ursa_major_choir_etl_spark.operators import curation
+
+    return curation.temperature_mixture_plan(
+        T(spark, sf_dir, "documents"), budget_ppm_of_corpus=400_000
+    )
+
+
+def _oracle_q139(budget_ppm: int = 400_000) -> str:
+    tc = osql.token_count_sql("text")
+    return f"""
+WITH per_dom AS (
+  SELECT source AS domain, CAST(sum({tc}) AS BIGINT) AS tokens_available
+  FROM documents GROUP BY 1
+  HAVING sum({tc}) > 0
+),
+w AS (
+  SELECT *, CAST(floor(sqrt(CAST(tokens_available AS DOUBLE))) AS BIGINT)
+         AS weight
+  FROM per_dom
+),
+tot AS (
+  SELECT CAST(sum(tokens_available) AS BIGINT) AS ct,
+         CAST(sum(weight) AS BIGINT) AS sw
+  FROM w
+),
+planned AS (
+  SELECT domain, tokens_available, weight,
+         CAST(((CAST(ct AS HUGEINT) * {budget_ppm} // 1000000) * weight)
+              // sw AS BIGINT) AS target_tokens
+  FROM w CROSS JOIN tot
+),
+rated AS (
+  SELECT *, CAST(least(1000000,
+           CAST(target_tokens AS HUGEINT) * 1000000 // tokens_available)
+           AS BIGINT) AS rate_ppm
+  FROM planned
+)
+SELECT domain, tokens_available, weight, target_tokens, rate_ppm,
+       CAST(CAST(tokens_available AS HUGEINT) * rate_ppm // 1000000
+            AS BIGINT) AS expected_tokens,
+       (tokens_available < target_tokens) AS underfilled
+FROM rated
+"""
+
+
+def q140_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf-law fit (text.zipf_slope_report): least-squares
+    slope of ln(count) on ln(rank) over each source's top-100 tokens
+    — the 'does this source look like natural language' shape check
+    (natural text near -1, templated floods flatten toward 0). Ranks
+    exist only on bounded top-k rows via the salted two-phase
+    selection; the oracle uses the naive single-window ranking."""
+    return text.zipf_slope_report(T(spark, sf_dir, "documents"), k=100)
+
+
+def _oracle_q140(k: int = 100) -> str:
+    return f"""
+WITH toks AS (
+  SELECT source AS domain,
+         unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS term
+  FROM documents
+),
+per_st AS (SELECT domain, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT domain, term, cnt,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY cnt DESC, term) AS rank
+  FROM per_st
+),
+pts AS (SELECT domain, ln(rank) AS lr, ln(cnt) AS lc, cnt
+        FROM ranked WHERE rank <= {k})
+SELECT domain, count(*) AS n_terms, CAST(max(cnt) AS BIGINT) AS top_count,
+       round(covar_pop(lr, lc) / var_pop(lr), 6) AS zipf_slope
+FROM pts GROUP BY domain HAVING var_pop(lr) > 0
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -6286,6 +6370,8 @@ QUERIES = {
     "q136_embedding_drift": q136_embedding_drift,
     "q137_pretraining_pipeline": q137_pretraining_pipeline,
     "q138_incremental_fuzzy_probe": q138_incremental_fuzzy_probe,
+    "q139_temperature_mixture": q139_temperature_mixture,
+    "q140_zipf_slope": q140_zipf_slope,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -6316,7 +6402,7 @@ def _qnum(k: str) -> int:
 _names = sorted(QUERIES, key=_qnum)
 _CHANGED_R8 = (
     "q20_", "q23_", "q55_", "q77_", "q108_", "q116_", "q117_", "q118_",
-    "q122_", "q124_", "q128_", "q130_", "q137_", "q138_",
+    "q122_", "q124_", "q128_", "q130_", "q137_", "q138_", "q139_", "q140_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -6480,4 +6566,6 @@ ORACLES: dict[str, str | None] = {
     "q136_embedding_drift": _oracle_q136(),
     "q137_pretraining_pipeline": _oracle_q137(),
     "q138_incremental_fuzzy_probe": _oracle_q138(),
+    "q139_temperature_mixture": _oracle_q139(),
+    "q140_zipf_slope": _oracle_q140(),
 }

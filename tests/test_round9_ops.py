@@ -601,3 +601,33 @@ class TestZipfSlope:
         )
         got = {r["domain"] for r in zipf_slope_report(docs).collect()}
         assert got == {"多"}  # 'mono' has var_pop(ln rank) = 0
+
+
+class TestDomainDuplicationReport:
+    def test_within_vs_cross_hand_computed(self, spark):
+        from ursa_major_choir_etl_spark.operators.curation import (
+            domain_duplication_report,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "A"), (2, "A"), (3, "B"), (4, "B"), (5, "C")],
+            "doc_id long, source string",
+        )
+        # (1,2) within A; (2,3) cross A-B; (3,4) within B; 5 clean
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+        )
+        got = {
+            r["domain"]: r
+            for r in domain_duplication_report(docs, pairs).collect()
+        }
+        assert got["A"]["n_docs"] == 2 and got["A"]["n_dup_docs"] == 2
+        assert got["A"]["dup_ppm"] == 1_000_000
+        assert got["A"]["n_pairs_within"] == 1
+        assert got["A"]["n_pairs_cross"] == 1
+        assert got["B"]["n_pairs_within"] == 1
+        assert got["B"]["n_pairs_cross"] == 1
+        assert got["C"]["n_docs"] == 1 and got["C"]["n_dup_docs"] == 0
+        assert got["C"]["dup_ppm"] == 0
+        assert got["C"]["n_pairs_within"] == 0
+        assert got["C"]["n_pairs_cross"] == 0

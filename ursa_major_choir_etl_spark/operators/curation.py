@@ -367,6 +367,94 @@ def mixture_plan(
     )
 
 
+def domain_duplication_report(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Per-domain near-duplication profile over a candidate-pair
+    table: how much of each source is entangled in near-dup pairs,
+    and whether its duplication is internal (template reuse inside
+    the source) or cross-domain (syndication — the same content
+    arriving from several feeds, the case where per-source dedup
+    silently misses everything). The "which source is bloating my
+    corpus" table a curation owner reads next to the quota report.
+
+    Consumes the MATERIALIZED pair artifact (q20's output) — one
+    parquet scan plus domain-keyed aggregates; nothing re-shingles.
+
+    Output per domain: (domain, n_docs, n_dup_docs, dup_ppm,
+    n_pairs_within, n_pairs_cross) — dup_ppm = docs in >= 1 pair per
+    million (integer DIV); a pair is 'within' when both endpoints
+    share the domain, 'cross' counts once for EACH of its two
+    domains.
+    """
+    from ursa_major_choir_etl_spark.caching import stage
+
+    doms = stage(
+        df.select(F.col(id_col), F.col(domain_col).alias("domain"))
+    )
+    per_dom = doms.groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs"))
+    members = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionAll(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    dup_docs = (
+        doms.join(members, id_col, "left_semi")
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_dup_docs"))
+    )
+    tagged = stage(
+        pairs.select("id_a", "id_b")
+        .join(
+            doms.select(
+                F.col(id_col).alias("id_a"), F.col("domain").alias("_da")
+            ),
+            "id_a",
+        )
+        .join(
+            doms.select(
+                F.col(id_col).alias("id_b"), F.col("domain").alias("_db")
+            ),
+            "id_b",
+        )
+    )
+    within = (
+        tagged.filter(F.col("_da") == F.col("_db"))
+        .groupBy(F.col("_da").alias("domain"))
+        .agg(F.count(F.lit(1)).alias("n_pairs_within"))
+    )
+    cross = (
+        tagged.filter(F.col("_da") != F.col("_db"))
+        .select(F.col("_da").alias("domain"))
+        .unionAll(
+            tagged.filter(F.col("_da") != F.col("_db")).select(
+                F.col("_db").alias("domain")
+            )
+        )
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_pairs_cross"))
+    )
+    return (
+        per_dom.join(dup_docs, "domain", "left")
+        .join(within, "domain", "left")
+        .join(cross, "domain", "left")
+        .select(
+            "domain",
+            "n_docs",
+            F.coalesce("n_dup_docs", F.lit(0)).alias("n_dup_docs"),
+            F.expr(
+                "CAST(CAST(coalesce(n_dup_docs, 0) AS DECIMAL(38,0))"
+                " * 1000000 DIV n_docs AS BIGINT)"
+            ).alias("dup_ppm"),
+            F.coalesce("n_pairs_within", F.lit(0)).alias("n_pairs_within"),
+            F.coalesce("n_pairs_cross", F.lit(0)).alias("n_pairs_cross"),
+        )
+    )
+
+
 def temperature_mixture_plan(
     df: DataFrame,
     domain_col: str = "source",

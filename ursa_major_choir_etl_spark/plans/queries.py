@@ -6231,6 +6231,60 @@ FROM pts GROUP BY domain HAVING var_pop(lr) > 0
 """
 
 
+def q141_domain_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain near-duplication profile
+    (curation.domain_duplication_report) over the materialized q20
+    pair artifact: docs entangled in >= 1 pair (ppm), and whether a
+    domain's duplication is internal (template reuse) or cross-domain
+    (syndication — the case per-source dedup misses). Ninth consumer
+    of the shared pair table; one parquet scan + domain aggregates."""
+    from ursa_major_choir_etl_spark.operators import curation
+
+    return curation.domain_duplication_report(
+        T(spark, sf_dir, "documents"), jaccard_pairs_table(spark, sf_dir)
+    )
+
+
+def _oracle_q141() -> str:
+    return f"""
+WITH jp AS ({_oracle_q20()}),
+doms AS (SELECT doc_id, source AS domain FROM documents),
+per_dom AS (SELECT domain, count(*) AS n_docs FROM doms GROUP BY 1),
+members AS (
+  SELECT DISTINCT d FROM (
+    SELECT id_a AS d FROM jp UNION ALL SELECT id_b FROM jp
+  )
+),
+dupd AS (
+  SELECT domain, count(*) AS n_dup_docs
+  FROM doms WHERE doc_id IN (SELECT d FROM members) GROUP BY 1
+),
+tagged AS (
+  SELECT a.domain AS da, b.domain AS db
+  FROM jp JOIN doms a ON a.doc_id = jp.id_a
+          JOIN doms b ON b.doc_id = jp.id_b
+),
+w AS (SELECT da AS domain, count(*) AS n_pairs_within
+      FROM tagged WHERE da = db GROUP BY 1),
+x AS (
+  SELECT domain, count(*) AS n_pairs_cross FROM (
+    SELECT da AS domain FROM tagged WHERE da <> db
+    UNION ALL SELECT db FROM tagged WHERE da <> db
+  ) GROUP BY 1
+)
+SELECT p.domain, p.n_docs,
+       CAST(coalesce(d.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+       CAST(CAST(coalesce(d.n_dup_docs, 0) AS HUGEINT) * 1000000
+            // p.n_docs AS BIGINT) AS dup_ppm,
+       CAST(coalesce(w.n_pairs_within, 0) AS BIGINT) AS n_pairs_within,
+       CAST(coalesce(x.n_pairs_cross, 0) AS BIGINT) AS n_pairs_cross
+FROM per_dom p
+LEFT JOIN dupd d USING (domain)
+LEFT JOIN w USING (domain)
+LEFT JOIN x USING (domain)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -6372,6 +6426,7 @@ QUERIES = {
     "q138_incremental_fuzzy_probe": q138_incremental_fuzzy_probe,
     "q139_temperature_mixture": q139_temperature_mixture,
     "q140_zipf_slope": q140_zipf_slope,
+    "q141_domain_dup_rates": q141_domain_dup_rates,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -6403,6 +6458,7 @@ _names = sorted(QUERIES, key=_qnum)
 _CHANGED_R8 = (
     "q20_", "q23_", "q55_", "q77_", "q108_", "q116_", "q117_", "q118_",
     "q122_", "q124_", "q128_", "q130_", "q137_", "q138_", "q139_", "q140_",
+    "q141_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -6568,4 +6624,5 @@ ORACLES: dict[str, str | None] = {
     "q138_incremental_fuzzy_probe": _oracle_q138(),
     "q139_temperature_mixture": _oracle_q139(),
     "q140_zipf_slope": _oracle_q140(),
+    "q141_domain_dup_rates": _oracle_q141(),
 }

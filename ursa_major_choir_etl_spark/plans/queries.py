@@ -98,6 +98,28 @@ Operator coverage map (SURVEY §2 ids -> query):
   mergeable quantile sketch ....... q104 (log-histogram est vs exact)
   exact duplicated-substring spans  q105 (Lee et al. substring dedup)
   substring-dedup attrition report  q106 (per-doc cut impact, q105+join)
+  n-gram novelty / boilerplate ..... q107, q110
+  SimHash Hamming pairs ............ q108 (Manku pigeonhole; artifact)
+  Z-order layout report ............ q109
+  grouped weighted sample .......... q111
+  containment pairs ................ q112
+  incremental dedup (exact/fuzzy) .. q113, q138 (index probes)
+  curriculum bins / surprisal ...... q114, q115
+  ensemble dedup consensus ......... q116 (votes over pair artifacts)
+  domain quotas / soft dedup ....... q117, q120
+  BPE learn / apply economics ...... q118, q128
+  adaptive shards / entropy ........ q119, q121
+  cluster representatives .......... q122 (CC over pair artifact)
+  robust outliers / triangles ...... q123, q124
+  mixture plans (equal / T=2) ...... q125, q139
+  curation funnel / pretraining .... q126, q137 (6-stage end-to-end)
+  ANN recall evals (LSH / PQ) ...... q127, q131
+  vocab drift / Zipf slope ......... q129, q140
+  threshold sweep .................. q130
+  span-corruption / FIM samples .... q132, q134
+  dataset card / holdout ........... q133, q135
+  embedding drift A/B .............. q136
+  per-domain duplication profile ... q141 (pair-artifact consumer)
 """
 
 from __future__ import annotations

@@ -858,3 +858,212 @@ def pretraining_funnel(
         .unionByName(rep(6, "domain_cap", s6))
         .unionByName(rep7)
     )
+
+
+def epoch_budget_waterfill(
+    df: DataFrame,
+    text_col: str = "text",
+    domain_col: str = "source",
+    budget_x10: int = 22,
+    max_cap: int = 4,
+    rep_bucket_ppm: int = 600,
+) -> DataFrame:
+    """Repetition-aware epoch allocation under a global token budget
+    (the data-constrained-scaling layout: when the budget exceeds the
+    unique corpus, domains are repeated — but low-quality domains earn
+    fewer repeat epochs).
+
+    Per domain: unique tokens U_d and a repetition-quality cap
+    ``cap_d = max(1, max_cap - rep_ppm_d // rep_bucket_ppm)`` (domains
+    with more intra-document n-gram repetition earn fewer epochs).
+    The budget ``B = (sum(U) * budget_x10) // 10`` is then waterfilled:
+    ``epochs_d = min(cap_d, lam)`` with the water level ``lam`` chosen
+    so the allocations sum to B — the closed form over cap groups
+    (clamp every cap <= c, solve lam on the rest, pick the unique
+    regime where lam lands between adjacent caps).
+
+    Determinism across engines: every input to ``lam`` is an exact
+    integer (token counts, per-doc repetition floored to integer ppm
+    and integer-averaged, integer division for caps and B), so ``lam``
+    is ONE exact-integer division — bit-identical in Spark and the SQL
+    oracle, no float-sum order anywhere.
+
+    Scale shape: one corpus scan (per-row token/repetition
+    expressions), one groupBy(domain), and a regime solve over at most
+    ``max_cap`` cap-group rows — that tiny frame is collected as model
+    state (bounded by the ``max_cap`` constant, never by data) and the
+    water level re-enters the plan as a literal.
+
+    Output: (domain, n_docs, tokens, rep_ppm, cap_epochs, epochs,
+    alloc_tokens) — epochs rounded 6dp, alloc_tokens = epochs * U
+    rounded 2dp.
+    """
+    rep = text.with_repetition_stats(df, text_col=text_col, n=3)
+    per_doc = rep.select(
+        F.col(domain_col).alias("domain"),
+        text.token_count(text_col).alias("_t"),
+        # integer ppm per doc from the raw gram counts — no float in
+        # the cap arithmetic at all
+        F.expr(
+            "CASE WHEN n_ngrams > 0 THEN"
+            " ((n_ngrams - n_distinct_ngrams) * 1000000L) DIV n_ngrams"
+            " ELSE 0L END"
+        ).alias("_rep_ppm"),
+    )
+    per_dom = per_doc.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_t").alias("tokens"),
+        F.expr("sum(_rep_ppm) DIV count(1)").alias("rep_ppm"),
+    )
+    capped = per_dom.withColumn(
+        "cap_epochs",
+        F.greatest(
+            F.lit(1),
+            F.lit(max_cap) - F.expr(f"rep_ppm DIV {rep_bucket_ppm}").cast("int"),
+        ).cast("int"),
+    )
+    # Regime solve on <= max_cap cap-group rows: model-state-sized
+    # collect (bounded by the max_cap constant), mirroring the SQL
+    # oracle's cap-group CTE arithmetic op-for-op.
+    groups = sorted(
+        (r["cap_epochs"], r["cap_u"])
+        for r in capped.groupBy("cap_epochs")
+        .agg(F.sum("tokens").alias("cap_u"))
+        .collect()
+    )
+    total_u = sum(u for _, u in groups)
+    budget = (total_u * budget_x10) // 10
+    lam = None
+    if total_u and budget <= total_u * groups[0][0]:
+        lam = budget / total_u  # nothing clamped
+    else:
+        cum_cap_u = cum_u = 0
+        for i, (cap, cap_u) in enumerate(groups):
+            cum_cap_u += cap * cap_u
+            cum_u += cap_u
+            tail_u = total_u - cum_u
+            if tail_u <= 0:
+                break  # budget >= capacity: everything clamps at cap
+            cand = (budget - cum_cap_u) / tail_u
+            nxt = groups[i + 1][0]
+            if cap < cand <= nxt:
+                lam = cand
+                break
+    lam_col = F.lit(lam) if lam is not None else F.lit(float(max_cap))
+    epochs = F.least(F.col("cap_epochs").cast("double"), lam_col)
+    return capped.select(
+        "domain",
+        "n_docs",
+        "tokens",
+        "rep_ppm",
+        "cap_epochs",
+        F.round(epochs, 6).alias("epochs"),
+        F.round(epochs * F.col("tokens"), 2).alias("alloc_tokens"),
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_source: str = "src0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by the log-likelihood ratio of a hashed-bigram bag-of-
+    features model fit on the TARGET slice vs the rest of the corpus.
+    High scores = "reads like the target domain" — the standard
+    importance-resampling signal for domain-targeted pretraining
+    selection.
+
+    Feature space: lowercase alpha-word bigrams hashed into
+    ``n_buckets`` buckets via the first 4 md5 nibbles (the corpus-
+    portable hash both engines compute identically). Per bucket b,
+    with add-one smoothing:
+
+        lr_bits(b) = L(t_b+1) - L(T+B) - (L(s_b+1) - L(S+B))
+
+    where L(x) = floor(log2 x) = length(bin(x)) - 1 — the house
+    integer-log2 (q115): pure integer/string ops, bit-identical
+    cross-engine, no libm. A doc's score is the k-weighted sum of its
+    buckets' lr_bits; the only float is the final mean division.
+
+    Scale shape: ONE bigram explode into a per-(doc, bucket) count
+    table (staged — it feeds both the bucket totals and the probe
+    join); the bucket model is <= n_buckets rows (broadcastable
+    model state, like DSIR's 10^4-bucket hash table) and totals are
+    one broadcast row. The probe join is doc-buckets-sized. No
+    windows, no collect, no UDFs.
+
+    Output: (id, is_target, n_bigrams, sum_lr_bits, mean_lr_bits)
+    for docs with >= 1 bigram; mean rounded 6dp.
+    """
+    from ursa_major_choir_etl_spark.caching import stage
+
+    toked = df.select(
+        F.col(id_col),
+        (F.col(domain_col) == target_source).cast("int").alias("is_target"),
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)").alias("_t"),
+    ).filter(F.size("_t") >= 2)
+    doc_bucket = stage(
+        toked.select(
+            F.col(id_col),
+            "is_target",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("_t", (i + 1).cast("int")),
+                        F.element_at("_t", (i + 2).cast("int")),
+                    ),
+                )
+            ).alias("_g"),
+        )
+        .select(
+            F.col(id_col),
+            "is_target",
+            F.expr(
+                f"CAST(conv(substring(md5(_g), 1, 4), 16, 10) AS BIGINT)"
+                f" % {n_buckets}"
+            ).alias("bucket"),
+        )
+        .groupBy(id_col, "is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    bt = doc_bucket.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target") == 1, F.col("k")).otherwise(0)).alias("t_b"),
+        F.sum(F.when(F.col("is_target") == 0, F.col("k")).otherwise(0)).alias("s_b"),
+    )
+    tot = bt.agg(
+        F.sum("t_b").alias("tt"), F.sum("s_b").alias("ss")
+    )
+    ilog2 = lambda c: F.length(F.bin(c)) - 1  # noqa: E731
+    scored = bt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            ilog2(F.col("t_b") + 1)
+            - ilog2(F.col("tt") + n_buckets)
+            - ilog2(F.col("s_b") + 1)
+            + ilog2(F.col("ss") + n_buckets)
+        ).alias("lr_bits"),
+    )
+    return (
+        doc_bucket.join(scored, "bucket")
+        .groupBy(id_col, "is_target")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("lr_bits")).alias("sum_lr_bits"),
+        )
+        .select(
+            F.col(id_col),
+            "is_target",
+            "n_bigrams",
+            "sum_lr_bits",
+            F.round(
+                F.col("sum_lr_bits") / F.col("n_bigrams").cast("double"), 6
+            ).alias("mean_lr_bits"),
+        )
+    )

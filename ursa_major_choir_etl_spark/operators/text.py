@@ -185,6 +185,7 @@ def with_repetition_stats(
     ).otherwise(F.lit(0.0))
     return (
         staged.withColumn("n_ngrams", total)
+        .withColumn("n_distinct_ngrams", F.size(F.array_distinct(grams)))
         .withColumn("repetition_ratio", ratio)
         .drop("_rep_toks")
     )
@@ -719,3 +720,158 @@ def zipf_slope_report(
             F.round(F.col("_cov") / F.col("_var"), 6).alias("zipf_slope"),
         )
     )
+
+
+def bigram_improbability(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style language-model quality signal: per-document mean
+    inverse conditional bigram probability under an add-one-smoothed
+    bigram model trained on the corpus itself.
+
+    Per bigram occurrence (w1, w2): P(w2|w1) = (C2+1)/(C1+V) with C2
+    the corpus bigram count, C1 the corpus unigram occurrence count of
+    w1, V the distinct-token vocabulary. The per-occurrence score is
+    the INTEGER ``((C1+V) * 1e6) DIV (C2+1)`` (inverse probability in
+    ppm) so each doc's sum is exact-integer cross-engine — no
+    float-sum ordering and no libm (the house q115 rule); the only
+    float is one final exact division per doc. Formulaic docs full of
+    corpus-common transitions score low; rare/garbled transitions
+    score high — the fluency half of the CCNet perplexity bucket.
+
+    Scale: one corpus scan explodes bigram (g, w1) structs once
+    (staged), two counting aggregates over it, then two sort-merge
+    joins keyed by gram/unigram — all shuffles are on token keys, no
+    window, no collect except the vocabulary-size scalar anchor
+    (an aggregate row count, model-state-sized).
+
+    Output: (id, n_bigrams, improb) — improb = round(sum/1e6/n, 6),
+    docs with < 2 tokens excluded (no bigram evidence).
+    """
+    from ursa_major_choir_etl_spark.caching import stage
+
+    toked = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    ).filter(F.size("_t") >= 2)
+    big = stage(
+        toked.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - 2),
+                    lambda i: F.struct(
+                        F.concat_ws(
+                            " ",
+                            F.element_at("_t", (i + 1).cast("int")),
+                            F.element_at("_t", (i + 2).cast("int")),
+                        ).alias("g"),
+                        F.element_at("_t", (i + 1).cast("int")).alias("w1"),
+                    ),
+                )
+            ).alias("_b"),
+        ).select(F.col(id_col), F.col("_b.g").alias("g"), F.col("_b.w1").alias("w1"))
+    )
+    c1 = stage(
+        toked.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab_size = c1.count()  # scalar anchor: |vocab| rows, model state
+    c2 = big.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        big.join(c2, "g")
+        .join(c1, F.col("w1") == F.col("w"))
+        .select(
+            F.col(id_col),
+            F.expr(f"((c1 + {vocab_size}L) * 1000000L) DIV (c2 + 1L)").alias("_s"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum("_s") / (F.count(F.lit(1)) * F.lit(1_000_000)).cast("double"), 6
+        ).alias("improb"),
+    )
+
+
+#: Gopher rule-suite stopwords (Rae et al. 2021 §A1.1: "the, be, to,
+#: of, and, that, have, with" — the doc must contain >= 2 of them).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style quality rule suite (Rae et al. 2021, §A1.1): the
+    seven public document-level filters as independent flags plus the
+    conjunction — the standard pretraining "repetition-free, mostly
+    words, reads like prose" gate.
+
+    Rules (each an integer cross-multiplied comparison — no float
+    ratio ever compared to a threshold, so no ulp disagreement with
+    the SQL oracle):
+      f_word_count   min_words <= n_words <= max_words
+      f_mean_len     3 <= word_chars/n_words <= 10
+                     (as 3*n <= chars AND chars <= 10*n)
+      f_symbol      (hash + ellipsis) / n_words <= 0.1
+                     (as 10*n_sym <= n_words)
+      f_bullet       lines starting with a bullet <= 90%
+                     (as 10*n_bullet <= 9*n_lines)
+      f_ellipsis     lines ending with ellipsis <= 30%
+                     (as 10*n_ell_lines <= 3*n_lines)
+      f_alpha        words containing an alphabetic char >= 80%
+                     (as 10*n_alpha >= 8*n_words)
+      f_stopwords    contains >= 2 distinct Gopher stopwords
+
+    Scale shape: pure per-row column expressions — one corpus scan,
+    zero shuffles, fully inside whole-stage codegen. The token array
+    is materialized once per row and shared by the word rules.
+
+    Output: (id, n_words, word_chars, n_symbols, n_alpha_words,
+    n_stopwords, f_* x7, pass_gopher) — flags as int 0/1.
+    """
+    t = F.trim(F.col(text_col))
+    toks = tokens(t)
+    lines = F.split(F.col(text_col), r"\n")
+    n_words = F.size(toks)
+    word_chars = F.length(F.regexp_replace(t, r"\s", ""))
+    n_symbols = F.regexp_count(t, F.lit(r"#|\.\.\.|…"))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    lowered = F.transform(toks, F.lower)
+    n_stop = sum(
+        (F.array_contains(lowered, w).cast("int") for w in GOPHER_STOPWORDS),
+        start=F.lit(0),
+    )
+    n_lines = F.size(lines)
+    trimmed_line = lambda x: F.ltrim(x)  # noqa: E731
+    n_bullet = F.size(
+        F.filter(lines, lambda x: trimmed_line(x).rlike(r"^([•\-\*])\s"))
+    )
+    n_ell = F.size(F.filter(lines, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$")))
+    flags = {
+        "f_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "f_mean_len": (3 * n_words <= word_chars) & (word_chars <= 10 * n_words),
+        "f_symbol": 10 * n_symbols <= n_words,
+        "f_bullet": 10 * n_bullet <= 9 * n_lines,
+        "f_ellipsis": 10 * n_ell <= 3 * n_lines,
+        "f_alpha": 10 * n_alpha >= 8 * n_words,
+        "f_stopwords": n_stop >= 2,
+    }
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        word_chars.alias("word_chars"),
+        n_symbols.cast("bigint").alias("n_symbols"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+        *[c.cast("int").alias(name) for name, c in flags.items()],
+    )
+    all_pass = None
+    for name in flags:
+        cond = F.col(name) == 1
+        all_pass = cond if all_pass is None else (all_pass & cond)
+    return out.withColumn("pass_gopher", all_pass.cast("int"))

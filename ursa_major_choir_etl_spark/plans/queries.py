@@ -120,6 +120,10 @@ Operator coverage map (SURVEY §2 ids -> query):
   dataset card / holdout ........... q133, q135
   embedding drift A/B .............. q136
   per-domain duplication profile ... q141 (pair-artifact consumer)
+  epoch budget waterfill ........... q142 (data-constrained scaling)
+  bigram LM fluency buckets ........ q143 (CCNet-style, integer ppm)
+  Gopher rule-suite gate ........... q144 (7 integer-exact flags)
+  DSIR importance weights .......... q145 (hashed-bigram LLR, int log2)
 """
 
 from __future__ import annotations
@@ -6307,6 +6311,283 @@ LEFT JOIN x USING (domain)
 """
 
 
+def q142_epoch_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained scaling: allocate repeat epochs per domain
+    under a global token budget of 2.2x the unique corpus. Each
+    domain's epoch cap shrinks with its intra-document repetition
+    (integer ppm buckets); the budget waterfills ``min(cap, lam)``
+    with the water level solved in closed form over the <= 4 cap
+    groups (curation.epoch_budget_waterfill). Every lam input is an
+    exact integer, so Spark and the oracle compute the identical
+    division — one corpus scan, one domain aggregate, model-state
+    regime solve."""
+    from ursa_major_choir_etl_spark.operators import curation
+
+    return curation.epoch_budget_waterfill(T(spark, sf_dir, "documents"))
+
+
+def _oracle_q142(
+    budget_x10: int = 22, max_cap: int = 4, rep_bucket_ppm: int = 600
+) -> str:
+    return f"""
+WITH toked AS (
+  SELECT source AS domain, {osql.token_count_sql('text')} AS n_tokens,
+         string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT domain, n_tokens, greatest(len(t) - 2, 0) AS n,
+         CASE WHEN len(t) >= 3 THEN
+           len(list_distinct(list_transform(range(1, len(t) - 1),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+         ELSE 0 END AS nd
+  FROM toked
+),
+per_doc AS (
+  SELECT domain, n_tokens,
+         CASE WHEN n > 0 THEN ((n - nd) * 1000000) // n ELSE 0 END AS rp
+  FROM grams
+),
+per_dom AS (
+  SELECT domain, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS tokens,
+         CAST(sum(rp) // count(*) AS BIGINT) AS rep_ppm
+  FROM per_doc GROUP BY domain
+),
+capped AS (
+  SELECT *, CAST(greatest(1, {max_cap} - rep_ppm // {rep_bucket_ppm}) AS INT)
+            AS cap_epochs
+  FROM per_dom
+),
+tot AS (
+  SELECT CAST(sum(tokens) AS BIGINT) AS total_u,
+         CAST(sum(tokens) * {budget_x10} // 10 AS BIGINT) AS b
+  FROM capped
+),
+caps AS (
+  SELECT cap_epochs AS cap, CAST(sum(tokens) AS BIGINT) AS cap_u
+  FROM capped GROUP BY cap_epochs
+),
+cum AS (
+  SELECT cap, cap_u,
+         sum(cap * cap_u) OVER (ORDER BY cap) AS cum_cap_u,
+         sum(cap_u) OVER (ORDER BY cap) AS cum_u,
+         lead(cap) OVER (ORDER BY cap) AS next_cap
+  FROM caps
+),
+lam AS (
+  -- regime 0: nothing clamped
+  SELECT b * 1.0 / total_u AS lam FROM tot
+  WHERE b * 1.0 / total_u <= (SELECT min(cap) FROM caps)
+  UNION ALL
+  -- regime c: every cap <= c clamped, water level on the rest
+  SELECT (t.b - c.cum_cap_u) * 1.0 / (t.total_u - c.cum_u) AS lam
+  FROM cum c CROSS JOIN tot t
+  WHERE t.total_u > c.cum_u
+    AND (t.b - c.cum_cap_u) * 1.0 / (t.total_u - c.cum_u) > c.cap
+    AND ((t.b - c.cum_cap_u) * 1.0 / (t.total_u - c.cum_u) <= c.next_cap
+         OR c.next_cap IS NULL)
+  UNION ALL
+  SELECT CAST({max_cap} AS DOUBLE)  -- budget >= capacity: clamp all
+  FROM tot t
+  WHERE t.b >= (SELECT sum(cap * cap_u) FROM caps)
+)
+SELECT domain, n_docs, tokens, rep_ppm, cap_epochs,
+       round(least(CAST(cap_epochs AS DOUBLE), l.lam), 6) AS epochs,
+       round(least(CAST(cap_epochs AS DOUBLE), l.lam) * tokens, 2)
+         AS alloc_tokens
+FROM capped CROSS JOIN (SELECT min(lam) AS lam FROM lam) l
+"""
+
+
+def q143_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-fluency quality buckets: score each doc by mean
+    inverse add-one-smoothed bigram probability (integer ppm per
+    occurrence — text.bigram_improbability, no float sums/libm), then
+    bin the corpus into exact quartiles via the q114 boundary-row
+    broadcast (no global window/sort). The conditional-probability
+    sibling of q115's unigram surprisal: formulaic text scores low,
+    rare-transition text high."""
+    per_doc = text.bigram_improbability(T(spark, sf_dir, "documents"))
+    bounds = per_doc.agg(
+        F.percentile("improb", F.lit(0.25)).alias("b1"),
+        F.percentile("improb", F.lit(0.5)).alias("b2"),
+        F.percentile("improb", F.lit(0.75)).alias("b3"),
+    )
+    return per_doc.crossJoin(
+        bbound(bounds, "single global quartile-boundary row")
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        "improb",
+        (
+            (F.col("improb") > F.col("b1")).cast("int")
+            + (F.col("improb") > F.col("b2")).cast("int")
+            + (F.col("improb") > F.col("b3")).cast("int")
+        ).alias("bucket"),
+    )
+
+
+ORACLE_Q143 = f"""
+WITH toked AS (
+  SELECT doc_id, {osql.tokens_sql('text')} AS t FROM documents
+  WHERE len({osql.tokens_sql('text')}) >= 2 AND trim(text) <> ''
+),
+uni AS (SELECT unnest(t) AS w FROM toked),
+c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+v AS (SELECT count(*) AS v FROM c1),
+big AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS g, t[i] AS w1
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toked)
+),
+c2 AS (SELECT g, count(*) AS c2 FROM big GROUP BY g),
+scored AS (
+  SELECT doc_id, ((c1.c1 + v.v) * 1000000) // (c2.c2 + 1) AS s
+  FROM big JOIN c2 USING (g) JOIN c1 ON c1.w = big.w1 CROSS JOIN v
+),
+imp AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         round(CAST(sum(s) AS BIGINT) * 1.0 / (count(*) * 1000000), 6)
+           AS improb
+  FROM scored GROUP BY doc_id
+),
+bounds AS (
+  SELECT quantile_cont(improb, 0.25) AS b1,
+         quantile_cont(improb, 0.5) AS b2,
+         quantile_cont(improb, 0.75) AS b3
+  FROM imp
+)
+SELECT doc_id, n_bigrams, improb,
+       (CASE WHEN improb > b1 THEN 1 ELSE 0 END
+        + CASE WHEN improb > b2 THEN 1 ELSE 0 END
+        + CASE WHEN improb > b3 THEN 1 ELSE 0 END) AS bucket
+FROM imp CROSS JOIN bounds
+"""
+
+
+def q144_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-suite quality gate (Rae et al. 2021 §A1.1): the
+    seven public document filters — word-count band, mean-word-length
+    band, symbol ratio, bullet/ellipsis line ratios, alpha-word
+    ratio, stopword presence — as independent 0/1 flags plus the
+    conjunction. Every rule is an integer cross-multiplied comparison
+    (text.gopher_quality_flags), so no float threshold can disagree
+    with the oracle. One corpus scan, zero shuffles, pure codegen."""
+    return text.gopher_quality_flags(T(spark, sf_dir, "documents"))
+
+
+def _oracle_q144(min_words: int = 50, max_words: int = 100_000) -> str:
+    toks = osql.tokens_sql("t")
+    stop_terms = " + ".join(
+        f"CASE WHEN list_contains(lw, '{w}') THEN 1 ELSE 0 END"
+        for w in text.GOPHER_STOPWORDS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, trim(text) AS t, string_split(text, chr(10)) AS lines
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CASE WHEN t = '' THEN 0 ELSE len({toks}) END AS n_words,
+         length(regexp_replace(t, '\\s', '', 'g')) AS word_chars,
+         CAST(len(regexp_extract_all(t, '#|\\.\\.\\.|…')) AS BIGINT)
+           AS n_symbols,
+         CASE WHEN t = '' THEN 0 ELSE
+           len(list_filter({toks}, x -> regexp_matches(x, '[A-Za-z]')))
+         END AS n_alpha_words,
+         CASE WHEN t = '' THEN list_value() ELSE
+           list_transform({toks}, x -> lower(x)) END AS lw,
+         len(lines) AS n_lines,
+         len(list_filter(lines,
+             x -> regexp_matches(ltrim(x), '^([•\\-\\*])\\s')))
+           AS n_bullet,
+         len(list_filter(lines,
+             x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$')))
+           AS n_ell
+  FROM base
+),
+flagged AS (
+  SELECT doc_id, n_words, word_chars, n_symbols, n_alpha_words,
+         CAST({stop_terms} AS BIGINT) AS n_stopwords,
+         CASE WHEN n_words >= {min_words} AND n_words <= {max_words}
+              THEN 1 ELSE 0 END AS f_word_count,
+         CASE WHEN 3 * n_words <= word_chars
+               AND word_chars <= 10 * n_words THEN 1 ELSE 0 END AS f_mean_len,
+         CASE WHEN 10 * n_symbols <= n_words THEN 1 ELSE 0 END AS f_symbol,
+         CASE WHEN 10 * n_bullet <= 9 * n_lines THEN 1 ELSE 0 END AS f_bullet,
+         CASE WHEN 10 * n_ell <= 3 * n_lines THEN 1 ELSE 0 END AS f_ellipsis,
+         CASE WHEN 10 * n_alpha_words >= 8 * n_words THEN 1 ELSE 0 END
+           AS f_alpha
+  FROM feat
+)
+SELECT doc_id, n_words, word_chars, n_symbols, n_alpha_words, n_stopwords,
+       f_word_count, f_mean_len, f_symbol, f_bullet, f_ellipsis, f_alpha,
+       CASE WHEN n_stopwords >= 2 THEN 1 ELSE 0 END AS f_stopwords,
+       CASE WHEN f_word_count + f_mean_len + f_symbol + f_bullet
+                 + f_ellipsis + f_alpha
+                 + (CASE WHEN n_stopwords >= 2 THEN 1 ELSE 0 END) = 7
+            THEN 1 ELSE 0 END AS pass_gopher
+FROM flagged
+"""
+
+
+def q145_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling weights (Xie et al. 2023): hashed-
+    bigram log-likelihood ratio of the src0 target slice vs the rest
+    of the corpus, per document — the domain-targeted data-selection
+    score. The bucket LM is <= 1024 rows of integer counts (broadcast
+    model state); lr is the house integer floor-log2, so every score
+    is exact cross-engine (curation.dsir_importance). One bigram
+    explode, two aggregates, one bucket-model probe join."""
+    from ursa_major_choir_etl_spark.operators import curation
+
+    return curation.dsir_importance(T(spark, sf_dir, "documents"))
+
+
+def _oracle_q145(target_source: str = "src0", n_buckets: int = 1024) -> str:
+    return f"""
+WITH toked AS (
+  SELECT doc_id,
+         CASE WHEN source = '{target_source}' THEN 1 ELSE 0 END AS is_target,
+         regexp_extract_all(lower(text), '[a-z]+') AS t
+  FROM documents
+  WHERE len(regexp_extract_all(lower(text), '[a-z]+')) >= 2
+),
+big AS (
+  SELECT doc_id, is_target,
+         CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 4)) AS BIGINT)
+           % {n_buckets} AS bucket
+  FROM (SELECT doc_id, is_target, t, unnest(range(1, len(t))) AS i
+        FROM toked)
+),
+db AS (
+  SELECT doc_id, is_target, bucket, count(*) AS k
+  FROM big GROUP BY doc_id, is_target, bucket
+),
+bt AS (
+  SELECT bucket,
+         sum(CASE WHEN is_target = 1 THEN k ELSE 0 END) AS t_b,
+         sum(CASE WHEN is_target = 0 THEN k ELSE 0 END) AS s_b
+  FROM db GROUP BY bucket
+),
+tot AS (SELECT sum(t_b) AS tt, sum(s_b) AS ss FROM bt),
+scored AS (
+  SELECT bucket,
+         (length(bin(t_b + 1)) - 1) - (length(bin(tt + {n_buckets})) - 1)
+         - (length(bin(s_b + 1)) - 1) + (length(bin(ss + {n_buckets})) - 1)
+           AS lr_bits
+  FROM bt CROSS JOIN tot
+)
+SELECT doc_id, is_target,
+       CAST(sum(k) AS BIGINT) AS n_bigrams,
+       CAST(sum(k * lr_bits) AS BIGINT) AS sum_lr_bits,
+       round(sum(k * lr_bits) * 1.0 / sum(k), 6) AS mean_lr_bits
+FROM db JOIN scored USING (bucket)
+GROUP BY doc_id, is_target
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -6449,6 +6730,10 @@ QUERIES = {
     "q139_temperature_mixture": q139_temperature_mixture,
     "q140_zipf_slope": q140_zipf_slope,
     "q141_domain_dup_rates": q141_domain_dup_rates,
+    "q142_epoch_waterfill": q142_epoch_waterfill,
+    "q143_bigram_fluency": q143_bigram_fluency,
+    "q144_gopher_rules": q144_gopher_rules,
+    "q145_dsir_importance": q145_dsir_importance,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -6480,7 +6765,7 @@ _names = sorted(QUERIES, key=_qnum)
 _CHANGED_R8 = (
     "q20_", "q23_", "q55_", "q77_", "q108_", "q116_", "q117_", "q118_",
     "q122_", "q124_", "q128_", "q130_", "q137_", "q138_", "q139_", "q140_",
-    "q141_",
+    "q141_", "q142_", "q143_", "q144_", "q145_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -6647,4 +6932,8 @@ ORACLES: dict[str, str | None] = {
     "q139_temperature_mixture": _oracle_q139(),
     "q140_zipf_slope": _oracle_q140(),
     "q141_domain_dup_rates": _oracle_q141(),
+    "q142_epoch_waterfill": _oracle_q142(),
+    "q143_bigram_fluency": ORACLE_Q143,
+    "q144_gopher_rules": _oracle_q144(),
+    "q145_dsir_importance": _oracle_q145(),
 }

@@ -631,3 +631,110 @@ class TestDomainDuplicationReport:
         assert got["C"]["dup_ppm"] == 0
         assert got["C"]["n_pairs_within"] == 0
         assert got["C"]["n_pairs_cross"] == 0
+
+
+class TestHardNegativeMining:
+    def test_hand_computed_topk_excludes_same_label(self, spark):
+        from ursa_major_choir_etl_spark.operators.similarity import (
+            hard_negative_mining,
+        )
+
+        # Unit-ish vectors laid out so cosine order is obvious: the
+        # anchor points along +x; candidates rotate away from it.
+        rows = [
+            (0, [1.0, 0.0], "pos"),   # anchor
+            (1, [1.0, 0.1], "pos"),   # closest of all — but same label
+            (2, [1.0, 0.5], "neg"),   # closest wrong-label
+            (3, [1.0, 1.0], "neg"),
+            (4, [0.0, 1.0], "neg"),   # orthogonal
+            (5, [-1.0, 0.0], "other"),  # opposite
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label string"
+        )
+        got = (
+            hard_negative_mining(
+                emb, emb.filter(F.col("vec_id") == 0), k=3
+            )
+            .orderBy("rank")
+            .collect()
+        )
+        assert [r["neighbor_id"] for r in got] == [2, 3, 4]
+        assert all(r["query_id"] == 0 for r in got)
+        assert all(r["neighbor_label"] != "pos" for r in got)
+        assert [r["rank"] for r in got] == [1, 2, 3]
+        # cosine of (1,0)·(1,0.5)/|..| = 1/sqrt(1.25)
+        assert abs(got[0]["cosine_sim"] - 0.894427) < 1e-6
+
+    def test_ties_break_on_neighbor_id(self, spark):
+        from ursa_major_choir_etl_spark.operators.similarity import (
+            hard_negative_mining,
+        )
+
+        # Two identical wrong-label vectors: rank order must be the
+        # deterministic id ascending, matching the oracle.
+        rows = [
+            (0, [1.0, 0.0], "a"),
+            (7, [2.0, 0.0], "b"),
+            (3, [4.0, 0.0], "b"),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label string"
+        )
+        got = (
+            hard_negative_mining(
+                emb, emb.filter(F.col("vec_id") == 0), k=2
+            )
+            .orderBy("rank")
+            .collect()
+        )
+        assert [r["neighbor_id"] for r in got] == [3, 7]
+        assert [r["cosine_sim"] for r in got] == [1.0, 1.0]
+
+
+class TestContextWindowFit:
+    def test_hand_computed_truncate_vs_split(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q147_context_window_fit,
+        )
+
+        # Token counts 100, 128, 200, 5000 (whitespace tokens); one
+        # empty doc must be excluded from every scenario.
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(["w"] * 100)),
+                (2, " ".join(["w"] * 128)),
+                (3, " ".join(["w"] * 200)),
+                (4, " ".join(["w"] * 5000)),
+                (5, ""),
+            ],
+            "doc_id long, text string",
+        )
+        docs.write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet")
+        )
+        got = {
+            r["context_len"]: r
+            for r in q147_context_window_fit(spark, str(tmp_path)).collect()
+        }
+        assert set(got) == {128, 512, 2048}
+        r = got[128]
+        assert r["n_docs"] == 4 and r["n_fit"] == 2
+        assert r["tokens_total"] == 5428
+        assert r["tokens_truncated"] == (200 - 128) + (5000 - 128)
+        # chunks: 1 + 1 + 2 + 40 (ceil(5000/128)=40); pad waste:
+        # 28 + 0 + 56 + 120
+        assert r["n_chunks_split"] == 44
+        assert r["pad_waste_split"] == 44 * 128 - 5428
+        assert r["fit_ppm"] == 500_000
+        r = got[2048]
+        assert r["n_fit"] == 3
+        assert r["tokens_truncated"] == 5000 - 2048
+        assert r["n_chunks_split"] == 3 + math_ceil(5000, 2048)
+        assert r["fit_ppm"] == 750_000
+
+
+def math_ceil(a: int, b: int) -> int:
+    return -(-a // b)

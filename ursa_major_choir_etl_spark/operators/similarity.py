@@ -1138,3 +1138,69 @@ def embedding_drift_ab(
             .alias("l2sq_shift_micro"),
         )
     )
+
+
+def hard_negative_mining(
+    emb: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor vector, the
+    top-``k`` most-cosine-similar corpus vectors carrying a DIFFERENT
+    label — the standard "closest wrong answers" batch construction
+    for embedding-model / reranker training (harder negatives, better
+    contrastive gradient).
+
+    Scale shape: the anchor batch is broadcast (a training batch is
+    small by definition) against one corpus scan — same layout as
+    :func:`cosine_topk` — but the per-anchor selection runs through
+    the salted two-phase bounded top-N instead of a raw window, so no
+    single task ever sorts a corpus-sized partition: phase 1 keeps a
+    per-salt top-k superset, phase 2 re-ranks <= k * n_salts rows per
+    anchor. Label inequality is applied in the join condition, so
+    same-label pairs never materialize.
+
+    Output: (query_id, anchor_label, neighbor_id, neighbor_label,
+    cosine_sim, rank) — cosine rounded 6dp for display, ranking on
+    the raw double (identical IEEE fold order cross-engine).
+    """
+    from ursa_major_choir_etl_spark.operators.curation import (
+        bounded_topn_per_key,
+    )
+
+    a = anchors.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    scored = c.join(
+        F.broadcast(a), F.col("anchor_label") != F.col("neighbor_label")
+    ).select(
+        "query_id",
+        "anchor_label",
+        "neighbor_id",
+        "neighbor_label",
+        cosine(F.col("_qv"), F.col("_cv")).alias("_cs"),
+    )
+    return bounded_topn_per_key(
+        scored,
+        ["query_id"],
+        [F.col("_cs").desc(), F.col("neighbor_id").asc()],
+        cap=k,
+        salt_on=F.col("neighbor_id"),
+    ).select(
+        "query_id",
+        "anchor_label",
+        "neighbor_id",
+        "neighbor_label",
+        F.round("_cs", 6).alias("cosine_sim"),
+        "rank",
+    )

@@ -124,6 +124,8 @@ Operator coverage map (SURVEY §2 ids -> query):
   bigram LM fluency buckets ........ q143 (CCNet-style, integer ppm)
   Gopher rule-suite gate ........... q144 (7 integer-exact flags)
   DSIR importance weights .......... q145 (hashed-bigram LLR, int log2)
+  hard-negative mining ............. q146 (contrastive batch construction)
+  context-window fit report ........ q147 (truncate-vs-split planning)
 """
 
 from __future__ import annotations
@@ -6588,6 +6590,107 @@ GROUP BY doc_id, is_target
 """
 
 
+def q146_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor vector
+    (vec_id % 40 == 0), the top-5 most-cosine-similar vectors with a
+    DIFFERENT label (similarity.hard_negative_mining) — the "closest
+    wrong answers" batch for embedding-model training. Anchor batch
+    broadcast against one corpus scan; per-anchor selection via the
+    salted bounded top-N, never a corpus-sized window partition."""
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.hard_negative_mining(
+        emb, emb.filter(F.col("vec_id") % 40 == 0), k=5
+    )
+
+
+ORACLE_Q146 = """
+WITH a AS (
+  SELECT vec_id AS query_id, label AS anchor_label, embedding AS qv
+  FROM embeddings WHERE vec_id % 40 = 0
+),
+scored AS (
+  SELECT a.query_id, a.anchor_label, e.vec_id AS neighbor_id,
+         e.label AS neighbor_label,
+         list_dot_product(qv::DOUBLE[], e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]))) AS cs
+  FROM a JOIN embeddings e ON e.label <> a.anchor_label
+),
+ranked AS (
+  SELECT query_id, anchor_label, neighbor_id, neighbor_label, cs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cs DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, anchor_label, neighbor_id, neighbor_label,
+       round(cs, 6) AS cosine_sim, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q147_context_window_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window planning report: for each candidate training
+    sequence length (128 / 512 / 2048 tokens), what the corpus costs
+    under the two standard layouts — truncate-to-fit (tokens lost)
+    vs split-into-chunks (pad waste in the final chunk). One corpus
+    scan computes per-doc token counts; a 3-element literal explode
+    fans each doc into the three scenarios; one aggregate — all
+    integers, no floats anywhere but none needed."""
+    docs = T(spark, sf_dir, "documents")
+    per_doc = docs.select(text.token_count("text").alias("_t")).filter(
+        F.col("_t") > 0
+    )
+    fanned = per_doc.select(
+        F.col("_t"),
+        F.explode(F.array(F.lit(128), F.lit(512), F.lit(2048))).alias(
+            "context_len"
+        ),
+    )
+    c = F.col("context_len").cast("bigint")
+    t = F.col("_t").cast("bigint")
+    chunks = F.ceil(t / c).cast("bigint")
+    return (
+        fanned.groupBy("context_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(t <= c, 1).otherwise(0)).alias("n_fit"),
+            F.sum(t).alias("tokens_total"),
+            F.sum(F.greatest(t - c, F.lit(0))).alias("tokens_truncated"),
+            F.sum(chunks).alias("n_chunks_split"),
+            F.sum(chunks * c - t).alias("pad_waste_split"),
+        )
+        .withColumn(
+            "fit_ppm",
+            F.expr("n_fit * 1000000L DIV n_docs"),
+        )
+    )
+
+
+ORACLE_Q147 = f"""
+WITH per_doc AS (
+  SELECT {osql.token_count_sql('text')} AS t FROM documents
+  WHERE {osql.token_count_sql('text')} > 0
+),
+fanned AS (
+  SELECT t, unnest([128, 512, 2048]) AS context_len FROM per_doc
+)
+SELECT context_len,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN t <= context_len THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fit,
+       CAST(sum(t) AS BIGINT) AS tokens_total,
+       CAST(sum(greatest(t - context_len, 0)) AS BIGINT) AS tokens_truncated,
+       CAST(sum(CAST(ceil(t * 1.0 / context_len) AS BIGINT)) AS BIGINT)
+         AS n_chunks_split,
+       CAST(sum(CAST(ceil(t * 1.0 / context_len) AS BIGINT) * context_len - t)
+            AS BIGINT) AS pad_waste_split,
+       CAST(sum(CASE WHEN t <= context_len THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS fit_ppm
+FROM fanned GROUP BY context_len
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -6734,6 +6837,8 @@ QUERIES = {
     "q143_bigram_fluency": q143_bigram_fluency,
     "q144_gopher_rules": q144_gopher_rules,
     "q145_dsir_importance": q145_dsir_importance,
+    "q146_hard_negatives": q146_hard_negatives,
+    "q147_context_window_fit": q147_context_window_fit,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -6765,7 +6870,7 @@ _names = sorted(QUERIES, key=_qnum)
 _CHANGED_R8 = (
     "q20_", "q23_", "q55_", "q77_", "q108_", "q116_", "q117_", "q118_",
     "q122_", "q124_", "q128_", "q130_", "q137_", "q138_", "q139_", "q140_",
-    "q141_", "q142_", "q143_", "q144_", "q145_",
+    "q141_", "q142_", "q143_", "q144_", "q145_", "q146_", "q147_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -6936,4 +7041,6 @@ ORACLES: dict[str, str | None] = {
     "q143_bigram_fluency": ORACLE_Q143,
     "q144_gopher_rules": _oracle_q144(),
     "q145_dsir_importance": _oracle_q145(),
+    "q146_hard_negatives": ORACLE_Q146,
+    "q147_context_window_fit": ORACLE_Q147,
 }

@@ -738,3 +738,75 @@ class TestContextWindowFit:
 
 def math_ceil(a: int, b: int) -> int:
     return -(-a // b)
+
+
+class TestSnapshotDelta:
+    def test_hand_computed_classification(self, spark):
+        from ursa_major_choir_etl_spark.operators.quality import (
+            snapshot_delta_report,
+        )
+
+        schema = "doc_id long, source string, fp string, tokens long"
+        prev = spark.createDataFrame(
+            [(1, "s", "f1", 10), (2, "s", "f2", 20), (3, "s", "f3", 30),
+             (5, "t", "f5", 7)],
+            schema,
+        )
+        curr = spark.createDataFrame(
+            [(2, "s", "f2", 20), (3, "s", "f3x", 35), (4, "s", "f4", 40)],
+            schema,
+        )
+        got = {
+            r["source"]: r
+            for r in snapshot_delta_report(prev, curr).collect()
+        }
+        s = got["s"]
+        assert (s["n_added"], s["n_removed"], s["n_modified"],
+                s["n_unchanged"]) == (1, 1, 1, 1)
+        assert s["tokens_added"] == 40 and s["tokens_removed"] == 10
+        assert s["token_delta"] == (20 + 35 + 40) - (10 + 20 + 30)
+        assert s["churn_ppm"] == 750_000
+        # removed-only group must survive the coalesce and report fully
+        t = got["t"]
+        assert (t["n_added"], t["n_removed"]) == (0, 1)
+        assert t["token_delta"] == -7 and t["churn_ppm"] == 1_000_000
+
+
+class TestPmiCollocations:
+    def test_hand_computed_bits_and_ties(self, spark):
+        from ursa_major_choir_etl_spark.operators.text import (
+            pmi_collocations,
+        )
+
+        # "x y x y x y": c(x,y)=3, c(y,x)=2, n=5; both pairs score
+        # pmi_bits = 1; the tie breaks on pair count.
+        docs = spark.createDataFrame(
+            [(1, "x y x y x y", "g")], "doc_id long, text string, source string"
+        )
+        got = (
+            pmi_collocations(docs, min_count=2, k=5)
+            .orderBy("rank")
+            .collect()
+        )
+        assert [(r["w1"], r["w2"], r["pair_count"], r["pmi_bits"], r["rank"])
+                for r in got] == [("x", "y", 3, 1, 1), ("y", "x", 2, 1, 2)]
+
+    def test_collocated_pair_beats_frequent_independent_pair(self, spark):
+        from ursa_major_choir_etl_spark.operators.text import (
+            pmi_collocations,
+        )
+
+        # "new york" always adjacent; "the" pairs are everywhere, so
+        # their marginals crush the PMI despite higher raw counts.
+        rows = [(i, "the a the b the c new york", "g") for i in range(8)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        got = pmi_collocations(docs, min_count=2, k=10).collect()
+        by_pair = {(r["w1"], r["w2"]): r for r in got}
+        # "c new" is also always-adjacent in this text, so it ties.
+        assert by_pair[("new", "york")]["pmi_bits"] == 2
+        assert by_pair[("new", "york")]["rank"] <= 2
+        assert all(
+            r["pmi_bits"] == 1 for r in got if "the" in (r["w1"], r["w2"])
+        )

@@ -364,3 +364,82 @@ def card_batch_row(
         F.hll_sketch_agg("_lang", F.lit(lgk)).alias("langs_hll"),
         F.hll_sketch_agg("_fp", F.lit(lgk)).alias("fp_hll"),
     )
+
+
+def snapshot_delta_report(
+    prev: DataFrame,
+    curr: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    fp_col: str = "fp",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Corpus snapshot diff: per group, how version ``curr`` differs
+    from version ``prev`` — the audit a training-data team publishes
+    with every corpus release (what changed since the snapshot the
+    last model was trained on).
+
+    Inputs are two per-doc frames (id, group, content fingerprint,
+    token count). Classification per id: in curr only -> added; in
+    prev only -> removed; in both with differing fingerprints ->
+    modified; else unchanged. The report aggregates counts, token
+    flows (tokens_added from curr's side, tokens_removed from prev's
+    side, net token_delta), and churn_ppm = docs touched per million
+    docs in the union.
+
+    Scale shape: ONE sort-merge full-outer join on the id — the only
+    data-sized shuffle; both sides arrive hash-partitioned on the
+    same key so no replan is needed — followed by a group-cardinality
+    aggregate. No windows, no collects. churn_ppm routes through
+    DECIMAL(38,0) so 100 TB token counts cannot overflow the ppm
+    multiply.
+    """
+    p = prev.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_pg"),
+        F.col(fp_col).alias("_pfp"),
+        F.col(tokens_col).cast("bigint").alias("_pt"),
+    )
+    c = curr.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_cg"),
+        F.col(fp_col).alias("_cfp"),
+        F.col(tokens_col).cast("bigint").alias("_ct"),
+    )
+    added = F.col("_pfp").isNull()
+    removed = F.col("_cfp").isNull()
+    modified = ~added & ~removed & (F.col("_pfp") != F.col("_cfp"))
+    unchanged = ~added & ~removed & (F.col("_pfp") == F.col("_cfp"))
+    return (
+        p.join(c, "_id", "full_outer")
+        .select(
+            F.coalesce("_cg", "_pg").alias(group_col),
+            added.cast("bigint").alias("_a"),
+            removed.cast("bigint").alias("_r"),
+            modified.cast("bigint").alias("_m"),
+            unchanged.cast("bigint").alias("_u"),
+            F.when(added, F.col("_ct")).otherwise(F.lit(0)).alias("_ta"),
+            F.when(removed, F.col("_pt")).otherwise(F.lit(0)).alias("_tr"),
+            (F.coalesce("_ct", F.lit(0)) - F.coalesce("_pt", F.lit(0))).alias(
+                "_td"
+            ),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.sum("_a").alias("n_added"),
+            F.sum("_r").alias("n_removed"),
+            F.sum("_m").alias("n_modified"),
+            F.sum("_u").alias("n_unchanged"),
+            F.sum("_ta").alias("tokens_added"),
+            F.sum("_tr").alias("tokens_removed"),
+            F.sum("_td").alias("token_delta"),
+        )
+        .withColumn(
+            "churn_ppm",
+            F.expr(
+                "CAST(CAST(n_added + n_removed + n_modified AS DECIMAL(38,0))"
+                " * 1000000 DIV (n_added + n_removed + n_modified"
+                " + n_unchanged) AS BIGINT)"
+            ),
+        )
+    )

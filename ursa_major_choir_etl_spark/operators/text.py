@@ -875,3 +875,104 @@ def gopher_quality_flags(
         cond = F.col(name) == 1
         all_pass = cond if all_pass is None else (all_pass & cond)
     return out.withColumn("pass_gopher", all_pass.cast("int"))
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Collocation mining: the top-``k`` adjacent word pairs per group
+    ranked by pointwise mutual information — the phrases ("new york",
+    "machine learning") a tokenizer team promotes to vocabulary units
+    and a quality team watches for template floods (boilerplate pairs
+    post enormous counts but near-zero PMI).
+
+    PMI is scored in integer BITS with the house integer-log2
+    (L(x) = length(bin(x)) - 1, as q115/q145):
+
+        pmi_bits = L(c_ab) + L(n) - L(c_a) - L(c_b)
+
+    — every term exact cross-engine, no libm. c_a/c_b are the left/
+    right positional marginals of the bigram table and n its total,
+    so the whole statistic derives from ONE bigram count; ties break
+    on (pair count desc, words asc).
+
+    Scale shape: one bigram explode + count keyed (group, w1, w2) is
+    the only corpus-sized shuffle; marginals and totals aggregate the
+    (much smaller) distinct-bigram table; the final selection runs
+    through the salted bounded top-N, so a group's candidate set
+    never lands in one task. min_count prunes the hapax tail before
+    any join fan-out.
+    """
+    from ursa_major_choir_etl_spark.caching import stage
+    from ursa_major_choir_etl_spark.operators.curation import (
+        bounded_topn_per_key,
+    )
+
+    toked = df.select(
+        F.col(group_col).alias("grp"),
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)").alias(
+            "_t"
+        ),
+    ).filter(F.size("_t") >= 2)
+    pairs = stage(
+        toked.select(
+            "grp",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - 2),
+                    lambda i: F.struct(
+                        F.element_at("_t", (i + 1).cast("int")).alias("w1"),
+                        F.element_at("_t", (i + 2).cast("int")).alias("w2"),
+                    ),
+                )
+            ).alias("_p"),
+        )
+        .select("grp", "_p.w1", "_p.w2")
+        .groupBy("grp", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    left = pairs.groupBy("grp", "w1").agg(F.sum("c_ab").alias("c_a"))
+    right = pairs.groupBy("grp", "w2").agg(F.sum("c_ab").alias("c_b"))
+    tot = pairs.groupBy("grp").agg(F.sum("c_ab").alias("n"))
+    ilog2 = lambda c: F.length(F.bin(c)) - 1  # noqa: E731
+    scored = (
+        pairs.filter(F.col("c_ab") >= min_count)
+        .join(left, ["grp", "w1"])
+        .join(right, ["grp", "w2"])
+        .join(tot, "grp")
+        .select(
+            "grp",
+            "w1",
+            "w2",
+            F.col("c_ab").alias("pair_count"),
+            (
+                ilog2(F.col("c_ab"))
+                + ilog2(F.col("n"))
+                - ilog2(F.col("c_a"))
+                - ilog2(F.col("c_b"))
+            ).alias("pmi_bits"),
+        )
+    )
+    return bounded_topn_per_key(
+        scored,
+        ["grp"],
+        [
+            F.col("pmi_bits").desc(),
+            F.col("pair_count").desc(),
+            F.col("w1").asc(),
+            F.col("w2").asc(),
+        ],
+        cap=k,
+        salt_on=F.concat_ws(" ", "w1", "w2"),
+    ).select(
+        F.col("grp").alias(group_col),
+        "w1",
+        "w2",
+        "pair_count",
+        "pmi_bits",
+        "rank",
+    )

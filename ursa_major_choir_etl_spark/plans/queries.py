@@ -126,6 +126,8 @@ Operator coverage map (SURVEY §2 ids -> query):
   DSIR importance weights .......... q145 (hashed-bigram LLR, int log2)
   hard-negative mining ............. q146 (contrastive batch construction)
   context-window fit report ........ q147 (truncate-vs-split planning)
+  corpus snapshot delta ............ q148 (release diff audit)
+  PMI collocation mining ........... q149 (integer-bit PMI top-k)
 """
 
 from __future__ import annotations
@@ -138,6 +140,7 @@ from pyspark.sql import functions as F
 from ursa_major_choir_etl_spark.operators import (
     dedup,
     events,
+    quality,
     similarity,
     sketches,
     text,
@@ -6691,6 +6694,118 @@ FROM fanned GROUP BY context_len
 """
 
 
+def q148_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (quality.snapshot_delta_report): what the
+    current corpus release changed vs the previous one, per source —
+    added/removed/modified/unchanged doc counts, token flows, and
+    churn_ppm. The two versions are derived deterministically from the
+    documents table (prev drops doc_id % 7 == 0 and carries an 'OLD '
+    prefix on doc_id % 11 == 0; curr drops doc_id % 13 == 0), so both
+    engines diff identical snapshots. One full-outer join on doc_id is
+    the only data-sized shuffle."""
+    docs = T(spark, sf_dir, "documents")
+
+    def prep(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("fp"),
+            text.token_count("text").alias("tokens"),
+        )
+
+    curr = docs.filter(F.col("doc_id") % 13 != 0)
+    prev = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.lit("OLD "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    return quality.snapshot_delta_report(prep(prev), prep(curr))
+
+
+def _oracle_q148() -> str:
+    prev_text = "CASE WHEN doc_id % 11 = 0 THEN 'OLD ' || text ELSE text END"
+    return f"""
+WITH prev AS (
+  SELECT doc_id, source, md5({prev_text}) AS fp,
+         {osql.token_count_sql(f"({prev_text})")} AS tokens
+  FROM documents WHERE doc_id % 7 <> 0
+),
+curr AS (
+  SELECT doc_id, source, md5(text) AS fp,
+         {osql.token_count_sql('text')} AS tokens
+  FROM documents WHERE doc_id % 13 <> 0
+),
+j AS (
+  SELECT coalesce(c.source, p.source) AS source,
+         CASE WHEN p.fp IS NULL THEN 'a' WHEN c.fp IS NULL THEN 'r'
+              WHEN p.fp <> c.fp THEN 'm' ELSE 'u' END AS st,
+         coalesce(p.tokens, 0) AS pt, coalesce(c.tokens, 0) AS ct
+  FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id
+)
+SELECT source,
+       CAST(sum(CASE WHEN st = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(sum(CASE WHEN st = 'r' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN st = 'm' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_modified,
+       CAST(sum(CASE WHEN st = 'u' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unchanged,
+       CAST(sum(CASE WHEN st = 'a' THEN ct ELSE 0 END) AS BIGINT)
+         AS tokens_added,
+       CAST(sum(CASE WHEN st = 'r' THEN pt ELSE 0 END) AS BIGINT)
+         AS tokens_removed,
+       CAST(sum(ct - pt) AS BIGINT) AS token_delta,
+       CAST(sum(CASE WHEN st <> 'u' THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS churn_ppm
+FROM j GROUP BY source
+"""
+
+
+def q149_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (text.pmi_collocations): top-20 adjacent
+    word pairs per source by pointwise mutual information in integer
+    BITS (house floor-log2 — exact cross-engine, no libm), ties on
+    pair count then words. One bigram count is the only corpus-sized
+    shuffle; marginals derive from the distinct-bigram table; the
+    selection runs the salted bounded top-N."""
+    return text.pmi_collocations(
+        T(spark, sf_dir, "documents"), min_count=5, k=20
+    )
+
+
+ORACLE_Q149 = """
+WITH toked AS (
+  SELECT source AS grp, regexp_extract_all(lower(text), '[a-z]+') AS t
+  FROM documents WHERE len(regexp_extract_all(lower(text), '[a-z]+')) >= 2
+),
+bg AS (
+  SELECT grp, t[i] AS w1, t[i+1] AS w2
+  FROM (SELECT grp, t, unnest(range(1, len(t))) AS i FROM toked)
+),
+pairs AS (SELECT grp, w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2, 3),
+l AS (SELECT grp, w1, CAST(sum(c_ab) AS BIGINT) AS c_a
+      FROM pairs GROUP BY 1, 2),
+r AS (SELECT grp, w2, CAST(sum(c_ab) AS BIGINT) AS c_b
+      FROM pairs GROUP BY 1, 2),
+tot AS (SELECT grp, CAST(sum(c_ab) AS BIGINT) AS n FROM pairs GROUP BY 1),
+scored AS (
+  SELECT p.grp, p.w1, p.w2, p.c_ab AS pair_count,
+         (length(bin(p.c_ab)) - 1) + (length(bin(n)) - 1)
+         - (length(bin(c_a)) - 1) - (length(bin(c_b)) - 1) AS pmi_bits
+  FROM pairs p
+  JOIN l USING (grp, w1) JOIN r USING (grp, w2) JOIN tot USING (grp)
+  WHERE p.c_ab >= 5
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY grp
+             ORDER BY pmi_bits DESC, pair_count DESC, w1, w2) AS rank
+  FROM scored
+)
+SELECT grp AS source, w1, w2, pair_count, pmi_bits, rank
+FROM ranked WHERE rank <= 20
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -6839,6 +6954,8 @@ QUERIES = {
     "q145_dsir_importance": q145_dsir_importance,
     "q146_hard_negatives": q146_hard_negatives,
     "q147_context_window_fit": q147_context_window_fit,
+    "q148_snapshot_delta": q148_snapshot_delta,
+    "q149_pmi_collocations": q149_pmi_collocations,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -6871,6 +6988,7 @@ _CHANGED_R8 = (
     "q20_", "q23_", "q55_", "q77_", "q108_", "q116_", "q117_", "q118_",
     "q122_", "q124_", "q128_", "q130_", "q137_", "q138_", "q139_", "q140_",
     "q141_", "q142_", "q143_", "q144_", "q145_", "q146_", "q147_",
+    "q148_", "q149_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -7043,4 +7161,6 @@ ORACLES: dict[str, str | None] = {
     "q145_dsir_importance": _oracle_q145(),
     "q146_hard_negatives": ORACLE_Q146,
     "q147_context_window_fit": ORACLE_Q147,
+    "q148_snapshot_delta": _oracle_q148(),
+    "q149_pmi_collocations": ORACLE_Q149,
 }

@@ -810,3 +810,82 @@ class TestPmiCollocations:
         assert all(
             r["pmi_bits"] == 1 for r in got if "the" in (r["w1"], r["w2"])
         )
+
+
+class TestRankAgreement:
+    def _run(self, spark, rows):
+        from ursa_major_choir_etl_spark.operators.quality import (
+            rank_agreement_report,
+        )
+
+        df = spark.createDataFrame(rows, "source string, x long, y long")
+        return {
+            r["source"]: r for r in rank_agreement_report(df, "x", "y").collect()
+        }
+
+    def test_perfect_and_inverse_and_constant(self, spark):
+        rows = (
+            [("up", i, 10 * i) for i in range(1, 6)]
+            + [("down", i, -i) for i in range(1, 6)]
+            + [("flat", i, 7) for i in range(1, 6)]
+        )
+        got = self._run(spark, rows)
+        assert got["up"]["rho_ppm"] == 1_000_000
+        assert got["down"]["rho_ppm"] == -1_000_000
+        assert got["flat"]["rho_ppm"] is None and got["flat"]["n"] == 5
+
+    def test_ties_use_average_ranks(self, spark):
+        # x=[1,2,2,3] vs y=[4,3,3,1]: average ranks mirror each other
+        # exactly, so tie-aware Spearman is -1. The naive 6*sum(d^2)
+        # shortcut would NOT give -1 here — this pins the Pearson-on-
+        # ranks formula.
+        rows = [("g", 1, 4), ("g", 2, 3), ("g", 2, 3), ("g", 3, 1)]
+        got = self._run(spark, rows)
+        assert got["g"]["rho_ppm"] == -1_000_000
+
+        # Hand-computed non-degenerate tied case, python mirror:
+        # x=[1,1,2,3], y=[1,2,3,4] -> dr_x=[3-5,3-5,...] etc.
+        rows2 = [("h", 1, 1), ("h", 1, 2), ("h", 2, 3), ("h", 3, 4)]
+        got2 = self._run(spark, rows2)
+        # avg ranks: x=[1.5,1.5,3,4] y=[1,2,3,4]; pearson r =
+        # cov/sd = 0.948683...
+        assert got2["h"]["rho_ppm"] == 948_683
+
+
+class TestTurnBudgetAssembly:
+    def test_suffix_truncation_hand_computed(self, spark):
+        import datetime as dt
+
+        from ursa_major_choir_etl_spark.operators.events import (
+            turn_budget_assembly,
+        )
+
+        t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+        rows = [
+            # session 1: three turns, each cost pieces("m x")+4 = 6
+            (1, t0, 1, "m", "x"),
+            (1, t0 + dt.timedelta(minutes=1), 2, "m", "x"),
+            (1, t0 + dt.timedelta(minutes=2), 3, "m", "x"),
+            # 2h gap -> session 2, one turn
+            (1, t0 + dt.timedelta(hours=2), 4, "m", "x"),
+            # null props turn costs pieces("m")+4 = 5
+            (2, t0, 5, "m", None),
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "user_id long, ts timestamp, event_id long, "
+            "event_type string, props string",
+        )
+        got = {
+            (r["user_id"], r["session_id"]): r
+            for r in turn_budget_assembly(ev, budget_tokens=13).collect()
+        }
+        s1 = got[(1, 1)]
+        # newest-first cumsum: 6, 12, 18 -> keep 2 of 3
+        assert (s1["n_turns"], s1["n_kept"]) == (3, 2)
+        assert (s1["tokens_total"], s1["tokens_kept"]) == (18, 12)
+        assert s1["truncated"] == 1
+        s2 = got[(1, 2)]
+        assert (s2["n_turns"], s2["n_kept"], s2["truncated"]) == (1, 1, 0)
+        s3 = got[(2, 1)]
+        assert s3["tokens_total"] == 5 and s3["truncated"] == 0

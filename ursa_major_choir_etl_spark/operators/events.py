@@ -169,3 +169,91 @@ def asof_prior_event(
         "prior_event_id",
         F.col("prior_ts").cast("string").alias("prior_ts"),
     )
+
+
+def turn_budget_assembly(
+    events: DataFrame,
+    budget_tokens: int = 128,
+    gap_minutes: int = 30,
+    overhead_tokens: int = 4,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    payload_col: str = "props",
+) -> DataFrame:
+    """Chat-context assembly under a token budget: sessionize an
+    event stream into conversations (same gap rule as
+    :func:`sessionize`) and, per conversation, keep the longest
+    SUFFIX of turns that fits ``budget_tokens`` — the drop-oldest
+    truncation every chat-format SFT/serving pipeline applies before
+    rendering a context window.
+
+    A turn costs pieces(type + ' ' + payload) + ``overhead_tokens``
+    (the template's role/markup tokens) — the house BPE-ish piece
+    count, one regex pass, no tokenizer library. Costs are positive,
+    so the newest-first running sum is monotone and "kept" is exactly
+    "reverse-cumulative cost <= budget".
+
+    Scale shape: three windows, every one partitioned by user (state
+    never leaves the user partition, the streaming-parity layout):
+    lag for session starts, a forward running sum for session ids,
+    a newest-first running sum for the suffix rule; then one
+    (user, session)-grain aggregate. Ordering ties break on the
+    event id, so both engines walk identical sequences.
+
+    Output per conversation: (user_id, session_id, n_turns, n_kept,
+    tokens_total, tokens_kept, truncated).
+    """
+    from ursa_major_choir_etl_spark.functions.columns import (
+        cast_ntz_to_timestamp,
+    )
+    from ursa_major_choir_etl_spark.operators.text import (
+        bpe_ish_piece_count,
+    )
+
+    events = cast_ntz_to_timestamp(events, [ts_col])
+    cost = (
+        bpe_ish_piece_count(
+            F.concat_ws(
+                " ", F.col(type_col), F.coalesce(payload_col, F.lit(""))
+            )
+        ).cast("bigint")
+        + overhead_tokens
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    fwd = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap_us = gap_minutes * 60 * 1_000_000
+    new_session = F.when(
+        (us - F.lag(us).over(fwd)).isNull()
+        | ((us - F.lag(us).over(fwd)) > gap_us),
+        1,
+    ).otherwise(0)
+    turns = events.select(
+        F.col(user_col), F.col(ts_col), F.col(id_col), cost.alias("_cost")
+    ).withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            fwd.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    rev = (
+        Window.partitionBy(user_col, "session_id")
+        .orderBy(F.col(ts_col).desc(), F.col(id_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = turns.withColumn(
+        "_kept", (F.sum("_cost").over(rev) <= budget_tokens).cast("bigint")
+    )
+    return (
+        flagged.groupBy(user_col, "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum("_kept").alias("n_kept"),
+            F.sum("_cost").alias("tokens_total"),
+            F.sum(F.col("_kept") * F.col("_cost")).alias("tokens_kept"),
+            (F.count(F.lit(1)) > F.sum("_kept"))
+            .cast("bigint")
+            .alias("truncated"),
+        )
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from itertools import chain
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ursa_major_choir_etl_spark.functions.columns import parse_decimal_comma
@@ -442,4 +442,77 @@ def snapshot_delta_report(
                 " + n_unchanged) AS BIGINT)"
             ),
         )
+    )
+
+
+def rank_agreement_report(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str = "source",
+) -> DataFrame:
+    """Exact Spearman rank correlation between two bounded-integer
+    signals, per group — the calibration check a curation team runs
+    before trusting one quality signal as a proxy for another (e.g.
+    does doc length actually rank like lexical diversity?).
+
+    Ties use the statistically correct AVERAGE ranks (Pearson on
+    ranks), kept exact by working in integer "double-ranks"
+    (2 * avg_rank) and centering by the group size: for a value v
+    with histogram count c and cumulative count cum, every row of v
+    carries dx = 2*cum - c - n, an integer. Centered products then
+    bound by n^2, so DECIMAL(38,0) sums survive 1e12-row groups —
+    the n*Sxy - Sx*Sy textbook form would overflow 38 digits there.
+
+    Scale shape: ranks come from the per-group VALUE HISTOGRAM
+    (groupBy count), so the only windows run over histogram rows —
+    bounded by the signal's domain, never corpus-sized — and per-doc
+    ranks arrive via two probe joins on (group, value). One final
+    group-cardinality aggregate; the single float op is the IEEE
+    sqrt in rho.
+
+    Output: (group, n, rho_ppm) — rho in parts-per-million, NULL when
+    either signal is constant within the group.
+    """
+    sig = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+
+    def centered(col: str, out: str) -> DataFrame:
+        h = sig.groupBy("grp", col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = (
+            Window.partitionBy("grp")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        hc = h.withColumn("cum", F.sum("cnt").over(w))
+        n = h.groupBy("grp").agg(F.sum("cnt").alias("n"))
+        return hc.join(n, "grp").select(
+            "grp",
+            F.col(col),
+            (2 * F.col("cum") - F.col("cnt") - F.col("n")).alias(out),
+        )
+    joined = sig.join(centered("x", "dx"), ["grp", "x"]).join(
+        centered("y", "dy"), ["grp", "y"]
+    )
+    d38 = "DECIMAL(38,0)"
+    agg = joined.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(f"CAST(dx AS {d38}) * dx")).alias("_sxx"),
+        F.sum(F.expr(f"CAST(dy AS {d38}) * dy")).alias("_syy"),
+        F.sum(F.expr(f"CAST(dx AS {d38}) * dy")).alias("_sxy"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.when(
+            (F.col("_sxx") > 0) & (F.col("_syy") > 0),
+            F.expr(
+                "CAST(round(CAST(_sxy AS DOUBLE) * 1000000.0"
+                " / (sqrt(CAST(_sxx AS DOUBLE)) * sqrt(CAST(_syy AS DOUBLE))))"
+                " AS BIGINT)"
+            ),
+        ).alias("rho_ppm"),
     )

@@ -128,6 +128,8 @@ Operator coverage map (SURVEY §2 ids -> query):
   context-window fit report ........ q147 (truncate-vs-split planning)
   corpus snapshot delta ............ q148 (release diff audit)
   PMI collocation mining ........... q149 (integer-bit PMI top-k)
+  signal rank agreement ............ q150 (exact tie-aware Spearman)
+  chat turn-budget assembly ........ q151 (drop-oldest suffix fit)
 """
 
 from __future__ import annotations
@@ -6806,6 +6808,126 @@ FROM ranked WHERE rank <= 20
 """
 
 
+def q150_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal-calibration report (quality.rank_agreement_report):
+    exact tie-aware Spearman rho between doc length (alpha tokens)
+    and lexical diversity (distinct alpha tokens), per source, in
+    integer ppm. Ranks come from per-group VALUE HISTOGRAMS (windows
+    over histogram rows, never corpus-sized partitions); centered
+    integer double-ranks keep every sum exact in DECIMAL(38,0); the
+    only float op is the final IEEE sqrt."""
+    docs = T(spark, sf_dir, "documents")
+    toked = docs.select(
+        "source",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("_t"),
+    ).filter(F.size("_t") > 0)
+    sig = toked.select(
+        "source",
+        F.size("_t").alias("x"),
+        F.size(F.array_distinct("_t")).alias("y"),
+    )
+    return quality.rank_agreement_report(sig, "x", "y", "source")
+
+
+ORACLE_Q150 = """
+WITH sig AS (
+  SELECT grp, CAST(len(t) AS BIGINT) AS x,
+         CAST(len(list_distinct(t)) AS BIGINT) AS y
+  FROM (SELECT source AS grp,
+               regexp_extract_all(lower(text), '[a-z]+') AS t
+        FROM documents)
+  WHERE len(t) > 0
+),
+hx AS (SELECT grp, x, count(*) AS cnt FROM sig GROUP BY 1, 2),
+nx AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM hx GROUP BY 1),
+dxs AS (
+  SELECT grp, x,
+         2 * CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY x) AS BIGINT)
+         - cnt - n AS dx
+  FROM hx JOIN nx USING (grp)
+),
+hy AS (SELECT grp, y, count(*) AS cnt FROM sig GROUP BY 1, 2),
+ny AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM hy GROUP BY 1),
+dys AS (
+  SELECT grp, y,
+         2 * CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY y) AS BIGINT)
+         - cnt - n AS dy
+  FROM hy JOIN ny USING (grp)
+),
+j AS (
+  SELECT s.grp, dx, dy
+  FROM sig s JOIN dxs USING (grp, x) JOIN dys USING (grp, y)
+),
+a AS (
+  SELECT grp, count(*) AS n,
+         sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+         sum(CAST(dy AS HUGEINT) * dy) AS syy,
+         sum(CAST(dx AS HUGEINT) * dy) AS sxy
+  FROM j GROUP BY grp
+)
+SELECT grp AS source, n,
+       CASE WHEN sxx > 0 AND syy > 0 THEN
+         CAST(round(CAST(sxy AS DOUBLE) * 1000000.0
+              / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))))
+           AS BIGINT)
+       END AS rho_ppm
+FROM a
+"""
+
+
+def q151_turn_budget_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-context assembly (events.turn_budget_assembly): sessionize
+    the event stream into conversations and keep each conversation's
+    longest SUFFIX of turns fitting a 128-token budget — the
+    drop-oldest truncation every chat-format SFT pipeline applies.
+    Three user-partitioned windows (session lag, session-id running
+    sum, newest-first cost sum) + one session-grain aggregate."""
+    return events.turn_budget_assembly(
+        T(spark, sf_dir, "events"), budget_tokens=128
+    )
+
+
+def _oracle_q151(budget: int = 128, gap_us: int = 1_800_000_000) -> str:
+    cost = (
+        osql.pieces_sql("(coalesce(event_type, '') || ' ' "
+                        "|| coalesce(props, ''))")
+        + " + 4"
+    )
+    return f"""
+WITH t AS (
+  SELECT user_id, ts, event_id, CAST({cost} AS BIGINT) AS cost
+  FROM events
+),
+lagged AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+            THEN 1 ELSE 0 END AS ns
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS session_id
+  FROM lagged
+),
+flg AS (
+  SELECT *, CASE WHEN sum(cost) OVER (
+                   PARTITION BY user_id, session_id
+                   ORDER BY ts DESC, event_id DESC
+                   ROWS UNBOUNDED PRECEDING) <= {budget}
+            THEN 1 ELSE 0 END AS kept
+  FROM sess
+)
+SELECT user_id, session_id, count(*) AS n_turns,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       CAST(sum(cost) AS BIGINT) AS tokens_total,
+       CAST(sum(kept * cost) AS BIGINT) AS tokens_kept,
+       CAST(CASE WHEN count(*) > sum(kept) THEN 1 ELSE 0 END AS BIGINT)
+         AS truncated
+FROM flg GROUP BY user_id, session_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -6956,6 +7078,8 @@ QUERIES = {
     "q147_context_window_fit": q147_context_window_fit,
     "q148_snapshot_delta": q148_snapshot_delta,
     "q149_pmi_collocations": q149_pmi_collocations,
+    "q150_rank_agreement": q150_rank_agreement,
+    "q151_turn_budget_assembly": q151_turn_budget_assembly,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -6988,7 +7112,7 @@ _CHANGED_R8 = (
     "q20_", "q23_", "q55_", "q77_", "q108_", "q116_", "q117_", "q118_",
     "q122_", "q124_", "q128_", "q130_", "q137_", "q138_", "q139_", "q140_",
     "q141_", "q142_", "q143_", "q144_", "q145_", "q146_", "q147_",
-    "q148_", "q149_",
+    "q148_", "q149_", "q150_", "q151_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -7163,4 +7287,6 @@ ORACLES: dict[str, str | None] = {
     "q147_context_window_fit": ORACLE_Q147,
     "q148_snapshot_delta": _oracle_q148(),
     "q149_pmi_collocations": ORACLE_Q149,
+    "q150_rank_agreement": ORACLE_Q150,
+    "q151_turn_budget_assembly": _oracle_q151(),
 }

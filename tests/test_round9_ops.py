@@ -889,3 +889,34 @@ class TestTurnBudgetAssembly:
         assert (s2["n_turns"], s2["n_kept"], s2["truncated"]) == (1, 1, 0)
         s3 = got[(2, 1)]
         assert s3["tokens_total"] == 5 and s3["truncated"] == 0
+
+
+class TestQualityDupCalibration:
+    def test_hand_computed_bands_and_dup_rates(self, spark):
+        from ursa_major_choir_etl_spark.operators.curation import (
+            quality_duplication_calibration,
+        )
+
+        # Scores by construction (0.5*len + 0.3*stopword + 0.2*punct):
+        #   doc 1: 100 non-stop words -> 0.5 + 0 + 0.2 = 0.70 -> band 3
+        #   doc 2: 100 stopwords      -> 0.5 + 0.3 + 0.2 = 1.0 -> band 4
+        #   doc 3: 10 non-stop words  -> 0.05 + 0 + 0.2 = 0.25 -> band 1
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(["zzz"] * 100)),
+                (2, " ".join(["the"] * 100)),
+                (3, " ".join(["zzz"] * 10)),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame([(1, 3)], "id_a long, id_b long")
+        got = {
+            r["band"]: r
+            for r in quality_duplication_calibration(docs, pairs).collect()
+        }
+        assert set(got) == {1, 3, 4}
+        assert got[3]["n_docs"] == 1 and got[3]["n_dup_docs"] == 1
+        assert got[3]["dup_ppm"] == 1_000_000
+        assert got[3]["avg_q_ppm"] == 700_000
+        assert got[4]["n_dup_docs"] == 0 and got[4]["avg_q_ppm"] == 1_000_000
+        assert got[1]["n_dup_docs"] == 1 and got[1]["avg_q_ppm"] == 250_000

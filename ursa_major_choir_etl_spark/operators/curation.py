@@ -1067,3 +1067,70 @@ def dsir_importance(
             ).alias("mean_lr_bits"),
         )
     )
+
+
+def quality_duplication_calibration(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 5,
+) -> DataFrame:
+    """Cross-signal calibration: does low quality predict duplication?
+    Docs are banded by quality score (integer-ppm bands, so the band
+    edge is computed identically cross-engine) and each band reports
+    how many of its docs are entangled in >= 1 near-dup pair — the
+    curve a curation team reads before letting a quality classifier
+    stand in for (much costlier) fuzzy dedup, and the honest check
+    that the two filters aren't just dropping the same docs twice.
+
+    ``pairs`` is any (id_a, id_b) candidate-pair table — in the
+    registry, the materialized q20 artifact, so this is one corpus
+    scan for scores plus one artifact scan; the only shuffles are the
+    pair-member distinct and a band-cardinality aggregate. dup_ppm
+    and avg_q_ppm route through DECIMAL(38,0).
+
+    Output per band: (band, n_docs, n_dup_docs, dup_ppm, avg_q_ppm).
+    """
+    q_ppm = F.expr(
+        "CAST(round({} * 1000000) AS BIGINT)".format("_q")
+    )
+    banded = docs.select(
+        F.col(id_col).alias("_id"),
+        text.quality_score(text_col).alias("_q"),
+    ).select(
+        "_id",
+        q_ppm.alias("_qppm"),
+    ).withColumn(
+        "band",
+        F.least(
+            F.expr(f"_qppm * {n_bands} DIV 1000000"), F.lit(n_bands - 1)
+        ),
+    )
+    members = (
+        pairs.select(F.col("id_a").alias("_id"))
+        .union(pairs.select(F.col("id_b").alias("_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        banded.join(members, "_id", "left")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("_dup", F.lit(0))).alias("n_dup_docs"),
+            F.sum("_qppm").alias("_sq"),
+        )
+        .select(
+            "band",
+            "n_docs",
+            "n_dup_docs",
+            F.expr(
+                "CAST(CAST(n_dup_docs AS DECIMAL(38,0)) * 1000000"
+                " DIV n_docs AS BIGINT)"
+            ).alias("dup_ppm"),
+            F.expr(
+                "CAST(CAST(_sq AS DECIMAL(38,0)) DIV n_docs AS BIGINT)"
+            ).alias("avg_q_ppm"),
+        )
+    )

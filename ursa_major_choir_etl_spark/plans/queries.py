@@ -130,6 +130,7 @@ Operator coverage map (SURVEY §2 ids -> query):
   PMI collocation mining ........... q149 (integer-bit PMI top-k)
   signal rank agreement ............ q150 (exact tie-aware Spearman)
   chat turn-budget assembly ........ q151 (drop-oldest suffix fit)
+  quality x dup calibration ........ q152 (band ppm over pair artifact)
 """
 
 from __future__ import annotations
@@ -6928,6 +6929,49 @@ FROM flg GROUP BY user_id, session_id
 """
 
 
+def q152_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-band x duplication calibration
+    (curation.quality_duplication_calibration): per integer-ppm
+    quality band, the share of docs entangled in >= 1 near-dup pair —
+    does the cheap quality classifier already catch what fuzzy dedup
+    drops? Tenth consumer of the materialized q20 pair artifact: one
+    corpus scan for scores + one artifact scan."""
+    from ursa_major_choir_etl_spark.operators import curation
+
+    return curation.quality_duplication_calibration(
+        T(spark, sf_dir, "documents"), jaccard_pairs_table(spark, sf_dir)
+    )
+
+
+def _oracle_q152(n_bands: int = 5) -> str:
+    qs = osql.quality_score_sql("text")
+    return f"""
+WITH jp AS ({_oracle_q20()}),
+members AS (
+  SELECT DISTINCT d FROM (
+    SELECT id_a AS d FROM jp UNION ALL SELECT id_b FROM jp
+  )
+),
+banded AS (
+  SELECT doc_id,
+         CAST(round(({qs}) * 1000000) AS BIGINT) AS qppm,
+         CASE WHEN doc_id IN (SELECT d FROM members) THEN 1 ELSE 0 END AS dup
+  FROM documents
+),
+b2 AS (
+  SELECT least(qppm * {n_bands} // 1000000, {n_bands - 1}) AS band,
+         qppm, dup
+  FROM banded
+)
+SELECT band, count(*) AS n_docs,
+       CAST(sum(dup) AS BIGINT) AS n_dup_docs,
+       CAST(CAST(sum(dup) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+         AS dup_ppm,
+       CAST(CAST(sum(qppm) AS HUGEINT) // count(*) AS BIGINT) AS avg_q_ppm
+FROM b2 GROUP BY band
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -7080,6 +7124,7 @@ QUERIES = {
     "q149_pmi_collocations": q149_pmi_collocations,
     "q150_rank_agreement": q150_rank_agreement,
     "q151_turn_budget_assembly": q151_turn_budget_assembly,
+    "q152_quality_dup_calibration": q152_quality_dup_calibration,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -7112,7 +7157,7 @@ _CHANGED_R8 = (
     "q20_", "q23_", "q55_", "q77_", "q108_", "q116_", "q117_", "q118_",
     "q122_", "q124_", "q128_", "q130_", "q137_", "q138_", "q139_", "q140_",
     "q141_", "q142_", "q143_", "q144_", "q145_", "q146_", "q147_",
-    "q148_", "q149_", "q150_", "q151_",
+    "q148_", "q149_", "q150_", "q151_", "q152_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -7289,4 +7334,5 @@ ORACLES: dict[str, str | None] = {
     "q149_pmi_collocations": ORACLE_Q149,
     "q150_rank_agreement": ORACLE_Q150,
     "q151_turn_budget_assembly": _oracle_q151(),
+    "q152_quality_dup_calibration": _oracle_q152(),
 }

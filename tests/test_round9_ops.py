@@ -920,3 +920,69 @@ class TestQualityDupCalibration:
         assert got[3]["avg_q_ppm"] == 700_000
         assert got[4]["n_dup_docs"] == 0 and got[4]["avg_q_ppm"] == 1_000_000
         assert got[1]["n_dup_docs"] == 1 and got[1]["avg_q_ppm"] == 250_000
+
+
+class TestShardManifest:
+    def test_checksum_is_order_insensitive(self, spark):
+        from ursa_major_choir_etl_spark.operators.layout import shard_manifest
+
+        docs = spark.createDataFrame(
+            [(i, f"doc body number {i} with words") for i in range(40)],
+            "doc_id long, text string",
+        )
+        base = sorted(
+            shard_manifest(docs, n_shards=4).collect(), key=lambda r: r["shard"]
+        )
+        shuffled = sorted(
+            shard_manifest(docs.repartition(7).sortWithinPartitions("text"),
+                           n_shards=4).collect(),
+            key=lambda r: r["shard"],
+        )
+        assert [tuple(r) for r in base] == [tuple(r) for r in shuffled]
+
+    def test_content_change_flips_only_owning_shard(self, spark):
+        from ursa_major_choir_etl_spark.operators.layout import shard_manifest
+
+        docs = spark.createDataFrame(
+            [(i, f"doc body number {i} with words") for i in range(40)],
+            "doc_id long, text string",
+        )
+        mutated = docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") == 7, F.lit("tampered")).otherwise(
+                F.col("text")
+            ),
+        )
+        a = {r["shard"]: r for r in shard_manifest(docs, n_shards=4).collect()}
+        b = {r["shard"]: r for r in shard_manifest(mutated, n_shards=4).collect()}
+        changed = [s for s in a if a[s]["checksum"] != b[s]["checksum"]]
+        assert len(changed) == 1
+        s = changed[0]
+        # counts and id range identical — only content moved
+        assert a[s]["n_docs"] == b[s]["n_docs"]
+        assert a[s]["min_id"] == b[s]["min_id"]
+        assert a[s]["max_id"] == b[s]["max_id"]
+        assert a[s]["n_tokens"] != b[s]["n_tokens"]  # 5 words -> 1
+
+
+class TestSourceVocabOverlap:
+    def test_hand_computed_jaccard(self, spark):
+        from ursa_major_choir_etl_spark.operators.text import (
+            source_vocab_overlap,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "A", "aa bb cc"),
+                (2, "A", "aa bb"),       # dups inside a source collapse
+                (3, "B", "bb cc dd"),
+                (4, "C", "xx"),
+            ],
+            "doc_id long, source string, text string",
+        )
+        got = source_vocab_overlap(docs).collect()
+        assert len(got) == 1  # C shares nothing -> no row
+        r = got[0]
+        assert (r["source_a"], r["source_b"]) == ("A", "B")
+        assert (r["shared_tokens"], r["vocab_a"], r["vocab_b"]) == (2, 3, 3)
+        assert r["jaccard_ppm"] == 500_000

@@ -167,3 +167,60 @@ def adaptive_shard_plan(
             .alias("dev_ppm"),
         )
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+    nibbles: int = 8,
+) -> DataFrame:
+    """Content-addressed manifest for a sharded corpus release: one
+    row per shard with doc/token counts, the id range, and an
+    order-insensitive 61-bit content checksum — the loader-side
+    contract that lets a trainer verify every shard it mounts is
+    bit-for-bit the shard the curation run published (and lets an
+    incremental publisher skip unchanged shards).
+
+    Placement is the same md5-nibble uniform as
+    :func:`adaptive_shard_plan` (engine-portable, id-pure); the
+    checksum folds each doc's 60-bit md5 text fingerprint into a
+    DECIMAL(38,0) sum reduced mod 2^61-1 — commutative, so shard
+    content equality holds under ANY row order or partitioning, and
+    the sum stays exact past 1e18 docs per shard.
+
+    One corpus scan, one shard-cardinality aggregate, no windows.
+    """
+    from ursa_major_choir_etl_spark.operators.dedup import bloom_position_sql
+    from ursa_major_choir_etl_spark.operators.text import token_count
+
+    pos = F.expr(
+        bloom_position_sql(seed, f"CAST({id_col} AS STRING)", nibbles)
+    )
+    fp = F.expr(bloom_position_sql(seed + 1, text_col, 15))
+    mersenne61 = 2**61 - 1
+    return (
+        df.select(
+            F.pmod(pos, F.lit(n_shards)).cast("bigint").alias("shard"),
+            F.col(id_col).alias("_id"),
+            token_count(text_col).cast("bigint").alias("_tok"),
+            fp.alias("_fp"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("n_tokens"),
+            F.min("_id").alias("min_id"),
+            F.max("_id").alias("max_id"),
+            F.sum(F.col("_fp").cast("decimal(38,0)")).alias("_s"),
+        )
+        .withColumn(
+            "checksum",
+            F.expr(
+                f"CAST(_s % CAST({mersenne61} AS DECIMAL(38,0)) AS BIGINT)"
+            ),
+        )
+        .drop("_s")
+    )

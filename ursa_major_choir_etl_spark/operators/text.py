@@ -976,3 +976,64 @@ def pmi_collocations(
         "pmi_bits",
         "rank",
     )
+
+
+def source_vocab_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Source-similarity matrix by vocabulary overlap: for every pair
+    of sources, the exact Jaccard of their distinct alpha-token
+    vocabularies in integer ppm — the cheap screen for syndicated /
+    mirrored feeds (two sources sharing 90% of their vocabulary are
+    usually one corpus wearing two names) before any per-doc fuzzy
+    dedup runs.
+
+    Scale shape: one explode + distinct builds the (group, token)
+    vocabulary table — the only corpus-sized shuffle; intersections
+    come from the vocabulary's self-join on the token key (fan-out
+    bounded by n_groups^2 per token, independent of corpus size —
+    this is a GROUP-pair matrix, not a doc-pair one); group vocab
+    sizes are a group-cardinality table joined twice. Jaccard routes
+    through DECIMAL(38,0).
+
+    Output: (source_a, source_b, shared_tokens, vocab_a, vocab_b,
+    jaccard_ppm) for pairs with >= 1 shared token, source_a <
+    source_b.
+    """
+    vocab = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("grp").agg(F.count(F.lit(1)).alias("vsize"))
+    a = vocab.select(F.col("grp").alias("ga"), "tok")
+    b = vocab.select(F.col("grp").alias("gb"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("shared_tokens"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("grp", "ga"), "ga")
+        .withColumnRenamed("vsize", "vocab_a")
+        .join(sizes.withColumnRenamed("grp", "gb"), "gb")
+        .withColumnRenamed("vsize", "vocab_b")
+        .select(
+            F.col("ga").alias("source_a"),
+            F.col("gb").alias("source_b"),
+            "shared_tokens",
+            "vocab_a",
+            "vocab_b",
+            F.expr(
+                "CAST(CAST(shared_tokens AS DECIMAL(38,0)) * 1000000"
+                " DIV (vocab_a + vocab_b - shared_tokens) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )

@@ -131,6 +131,8 @@ Operator coverage map (SURVEY §2 ids -> query):
   signal rank agreement ............ q150 (exact tie-aware Spearman)
   chat turn-budget assembly ........ q151 (drop-oldest suffix fit)
   quality x dup calibration ........ q152 (band ppm over pair artifact)
+  shard manifest checksums ......... q153 (content-addressed loader contract)
+  source vocab overlap matrix ...... q154 (syndication screen, exact Jaccard)
 """
 
 from __future__ import annotations
@@ -6972,6 +6974,72 @@ FROM b2 GROUP BY band
 """
 
 
+def q153_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed shard manifest (layout.shard_manifest): per
+    shard, doc/token counts, id range, and an order-insensitive
+    61-bit md5-fold checksum — the loader contract that proves a
+    mounted shard is the shard the curation run published. Placement
+    is the q119 md5-nibble uniform; one scan, one shard-cardinality
+    aggregate."""
+    from ursa_major_choir_etl_spark.operators import layout
+
+    return layout.shard_manifest(T(spark, sf_dir, "documents"), n_shards=16)
+
+
+def _oracle_q153(n_shards: int = 16, seed: int = 0) -> str:
+    from ursa_major_choir_etl_spark.operators.dedup import bloom_position_sql
+
+    pos = bloom_position_sql(seed, "CAST(doc_id AS VARCHAR)", 8)
+    fp = bloom_position_sql(seed + 1, "text", 15)
+    return f"""
+WITH d AS (
+  SELECT {pos} % {n_shards} AS shard, doc_id,
+         {osql.token_count_sql('text')} AS tokens,
+         {fp} AS fp
+  FROM documents
+)
+SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS n_tokens,
+       min(doc_id) AS min_id, max(doc_id) AS max_id,
+       CAST(CAST(sum(fp) AS HUGEINT) % 2305843009213693951 AS BIGINT)
+         AS checksum
+FROM d GROUP BY shard
+"""
+
+
+def q154_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-similarity matrix (text.source_vocab_overlap): exact
+    vocabulary Jaccard between every source pair in integer ppm — the
+    syndication screen run before doc-level fuzzy dedup. One corpus
+    explode+distinct; the pair fan-out is bounded by n_sources^2 per
+    token, never corpus-sized."""
+    return text.source_vocab_overlap(T(spark, sf_dir, "documents"))
+
+
+ORACLE_Q154 = """
+WITH vocab AS (
+  SELECT DISTINCT source AS grp, tok
+  FROM (SELECT source,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        FROM documents)
+),
+sizes AS (SELECT grp, count(*) AS vsize FROM vocab GROUP BY 1),
+inter AS (
+  SELECT a.grp AS ga, b.grp AS gb, count(*) AS shared_tokens
+  FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.grp < b.grp
+  GROUP BY 1, 2
+)
+SELECT ga AS source_a, gb AS source_b, shared_tokens,
+       sa.vsize AS vocab_a, sb.vsize AS vocab_b,
+       CAST(CAST(shared_tokens AS HUGEINT) * 1000000
+            // (sa.vsize + sb.vsize - shared_tokens) AS BIGINT)
+         AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON sa.grp = ga
+JOIN sizes sb ON sb.grp = gb
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -7125,6 +7193,8 @@ QUERIES = {
     "q150_rank_agreement": q150_rank_agreement,
     "q151_turn_budget_assembly": q151_turn_budget_assembly,
     "q152_quality_dup_calibration": q152_quality_dup_calibration,
+    "q153_shard_manifest": q153_shard_manifest,
+    "q154_source_vocab_overlap": q154_source_vocab_overlap,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -7157,7 +7227,7 @@ _CHANGED_R8 = (
     "q20_", "q23_", "q55_", "q77_", "q108_", "q116_", "q117_", "q118_",
     "q122_", "q124_", "q128_", "q130_", "q137_", "q138_", "q139_", "q140_",
     "q141_", "q142_", "q143_", "q144_", "q145_", "q146_", "q147_",
-    "q148_", "q149_", "q150_", "q151_", "q152_",
+    "q148_", "q149_", "q150_", "q151_", "q152_", "q153_", "q154_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -7335,4 +7405,6 @@ ORACLES: dict[str, str | None] = {
     "q150_rank_agreement": ORACLE_Q150,
     "q151_turn_budget_assembly": _oracle_q151(),
     "q152_quality_dup_calibration": _oracle_q152(),
+    "q153_shard_manifest": _oracle_q153(),
+    "q154_source_vocab_overlap": ORACLE_Q154,
 }

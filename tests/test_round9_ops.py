@@ -986,3 +986,47 @@ class TestSourceVocabOverlap:
         assert (r["source_a"], r["source_b"]) == ("A", "B")
         assert (r["shared_tokens"], r["vocab_a"], r["vocab_b"]) == (2, 3, 3)
         assert r["jaccard_ppm"] == 500_000
+
+
+class TestJoinKeySkewProfile:
+    def test_hand_computed_skew_and_salt_flag(self, spark):
+        from ursa_major_choir_etl_spark.operators.skew import (
+            join_key_skew_profile,
+        )
+
+        # col "hot": one key holds 20 of 24 rows over 5 distinct keys
+        #   -> skew = 20 * 5 / 24 = 4.1666x mean; threshold 4 -> salt
+        # col "uni": 24 rows over 4 keys, 6 each -> exactly 1.0x mean
+        rows = [(0, i % 4) for i in range(20)] + [
+            (k, k % 4) for k in (1, 2, 3, 4)
+        ]
+        df = spark.createDataFrame(rows, "hot long, uni long")
+        got = {
+            r["key_col"]: r
+            for r in join_key_skew_profile(
+                df, ["hot", "uni"], "t", salt_threshold_x_mean=4
+            ).collect()
+        }
+        h = got["hot"]
+        assert (h["n_rows"], h["n_distinct"], h["max_count"]) == (24, 5, 20)
+        assert h["top_key"] == "0"
+        assert h["skew_x_mean_ppm"] == 20 * 5 * 1_000_000 // 24
+        assert h["salt_recommended"] == 1
+        u = got["uni"]
+        assert (u["n_distinct"], u["max_count"]) == (4, 6)
+        assert u["skew_x_mean_ppm"] == 1_000_000
+        assert u["salt_recommended"] == 0
+        # count tie at 6 -> deterministic max-string tie-break
+        assert u["top_key"] == "3"
+
+    def test_null_keys_are_profiled_not_dropped(self, spark):
+        from ursa_major_choir_etl_spark.operators.skew import (
+            join_key_skew_profile,
+        )
+
+        df = spark.createDataFrame(
+            [(None,), (None,), (None,), (1,)], "k long"
+        )
+        r = join_key_skew_profile(df, ["k"], "t").collect()[0]
+        assert (r["n_rows"], r["n_distinct"], r["max_count"]) == (4, 2, 3)
+        assert r["top_key"] == "NULL"

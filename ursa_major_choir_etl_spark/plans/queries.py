@@ -133,6 +133,7 @@ Operator coverage map (SURVEY §2 ids -> query):
   quality x dup calibration ........ q152 (band ppm over pair artifact)
   shard manifest checksums ......... q153 (content-addressed loader contract)
   source vocab overlap matrix ...... q154 (syndication screen, exact Jaccard)
+  join-key skew profiler ........... q155 (salt/broadcast decision input)
 """
 
 from __future__ import annotations
@@ -7040,6 +7041,57 @@ JOIN sizes sb ON sb.grp = gb
 """
 
 
+def q155_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy reconnaissance (skew.join_key_skew_profile):
+    exact cardinality / hottest-key / skew-vs-mean ppm for the fact
+    tables' join keys — the report that decides broadcast vs
+    shuffle vs salted join before a 100 TB run. One scan per table
+    explodes (column, value) pairs, one count shuffle, per-column
+    aggregate; deterministic struct-max top key."""
+    from ursa_major_choir_etl_spark.operators import skew
+
+    li = skew.join_key_skew_profile(
+        T(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_partkey", "l_suppkey"],
+        "lineitem",
+    )
+    od = skew.join_key_skew_profile(
+        T(spark, sf_dir, "orders"), ["o_custkey"], "orders"
+    )
+    ev = skew.join_key_skew_profile(
+        T(spark, sf_dir, "events"), ["user_id", "event_type"], "events"
+    )
+    return li.unionByName(od).unionByName(ev)
+
+
+def _oracle_q155(threshold: int = 10) -> str:
+    def one(table: str, col: str) -> str:
+        return f"""
+SELECT '{table}' AS table_name, '{col}' AS key_col,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       count(*) AS n_distinct,
+       CAST(max(c) AS BIGINT) AS max_count,
+       (max({{'c': c, 'k': k}})).k AS top_key,
+       CAST(CAST(max(c) AS HUGEINT) * count(*) * 1000000
+            // sum(c) AS BIGINT) AS skew_x_mean_ppm,
+       CAST(CASE WHEN CAST(max(c) AS HUGEINT) * count(*)
+                      > {threshold} * sum(c)
+            THEN 1 ELSE 0 END AS BIGINT) AS salt_recommended
+FROM (SELECT coalesce(CAST({col} AS VARCHAR), 'NULL') AS k, count(*) AS c
+      FROM {table} GROUP BY 1)
+"""
+
+    parts = [
+        one("lineitem", "l_orderkey"),
+        one("lineitem", "l_partkey"),
+        one("lineitem", "l_suppkey"),
+        one("orders", "o_custkey"),
+        one("events", "user_id"),
+        one("events", "event_type"),
+    ]
+    return " UNION ALL ".join(parts)
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -7195,6 +7247,7 @@ QUERIES = {
     "q152_quality_dup_calibration": q152_quality_dup_calibration,
     "q153_shard_manifest": q153_shard_manifest,
     "q154_source_vocab_overlap": q154_source_vocab_overlap,
+    "q155_join_key_skew_profile": q155_join_key_skew_profile,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -7228,6 +7281,7 @@ _CHANGED_R8 = (
     "q122_", "q124_", "q128_", "q130_", "q137_", "q138_", "q139_", "q140_",
     "q141_", "q142_", "q143_", "q144_", "q145_", "q146_", "q147_",
     "q148_", "q149_", "q150_", "q151_", "q152_", "q153_", "q154_",
+    "q155_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -7407,4 +7461,5 @@ ORACLES: dict[str, str | None] = {
     "q152_quality_dup_calibration": _oracle_q152(),
     "q153_shard_manifest": _oracle_q153(),
     "q154_source_vocab_overlap": ORACLE_Q154,
+    "q155_join_key_skew_profile": _oracle_q155(),
 }

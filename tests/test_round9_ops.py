@@ -1030,3 +1030,43 @@ class TestJoinKeySkewProfile:
         r = join_key_skew_profile(df, ["k"], "t").collect()[0]
         assert (r["n_rows"], r["n_distinct"], r["max_count"]) == (4, 2, 3)
         assert r["top_key"] == "NULL"
+
+
+class TestAnnealPhasePlan:
+    def test_hand_computed_allocations(self, spark):
+        from ursa_major_choir_etl_spark.operators.curation import (
+            anneal_phase_plan,
+        )
+
+        # quality by construction (see TestQualityDupCalibration):
+        #   100 non-stop words -> 0.70 -> band 3 (HQ)
+        #   100 stopwords -> 1.0 -> band 4 (HQ)
+        #   10 words -> 0.25 -> band 1 (junk)
+        hq = " ".join(["zzz"] * 100)
+        docs = spark.createDataFrame(
+            [
+                (1, "A", hq), (2, "A", hq),
+                (3, "B", " ".join(["the"] * 100)),
+                (4, "C", " ".join(["zzz"] * 10)),
+                (5, "C", " ".join(["zzz"] * 10)),
+                (6, "C", " ".join(["zzz"] * 10)),
+            ],
+            "doc_id long, source string, text string",
+        )
+        got = {r["domain"]: r for r in anneal_phase_plan(docs).collect()}
+        # t_all=330, t_hq=300; anneal budget = 33, main = 297
+        a = got["A"]
+        assert (a["tokens_total"], a["tokens_hq"]) == (200, 200)
+        assert a["main_alloc"] == 297 * 200 // 330
+        assert a["anneal_alloc"] == 33 * 200 // 300
+        assert a["share_main_ppm"] == 200 * 1_000_000 // 330
+        assert a["share_anneal_ppm"] == 200 * 1_000_000 // 300
+        assert a["upweight_x_ppm"] == (
+            (200 * 1_000_000 // 300) * 1_000_000 // (200 * 1_000_000 // 330)
+        )
+        c = got["C"]
+        assert c["tokens_hq"] == 0 and c["anneal_alloc"] == 0
+        # a junk-only domain vanishes from the cooldown: share 0
+        assert c["share_anneal_ppm"] == 0 and c["upweight_x_ppm"] == 0
+        b = got["B"]
+        assert b["upweight_x_ppm"] == 1_100_000  # amplified in cooldown

@@ -1134,3 +1134,92 @@ def quality_duplication_calibration(
             ).alias("avg_q_ppm"),
         )
     )
+
+
+def anneal_phase_plan(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    anneal_frac_ppm: int = 100_000,
+    quality_band_min: int = 3,
+    n_bands: int = 5,
+) -> DataFrame:
+    """Two-phase pretraining mixture: split a one-epoch token budget
+    into a MAIN phase (natural domain proportions) and a final
+    ANNEAL / cooldown phase that resamples only high-quality
+    documents — the end-of-training quality upweighting modern
+    recipes apply in the last ~10% of steps.
+
+    Per-doc quality bands use the same integer-ppm edges as the
+    calibration report (round(score*1e6), band = ppm*n // 1e6), so
+    the band boundary is exact cross-engine; "high quality" is
+    band >= ``quality_band_min``. The anneal allocation is
+    proportional to each domain's HIGH-QUALITY tokens, so a domain
+    that is large but junky shrinks in the cooldown and
+    upweight_x_ppm (> 1e6 = amplified in anneal) quantifies the
+    shift per domain.
+
+    Scale shape: one corpus scan -> one domain aggregate; corpus
+    totals are a single broadcast row; every share/allocation routes
+    through DECIMAL(38,0) integer ppm — no floats anywhere.
+
+    Output per domain: (domain, tokens_total, tokens_hq, main_alloc,
+    anneal_alloc, share_main_ppm, share_anneal_ppm, upweight_x_ppm —
+    0 for a domain with no HQ tokens (it vanishes from the cooldown);
+    NULL only if the WHOLE corpus has no HQ tokens).
+    """
+    banded = df.select(
+        F.col(domain_col).alias("domain"),
+        text.token_count(text_col).cast("bigint").alias("_tok"),
+        text.quality_score(text_col).alias("_q"),
+    ).select(
+        "domain",
+        "_tok",
+        F.expr("CAST(round(_q * 1000000) AS BIGINT)").alias("_qppm"),
+    ).withColumn(
+        "_band",
+        F.least(
+            F.expr(f"_qppm * {n_bands} DIV 1000000"), F.lit(n_bands - 1)
+        ),
+    )
+    per_dom = banded.groupBy("domain").agg(
+        F.sum("_tok").alias("tokens_total"),
+        F.sum(
+            F.when(F.col("_band") >= quality_band_min, F.col("_tok")).otherwise(
+                F.lit(0)
+            )
+        ).alias("tokens_hq"),
+    )
+    totals = per_dom.agg(
+        F.sum("tokens_total").alias("_t_all"),
+        F.sum("tokens_hq").alias("_t_hq"),
+    )
+    d38 = "DECIMAL(38,0)"
+    return per_dom.crossJoin(F.broadcast(totals)).select(
+        "domain",
+        "tokens_total",
+        "tokens_hq",
+        F.expr(
+            f"CAST(CAST(_t_all - _t_all * {anneal_frac_ppm} DIV 1000000"
+            f" AS {d38}) * tokens_total DIV _t_all AS BIGINT)"
+        ).alias("main_alloc"),
+        F.expr(
+            f"CAST(CASE WHEN _t_hq > 0 THEN"
+            f" CAST(_t_all * {anneal_frac_ppm} DIV 1000000 AS {d38})"
+            f" * tokens_hq DIV _t_hq ELSE 0 END AS BIGINT)"
+        ).alias("anneal_alloc"),
+        F.expr(
+            f"CAST(CAST(tokens_total AS {d38}) * 1000000 DIV _t_all"
+            " AS BIGINT)"
+        ).alias("share_main_ppm"),
+        F.expr(
+            f"CAST(CASE WHEN _t_hq > 0 THEN CAST(tokens_hq AS {d38})"
+            " * 1000000 DIV _t_hq END AS BIGINT)"
+        ).alias("share_anneal_ppm"),
+        F.expr(
+            f"CAST(CASE WHEN _t_hq > 0 AND tokens_total > 0 THEN"
+            f" (CAST(tokens_hq AS {d38}) * 1000000 DIV _t_hq) * 1000000"
+            f" DIV (CAST(tokens_total AS {d38}) * 1000000 DIV _t_all)"
+            " END AS BIGINT)"
+        ).alias("upweight_x_ppm"),
+    )

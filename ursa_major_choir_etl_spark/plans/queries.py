@@ -134,6 +134,7 @@ Operator coverage map (SURVEY §2 ids -> query):
   shard manifest checksums ......... q153 (content-addressed loader contract)
   source vocab overlap matrix ...... q154 (syndication screen, exact Jaccard)
   join-key skew profiler ........... q155 (salt/broadcast decision input)
+  anneal-phase mixture ............. q156 (cooldown quality upweighting)
 """
 
 from __future__ import annotations
@@ -7092,6 +7093,61 @@ FROM (SELECT coalesce(CAST({col} AS VARCHAR), 'NULL') AS k, count(*) AS c
     return " UNION ALL ".join(parts)
 
 
+def q156_anneal_phase_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase pretraining mixture (curation.anneal_phase_plan):
+    90% main phase at natural domain proportions + 10% cooldown
+    resampling only high-quality (band >= 3) tokens, with per-domain
+    upweight_x_ppm quantifying the anneal shift. One scan, one domain
+    aggregate, one broadcast totals row, all-integer DECIMAL ppm."""
+    from ursa_major_choir_etl_spark.operators import curation
+
+    return curation.anneal_phase_plan(T(spark, sf_dir, "documents"))
+
+
+def _oracle_q156(
+    anneal_frac_ppm: int = 100_000,
+    quality_band_min: int = 3,
+    n_bands: int = 5,
+) -> str:
+    qs = osql.quality_score_sql("text")
+    return f"""
+WITH banded AS (
+  SELECT source AS domain,
+         {osql.token_count_sql('text')} AS tok,
+         least(CAST(round(({qs}) * 1000000) AS BIGINT) * {n_bands}
+               // 1000000, {n_bands - 1}) AS band
+  FROM documents
+),
+per_dom AS (
+  SELECT domain, CAST(sum(tok) AS BIGINT) AS tokens_total,
+         CAST(sum(CASE WHEN band >= {quality_band_min} THEN tok ELSE 0 END)
+              AS BIGINT) AS tokens_hq
+  FROM banded GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(tokens_total) AS BIGINT) AS t_all,
+         CAST(sum(tokens_hq) AS BIGINT) AS t_hq
+  FROM per_dom
+)
+SELECT domain, tokens_total, tokens_hq,
+       CAST(CAST(t_all - t_all * {anneal_frac_ppm} // 1000000 AS HUGEINT)
+            * tokens_total // t_all AS BIGINT) AS main_alloc,
+       CAST(CASE WHEN t_hq > 0 THEN
+            CAST(t_all * {anneal_frac_ppm} // 1000000 AS HUGEINT)
+            * tokens_hq // t_hq ELSE 0 END AS BIGINT) AS anneal_alloc,
+       CAST(CAST(tokens_total AS HUGEINT) * 1000000 // t_all AS BIGINT)
+         AS share_main_ppm,
+       CAST(CASE WHEN t_hq > 0 THEN
+            CAST(tokens_hq AS HUGEINT) * 1000000 // t_hq END AS BIGINT)
+         AS share_anneal_ppm,
+       CAST(CASE WHEN t_hq > 0 AND tokens_total > 0 THEN
+            (CAST(tokens_hq AS HUGEINT) * 1000000 // t_hq) * 1000000
+            // (CAST(tokens_total AS HUGEINT) * 1000000 // t_all)
+            END AS BIGINT) AS upweight_x_ppm
+FROM per_dom CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -7248,6 +7304,7 @@ QUERIES = {
     "q153_shard_manifest": q153_shard_manifest,
     "q154_source_vocab_overlap": q154_source_vocab_overlap,
     "q155_join_key_skew_profile": q155_join_key_skew_profile,
+    "q156_anneal_phase_plan": q156_anneal_phase_plan,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -7281,7 +7338,7 @@ _CHANGED_R8 = (
     "q122_", "q124_", "q128_", "q130_", "q137_", "q138_", "q139_", "q140_",
     "q141_", "q142_", "q143_", "q144_", "q145_", "q146_", "q147_",
     "q148_", "q149_", "q150_", "q151_", "q152_", "q153_", "q154_",
-    "q155_",
+    "q155_", "q156_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -7462,4 +7519,5 @@ ORACLES: dict[str, str | None] = {
     "q153_shard_manifest": _oracle_q153(),
     "q154_source_vocab_overlap": ORACLE_Q154,
     "q155_join_key_skew_profile": _oracle_q155(),
+    "q156_anneal_phase_plan": _oracle_q156(),
 }

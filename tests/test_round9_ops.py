@@ -1070,3 +1070,40 @@ class TestAnnealPhasePlan:
         assert c["share_anneal_ppm"] == 0 and c["upweight_x_ppm"] == 0
         b = got["B"]
         assert b["upweight_x_ppm"] == 1_100_000  # amplified in cooldown
+
+
+class TestTransitiveDecontamination:
+    def test_blast_radius_hand_computed(self, spark, tmp_path, monkeypatch):
+        from ursa_major_choir_etl_spark import artifacts
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q157_transitive_decontamination,
+        )
+
+        monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path / "wh"))
+        artifacts._VERIFIED.clear()
+        filler = " ".join(f"w{i}" for i in range(30))
+        marker = "alpha beta gamma delta"
+        docs = spark.createDataFrame(
+            [
+                # doc 1: near-dup of 2 (high 3-gram jaccard), NO marker
+                (1, "s", filler),
+                # doc 2: direct hit — shares the eval 4-gram
+                (2, "s", f"{filler} {marker}"),
+                # doc 3: clean and unrelated
+                (3, "s", "completely different text about other things"),
+                # doc 100: the eval slice (id % 50 == 0)
+                (100, "s", f"{marker} plus totally unique eval words"),
+            ],
+            "doc_id long, source string, text string",
+        )
+        docs.write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet")
+        )
+        r = q157_transitive_decontamination(spark, str(tmp_path)).collect()
+        assert len(r) == 1
+        row = r[0]
+        assert row["n_train"] == 3
+        assert row["n_direct"] == 1       # doc 2
+        assert row["n_transitive"] == 1   # doc 1, via the pair graph
+        assert row["n_dropped"] == 2
+        assert row["dropped_ppm"] == 666_666

@@ -135,6 +135,7 @@ Operator coverage map (SURVEY §2 ids -> query):
   source vocab overlap matrix ...... q154 (syndication screen, exact Jaccard)
   join-key skew profiler ........... q155 (salt/broadcast decision input)
   anneal-phase mixture ............. q156 (cooldown quality upweighting)
+  transitive decontamination ....... q157 (blast radius over dup graph)
 """
 
 from __future__ import annotations
@@ -7148,6 +7149,109 @@ FROM per_dom CROSS JOIN tot
 """
 
 
+def q157_transitive_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination blast radius: removing only docs that DIRECTLY
+    share 4-grams with the eval slice (q78) is not enough — their
+    near-duplicates carry the same leaked content in paraphrase.
+    This query closes the contaminated set over the q20 near-dup
+    pair graph (connected components) and reports, per source, how
+    many extra docs the closure drops on top of the direct hits —
+    the honest decontamination bill. Eleventh consumer of the pair
+    artifact; the eval gram index stays broadcast-sized."""
+    docs = T(spark, sf_dir, "documents")
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    direct = (
+        dedup.cross_corpus_contamination(tr, ev, n=4, min_shared=1)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    labels = dedup.connected_components(
+        jaccard_pairs_table(spark, sf_dir)
+    ).withColumnRenamed("node", "doc_id")
+    bad_comp = labels.join(direct, "doc_id").select("component").distinct()
+    closure = labels.join(bad_comp, "component").select("doc_id").distinct()
+    marked = (
+        tr.select("doc_id", "source")
+        .join(direct.withColumn("_direct", F.lit(1)), "doc_id", "left")
+        .join(closure.withColumn("_clo", F.lit(1)), "doc_id", "left")
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.coalesce("_direct", F.lit(0))).alias("n_direct"),
+            F.sum(
+                F.when(
+                    F.col("_direct").isNull() & (F.col("_clo") == 1), 1
+                ).otherwise(0)
+            ).alias("n_transitive"),
+            F.sum(
+                F.when(
+                    (F.col("_direct") == 1) | (F.col("_clo") == 1), 1
+                ).otherwise(0)
+            ).alias("n_dropped"),
+        )
+        .withColumn(
+            "dropped_ppm",
+            F.expr(
+                "CAST(CAST(n_dropped AS DECIMAL(38,0)) * 1000000"
+                " DIV n_train AS BIGINT)"
+            ),
+        )
+    )
+
+
+def _oracle_q157() -> str:
+    norm = osql.norm_text_sql("text")
+    join4 = " || ' ' || ".join(f"t[i+{j}]" for j in range(4))
+    return f"""
+WITH RECURSIVE {_cc_oracle_ctes()},
+labels AS (SELECT n AS node, min(m) AS component FROM reach GROUP BY n),
+g4s AS (
+  SELECT doc_id, t, len(t) AS L
+  FROM (SELECT doc_id, {osql.tokens_sql(norm)} AS t FROM documents)
+),
+g4 AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(L - 2, 1)),
+                                 i -> {join4})) AS shingle
+    FROM g4s WHERE L >= 4
+  )
+),
+direct AS (
+  SELECT DISTINCT t.doc_id AS node
+  FROM g4 t JOIN g4 e ON t.shingle = e.shingle
+  WHERE t.doc_id % 50 <> 0 AND e.doc_id % 50 = 0
+),
+badcomp AS (
+  SELECT DISTINCT component FROM labels JOIN direct USING (node)
+),
+clo AS (
+  SELECT DISTINCT node FROM labels JOIN badcomp USING (component)
+),
+m AS (
+  SELECT d.source,
+         CASE WHEN dr.node IS NOT NULL THEN 1 ELSE 0 END AS di,
+         CASE WHEN c.node IS NOT NULL THEN 1 ELSE 0 END AS cl
+  FROM (SELECT doc_id, source FROM documents WHERE doc_id % 50 <> 0) d
+  LEFT JOIN direct dr ON dr.node = d.doc_id
+  LEFT JOIN clo c ON c.node = d.doc_id
+)
+SELECT source, count(*) AS n_train,
+       CAST(sum(di) AS BIGINT) AS n_direct,
+       CAST(sum(CASE WHEN di = 0 AND cl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_transitive,
+       CAST(sum(CASE WHEN di = 1 OR cl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(CAST(sum(CASE WHEN di = 1 OR cl = 1 THEN 1 ELSE 0 END)
+            AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS dropped_ppm
+FROM m GROUP BY source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -7305,6 +7409,7 @@ QUERIES = {
     "q154_source_vocab_overlap": q154_source_vocab_overlap,
     "q155_join_key_skew_profile": q155_join_key_skew_profile,
     "q156_anneal_phase_plan": q156_anneal_phase_plan,
+    "q157_transitive_decontamination": q157_transitive_decontamination,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -7338,7 +7443,7 @@ _CHANGED_R8 = (
     "q122_", "q124_", "q128_", "q130_", "q137_", "q138_", "q139_", "q140_",
     "q141_", "q142_", "q143_", "q144_", "q145_", "q146_", "q147_",
     "q148_", "q149_", "q150_", "q151_", "q152_", "q153_", "q154_",
-    "q155_", "q156_",
+    "q155_", "q156_", "q157_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -7520,4 +7625,5 @@ ORACLES: dict[str, str | None] = {
     "q154_source_vocab_overlap": ORACLE_Q154,
     "q155_join_key_skew_profile": _oracle_q155(),
     "q156_anneal_phase_plan": _oracle_q156(),
+    "q157_transitive_decontamination": _oracle_q157(),
 }

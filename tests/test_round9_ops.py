@@ -1107,3 +1107,24 @@ class TestTransitiveDecontamination:
         assert row["n_transitive"] == 1   # doc 1, via the pair graph
         assert row["n_dropped"] == 2
         assert row["dropped_ppm"] == 666_666
+
+
+class TestMrrReport:
+    def test_hand_computed_reciprocal_ranks(self, spark):
+        from ursa_major_choir_etl_spark.operators.similarity import (
+            mrr_report,
+        )
+
+        exact = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (2, 20, 1), (3, 30, 1)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        # truth 10 found at rank 2; truth 20 at rank 1; truth 30 absent
+        approx = spark.createDataFrame(
+            [(1, 99, 1), (1, 10, 2), (2, 20, 1), (3, 77, 1)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        r = mrr_report(exact, approx).collect()[0]
+        assert r["n_queries"] == 3 and r["n_found"] == 2
+        # (500000 + 1000000 + 0) // 3
+        assert r["mrr_ppm"] == 1_500_000 // 3

@@ -1204,3 +1204,44 @@ def hard_negative_mining(
         F.round("_cs", 6).alias("cosine_sim"),
         "rank",
     )
+
+
+def mrr_report(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Mean reciprocal rank of the TRUE nearest neighbor inside an
+    approximate index's ranked list — the rank-aware companion to
+    :func:`ann_recall_report` (recall@k says the truth was *found*;
+    MRR says how far down the list a consumer must read to see it,
+    which is what governs rerank-stage cost).
+
+    ``exact`` supplies ground truth as its rank-1 rows; each truth
+    row left-joins into the approx ranked list and contributes
+    1e6 DIV found_rank (integer floor — exact cross-engine, no
+    float division), or 0 when the truth is absent entirely.
+
+    Query-cardinality work only: two query-keyed frames, one join,
+    one global aggregate — evaluation costs nothing next to index
+    construction at any corpus size.
+
+    Output (one row): (n_queries, n_found, mrr_ppm).
+    """
+    truth = exact.filter(F.col(rank_col) == 1).select(
+        query_col, neighbor_col
+    )
+    found = approx.select(
+        query_col, neighbor_col, F.col(rank_col).alias("_fr")
+    )
+    hit = truth.join(found, [query_col, neighbor_col], "left")
+    return hit.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.col("_fr").isNotNull().cast("bigint")).alias("n_found"),
+        F.expr(
+            "CAST(sum(CASE WHEN _fr IS NOT NULL THEN 1000000 DIV _fr"
+            " ELSE 0 END) DIV count(1) AS BIGINT)"
+        ).alias("mrr_ppm"),
+    )

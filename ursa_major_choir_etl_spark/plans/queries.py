@@ -136,6 +136,7 @@ Operator coverage map (SURVEY §2 ids -> query):
   join-key skew profiler ........... q155 (salt/broadcast decision input)
   anneal-phase mixture ............. q156 (cooldown quality upweighting)
   transitive decontamination ....... q157 (blast radius over dup graph)
+  ANN MRR eval ..................... q158 (rank-aware, integer ppm)
 """
 
 from __future__ import annotations
@@ -7252,6 +7253,74 @@ FROM m GROUP BY source
 """
 
 
+def q158_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-aware ANN evaluation (similarity.mrr_report): mean
+    reciprocal rank of the exact nearest neighbor inside the q24
+    sign-LSH index's top-10 — recall@k's companion that prices the
+    rerank stage. Integer 1e6 DIV rank reciprocal, query-cardinality
+    work only."""
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    truth = similarity.cosine_topk(emb, q, k=1)
+    approx = similarity.sign_lsh_topk(
+        emb, q, k=10, planes_per_band=4, n_bands=16
+    )
+    return similarity.mrr_report(truth, approx)
+
+
+def _oracle_q158() -> str:
+    keys = osql.sign_lsh_keys_cte_sql(
+        planes_per_band=4, n_bands=16, seed=42, dims=_EMB_DIMS
+    )
+    return f"""
+WITH {keys},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM lsh_keys q
+  JOIN lsh_keys c ON q.band = c.band AND q.bkey = c.bkey
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS_AB} AS cs
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.query_id
+  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+),
+ap AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cs DESC, neighbor_id ASC) AS rank
+  FROM scored
+),
+ex AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_AB} AS cs
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 10
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cs DESC, neighbor_id ASC) AS r
+    FROM ex
+  ) WHERE r = 1
+),
+hit AS (
+  SELECT t.query_id, a.rank AS fr
+  FROM truth t
+  LEFT JOIN (SELECT * FROM ap WHERE rank <= 10) a
+    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+)
+SELECT count(*) AS n_queries,
+       CAST(sum(CASE WHEN fr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_found,
+       CAST(sum(CASE WHEN fr IS NOT NULL THEN 1000000 // fr ELSE 0 END)
+            // count(*) AS BIGINT) AS mrr_ppm
+FROM hit
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -7410,6 +7479,7 @@ QUERIES = {
     "q155_join_key_skew_profile": q155_join_key_skew_profile,
     "q156_anneal_phase_plan": q156_anneal_phase_plan,
     "q157_transitive_decontamination": q157_transitive_decontamination,
+    "q158_ann_mrr": q158_ann_mrr,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -7443,7 +7513,7 @@ _CHANGED_R8 = (
     "q122_", "q124_", "q128_", "q130_", "q137_", "q138_", "q139_", "q140_",
     "q141_", "q142_", "q143_", "q144_", "q145_", "q146_", "q147_",
     "q148_", "q149_", "q150_", "q151_", "q152_", "q153_", "q154_",
-    "q155_", "q156_", "q157_",
+    "q155_", "q156_", "q157_", "q158_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -7626,4 +7696,5 @@ ORACLES: dict[str, str | None] = {
     "q155_join_key_skew_profile": _oracle_q155(),
     "q156_anneal_phase_plan": _oracle_q156(),
     "q157_transitive_decontamination": _oracle_q157(),
+    "q158_ann_mrr": _oracle_q158(),
 }

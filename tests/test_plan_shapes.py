@@ -159,7 +159,15 @@ class TestRegistrySweep:
     # the data: q53 windows one row per month; q104 windows the
     # log-histogram BUCKETS (<= (64 - sub_bits) * 2^sub_bits rows by
     # construction, whatever the corpus size).
-    GLOBAL_WINDOW_OK = {"q53_monthly_trend", "q104_quantile_sketch_accuracy"}
+    # q159: the global cumulative window runs over per-dimension VALUE
+    # HISTOGRAMS of the user table (distinct recency-days / frequency /
+    # purchase-count values) — bounded by the signal domain, not the
+    # corpus.
+    GLOBAL_WINDOW_OK = {
+        "q53_monthly_trend",
+        "q104_quantile_sketch_accuracy",
+        "q159_rfm_segments",
+    }
 
     def test_no_scale_antipatterns_anywhere(self, spark, registry):
         offenders = {}

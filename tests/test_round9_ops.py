@@ -1128,3 +1128,58 @@ class TestMrrReport:
         assert r["n_queries"] == 3 and r["n_found"] == 2
         # (500000 + 1000000 + 0) // 3
         assert r["mrr_ppm"] == 1_500_000 // 3
+
+
+class TestRfmSegments:
+    def test_exact_quartiles_hand_computed(self, spark):
+        import datetime as dt
+
+        from ursa_major_choir_etl_spark.operators.events import rfm_segments
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = []
+        eid = 0
+        # 4 users with distinct activity profiles:
+        #  u1: 8 events, 4 purchases, last day 30  (top f/m, most recent)
+        #  u2: 4 events, 2 purchases, last day 20
+        #  u3: 2 events, 1 purchase,  last day 10
+        #  u4: 1 event,  0 purchases, last day 0   (cold)
+        profiles = [(1, 8, 4, 30), (2, 4, 2, 20), (3, 2, 1, 10), (4, 1, 0, 0)]
+        for u, n, np_, day in profiles:
+            for i in range(n):
+                eid += 1
+                typ = "purchase" if i < np_ else "view"
+                rows.append((eid, u, t0 + dt.timedelta(days=day, hours=-i), typ))
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        got = {
+            (r["r_q"], r["f_q"], r["m_q"]): r
+            for r in rfm_segments(ev).collect()
+        }
+        # distinct values per dim, n=4 -> quartiles land 1,2,3,4 in
+        # profile order (u4 lowest everywhere, u1 highest everywhere)
+        assert set(got) == {(4, 4, 4), (3, 3, 3), (2, 2, 2), (1, 1, 1)}
+        assert got[(4, 4, 4)]["n_users"] == 1
+        assert got[(4, 4, 4)]["total_events"] == 8
+        assert got[(1, 1, 1)]["total_events"] == 1
+
+    def test_all_tied_dimension_lands_mid_quartile(self, spark):
+        import datetime as dt
+
+        from ursa_major_choir_etl_spark.operators.events import rfm_segments
+
+        t0 = dt.datetime(2026, 1, 1)
+        # every user identical -> average double-rank puts everyone in
+        # the SAME quartile (the tie-aware property; naive ntile would
+        # split them arbitrarily)
+        rows = [(u, u, t0, "view") for u in range(1, 9)]
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        got = rfm_segments(ev).collect()
+        assert len(got) == 1
+        r = got[0]
+        # (2*cum-cnt-1)*4 // (2n) with cum=n,cnt=n -> (n-1)*4//(2n)=1
+        assert (r["r_q"], r["f_q"], r["m_q"]) == (2, 2, 2)
+        assert r["n_users"] == 8

@@ -257,3 +257,94 @@ def turn_budget_assembly(
             .alias("truncated"),
         )
     )
+
+
+def rfm_segments(
+    events: DataFrame,
+    purchase_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """RFM-style behavioural segmentation: per user, Recency (days
+    since last event, vs the corpus max timestamp), Frequency (event
+    count) and Monetary proxy (purchase-event count) are each scored
+    into exact quartiles 1-4, and the report counts users per
+    (r_q, f_q, m_q) cell — the classic lifecycle segmentation
+    (champions / at-risk / hibernating) every activity warehouse
+    publishes.
+
+    Quartiles are EXACT under ties and engine-portable: each
+    dimension's quartile comes from its integer VALUE HISTOGRAM over
+    the per-user table — quartile = min((2*cum - cnt - 1) * 4 DIV
+    (2*n), 3) + 1 on the average double-rank (the q150 machinery), so
+    windows only ever run over histogram rows and every division is
+    integer. Recency uses integer epoch-microsecond arithmetic
+    (micros DIV 86_400_000_000), never calendar float math.
+
+    Scale shape: one event scan -> per-user aggregate (the only
+    corpus-sized shuffle); three histogram builds + probe joins on
+    the user-cardinality table; a broadcast 1-row corpus max
+    timestamp; one final segment-cardinality aggregate.
+
+    Output per segment: (r_q, f_q, m_q, n_users, total_events) —
+    r_q 4 = most recently active (smallest recency-days).
+    """
+    from ursa_major_choir_etl_spark.functions.columns import (
+        cast_ntz_to_timestamp,
+    )
+
+    events = cast_ntz_to_timestamp(events, [ts_col])
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.max(us).alias("_last_us"),
+        F.count(F.lit(1)).alias("_freq"),
+        F.sum(
+            (F.col(type_col) == purchase_type).cast("bigint")
+        ).alias("_mon"),
+    )
+    ref = per_user.agg(F.max("_last_us").alias("_ref_us"))
+    scored = per_user.crossJoin(F.broadcast(ref)).select(
+        "u",
+        # negate so that quartile 4 (highest value bucket) = most
+        # recent, matching the f/m orientation ("more is better");
+        # integer DIV on epoch micros — no float calendar math
+        F.expr("-((_ref_us - _last_us) DIV 86400000000)").alias("r"),
+        F.col("_freq").alias("f"),
+        F.col("_mon").alias("m"),
+    )
+
+    def with_quartile(df: DataFrame, col: str, out: str) -> DataFrame:
+        h = df.groupBy(F.col(col).alias("_v")).agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        w = (
+            Window.orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        n = h.agg(F.sum("_cnt").alias("_n"))
+        hc = h.withColumn("_cum", F.sum("_cnt").over(w)).crossJoin(
+            F.broadcast(n)
+        )
+        q = hc.select(
+            F.col("_v").alias(col),
+            (
+                F.least(
+                    F.expr("(2 * _cum - _cnt - 1) * 4 DIV (2 * _n)"),
+                    F.lit(3),
+                )
+                + 1
+            ).alias(out),
+        )
+        return df.join(q, col)
+
+    scored = with_quartile(scored, "r", "r_q")
+    scored = with_quartile(scored, "f", "f_q")
+    scored = with_quartile(scored, "m", "m_q")
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("f").alias("total_events"),
+        )
+    )

@@ -137,6 +137,7 @@ Operator coverage map (SURVEY §2 ids -> query):
   anneal-phase mixture ............. q156 (cooldown quality upweighting)
   transitive decontamination ....... q157 (blast radius over dup graph)
   ANN MRR eval ..................... q158 (rank-aware, integer ppm)
+  RFM lifecycle segmentation ....... q159 (exact histogram quartiles)
 """
 
 from __future__ import annotations
@@ -7321,6 +7322,60 @@ FROM hit
 """
 
 
+def q159_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM lifecycle segmentation (events.rfm_segments): per-user
+    recency/frequency/purchase-count scored into EXACT tie-aware
+    quartiles via integer value histograms (the q150 double-rank
+    machinery — windows only over histogram rows, which are
+    value-cardinality-bounded), users counted per (r,f,m) cell.
+    One event scan + user aggregate is the only corpus-sized
+    shuffle."""
+    return events.rfm_segments(T(spark, sf_dir, "events"))
+
+
+ORACLE_Q159 = """
+WITH per_user AS (
+  SELECT user_id AS u, max(epoch_us(ts)) AS last_us,
+         count(*) AS freq,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS mon
+  FROM events GROUP BY 1
+),
+ref AS (SELECT max(last_us) AS ref_us FROM per_user),
+scored AS (
+  SELECT u, -((ref_us - last_us) // 86400000000) AS r,
+         CAST(freq AS BIGINT) AS f, mon AS m
+  FROM per_user CROSS JOIN ref
+),
+hr AS (SELECT r AS v, count(*) AS cnt FROM scored GROUP BY 1),
+hf AS (SELECT f AS v, count(*) AS cnt FROM scored GROUP BY 1),
+hm AS (SELECT m AS v, count(*) AS cnt FROM scored GROUP BY 1),
+qr AS (
+  SELECT v, least((2 * CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) - cnt - 1)
+                  * 4 // (2 * (SELECT sum(cnt) FROM hr)), 3) + 1 AS q
+  FROM hr
+),
+qf AS (
+  SELECT v, least((2 * CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) - cnt - 1)
+                  * 4 // (2 * (SELECT sum(cnt) FROM hf)), 3) + 1 AS q
+  FROM hf
+),
+qm AS (
+  SELECT v, least((2 * CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) - cnt - 1)
+                  * 4 // (2 * (SELECT sum(cnt) FROM hm)), 3) + 1 AS q
+  FROM hm
+)
+SELECT CAST(qr.q AS BIGINT) AS r_q, CAST(qf.q AS BIGINT) AS f_q,
+       CAST(qm.q AS BIGINT) AS m_q,
+       count(*) AS n_users, CAST(sum(s.f) AS BIGINT) AS total_events
+FROM scored s
+JOIN qr ON qr.v = s.r
+JOIN qf ON qf.v = s.f
+JOIN qm ON qm.v = s.m
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -7480,6 +7535,7 @@ QUERIES = {
     "q156_anneal_phase_plan": q156_anneal_phase_plan,
     "q157_transitive_decontamination": q157_transitive_decontamination,
     "q158_ann_mrr": q158_ann_mrr,
+    "q159_rfm_segments": q159_rfm_segments,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -7513,7 +7569,7 @@ _CHANGED_R8 = (
     "q122_", "q124_", "q128_", "q130_", "q137_", "q138_", "q139_", "q140_",
     "q141_", "q142_", "q143_", "q144_", "q145_", "q146_", "q147_",
     "q148_", "q149_", "q150_", "q151_", "q152_", "q153_", "q154_",
-    "q155_", "q156_", "q157_", "q158_",
+    "q155_", "q156_", "q157_", "q158_", "q159_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -7697,4 +7753,5 @@ ORACLES: dict[str, str | None] = {
     "q156_anneal_phase_plan": _oracle_q156(),
     "q157_transitive_decontamination": _oracle_q157(),
     "q158_ann_mrr": _oracle_q158(),
+    "q159_rfm_segments": ORACLE_Q159,
 }

@@ -1183,3 +1183,27 @@ class TestRfmSegments:
         # (2*cum-cnt-1)*4 // (2n) with cum=n,cnt=n -> (n-1)*4//(2n)=1
         assert (r["r_q"], r["f_q"], r["m_q"]) == (2, 2, 2)
         assert r["n_users"] == 8
+
+
+class TestKAnonymity:
+    def test_hand_computed_risk_tiers(self, spark):
+        from ursa_major_choir_etl_spark.operators.quality import (
+            k_anonymity_report,
+        )
+
+        # classes: (a,x):1  (b,x):3  (c,x):5  (d,x):12 -> 21 docs
+        rows = (
+            [("a", "x")] * 1 + [("b", "x")] * 3 + [("c", "x")] * 5
+            + [("d", "x")] * 12
+        )
+        df = spark.createDataFrame(rows, "g1 string, g2 string")
+        got = {
+            r["k_bucket"]: r
+            for r in k_anonymity_report(df, ["g1", "g2"]).collect()
+        }
+        assert got["1"]["n_classes"] == 1 and got["1"]["n_docs"] == 1
+        assert got["2-4"]["n_docs"] == 3
+        assert got["5-9"]["n_docs"] == 5
+        assert got["10+"]["n_docs"] == 12
+        assert got["1"]["docs_ppm"] == 1_000_000 // 21
+        assert got["10+"]["docs_ppm"] == 12 * 1_000_000 // 21

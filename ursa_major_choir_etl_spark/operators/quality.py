@@ -516,3 +516,47 @@ def rank_agreement_report(
             ),
         ).alias("rho_ppm"),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    qi_cols: list[str],
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns: how many
+    documents sit in equivalence classes so small they are
+    re-identifiable — the governance report a corpus publisher runs
+    before releasing "anonymized" data (a class of size 1 means its
+    combination of quasi-identifiers singles a record out).
+
+    Classes are the exact groupBy over ``qi_cols``; the report
+    buckets class sizes into the standard risk tiers (1 / 2-4 / 5-9 /
+    10+) with doc counts and docs_ppm per tier. Two aggregates — one
+    corpus-sized shuffle on the QI tuple, one over the (much smaller)
+    class table; ppm through DECIMAL(38,0).
+
+    Output: (k_bucket, n_classes, n_docs, docs_ppm), k_bucket in
+    {'1', '2-4', '5-9', '10+'}.
+    """
+    classes = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("_sz"))
+    bucket = (
+        F.when(F.col("_sz") == 1, F.lit("1"))
+        .when(F.col("_sz") <= 4, F.lit("2-4"))
+        .when(F.col("_sz") <= 9, F.lit("5-9"))
+        .otherwise(F.lit("10+"))
+    )
+    tiers = classes.select(bucket.alias("k_bucket"), "_sz").groupBy(
+        "k_bucket"
+    ).agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("_sz").alias("n_docs"),
+    )
+    total = tiers.agg(F.sum("n_docs").alias("_t"))
+    return tiers.crossJoin(F.broadcast(total)).select(
+        "k_bucket",
+        "n_classes",
+        "n_docs",
+        F.expr(
+            "CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 DIV _t"
+            " AS BIGINT)"
+        ).alias("docs_ppm"),
+    )

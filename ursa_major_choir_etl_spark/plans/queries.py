@@ -138,6 +138,7 @@ Operator coverage map (SURVEY §2 ids -> query):
   transitive decontamination ....... q157 (blast radius over dup graph)
   ANN MRR eval ..................... q158 (rank-aware, integer ppm)
   RFM lifecycle segmentation ....... q159 (exact histogram quartiles)
+  k-anonymity audit ................ q160 (re-identification risk tiers)
 """
 
 from __future__ import annotations
@@ -7376,6 +7377,47 @@ GROUP BY 1, 2, 3
 """
 
 
+def q160_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance audit (quality.k_anonymity_report): documents
+    bucketed by the size of their quasi-identifier equivalence class
+    (lang, source, length-centile band) into re-identification risk
+    tiers 1 / 2-4 / 5-9 / 10+ — the k-anonymity check a publisher
+    runs before calling a release anonymized. Two aggregates; the QI
+    groupBy is the only corpus-sized shuffle."""
+    docs = T(spark, sf_dir, "documents")
+    qi = docs.select(
+        "lang",
+        "source",
+        F.expr("CAST(regexp_count(text, '\\\\S+') DIV 100 AS BIGINT)").alias(
+            "len_band"
+        ),
+    )
+    return quality.k_anonymity_report(qi, ["lang", "source", "len_band"])
+
+
+ORACLE_Q160 = f"""
+WITH qi AS (
+  SELECT lang, source,
+         CAST({osql.token_count_sql('text')} // 100 AS BIGINT) AS len_band
+  FROM documents
+),
+classes AS (
+  SELECT lang, source, len_band, count(*) AS sz
+  FROM qi GROUP BY 1, 2, 3
+),
+tiers AS (
+  SELECT CASE WHEN sz = 1 THEN '1' WHEN sz <= 4 THEN '2-4'
+              WHEN sz <= 9 THEN '5-9' ELSE '10+' END AS k_bucket,
+         count(*) AS n_classes, CAST(sum(sz) AS BIGINT) AS n_docs
+  FROM classes GROUP BY 1
+)
+SELECT k_bucket, n_classes, n_docs,
+       CAST(CAST(n_docs AS HUGEINT) * 1000000
+            // (SELECT sum(n_docs) FROM tiers) AS BIGINT) AS docs_ppm
+FROM tiers
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -7536,6 +7578,7 @@ QUERIES = {
     "q157_transitive_decontamination": q157_transitive_decontamination,
     "q158_ann_mrr": q158_ann_mrr,
     "q159_rfm_segments": q159_rfm_segments,
+    "q160_k_anonymity": q160_k_anonymity,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -7569,7 +7612,7 @@ _CHANGED_R8 = (
     "q122_", "q124_", "q128_", "q130_", "q137_", "q138_", "q139_", "q140_",
     "q141_", "q142_", "q143_", "q144_", "q145_", "q146_", "q147_",
     "q148_", "q149_", "q150_", "q151_", "q152_", "q153_", "q154_",
-    "q155_", "q156_", "q157_", "q158_", "q159_",
+    "q155_", "q156_", "q157_", "q158_", "q159_", "q160_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -7754,4 +7797,5 @@ ORACLES: dict[str, str | None] = {
     "q157_transitive_decontamination": _oracle_q157(),
     "q158_ann_mrr": _oracle_q158(),
     "q159_rfm_segments": ORACLE_Q159,
+    "q160_k_anonymity": ORACLE_Q160,
 }

@@ -1207,3 +1207,59 @@ class TestKAnonymity:
         assert got["10+"]["n_docs"] == 12
         assert got["1"]["docs_ppm"] == 1_000_000 // 21
         assert got["10+"]["docs_ppm"] == 12 * 1_000_000 // 21
+
+
+class TestSeasonalBaseline:
+    def test_densified_lags_hand_computed(self, spark):
+        import datetime as dt
+
+        from ursa_major_choir_etl_spark.operators.events import (
+            seasonal_baseline_report,
+        )
+
+        t0 = dt.datetime(2026, 1, 1, 0, 0)
+        rows = []
+        eid = 0
+        # perfectly daily-periodic type: 2 events at hours 0,24,48;
+        # hour 5 of each day has 1 event; everything else 0
+        for day in range(3):
+            for _ in range(2):
+                eid += 1
+                rows.append((eid, "daily", t0 + dt.timedelta(hours=24 * day)))
+            eid += 1
+            rows.append((eid, "daily", t0 + dt.timedelta(hours=24 * day + 5)))
+        ev = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts timestamp"
+        )
+        r = seasonal_baseline_report(ev).collect()[0]
+        # span: hour 0 .. hour 53 -> 54 hours; scored = 54 - 24 = 30
+        assert r["n_hours"] == 54 and r["n_scored"] == 30
+        # seasonal forecast is exact for a periodic series
+        assert r["sae_seasonal"] == 0
+        # persistence errors at each day boundary/spike: hours 24,25,
+        # 29,30, 48,49, 53 -> |2-0|+|0-2|+|1-0|+|0-1| per day-ish
+        assert r["sae_persist"] > 0
+        assert r["seasonal_wins"] == 1
+
+    def test_gap_hours_count_as_zero_not_skipped(self, spark):
+        import datetime as dt
+
+        from ursa_major_choir_etl_spark.operators.events import (
+            seasonal_baseline_report,
+        )
+
+        t0 = dt.datetime(2026, 1, 1, 0, 0)
+        # two events 30h apart: a row-shift lag would pair them;
+        # a true time-shift must see 0-filled hours between
+        ev = spark.createDataFrame(
+            [(1, "t", t0), (2, "t", t0 + dt.timedelta(hours=30))],
+            "event_id long, event_type string, ts timestamp",
+        )
+        r = seasonal_baseline_report(ev).collect()[0]
+        assert r["n_hours"] == 31 and r["n_scored"] == 7
+        # seasonal: hours 24..30 forecast hours 0..6 = [1,0,...,0];
+        # actual [0,...,0,1] -> errors 1 (h24) + 1 (h30) = 2
+        assert r["sae_seasonal"] == 2
+        # persistence: only transition into h30 (0->1) among scored
+        assert r["sae_persist"] == 1
+        assert r["seasonal_wins"] == 0

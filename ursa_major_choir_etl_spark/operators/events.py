@@ -348,3 +348,87 @@ def rfm_segments(
             F.sum("f").alias("total_events"),
         )
     )
+
+
+def seasonal_baseline_report(
+    events: DataFrame,
+    season_lag_hours: int = 24,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Forecast-baseline evaluation for traffic monitoring: per event
+    type, compare the two standard anomaly-detection baselines —
+    seasonal-naive (this hour yesterday) and persistence (the
+    previous hour) — by mean absolute error over the hourly count
+    series. The winner tells an alerting pipeline which baseline's
+    residuals to threshold; a strong seasonal win is also direct
+    evidence of daily periodicity.
+
+    The hourly series is DENSIFIED first (sequence over the type's
+    [min_hour, max_hour] epoch-hour range, missing hours = 0) so lags
+    are true time shifts, not row shifts across gaps. Hours are
+    integer epoch-hours (micros DIV 3600e6) and counts integers, so
+    every error is exact; only absolute-error SUMS are emitted
+    (consumers divide).
+
+    Scale shape: one event scan -> (type, hour) count aggregate; the
+    densified series and its windows are bounded by type-count x
+    hours-of-history, never event-cardinality. Output per type:
+    (event_type, n_hours, n_scored, sae_seasonal, sae_persist,
+    seasonal_wins).
+    """
+    from ursa_major_choir_etl_spark.functions.columns import (
+        cast_ntz_to_timestamp,
+    )
+
+    events = cast_ntz_to_timestamp(events, [ts_col])
+    hour = F.expr(
+        f"unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV 3600000000"
+    )
+    counts = events.groupBy(
+        F.col(type_col).alias("etype"), hour.alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    spans = counts.groupBy("etype").agg(
+        F.min("h").alias("_h0"), F.max("h").alias("_h1")
+    )
+    dense = (
+        spans.select(
+            "etype", F.explode(F.sequence("_h0", "_h1")).alias("h")
+        )
+        .join(counts, ["etype", "h"], "left")
+        .select("etype", "h", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w = Window.partitionBy("etype").orderBy("h")
+    lagged = dense.select(
+        "etype",
+        "c",
+        F.lag("c", season_lag_hours).over(w).alias("_s"),
+        F.lag("c", 1).over(w).alias("_p"),
+    )
+    scored = lagged.withColumn(
+        "_ok", (F.col("_s").isNotNull() & F.col("_p").isNotNull())
+    )
+    return scored.groupBy(F.col("etype").alias(type_col)).agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.col("_ok").cast("bigint")).alias("n_scored"),
+        F.sum(
+            F.when(F.col("_ok"), F.abs(F.col("c") - F.col("_s"))).otherwise(0)
+        ).alias("sae_seasonal"),
+        F.sum(
+            F.when(F.col("_ok"), F.abs(F.col("c") - F.col("_p"))).otherwise(0)
+        ).alias("sae_persist"),
+        (
+            F.sum(
+                F.when(F.col("_ok"), F.abs(F.col("c") - F.col("_s"))).otherwise(
+                    0
+                )
+            )
+            < F.sum(
+                F.when(F.col("_ok"), F.abs(F.col("c") - F.col("_p"))).otherwise(
+                    0
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("seasonal_wins"),
+    )

@@ -139,6 +139,7 @@ Operator coverage map (SURVEY §2 ids -> query):
   ANN MRR eval ..................... q158 (rank-aware, integer ppm)
   RFM lifecycle segmentation ....... q159 (exact histogram quartiles)
   k-anonymity audit ................ q160 (re-identification risk tiers)
+  seasonal anomaly baseline ........ q161 (naive-24h vs persistence MAE)
 """
 
 from __future__ import annotations
@@ -7418,6 +7419,51 @@ FROM tiers
 """
 
 
+def q161_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic anomaly-baseline evaluation
+    (events.seasonal_baseline_report): seasonal-naive (t-24h) vs
+    persistence (t-1h) absolute-error totals over the DENSIFIED
+    hourly count series per event type — which baseline an alerting
+    pipeline should threshold. Integer epoch-hours and counts
+    throughout; series/window work is bounded by types x hours of
+    history, never event cardinality."""
+    return events.seasonal_baseline_report(T(spark, sf_dir, "events"))
+
+
+ORACLE_Q161 = """
+WITH counts AS (
+  SELECT event_type AS etype, epoch_us(ts) // 3600000000 AS h,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT etype, min(h) AS h0, max(h) AS h1 FROM counts GROUP BY 1),
+dense AS (
+  SELECT d.etype, d.h, coalesce(c.c, 0) AS c
+  FROM (SELECT etype, unnest(range(h0, h1 + 1)) AS h FROM spans) d
+  LEFT JOIN counts c ON c.etype = d.etype AND c.h = d.h
+),
+lagged AS (
+  SELECT etype, c,
+         lag(c, 24) OVER (PARTITION BY etype ORDER BY h) AS s,
+         lag(c, 1) OVER (PARTITION BY etype ORDER BY h) AS p
+  FROM dense
+)
+SELECT etype AS event_type, count(*) AS n_hours,
+       CAST(sum(CASE WHEN s IS NOT NULL AND p IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+       CAST(sum(CASE WHEN s IS NOT NULL AND p IS NOT NULL
+                THEN abs(c - s) ELSE 0 END) AS BIGINT) AS sae_seasonal,
+       CAST(sum(CASE WHEN s IS NOT NULL AND p IS NOT NULL
+                THEN abs(c - p) ELSE 0 END) AS BIGINT) AS sae_persist,
+       CAST(CASE WHEN sum(CASE WHEN s IS NOT NULL AND p IS NOT NULL
+                          THEN abs(c - s) ELSE 0 END)
+                 < sum(CASE WHEN s IS NOT NULL AND p IS NOT NULL
+                       THEN abs(c - p) ELSE 0 END)
+            THEN 1 ELSE 0 END AS BIGINT) AS seasonal_wins
+FROM lagged GROUP BY etype
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -7579,6 +7625,7 @@ QUERIES = {
     "q158_ann_mrr": q158_ann_mrr,
     "q159_rfm_segments": q159_rfm_segments,
     "q160_k_anonymity": q160_k_anonymity,
+    "q161_seasonal_baseline": q161_seasonal_baseline,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -7612,7 +7659,7 @@ _CHANGED_R8 = (
     "q122_", "q124_", "q128_", "q130_", "q137_", "q138_", "q139_", "q140_",
     "q141_", "q142_", "q143_", "q144_", "q145_", "q146_", "q147_",
     "q148_", "q149_", "q150_", "q151_", "q152_", "q153_", "q154_",
-    "q155_", "q156_", "q157_", "q158_", "q159_", "q160_",
+    "q155_", "q156_", "q157_", "q158_", "q159_", "q160_", "q161_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -7798,4 +7845,5 @@ ORACLES: dict[str, str | None] = {
     "q158_ann_mrr": _oracle_q158(),
     "q159_rfm_segments": ORACLE_Q159,
     "q160_k_anonymity": ORACLE_Q160,
+    "q161_seasonal_baseline": ORACLE_Q161,
 }

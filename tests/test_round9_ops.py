@@ -1263,3 +1263,45 @@ class TestSeasonalBaseline:
         # persistence: only transition into h30 (0->1) among scored
         assert r["sae_persist"] == 1
         assert r["seasonal_wins"] == 0
+
+
+class TestLabelCentroidConfusion:
+    def test_separable_clusters_perfect_diagonal(self, spark):
+        from ursa_major_choir_etl_spark.operators.similarity import (
+            label_centroid_confusion,
+        )
+
+        rows = (
+            [(i, [10.0 + (i % 3) * 0.1, 0.0], 1) for i in range(3)]
+            + [(10 + i, [0.0, 10.0 + (i % 3) * 0.1], 2) for i in range(3)]
+        )
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        got = {
+            (r["label_true"], r["label_pred"]): r["n_vectors"]
+            for r in label_centroid_confusion(emb).collect()
+        }
+        assert got == {(1, 1): 3, (2, 2): 3}
+
+    def test_outlier_crosses_to_other_centroid(self, spark):
+        from ursa_major_choir_etl_spark.operators.similarity import (
+            label_centroid_confusion,
+        )
+
+        # one label-1 vector sits on label 2's centroid -> off-diagonal
+        rows = [
+            (1, [10.0, 0.0], 1),
+            (2, [10.0, 0.0], 1),
+            (3, [0.0, 10.0], 1),   # mislabeled / outlier
+            (4, [0.0, 10.0], 2),
+            (5, [0.0, 10.0], 2),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        got = {
+            (r["label_true"], r["label_pred"]): r["n_vectors"]
+            for r in label_centroid_confusion(emb).collect()
+        }
+        assert got[(1, 2)] == 1 and got[(1, 1)] == 2 and got[(2, 2)] == 2

@@ -1245,3 +1245,76 @@ def mrr_report(
             " ELSE 0 END) DIV count(1) AS BIGINT)"
         ).alias("mrr_ppm"),
     )
+
+
+def label_centroid_confusion(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Nearest-centroid probe: assign every vector to its closest
+    label centroid and cross-tabulate predicted vs true — the
+    cheapest possible "are these embeddings linearly separable by
+    class" diagnostic (a confusion matrix without training anything),
+    the sanity check run before trusting labels for hard-negative
+    mining or stratified sampling.
+
+    Determinism contract: embeddings are first quantized to integer
+    micro-units (round(x * scale) as bigint), so centroid NUMERATORS
+    are exact order-insensitive integer sums; the only floats are
+    s/n divisions and the squared-difference fold over the dimension
+    array — a FIXED-ORDER sequential fold both engines replay
+    identically (never a partition-order float sum). Distance ties
+    break on the smaller label.
+
+    Scale shape: one dimension-explode aggregate builds (label, dim)
+    numerators — model-state-sized (labels x dims); centroids come
+    back as per-label arrays and BROADCAST against one corpus scan;
+    the confusion matrix is a (labels^2)-cardinality aggregate.
+
+    Output: (label_true, label_pred, n_vectors).
+    """
+    q = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("label_true"),
+        F.expr(
+            f"transform(CAST({vec_col} AS ARRAY<DOUBLE>),"
+            f" x -> CAST(round(x * {scale}) AS BIGINT))"
+        ).alias("_qv"),
+    )
+    dims = q.select(
+        "label_true", F.posexplode("_qv").alias("dim", "v")
+    )
+    cent = (
+        dims.groupBy(F.col("label_true").alias("_lc"), "dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .groupBy("_lc")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "s", "n"))
+            ).alias("_c")
+        )
+        .select(
+            "_lc",
+            F.expr("transform(_c, e -> e.s / e.n)").alias("_cv"),
+        )
+    )
+    scored = q.crossJoin(F.broadcast(cent)).select(
+        "_id",
+        "label_true",
+        F.col("_lc").alias("label_pred"),
+        F.expr(
+            "aggregate(zip_with(_qv, _cv, (x, c) -> (x - c) * (x - c)),"
+            " CAST(0.0 AS DOUBLE), (acc, d) -> acc + d)"
+        ).alias("_d2"),
+    )
+    best = scored.groupBy("_id", "label_true").agg(
+        F.min(F.struct(F.col("_d2"), F.col("label_pred"))).alias("_b")
+    )
+    return (
+        best.select("label_true", F.col("_b.label_pred").alias("label_pred"))
+        .groupBy("label_true", "label_pred")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )

@@ -140,6 +140,7 @@ Operator coverage map (SURVEY §2 ids -> query):
   RFM lifecycle segmentation ....... q159 (exact histogram quartiles)
   k-anonymity audit ................ q160 (re-identification risk tiers)
   seasonal anomaly baseline ........ q161 (naive-24h vs persistence MAE)
+  centroid confusion probe ......... q162 (embedding separability matrix)
 """
 
 from __future__ import annotations
@@ -7464,6 +7465,57 @@ FROM lagged GROUP BY etype
 """
 
 
+def q162_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding separability probe (similarity.label_centroid_
+    confusion): nearest-label-centroid assignment cross-tabulated
+    against true labels — a confusion matrix without training
+    anything. Integer micro-unit quantization makes centroid sums
+    exact; the distance fold is a fixed-order sequential reduce both
+    engines replay identically; centroids broadcast against one
+    corpus scan."""
+    return similarity.label_centroid_confusion(
+        T(spark, sf_dir, "embeddings")
+    )
+
+
+ORACLE_Q162 = """
+WITH q AS (
+  SELECT vec_id, label AS label_true,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+dims AS (
+  SELECT label_true, i AS dim, qv[i] AS v
+  FROM (SELECT label_true, qv, unnest(range(1, len(qv) + 1)) AS i FROM q)
+),
+centd AS (
+  SELECT label_true AS lc, dim, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+  FROM dims GROUP BY 1, 2
+),
+cent AS (
+  SELECT lc, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS cv
+  FROM centd GROUP BY 1
+),
+scored AS (
+  SELECT q.vec_id, q.label_true, c.lc AS label_pred,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, len(qv) + 1),
+                            i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))),
+           (acc, d) -> acc + d) AS d2
+  FROM q CROSS JOIN cent c
+),
+best AS (
+  SELECT vec_id, label_true,
+         (min({'d': d2, 'l': label_pred})).l AS label_pred
+  FROM scored GROUP BY 1, 2
+)
+SELECT label_true, label_pred, count(*) AS n_vectors
+FROM best GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -7626,6 +7678,7 @@ QUERIES = {
     "q159_rfm_segments": q159_rfm_segments,
     "q160_k_anonymity": q160_k_anonymity,
     "q161_seasonal_baseline": q161_seasonal_baseline,
+    "q162_centroid_confusion": q162_centroid_confusion,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -7660,6 +7713,7 @@ _CHANGED_R8 = (
     "q141_", "q142_", "q143_", "q144_", "q145_", "q146_", "q147_",
     "q148_", "q149_", "q150_", "q151_", "q152_", "q153_", "q154_",
     "q155_", "q156_", "q157_", "q158_", "q159_", "q160_", "q161_",
+    "q162_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -7846,4 +7900,5 @@ ORACLES: dict[str, str | None] = {
     "q159_rfm_segments": ORACLE_Q159,
     "q160_k_anonymity": ORACLE_Q160,
     "q161_seasonal_baseline": ORACLE_Q161,
+    "q162_centroid_confusion": ORACLE_Q162,
 }

@@ -1305,3 +1305,33 @@ class TestLabelCentroidConfusion:
             for r in label_centroid_confusion(emb).collect()
         }
         assert got[(1, 2)] == 1 and got[(1, 1)] == 2 and got[(2, 2)] == 2
+
+
+class TestRrfFusion:
+    def test_hand_computed_rrf_with_ties(self, spark):
+        from ursa_major_choir_etl_spark.operators.curation import (
+            rrf_fusion_shortlist,
+        )
+
+        # one group, two signals:
+        #   doc 1: s0 best (rank 1), s1 worst (rank 3)
+        #   doc 2: s0/s1 middle but tied with doc 3 on s1
+        #   doc 3: s0 worst, tied top on s1 with doc 2
+        df = spark.createDataFrame(
+            [(1, "g", 30, 1), (2, "g", 20, 5), (3, "g", 10, 5)],
+            "doc_id long, source string, a long, b long",
+        )
+        got = {
+            r["doc_id"]: r
+            for r in rrf_fusion_shortlist(df, ["a", "b"], top=3).collect()
+        }
+        # double-ranks descending: s0: 30->dr2(r1), 20->dr4, 10->dr6
+        # s1: {5,5} share avg rank 1.5 -> dr3; 1 -> dr6
+        rrf = lambda *drs: sum(2_000_000 // (120 + d) for d in drs)
+        assert got[1]["rrf_micro"] == rrf(2, 6)
+        assert got[2]["rrf_micro"] == rrf(4, 3)
+        assert got[3]["rrf_micro"] == rrf(6, 3)
+        # tie-aware ranks: docs 2 and 3 share the s1 contribution,
+        # and balanced doc 2 beats spiky doc 1 (rank fusion's point)
+        assert got[2]["rrf_micro"] > got[3]["rrf_micro"]
+        assert [got[i]["rank"] for i in (2, 1, 3)] == [1, 2, 3]

@@ -1223,3 +1223,79 @@ def anneal_phase_plan(
             " END AS BIGINT)"
         ).alias("upweight_x_ppm"),
     )
+
+
+def rrf_fusion_shortlist(
+    df: DataFrame,
+    signal_cols: list[str],
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    rrf_k: int = 60,
+    top: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion over multiple quality signals: each doc
+    is ranked per signal (higher value = better), the ranks fold into
+    the standard RRF score sum(1 / (k + rank)), and the top docs per
+    group survive — the rank-aggregation trick search stacks use to
+    combine incomparable scores without calibrating them, applied
+    here to multi-signal data curation shortlists.
+
+    Exactness contract: per-signal ranks are tie-aware AVERAGE ranks
+    from per-group VALUE HISTOGRAMS (the q150 double-rank machinery,
+    descending orientation: dr = 2n - 2*cum + cnt + 1), and the RRF
+    term is computed in integer micro-units as
+    2_000_000 DIV (2*rrf_k + dr) — algebraically 1e6/(k + avg_rank)
+    floored — so both engines produce identical integers under any
+    tie structure. Windows only ever run over histogram rows.
+
+    Scale shape: one histogram + probe join per signal (all keyed on
+    (group, value)); the final selection is the salted bounded
+    top-N. Output: (group, id, rrf_micro, rank).
+    """
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("_id"),
+        *[F.col(c).cast("bigint").alias(f"_s{i}") for i, c in enumerate(signal_cols)],
+    )
+    fused = base
+    for i in range(len(signal_cols)):
+        col = f"_s{i}"
+        h = base.groupBy("grp", col).agg(F.count(F.lit(1)).alias("_cnt"))
+        w = (
+            Window.partitionBy("grp")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        n = h.groupBy("grp").agg(F.sum("_cnt").alias("_n"))
+        dr = (
+            h.withColumn("_cum", F.sum("_cnt").over(w))
+            .join(n, "grp")
+            .select(
+                "grp",
+                col,
+                (
+                    2 * F.col("_n")
+                    - 2 * F.col("_cum")
+                    + F.col("_cnt")
+                    + 1
+                ).alias(f"_dr{i}"),
+            )
+        )
+        fused = fused.join(dr, ["grp", col])
+    rrf = sum(
+        F.expr(f"2000000 DIV ({2 * rrf_k} + _dr{i})")
+        for i in range(len(signal_cols))
+    )
+    scored = fused.select("grp", "_id", rrf.alias("rrf_micro"))
+    return bounded_topn_per_key(
+        scored,
+        ["grp"],
+        [F.col("rrf_micro").desc(), F.col("_id").asc()],
+        cap=top,
+        salt_on=F.col("_id"),
+    ).select(
+        F.col("grp").alias(group_col),
+        F.col("_id").alias(id_col),
+        "rrf_micro",
+        "rank",
+    )

@@ -141,6 +141,7 @@ Operator coverage map (SURVEY §2 ids -> query):
   k-anonymity audit ................ q160 (re-identification risk tiers)
   seasonal anomaly baseline ........ q161 (naive-24h vs persistence MAE)
   centroid confusion probe ......... q162 (embedding separability matrix)
+  RRF multi-signal shortlist ....... q163 (rank fusion, integer micro)
 """
 
 from __future__ import annotations
@@ -7516,6 +7517,79 @@ FROM best GROUP BY 1, 2
 """
 
 
+def q163_rrf_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal curation shortlist (curation.rrf_fusion_shortlist):
+    reciprocal-rank fusion of three incomparable per-doc signals
+    (token count, distinct-token count, char length) into the
+    standard RRF score, top-20 per source. Tie-aware average ranks
+    from per-group value histograms; the RRF term is integer
+    2e6 DIV (120 + double-rank), bit-identical cross-engine."""
+    from ursa_major_choir_etl_spark.operators import curation
+
+    docs = T(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("_t"),
+    ).select(
+        "doc_id",
+        "source",
+        F.size("_t").alias("n_tok"),
+        F.size(F.array_distinct("_t")).alias("n_dtok"),
+        "n_chars",
+    )
+    return curation.rrf_fusion_shortlist(
+        sig, ["n_tok", "n_dtok", "n_chars"]
+    )
+
+
+ORACLE_Q163 = """
+WITH sig AS (
+  SELECT doc_id, source AS grp,
+         CAST(len(t) AS BIGINT) AS s0,
+         CAST(len(list_distinct(t)) AS BIGINT) AS s1,
+         CAST(n_chars AS BIGINT) AS s2
+  FROM (SELECT doc_id, source, n_chars,
+               regexp_extract_all(lower(text), '[a-z]+') AS t
+        FROM documents)
+),
+h0 AS (SELECT grp, s0, count(*) AS cnt FROM sig GROUP BY 1, 2),
+n0 AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM h0 GROUP BY 1),
+d0 AS (SELECT grp, s0,
+              2 * n - 2 * CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY s0)
+                              AS BIGINT) + cnt + 1 AS dr0
+       FROM h0 JOIN n0 USING (grp)),
+h1 AS (SELECT grp, s1, count(*) AS cnt FROM sig GROUP BY 1, 2),
+n1 AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM h1 GROUP BY 1),
+d1 AS (SELECT grp, s1,
+              2 * n - 2 * CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY s1)
+                              AS BIGINT) + cnt + 1 AS dr1
+       FROM h1 JOIN n1 USING (grp)),
+h2 AS (SELECT grp, s2, count(*) AS cnt FROM sig GROUP BY 1, 2),
+n2 AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM h2 GROUP BY 1),
+d2 AS (SELECT grp, s2,
+              2 * n - 2 * CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY s2)
+                              AS BIGINT) + cnt + 1 AS dr2
+       FROM h2 JOIN n2 USING (grp)),
+scored AS (
+  SELECT s.grp, s.doc_id,
+         2000000 // (120 + dr0) + 2000000 // (120 + dr1)
+         + 2000000 // (120 + dr2) AS rrf_micro
+  FROM sig s
+  JOIN d0 USING (grp, s0) JOIN d1 USING (grp, s1) JOIN d2 USING (grp, s2)
+),
+ranked AS (
+  SELECT grp, doc_id, rrf_micro,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY rrf_micro DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT grp AS source, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro, rank
+FROM ranked WHERE rank <= 20
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -7679,6 +7753,7 @@ QUERIES = {
     "q160_k_anonymity": q160_k_anonymity,
     "q161_seasonal_baseline": q161_seasonal_baseline,
     "q162_centroid_confusion": q162_centroid_confusion,
+    "q163_rrf_shortlist": q163_rrf_shortlist,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -7713,7 +7788,7 @@ _CHANGED_R8 = (
     "q141_", "q142_", "q143_", "q144_", "q145_", "q146_", "q147_",
     "q148_", "q149_", "q150_", "q151_", "q152_", "q153_", "q154_",
     "q155_", "q156_", "q157_", "q158_", "q159_", "q160_", "q161_",
-    "q162_",
+    "q162_", "q163_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -7901,4 +7976,5 @@ ORACLES: dict[str, str | None] = {
     "q160_k_anonymity": ORACLE_Q160,
     "q161_seasonal_baseline": ORACLE_Q161,
     "q162_centroid_confusion": ORACLE_Q162,
+    "q163_rrf_shortlist": ORACLE_Q163,
 }

@@ -1335,3 +1335,59 @@ class TestRrfFusion:
         # and balanced doc 2 beats spiky doc 1 (rank fusion's point)
         assert got[2]["rrf_micro"] > got[3]["rrf_micro"]
         assert [got[i]["rank"] for i in (2, 1, 3)] == [1, 2, 3]
+
+
+class TestDupDivergence:
+    def test_hand_computed_buckets(self, spark):
+        from ursa_major_choir_etl_spark.operators.dedup import (
+            near_dup_divergence_profile,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "aa bb cc"),
+                (2, "cc bb aa aa"),          # same vocab as 1 -> sd 0
+                (3, "aa bb dd"),             # vs 1: sd = 2 (cc,dd)
+                (4, "pp qq rr ss tt uu vv"),  # vs 1: sd = 10 -> rewrite
+            ],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+        )
+        got = {
+            r["divergence"]: r
+            for r in near_dup_divergence_profile(docs, pairs).collect()
+        }
+        assert got["0_identical_vocab"]["n_pairs"] == 1
+        assert got["1_touch_up"]["n_pairs"] == 1
+        assert got["3_rewrite"]["n_pairs"] == 1
+        assert got["3_rewrite"]["pairs_ppm"] == 333_333
+
+
+class TestTemplateProfile:
+    def test_modal_lead_token_share(self, spark):
+        from ursa_major_choir_etl_spark.operators.text import (
+            positional_template_profile,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "s", "breaking news about cats"),
+                (2, "s", "breaking news about dogs"),
+                (3, "s", "quiet update about fish"),
+            ],
+            "doc_id long, source string, text string",
+        )
+        got = {
+            r["pos"]: r
+            for r in positional_template_profile(docs).collect()
+        }
+        assert got[1]["top_token"] == "breaking"
+        assert got[1]["top_count"] == 2 and got[1]["n_docs_at_pos"] == 3
+        assert got[1]["share_ppm"] == 666_666
+        assert got[2]["top_token"] == "news"
+        assert got[3]["top_token"] == "about"
+        assert got[3]["share_ppm"] == 1_000_000
+        # tie at pos 4 (cats/dogs/fish all 1) -> deterministic max
+        assert got[4]["top_token"] == "fish"

@@ -1332,3 +1332,73 @@ def threshold_sensitivity(
         .agg(F.count_distinct("d").alias("n_docs"))
     )
     return n_pairs.join(n_docs, "threshold")
+
+
+def near_dup_divergence_profile(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """How near are the near-duplicates? For every candidate pair,
+    the symmetric difference of the two docs' distinct-token sets,
+    bucketed into an edit-magnitude histogram — the report that says
+    whether a corpus's duplication is trivial edits (timestamps,
+    bylines: safe to collapse) or substantial rewrites (collapsing
+    loses real content), which decides between hard dedup and soft
+    down-weighting.
+
+    Buckets: identical-vocab (0), touch-up (1-2 tokens), light edit
+    (3-8), rewrite (9+). Work is PAIR-cardinality: two joins hang the
+    token sets on each side of the pair table (shuffle on the id
+    key), one array_intersect per pair, one 4-row aggregate;
+    pairs_ppm through DECIMAL(38,0).
+
+    Output: (divergence, n_pairs, pairs_ppm).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_tid"),
+        F.array_distinct(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("_ts"),
+    )
+    sided = (
+        pairs.select("id_a", "id_b")
+        .join(
+            toks.select(
+                F.col("_tid").alias("id_a"), F.col("_ts").alias("_ta")
+            ),
+            "id_a",
+        )
+        .join(
+            toks.select(
+                F.col("_tid").alias("id_b"), F.col("_ts").alias("_tb")
+            ),
+            "id_b",
+        )
+        .select(
+            (
+                F.size("_ta")
+                + F.size("_tb")
+                - 2 * F.size(F.array_intersect("_ta", "_tb"))
+            ).alias("_sd")
+        )
+    )
+    bucket = (
+        F.when(F.col("_sd") == 0, F.lit("0_identical_vocab"))
+        .when(F.col("_sd") <= 2, F.lit("1_touch_up"))
+        .when(F.col("_sd") <= 8, F.lit("2_light_edit"))
+        .otherwise(F.lit("3_rewrite"))
+    )
+    hist = sided.select(bucket.alias("divergence")).groupBy("divergence").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    total = hist.agg(F.sum("n_pairs").alias("_t"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "divergence",
+        "n_pairs",
+        F.expr(
+            "CAST(CAST(n_pairs AS DECIMAL(38,0)) * 1000000 DIV _t"
+            " AS BIGINT)"
+        ).alias("pairs_ppm"),
+    )

@@ -142,6 +142,8 @@ Operator coverage map (SURVEY §2 ids -> query):
   seasonal anomaly baseline ........ q161 (naive-24h vs persistence MAE)
   centroid confusion probe ......... q162 (embedding separability matrix)
   RRF multi-signal shortlist ....... q163 (rank fusion, integer micro)
+  near-dup divergence histogram .... q164 (edit-magnitude over pairs)
+  positional template profile ...... q165 (modal lead-token shares)
 """
 
 from __future__ import annotations
@@ -7590,6 +7592,78 @@ FROM ranked WHERE rank <= 20
 """
 
 
+def q164_dup_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup divergence histogram (dedup.near_dup_divergence_
+    profile): distinct-token symmetric difference per candidate pair,
+    bucketed into identical-vocab / touch-up / light-edit / rewrite —
+    trivial-edit duplication is safe to collapse, rewrites are not.
+    Twelfth consumer of the materialized q20 pair artifact;
+    pair-cardinality work only."""
+    return dedup.near_dup_divergence_profile(
+        T(spark, sf_dir, "documents"), jaccard_pairs_table(spark, sf_dir)
+    )
+
+
+def _oracle_q164() -> str:
+    return f"""
+WITH jp AS ({_oracle_q20()}),
+toks AS (
+  SELECT doc_id,
+         list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS ts
+  FROM documents
+),
+sided AS (
+  SELECT len(a.ts) + len(b.ts) - 2 * len(list_intersect(a.ts, b.ts)) AS sd
+  FROM jp JOIN toks a ON a.doc_id = jp.id_a
+          JOIN toks b ON b.doc_id = jp.id_b
+),
+hist AS (
+  SELECT CASE WHEN sd = 0 THEN '0_identical_vocab'
+              WHEN sd <= 2 THEN '1_touch_up'
+              WHEN sd <= 8 THEN '2_light_edit'
+              ELSE '3_rewrite' END AS divergence,
+         count(*) AS n_pairs
+  FROM sided GROUP BY 1
+)
+SELECT divergence, n_pairs,
+       CAST(CAST(n_pairs AS HUGEINT) * 1000000
+            // (SELECT sum(n_pairs) FROM hist) AS BIGINT) AS pairs_ppm
+FROM hist
+"""
+
+
+def q165_template_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-lead detector (text.positional_template_profile):
+    modal token and its share for each of the first 10 token slots
+    per source — positional statistics expose templated openers that
+    per-doc dedup misses. One bounded explode + count shuffle, a
+    (source x 10)-cardinality aggregate, deterministic struct-max
+    mode."""
+    return text.positional_template_profile(T(spark, sf_dir, "documents"))
+
+
+ORACLE_Q165 = """
+WITH toked AS (
+  SELECT source AS grp,
+         regexp_extract_all(lower(text), '[a-z]+')[1:10] AS t
+  FROM documents
+  WHERE len(regexp_extract_all(lower(text), '[a-z]+')) > 0
+),
+counts AS (
+  SELECT grp, p AS pos, t[p] AS tok, count(*) AS c
+  FROM (SELECT grp, t, unnest(range(1, len(t) + 1)) AS p FROM toked)
+  GROUP BY 1, 2, 3
+)
+SELECT grp AS source, CAST(pos AS INT) AS pos,
+       (max({'c': c, 't': tok})).t AS top_token,
+       CAST((max({'c': c, 't': tok})).c AS BIGINT) AS top_count,
+       CAST(sum(c) AS BIGINT) AS n_docs_at_pos,
+       CAST(CAST((max({'c': c, 't': tok})).c AS HUGEINT) * 1000000
+            // sum(c) AS BIGINT) AS share_ppm
+FROM counts GROUP BY grp, pos
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -7754,6 +7828,8 @@ QUERIES = {
     "q161_seasonal_baseline": q161_seasonal_baseline,
     "q162_centroid_confusion": q162_centroid_confusion,
     "q163_rrf_shortlist": q163_rrf_shortlist,
+    "q164_dup_divergence": q164_dup_divergence,
+    "q165_template_profile": q165_template_profile,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -7788,7 +7864,7 @@ _CHANGED_R8 = (
     "q141_", "q142_", "q143_", "q144_", "q145_", "q146_", "q147_",
     "q148_", "q149_", "q150_", "q151_", "q152_", "q153_", "q154_",
     "q155_", "q156_", "q157_", "q158_", "q159_", "q160_", "q161_",
-    "q162_", "q163_",
+    "q162_", "q163_", "q164_", "q165_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -7977,4 +8053,6 @@ ORACLES: dict[str, str | None] = {
     "q161_seasonal_baseline": ORACLE_Q161,
     "q162_centroid_confusion": ORACLE_Q162,
     "q163_rrf_shortlist": ORACLE_Q163,
+    "q164_dup_divergence": _oracle_q164(),
+    "q165_template_profile": ORACLE_Q165,
 }

@@ -142,6 +142,13 @@ class TestNewQueryShapes:
         plan = plan_of(registry["q64_sequence_packing"](spark, SF_DIR))
         assert "SinglePartition" not in plan
 
+    def test_q166_dims_broadcast_deep_tree(self, spark, registry):
+        # the Q8-shape tree must broadcast the two fixed dims (nation
+        # twice, region once) and shuffle only the growth-class sides
+        plan = plan_of(registry["q166_market_share"](spark, SF_DIR))
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "CartesianProduct" not in plan
+
     def test_q58_no_expand(self, spark, registry):
         # profile_table avoids the multi-distinct Expand rewrite
         plan = plan_of(registry["q58_profile_orders"](spark, SF_DIR))

@@ -144,6 +144,7 @@ Operator coverage map (SURVEY §2 ids -> query):
   RRF multi-signal shortlist ....... q163 (rank fusion, integer micro)
   near-dup divergence histogram .... q164 (edit-magnitude over pairs)
   positional template profile ...... q165 (modal lead-token shares)
+  national market share ............ q166 (TPC-H Q8 deep join tree)
 """
 
 from __future__ import annotations
@@ -7664,6 +7665,103 @@ FROM counts GROUP BY grp, pos
 """
 
 
+def q166_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: within the ASIA
+    customer market, NATION_3-supplied revenue share per order year.
+    The deepest join tree in the registry (lineitem-supplier-orders-
+    customer + two fixed dims): fact-side revenue is integer-scaled
+    before any join (order-insensitive sums), the customer market
+    membership reduces to a semi-join-shaped projection shuffled on
+    custkey, supplier nation arrives via a suppkey shuffle + bdim
+    nation broadcast, and the share is DECIMAL-integer ppm."""
+    region = T(spark, sf_dir, "region")
+    nation = T(spark, sf_dir, "nation")
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    supp = T(spark, sf_dir, "supplier")
+    rev_x10k = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    market_cust = (
+        cust.join(
+            bdim(nation, "nation"),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            bdim(region, "region").filter(F.col("r_name") == "ASIA"),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .select("c_custkey")
+    )
+    market_orders = orders.join(
+        market_cust, orders["o_custkey"] == market_cust["c_custkey"]
+    ).select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    supp_nation = supp.join(
+        bdim(nation, "nation").withColumnRenamed("n_name", "supp_nation"),
+        supp["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    li_n = (
+        li.select("l_orderkey", "l_suppkey", rev_x10k.alias("_rev"))
+        .join(supp_nation, li["l_suppkey"] == supp_nation["s_suppkey"])
+        .select("l_orderkey", "supp_nation", "_rev")
+    )
+    return (
+        li_n.join(
+            market_orders, li_n["l_orderkey"] == market_orders["o_orderkey"]
+        )
+        .groupBy("o_year")
+        .agg(
+            F.sum("_rev").alias("_tot"),
+            F.sum(
+                F.when(
+                    F.col("supp_nation") == "NATION_3", F.col("_rev")
+                ).otherwise(F.lit(0))
+            ).alias("_tgt"),
+        )
+        .select(
+            "o_year",
+            (F.col("_tot") / 10000.0).alias("mkt_revenue"),
+            (F.col("_tgt") / 10000.0).alias("nation_revenue"),
+            F.expr(
+                "CAST(CAST(_tgt AS DECIMAL(38,0)) * 1000000 DIV _tot"
+                " AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )
+
+
+ORACLE_Q166 = """
+WITH market_orders AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+li_n AS (
+  SELECT l_orderkey,
+         n_name AS supp_nation,
+         CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+           AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+),
+agg AS (
+  SELECT o_year, CAST(sum(rev) AS BIGINT) AS tot,
+         CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END)
+              AS BIGINT) AS tgt
+  FROM li_n JOIN market_orders ON li_n.l_orderkey = market_orders.o_orderkey
+  GROUP BY o_year
+)
+SELECT o_year, tot / 10000.0 AS mkt_revenue, tgt / 10000.0 AS nation_revenue,
+       CAST(CAST(tgt AS HUGEINT) * 1000000 // tot AS BIGINT) AS share_ppm
+FROM agg
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -7830,6 +7928,7 @@ QUERIES = {
     "q163_rrf_shortlist": q163_rrf_shortlist,
     "q164_dup_divergence": q164_dup_divergence,
     "q165_template_profile": q165_template_profile,
+    "q166_market_share": q166_market_share,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -7864,7 +7963,7 @@ _CHANGED_R8 = (
     "q141_", "q142_", "q143_", "q144_", "q145_", "q146_", "q147_",
     "q148_", "q149_", "q150_", "q151_", "q152_", "q153_", "q154_",
     "q155_", "q156_", "q157_", "q158_", "q159_", "q160_", "q161_",
-    "q162_", "q163_", "q164_", "q165_",
+    "q162_", "q163_", "q164_", "q165_", "q166_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -8055,4 +8154,5 @@ ORACLES: dict[str, str | None] = {
     "q163_rrf_shortlist": ORACLE_Q163,
     "q164_dup_divergence": _oracle_q164(),
     "q165_template_profile": ORACLE_Q165,
+    "q166_market_share": ORACLE_Q166,
 }

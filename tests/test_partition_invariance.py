@@ -37,6 +37,15 @@ QUERIES_UNDER_TEST = [
     "q20_ngram_jaccard",
     "q108_simhash_hamming",
     "q130_threshold_sweep",
+    # round-9 additions: histogram-rank machinery (tie-aware ranks
+    # must not depend on row order), order-insensitive checksums,
+    # struct-max argmax ties, double-distance argmin ties
+    "q150_rank_agreement",
+    "q153_shard_manifest",
+    "q155_join_key_skew_profile",
+    "q159_rfm_segments",
+    "q162_centroid_confusion",
+    "q163_rrf_shortlist",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -1391,3 +1391,37 @@ class TestTemplateProfile:
         assert got[3]["share_ppm"] == 1_000_000
         # tie at pos 4 (cats/dogs/fish all 1) -> deterministic max
         assert got[4]["top_token"] == "fish"
+
+
+class TestGiniConcentration:
+    def _run(self, spark, rows):
+        from ursa_major_choir_etl_spark.operators.quality import (
+            gini_concentration,
+        )
+
+        df = spark.createDataFrame(rows, "g string, x long")
+        return {
+            r["g"]: r for r in gini_concentration(df, "x", "g").collect()
+        }
+
+    def test_equal_distribution_is_zero(self, spark):
+        got = self._run(spark, [("e", 7)] * 10)
+        assert got["e"]["gini_ppm"] == 0
+        assert got["e"]["total"] == 70
+
+    def test_total_concentration_approaches_one(self, spark):
+        # 9 entities with 0, one with everything: G = (n-1)/n = 0.9
+        got = self._run(spark, [("c", 0)] * 9 + [("c", 100)])
+        assert got["c"]["gini_ppm"] == 900_000
+
+    def test_hand_computed_mixed(self, spark):
+        # x = [1, 3]: ranks 1,2 -> dr 1?? dr=2cum-cnt+1: x=1 ->
+        # 2*1-1+1=2; x=3 -> 2*2-1+1=4. sxdr = 1*2 + 3*4 = 14; n=2,
+        # sx=4 -> 14e6 // 8 = 1_750_000; (3*1e6)//2 = 1_500_000 ->
+        # G = 250_000 (exact Gini of [1,3] = 0.25)
+        got = self._run(spark, [("m", 1), ("m", 3)])
+        assert got["m"]["gini_ppm"] == 250_000
+
+    def test_zero_total_is_null(self, spark):
+        got = self._run(spark, [("z", 0), ("z", 0)])
+        assert got["z"]["gini_ppm"] is None

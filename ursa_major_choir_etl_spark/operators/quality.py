@@ -560,3 +560,65 @@ def k_anonymity_report(
             " AS BIGINT)"
         ).alias("docs_ppm"),
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Exact Gini concentration of an integer quantity per group —
+    the inequality number behind "is this event type driven by a
+    handful of power users" / "do three domains own the corpus".
+
+    Computed from the VALUE HISTOGRAM with tie-aware average ranks
+    in integer double-rank form (the q150 machinery):
+
+        gini_ppm = (sum(x * dr) * 1e6) DIV (n * sum(x))
+                   - ((n + 1) * 1e6) DIV n
+
+    where dr = 2*cum - cnt + 1 is twice the average ascending rank
+    of value x. Equal distribution -> 0; total concentration ->
+    ~1e6 * (n-1)/n. Every term is integer (DECIMAL(38,0) products),
+    both engines floor identically, and windows only run over
+    histogram rows.
+
+    Output per group: (group, n_entities, total, gini_ppm) — groups
+    with sum(x) = 0 report NULL.
+    """
+    vals = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("bigint").alias("_x"),
+    )
+    h = vals.groupBy("grp", "_x").agg(F.count(F.lit(1)).alias("_cnt"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("_x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hc = h.withColumn("_cum", F.sum("_cnt").over(w))
+    return (
+        hc.groupBy("grp")
+        .agg(
+            F.sum("_cnt").alias("n_entities"),
+            F.sum(F.expr("CAST(_x AS DECIMAL(38,0)) * _cnt")).alias("_sx"),
+            F.sum(
+                F.expr(
+                    "CAST(_x AS DECIMAL(38,0)) * _cnt"
+                    " * (2 * _cum - _cnt + 1)"
+                )
+            ).alias("_sxdr"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_entities",
+            F.expr("CAST(_sx AS BIGINT)").alias("total"),
+            F.expr(
+                "CASE WHEN _sx > 0 THEN CAST("
+                " _sxdr * 1000000 DIV (n_entities * _sx)"
+                " - CAST(n_entities + 1 AS DECIMAL(38,0)) * 1000000"
+                "   DIV n_entities"
+                " AS BIGINT) END"
+            ).alias("gini_ppm"),
+        )
+    )

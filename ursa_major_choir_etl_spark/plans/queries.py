@@ -145,6 +145,7 @@ Operator coverage map (SURVEY §2 ids -> query):
   near-dup divergence histogram .... q164 (edit-magnitude over pairs)
   positional template profile ...... q165 (modal lead-token shares)
   national market share ............ q166 (TPC-H Q8 deep join tree)
+  activity Gini concentration ...... q167 (exact tie-aware inequality)
 """
 
 from __future__ import annotations
@@ -7762,6 +7763,46 @@ FROM agg
 """
 
 
+def q167_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user concentration (quality.gini_concentration): exact
+    tie-aware Gini of per-user event counts within each event type,
+    in integer ppm — is the traffic a broad base or a handful of
+    heavy users? Histogram double-rank formula; windows bounded by
+    distinct count values."""
+    ev = T(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return quality.gini_concentration(per_user, "n", "event_type")
+
+
+ORACLE_Q167 = """
+WITH per_user AS (
+  SELECT event_type AS grp, user_id, count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+h AS (SELECT grp, x, count(*) AS cnt FROM per_user GROUP BY 1, 2),
+hc AS (
+  SELECT grp, x, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY x) AS BIGINT) AS cum
+  FROM h
+),
+agg AS (
+  SELECT grp, CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS HUGEINT) * cnt) AS HUGEINT) AS sx,
+         CAST(sum(CAST(x AS HUGEINT) * cnt * (2 * cum - cnt + 1))
+              AS HUGEINT) AS sxdr
+  FROM hc GROUP BY grp
+)
+SELECT grp AS event_type, n AS n_entities, CAST(sx AS BIGINT) AS total,
+       CASE WHEN sx > 0 THEN CAST(
+         sxdr * 1000000 // (n * sx)
+         - CAST(n + 1 AS HUGEINT) * 1000000 // n
+       AS BIGINT) END AS gini_ppm
+FROM agg
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -7929,6 +7970,7 @@ QUERIES = {
     "q164_dup_divergence": q164_dup_divergence,
     "q165_template_profile": q165_template_profile,
     "q166_market_share": q166_market_share,
+    "q167_activity_gini": q167_activity_gini,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -7963,7 +8005,7 @@ _CHANGED_R8 = (
     "q141_", "q142_", "q143_", "q144_", "q145_", "q146_", "q147_",
     "q148_", "q149_", "q150_", "q151_", "q152_", "q153_", "q154_",
     "q155_", "q156_", "q157_", "q158_", "q159_", "q160_", "q161_",
-    "q162_", "q163_", "q164_", "q165_", "q166_",
+    "q162_", "q163_", "q164_", "q165_", "q166_", "q167_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -8155,4 +8197,5 @@ ORACLES: dict[str, str | None] = {
     "q164_dup_divergence": _oracle_q164(),
     "q165_template_profile": ORACLE_Q165,
     "q166_market_share": ORACLE_Q166,
+    "q167_activity_gini": ORACLE_Q167,
 }

@@ -1425,3 +1425,76 @@ class TestGiniConcentration:
     def test_zero_total_is_null(self, spark):
         got = self._run(spark, [("z", 0), ("z", 0)])
         assert got["z"]["gini_ppm"] is None
+
+
+class TestReferentialIntegrity:
+    def test_orphans_detected_and_counted(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q168_referential_integrity,
+        )
+
+        d = str(tmp_path)
+        spark.createDataFrame(
+            [(1, 10, 100, 1000, 0.0, 0.0, 0.0, 0.0, 1.0, "N", "O", None),
+             (2, 10, 100, 1000, 0.0, 0.0, 0.0, 0.0, 1.0, "N", "O", None),
+             (3, 99, 100, 1000, 0.0, 0.0, 0.0, 0.0, 1.0, "N", "O", None)],
+            "l_orderkey long, x long, l_partkey long, l_suppkey long, "
+            "a double, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double, l_returnflag string, "
+            "l_linestatus string, l_shipdate timestamp",
+        ).selectExpr(
+            "l_orderkey", "l_partkey", "l_suppkey", "1 AS l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate"
+        ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+        spark.createDataFrame(
+            [(1, 5), (2, 5)],  # orderkey 3 is missing -> orphan line
+            "o_orderkey long, o_custkey long",
+        ).selectExpr(
+            "o_orderkey", "o_custkey", "'O' AS o_orderstatus",
+            "1.0 AS o_totalprice", "CAST(NULL AS TIMESTAMP) AS o_orderdate",
+            "'1-URGENT' AS o_orderpriority"
+        ).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+        spark.createDataFrame(
+            [(100,)], "p_partkey long"
+        ).write.mode("overwrite").parquet(os.path.join(d, "part.parquet"))
+        spark.createDataFrame(
+            [(1000, 7)], "s_suppkey long, s_nationkey long"
+        ).write.mode("overwrite").parquet(os.path.join(d, "supplier.parquet"))
+        spark.createDataFrame(
+            [(5, 7)], "c_custkey long, c_nationkey long"
+        ).write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+        spark.createDataFrame(
+            [(7,)], "n_nationkey long"
+        ).write.mode("overwrite").parquet(os.path.join(d, "nation.parquet"))
+
+        got = {
+            r["relationship"]: r
+            for r in q168_referential_integrity(spark, d).collect()
+        }
+        lo = got["lineitem->orders"]
+        # orderkey 3 has no parent order -> 1 of 3 lines orphaned
+        assert (lo["n_child"], lo["n_child_keys"], lo["n_orphans"]) == (3, 3, 1)
+        assert lo["orphan_ppm"] == 333_333
+        assert got["orders->customer"]["n_orphans"] == 0
+        assert got["customer->nation"]["orphan_ppm"] == 0
+        assert got["lineitem->part"]["n_orphans"] == 0
+
+    def test_orphan_ppm_math(self, spark, tmp_path):
+        # direct operator-shape check through a minimal rel: 1 of 4
+        # child rows orphaned -> 250000 ppm
+        from ursa_major_choir_etl_spark.plans import queries as Q
+
+        child = spark.createDataFrame(
+            [(1,), (1,), (2,), (9,)], "k long"
+        )
+        parent = spark.createDataFrame([(1,), (2,)], "pk long")
+        # reuse the inner rel() through the public query is awkward;
+        # assert the same math inline
+        c = child.selectExpr("k AS _k")
+        p = parent.selectExpr("pk AS _k").distinct()
+        orphans = c.join(p, "_k", "left_anti").count()
+        assert orphans == 1
+        assert orphans * 1_000_000 // c.count() == 250_000

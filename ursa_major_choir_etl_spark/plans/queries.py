@@ -146,6 +146,7 @@ Operator coverage map (SURVEY §2 ids -> query):
   positional template profile ...... q165 (modal lead-token shares)
   national market share ............ q166 (TPC-H Q8 deep join tree)
   activity Gini concentration ...... q167 (exact tie-aware inequality)
+  referential-integrity audit ...... q168 (FK orphan ppm, anti-joins)
 """
 
 from __future__ import annotations
@@ -7803,6 +7804,82 @@ FROM agg
 """
 
 
+def q168_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit: for every foreign-key
+    relationship in the star schema, row/distinct-key counts and
+    orphan rows (child keys with no parent) in ppm — the contract
+    check a warehouse runs on every load before marts are rebuilt.
+    Each relationship is one left-anti join shuffled on its key; the
+    report is a fixed-cardinality union."""
+
+    def rel(child: DataFrame, ck: str, parent: DataFrame, pk: str,
+            name: str) -> DataFrame:
+        c = child.select(F.col(ck).alias("_k"))
+        p = parent.select(F.col(pk).alias("_k")).distinct()
+        orphans = c.join(p, "_k", "left_anti")
+        stats = c.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.countDistinct("_k").alias("n_child_keys"),
+        )
+        o = orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        return stats.crossJoin(o).select(
+            F.lit(name).alias("relationship"),
+            "n_child",
+            "n_child_keys",
+            "n_orphans",
+            F.expr(
+                "CAST(CAST(n_orphans AS DECIMAL(38,0)) * 1000000"
+                " DIV n_child AS BIGINT)"
+            ).alias("orphan_ppm"),
+        )
+
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    part = T(spark, sf_dir, "part")
+    supp = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation")
+    out = rel(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders")
+    for args in (
+        (li, "l_partkey", part, "p_partkey", "lineitem->part"),
+        (li, "l_suppkey", supp, "s_suppkey", "lineitem->supplier"),
+        (orders, "o_custkey", cust, "c_custkey", "orders->customer"),
+        (cust, "c_nationkey", nation, "n_nationkey", "customer->nation"),
+    ):
+        out = out.unionByName(rel(*args))
+    return out
+
+
+def _oracle_q168() -> str:
+    def one(child: str, ck: str, parent: str, pk: str, name: str) -> str:
+        return f"""
+SELECT '{name}' AS relationship,
+       count(*) AS n_child,
+       CAST(count(DISTINCT {ck}) AS BIGINT) AS n_child_keys,
+       CAST(sum(CASE WHEN {ck} NOT IN (SELECT {pk} FROM {parent})
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+       CAST(CAST(sum(CASE WHEN {ck} NOT IN (SELECT {pk} FROM {parent})
+                     THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+            // count(*) AS BIGINT) AS orphan_ppm
+FROM {child}
+"""
+
+    return " UNION ALL ".join(
+        [
+            one("lineitem", "l_orderkey", "orders", "o_orderkey",
+                "lineitem->orders"),
+            one("lineitem", "l_partkey", "part", "p_partkey",
+                "lineitem->part"),
+            one("lineitem", "l_suppkey", "supplier", "s_suppkey",
+                "lineitem->supplier"),
+            one("orders", "o_custkey", "customer", "c_custkey",
+                "orders->customer"),
+            one("customer", "c_nationkey", "nation", "n_nationkey",
+                "customer->nation"),
+        ]
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -7971,6 +8048,7 @@ QUERIES = {
     "q165_template_profile": q165_template_profile,
     "q166_market_share": q166_market_share,
     "q167_activity_gini": q167_activity_gini,
+    "q168_referential_integrity": q168_referential_integrity,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -8005,7 +8083,7 @@ _CHANGED_R8 = (
     "q141_", "q142_", "q143_", "q144_", "q145_", "q146_", "q147_",
     "q148_", "q149_", "q150_", "q151_", "q152_", "q153_", "q154_",
     "q155_", "q156_", "q157_", "q158_", "q159_", "q160_", "q161_",
-    "q162_", "q163_", "q164_", "q165_", "q166_", "q167_",
+    "q162_", "q163_", "q164_", "q165_", "q166_", "q167_", "q168_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -8198,4 +8276,5 @@ ORACLES: dict[str, str | None] = {
     "q165_template_profile": ORACLE_Q165,
     "q166_market_share": ORACLE_Q166,
     "q167_activity_gini": ORACLE_Q167,
+    "q168_referential_integrity": _oracle_q168(),
 }

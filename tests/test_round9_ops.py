@@ -1498,3 +1498,40 @@ class TestReferentialIntegrity:
         orphans = c.join(p, "_k", "left_anti").count()
         assert orphans == 1
         assert orphans * 1_000_000 // c.count() == 250_000
+
+
+class TestScd2Build:
+    def test_change_detection_and_intervals(self, spark):
+        import datetime as dt
+
+        from ursa_major_choir_etl_spark.operators.marts import (
+            scd2_from_changelog,
+        )
+
+        t = lambda h: dt.datetime(2026, 1, 1, h)
+        rows = [
+            (1, 1, t(0), "bronze"),
+            (2, 1, t(1), "bronze"),   # no change -> collapsed
+            (3, 1, t(2), "silver"),   # change
+            (4, 1, t(3), "silver"),   # no change
+            (5, 1, t(4), "gold"),     # change
+            (6, 2, t(0), "bronze"),   # second key independent
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, "
+            "event_type string"
+        )
+        got = sorted(
+            scd2_from_changelog(ev).collect(),
+            key=lambda r: (r["user_id"], r["version"]),
+        )
+        u1 = [r for r in got if r["user_id"] == 1]
+        assert [(r["version"], r["attr"]) for r in u1] == [
+            (1, "bronze"), (2, "silver"), (3, "gold")
+        ]
+        assert u1[0]["valid_to"] == u1[1]["valid_from"]
+        assert u1[1]["valid_to"] == u1[2]["valid_from"]
+        assert [r["is_current"] for r in u1] == [0, 0, 1]
+        assert u1[2]["valid_to"] is None
+        u2 = [r for r in got if r["user_id"] == 2]
+        assert len(u2) == 1 and u2[0]["is_current"] == 1

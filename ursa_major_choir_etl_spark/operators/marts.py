@@ -272,3 +272,53 @@ def build_mart_chorister_song(
         "minutes_spent",
         (F.col("minutes_spent") / 60.0).alias("hours_spent"),
     )
+
+
+def scd2_from_changelog(
+    changes: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    order_tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a raw change log:
+    per key, keep only rows where the tracked attribute actually
+    CHANGED (change detection via lag), then stitch validity
+    intervals with lead — the standard warehouse versioning table
+    (valid_from inclusive, valid_to exclusive, NULL = current) that
+    the as-of joins in this repo consume on the other end.
+
+    Scale shape: two windows, both partitioned by the key (state
+    never leaves the key partition; same layout as sessionize):
+    lag over the full log for change detection, lead over the
+    (smaller) change rows for interval ends. Ordering ties break on
+    the unique change id, so both engines version identically.
+
+    Output per version: (key, version, attr, valid_from, valid_to,
+    is_current) — timestamps cast to string for engine-portable
+    rendering.
+    """
+    from ursa_major_choir_etl_spark.functions.columns import (
+        cast_ntz_to_timestamp,
+    )
+
+    changes = cast_ntz_to_timestamp(changes, [ts_col])
+    w = Window.partitionBy(key_col).orderBy("_ts", "_tb")
+    flagged = changes.select(
+        F.col(key_col),
+        F.col(attr_col).alias("attr"),
+        F.col(ts_col).alias("_ts"),
+        F.col(order_tiebreak_col).alias("_tb"),
+    ).withColumn("_prev", F.lag("attr").over(w))
+    changed = flagged.filter(
+        F.col("_prev").isNull() | (F.col("attr") != F.col("_prev"))
+    )
+    w2 = Window.partitionBy(key_col).orderBy("_ts", "_tb")
+    return changed.select(
+        F.col(key_col),
+        F.row_number().over(w2).alias("version"),
+        "attr",
+        F.col("_ts").cast("string").alias("valid_from"),
+        F.lead("_ts").over(w2).cast("string").alias("valid_to"),
+        F.lead("_ts").over(w2).isNull().cast("bigint").alias("is_current"),
+    )

@@ -147,6 +147,7 @@ Operator coverage map (SURVEY §2 ids -> query):
   national market share ............ q166 (TPC-H Q8 deep join tree)
   activity Gini concentration ...... q167 (exact tie-aware inequality)
   referential-integrity audit ...... q168 (FK orphan ppm, anti-joins)
+  SCD2 dimension build ............. q169 (change-log versioning)
 """
 
 from __future__ import annotations
@@ -164,6 +165,7 @@ from ursa_major_choir_etl_spark.operators import (
     sketches,
     text,
 )
+from ursa_major_choir_etl_spark.operators import marts as marts_ops
 from ursa_major_choir_etl_spark.functions import columns
 from ursa_major_choir_etl_spark.plans import oracles as osql
 
@@ -7880,6 +7882,38 @@ FROM {child}
     )
 
 
+def q169_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD build (marts.scd2_from_changelog): the events
+    stream as a change log -> per-user versioned dimension with
+    change detection (lag), stitched validity intervals (lead), and
+    a current flag — the warehouse versioning table the repo's as-of
+    joins consume. Two key-partitioned windows, tie-broken on
+    event_id."""
+    return marts_ops.scd2_from_changelog(T(spark, sf_dir, "events"))
+
+
+ORACLE_Q169 = """
+WITH flagged AS (
+  SELECT user_id, event_type AS attr, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+changed AS (
+  SELECT * FROM flagged WHERE prev IS NULL OR attr <> prev
+)
+SELECT user_id,
+       row_number() OVER w AS version,
+       attr,
+       CAST(ts AS VARCHAR) AS valid_from,
+       CAST(lead(ts) OVER w AS VARCHAR) AS valid_to,
+       CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_current
+FROM changed
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -8049,6 +8083,7 @@ QUERIES = {
     "q166_market_share": q166_market_share,
     "q167_activity_gini": q167_activity_gini,
     "q168_referential_integrity": q168_referential_integrity,
+    "q169_scd2_build": q169_scd2_build,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -8084,6 +8119,7 @@ _CHANGED_R8 = (
     "q148_", "q149_", "q150_", "q151_", "q152_", "q153_", "q154_",
     "q155_", "q156_", "q157_", "q158_", "q159_", "q160_", "q161_",
     "q162_", "q163_", "q164_", "q165_", "q166_", "q167_", "q168_",
+    "q169_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -8277,4 +8313,5 @@ ORACLES: dict[str, str | None] = {
     "q166_market_share": ORACLE_Q166,
     "q167_activity_gini": ORACLE_Q167,
     "q168_referential_integrity": _oracle_q168(),
+    "q169_scd2_build": ORACLE_Q169,
 }

@@ -1535,3 +1535,37 @@ class TestScd2Build:
         assert u1[2]["valid_to"] is None
         u2 = [r for r in got if r["user_id"] == 2]
         assert len(u2) == 1 and u2[0]["is_current"] == 1
+
+
+class TestPitSnapshot:
+    def test_state_reconstruction_at_timestamp(self, spark):
+        import datetime as dt
+
+        from ursa_major_choir_etl_spark.operators.marts import (
+            scd2_from_changelog,
+        )
+        from pyspark.sql import functions as F2
+
+        t = lambda d: dt.datetime(2024, 1, d)
+        rows = [
+            (1, 1, t(1), "bronze"), (2, 1, t(10), "silver"),
+            (3, 1, t(20), "gold"),
+            (4, 2, t(5), "bronze"),
+            (5, 3, t(16), "silver"),  # joins AFTER the snapshot
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, "
+            "event_type string"
+        )
+        scd = scd2_from_changelog(ev)
+        snap = "2024-01-15 00:00:00"
+        live = scd.filter(
+            (F2.col("valid_from") <= snap)
+            & (F2.col("valid_to").isNull() | (F2.col("valid_to") > snap))
+        )
+        got = {
+            (r["user_id"]): r["attr"] for r in live.collect()
+        }
+        # at Jan 15: user1 is silver (gold starts the 20th), user2
+        # bronze, user3 not yet present
+        assert got == {1: "silver", 2: "bronze"}

@@ -148,6 +148,7 @@ Operator coverage map (SURVEY §2 ids -> query):
   activity Gini concentration ...... q167 (exact tie-aware inequality)
   referential-integrity audit ...... q168 (FK orphan ppm, anti-joins)
   SCD2 dimension build ............. q169 (change-log versioning)
+  point-in-time snapshot ........... q170 (leakage-free feature state)
 """
 
 from __future__ import annotations
@@ -7914,6 +7915,73 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+_Q170_SNAPSHOT = "2024-01-15 00:00:00"
+
+
+def q170_pit_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature snapshot: reconstruct every
+    user's state AS OF a fixed timestamp from the q169 SCD2 table
+    (valid_from <= t < valid_to, NULL = open) and report the state
+    distribution — the reconstruction that keeps training features
+    leakage-free (a feature may only reflect what was knowable at
+    the label's timestamp). One SCD2 build + an interval filter +
+    one state-cardinality aggregate."""
+    scd = marts_ops.scd2_from_changelog(T(spark, sf_dir, "events"))
+    t = F.lit(_Q170_SNAPSHOT)
+    live = scd.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )
+    total = live.agg(F.count(F.lit(1)).alias("_t"))
+    return (
+        live.groupBy(F.col("attr").alias("state"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("version").alias("sum_versions"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "state",
+            "n_users",
+            "sum_versions",
+            F.expr(
+                "CAST(CAST(n_users AS DECIMAL(38,0)) * 1000000 DIV _t"
+                " AS BIGINT)"
+            ).alias("users_ppm"),
+        )
+    )
+
+
+ORACLE_Q170 = f"""
+WITH flagged AS (
+  SELECT user_id, event_type AS attr, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+changed AS (
+  SELECT * FROM flagged WHERE prev IS NULL OR attr <> prev
+),
+scd AS (
+  SELECT user_id, row_number() OVER w AS version, attr,
+         CAST(ts AS VARCHAR) AS valid_from,
+         CAST(lead(ts) OVER w AS VARCHAR) AS valid_to
+  FROM changed
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+live AS (
+  SELECT * FROM scd
+  WHERE valid_from <= '{_Q170_SNAPSHOT}'
+    AND (valid_to IS NULL OR valid_to > '{_Q170_SNAPSHOT}')
+)
+SELECT attr AS state, count(*) AS n_users,
+       CAST(sum(version) AS BIGINT) AS sum_versions,
+       CAST(CAST(count(*) AS HUGEINT) * 1000000
+            // (SELECT count(*) FROM live) AS BIGINT) AS users_ppm
+FROM live GROUP BY attr
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -8084,6 +8152,7 @@ QUERIES = {
     "q167_activity_gini": q167_activity_gini,
     "q168_referential_integrity": q168_referential_integrity,
     "q169_scd2_build": q169_scd2_build,
+    "q170_pit_snapshot": q170_pit_snapshot,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -8119,7 +8188,7 @@ _CHANGED_R8 = (
     "q148_", "q149_", "q150_", "q151_", "q152_", "q153_", "q154_",
     "q155_", "q156_", "q157_", "q158_", "q159_", "q160_", "q161_",
     "q162_", "q163_", "q164_", "q165_", "q166_", "q167_", "q168_",
-    "q169_",
+    "q169_", "q170_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -8314,4 +8383,5 @@ ORACLES: dict[str, str | None] = {
     "q167_activity_gini": ORACLE_Q167,
     "q168_referential_integrity": _oracle_q168(),
     "q169_scd2_build": ORACLE_Q169,
+    "q170_pit_snapshot": ORACLE_Q170,
 }

@@ -1569,3 +1569,93 @@ class TestPitSnapshot:
         # at Jan 15: user1 is silver (gold starts the 20th), user2
         # bronze, user3 not yet present
         assert got == {1: "silver", 2: "bronze"}
+
+
+class TestMarkovTransitions:
+    def test_hand_computed_probabilities(self, spark):
+        import datetime as dt
+
+        from ursa_major_choir_etl_spark.operators.events import (
+            markov_transition_profile,
+        )
+
+        t0 = dt.datetime(2026, 1, 1)
+        seq = ["a", "b", "a", "b", "c"]  # a->b x2, b->a, b->c
+        rows = [
+            (i + 1, 1, t0 + dt.timedelta(minutes=i), s)
+            for i, s in enumerate(seq)
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, "
+            "event_type string"
+        )
+        got = {
+            (r["state"], r["next_state"]): r
+            for r in markov_transition_profile(ev).collect()
+        }
+        assert got[("a", "b")]["n_transitions"] == 2
+        assert got[("a", "b")]["prob_ppm"] == 1_000_000
+        assert got[("b", "a")]["prob_ppm"] == 500_000
+        assert got[("b", "c")]["prob_ppm"] == 500_000
+        # terminal c has no outgoing row
+        assert not any(s == "c" for s, _ in got)
+
+
+class TestConversionHazard:
+    def test_latency_buckets_and_nonconverts(self, spark):
+        import datetime as dt
+
+        from ursa_major_choir_etl_spark.operators.events import (
+            conversion_hazard_report,
+        )
+
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [
+            # u1: converts 10s after first view -> bucket L(11)-1 = 3
+            (1, 1, t0, "view"),
+            (2, 1, t0 + dt.timedelta(seconds=10), "purchase"),
+            # u2: purchase BEFORE the first view only -> never
+            (3, 2, t0, "purchase"),
+            (4, 2, t0 + dt.timedelta(seconds=5), "view"),
+            # u3: no view at all -> excluded entirely
+            (5, 3, t0, "purchase"),
+            # u4: instant convert (0s) -> bucket L(1)-1 = 0
+            (6, 4, t0, "view"),
+            (7, 4, t0, "purchase"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, "
+            "event_type string"
+        )
+        got = {
+            r["latency_bucket"]: r
+            for r in conversion_hazard_report(ev).collect()
+        }
+        assert got[3]["n_users"] == 1    # 10s -> floor(log2(11)) = 3
+        assert got[0]["n_users"] == 1    # 0s
+        assert got[-1]["n_users"] == 1   # u2 never converts after view
+        assert sum(r["n_users"] for r in got.values()) == 3  # u3 absent
+        assert got[3]["users_ppm"] == 333_333
+
+
+class TestEmbeddingDimHealth:
+    def test_dead_and_varying_dims(self, spark):
+        from ursa_major_choir_etl_spark.operators.similarity import (
+            embedding_dim_health,
+        )
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.5, -2.0]), (2, [1.0, 0.7, 2.0])],
+            "vec_id long, embedding array<double>",
+        )
+        got = {r["dim"]: r for r in embedding_dim_health(emb).collect()}
+        d0 = got[0]
+        assert d0["is_dead"] == 1 and d0["var_micro2"] == 0
+        assert d0["mean_micro"] == 1_000_000
+        d1 = got[1]
+        # values 500000/700000: mean 600000, var = 1e10 exactly
+        assert d1["mean_micro"] == 600_000
+        assert d1["var_micro2"] == 10_000_000_000
+        assert d1["is_dead"] == 0
+        d2 = got[2]
+        assert d2["mean_micro"] == 0 and d2["is_dead"] == 0

@@ -432,3 +432,129 @@ def seasonal_baseline_report(
         .cast("bigint")
         .alias("seasonal_wins"),
     )
+
+
+def markov_transition_profile(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition profile of the event stream:
+    per (state -> next state) within a user's ordered sequence, the
+    transition count and row-normalized probability in integer ppm —
+    the behavioural fingerprint (what follows a view? does error
+    self-loop?) that feeds session simulation and anomaly scoring.
+
+    One lag/lead window partitioned by user (state never leaves the
+    user partition), one (state, next)-cardinality count — states^2
+    output rows. Ordering ties break on the event id; the terminal
+    event of each user has no successor and is excluded (transition
+    semantics, not padding).
+
+    Output: (state, next_state, n_transitions, prob_ppm) with
+    prob_ppm = transitions * 1e6 DIV row total for the state.
+    """
+    from ursa_major_choir_etl_spark.functions.columns import (
+        cast_ntz_to_timestamp,
+    )
+
+    events = cast_ntz_to_timestamp(events, [ts_col])
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(type_col).alias("state"),
+            F.lead(type_col).over(w).alias("next_state"),
+        )
+        .filter(F.col("next_state").isNotNull())
+        .groupBy("state", "next_state")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    totals = pairs.groupBy("state").agg(
+        F.sum("n_transitions").alias("_row_total")
+    )
+    return pairs.join(totals, "state").select(
+        "state",
+        "next_state",
+        "n_transitions",
+        F.expr(
+            "CAST(CAST(n_transitions AS DECIMAL(38,0)) * 1000000"
+            " DIV _row_total AS BIGINT)"
+        ).alias("prob_ppm"),
+    )
+
+
+def conversion_hazard_report(
+    events: DataFrame,
+    from_type: str = "view",
+    to_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-to-conversion hazard profile: for users whose FIRST
+    ``from_type`` event is eventually followed by a ``to_type``
+    event, the latency distribution in integer log2-second buckets,
+    plus the never-converted population — the funnel's time dimension
+    (q57 counts stages; this says how long the step takes and how
+    the hazard decays).
+
+    Latency = first to_type at-or-after the first from_type, in
+    whole seconds (integer micros DIV 1e6); bucket = length(bin(s+1))
+    - 1 (house integer floor-log2, so bucket b spans [2^b - 1,
+    2^(b+1) - 2] seconds — exact cross-engine, no libm). One per-user
+    aggregate (min timestamps via conditional min) is the only
+    corpus-sized shuffle; the report is bucket-cardinality.
+
+    Output: (latency_bucket, n_users, users_ppm) with bucket -1 for
+    never-converted users (no to_type at-or-after the first
+    from_type).
+    """
+    from ursa_major_choir_etl_spark.functions.columns import (
+        cast_ntz_to_timestamp,
+    )
+
+    events = cast_ntz_to_timestamp(events, [ts_col])
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per_user = (
+        events.groupBy(user_col)
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == from_type, us)
+            ).alias("_first_from"),
+        )
+        .filter(F.col("_first_from").isNotNull())
+    )
+    conv = (
+        events.select(
+            F.col(user_col), F.col("event_type"), us.alias("_us")
+        )
+        .join(per_user, user_col)
+        .filter(
+            (F.col("event_type") == to_type)
+            & (F.col("_us") >= F.col("_first_from"))
+        )
+        .groupBy(user_col)
+        .agg(F.min(F.expr("(_us - _first_from) DIV 1000000")).alias("_lat_s"))
+    )
+    labeled = per_user.join(conv, user_col, "left").select(
+        F.when(
+            F.col("_lat_s").isNull(), F.lit(-1)
+        )
+        .otherwise(F.length(F.bin(F.col("_lat_s") + 1)) - 1)
+        .cast("bigint")
+        .alias("latency_bucket")
+    )
+    hist = labeled.groupBy("latency_bucket").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    total = hist.agg(F.sum("n_users").alias("_t"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "latency_bucket",
+        "n_users",
+        F.expr(
+            "CAST(CAST(n_users AS DECIMAL(38,0)) * 1000000 DIV _t"
+            " AS BIGINT)"
+        ).alias("users_ppm"),
+    )

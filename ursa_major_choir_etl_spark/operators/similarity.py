@@ -1318,3 +1318,57 @@ def label_centroid_confusion(
         .groupBy("label_true", "label_pred")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+def embedding_dim_health(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-dimension embedding health: exact integer mean and
+    variance (in micro-units) for every vector dimension, with dead
+    (zero-variance) and dominant flags — the table that catches
+    collapsed or exploding dimensions before they poison cosine
+    similarity downstream (a dead dim wastes index capacity; a
+    dominant one silently owns every distance).
+
+    Determinism: values quantize to integer micro-units first, so
+    sum and sum-of-squares are exact order-insensitive DECIMAL(38,0)
+    integers; mean_micro = S DIV n and var_micro2 = (n*S2 - S*S)
+    DIV (n*n) are identical floor divisions in both engines — no
+    float accumulation anywhere.
+
+    Scale shape: one posexplode + (dim)-keyed aggregate — dims-many
+    groups, corpus-sized shuffle input but constant agg state per
+    dim. Output: (dim, n, mean_micro, var_micro2, is_dead).
+    """
+    d38 = "DECIMAL(38,0)"
+    dims = emb.select(
+        F.posexplode(
+            F.expr(
+                f"transform(CAST({vec_col} AS ARRAY<DOUBLE>),"
+                f" x -> CAST(round(x * {scale}) AS BIGINT))"
+            )
+        ).alias("dim", "v")
+    )
+    return (
+        dims.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(f"CAST(v AS {d38})")).alias("_s"),
+            F.sum(F.expr(f"CAST(v AS {d38}) * v")).alias("_s2"),
+        )
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            "n",
+            F.expr("CAST(_s DIV n AS BIGINT)").alias("mean_micro"),
+            F.expr(
+                "CAST((n * _s2 - _s * _s) DIV (CAST(n AS DECIMAL(38,0)) * n)"
+                " AS BIGINT)"
+            ).alias("var_micro2"),
+            F.expr(
+                "CAST(CASE WHEN n * _s2 - _s * _s = 0 THEN 1 ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("is_dead"),
+        )
+    )

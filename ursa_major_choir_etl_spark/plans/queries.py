@@ -149,6 +149,9 @@ Operator coverage map (SURVEY §2 ids -> query):
   referential-integrity audit ...... q168 (FK orphan ppm, anti-joins)
   SCD2 dimension build ............. q169 (change-log versioning)
   point-in-time snapshot ........... q170 (leakage-free feature state)
+  Markov transition profile ........ q171 (behavioural fingerprint ppm)
+  conversion hazard buckets ........ q172 (log2-second time-to-convert)
+  embedding dimension health ....... q173 (dead/dominant dim audit)
 """
 
 from __future__ import annotations
@@ -7982,6 +7985,106 @@ FROM live GROUP BY attr
 """
 
 
+def q171_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioural Markov fingerprint (events.markov_transition_
+    profile): (state -> next state) counts and row-normalized ppm
+    over user-ordered event sequences. One user-partitioned lead
+    window + a states^2-cardinality count."""
+    return events.markov_transition_profile(T(spark, sf_dir, "events"))
+
+
+ORACLE_Q171 = """
+WITH pairs AS (
+  SELECT event_type AS state,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_state
+  FROM events
+),
+cnt AS (
+  SELECT state, next_state, count(*) AS n_transitions
+  FROM pairs WHERE next_state IS NOT NULL GROUP BY 1, 2
+)
+SELECT state, next_state, n_transitions,
+       CAST(CAST(n_transitions AS HUGEINT) * 1000000
+            // sum(n_transitions) OVER (PARTITION BY state) AS BIGINT)
+         AS prob_ppm
+FROM cnt
+"""
+
+
+def q172_conversion_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel time dimension (events.conversion_hazard_report):
+    first-view -> first-subsequent-purchase latency in integer
+    log2-second buckets plus the never-converted bucket (-1) —
+    how long the conversion step takes and how the hazard decays.
+    One per-user aggregate is the only corpus-sized shuffle."""
+    return events.conversion_hazard_report(T(spark, sf_dir, "events"))
+
+
+ORACLE_Q172 = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+           AS first_from
+  FROM events GROUP BY 1
+),
+eligible AS (SELECT * FROM per_user WHERE first_from IS NOT NULL),
+conv AS (
+  SELECT e.user_id,
+         min((epoch_us(e.ts) - p.first_from) // 1000000) AS lat_s
+  FROM events e JOIN eligible p ON e.user_id = p.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= p.first_from
+  GROUP BY 1
+),
+labeled AS (
+  SELECT CASE WHEN c.lat_s IS NULL THEN -1
+              ELSE length(bin(c.lat_s + 1)) - 1 END AS latency_bucket
+  FROM eligible p LEFT JOIN conv c ON c.user_id = p.user_id
+),
+hist AS (
+  SELECT CAST(latency_bucket AS BIGINT) AS latency_bucket,
+         count(*) AS n_users
+  FROM labeled GROUP BY 1
+)
+SELECT latency_bucket, n_users,
+       CAST(CAST(n_users AS HUGEINT) * 1000000
+            // (SELECT sum(n_users) FROM hist) AS BIGINT) AS users_ppm
+FROM hist
+"""
+
+
+def q173_embedding_dim_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-dimension health table
+    (similarity.embedding_dim_health): exact integer micro-unit mean
+    and variance per vector dimension with dead-dim flags — catches
+    collapsed/exploding dimensions before they poison similarity.
+    One posexplode + dims-cardinality aggregate; zero floats."""
+    return similarity.embedding_dim_health(T(spark, sf_dir, "embeddings"))
+
+
+ORACLE_Q173 = """
+WITH dims AS (
+  SELECT i - 1 AS dim, CAST(round(embedding[i] * 1000000) AS BIGINT) AS v
+  FROM (SELECT embedding::DOUBLE[] AS embedding,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+),
+agg AS (
+  SELECT dim, count(*) AS n,
+         CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2
+  FROM dims GROUP BY 1
+)
+SELECT CAST(dim AS BIGINT) AS dim, n,
+       CAST(s // n AS BIGINT) AS mean_micro,
+       CAST((n * s2 - s * s) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+         AS var_micro2,
+       CAST(CASE WHEN n * s2 - s * s = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS is_dead
+FROM agg
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -8153,6 +8256,9 @@ QUERIES = {
     "q168_referential_integrity": q168_referential_integrity,
     "q169_scd2_build": q169_scd2_build,
     "q170_pit_snapshot": q170_pit_snapshot,
+    "q171_markov_transitions": q171_markov_transitions,
+    "q172_conversion_hazard": q172_conversion_hazard,
+    "q173_embedding_dim_health": q173_embedding_dim_health,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -8188,7 +8294,7 @@ _CHANGED_R8 = (
     "q148_", "q149_", "q150_", "q151_", "q152_", "q153_", "q154_",
     "q155_", "q156_", "q157_", "q158_", "q159_", "q160_", "q161_",
     "q162_", "q163_", "q164_", "q165_", "q166_", "q167_", "q168_",
-    "q169_", "q170_",
+    "q169_", "q170_", "q171_", "q172_", "q173_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -8384,4 +8490,7 @@ ORACLES: dict[str, str | None] = {
     "q168_referential_integrity": _oracle_q168(),
     "q169_scd2_build": ORACLE_Q169,
     "q170_pit_snapshot": ORACLE_Q170,
+    "q171_markov_transitions": ORACLE_Q171,
+    "q172_conversion_hazard": ORACLE_Q172,
+    "q173_embedding_dim_health": ORACLE_Q173,
 }

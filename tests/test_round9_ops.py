@@ -1659,3 +1659,38 @@ class TestEmbeddingDimHealth:
         assert d1["is_dead"] == 0
         d2 = got[2]
         assert d2["mean_micro"] == 0 and d2["is_dead"] == 0
+
+
+class TestClusterSizeSpectrum:
+    def test_log2_buckets_over_known_clusters(self, spark, tmp_path, monkeypatch):
+        from ursa_major_choir_etl_spark import artifacts
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q174_cluster_size_spectrum,
+        )
+
+        monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path / "wh"))
+        artifacts._VERIFIED.clear()
+        base = " ".join(f"w{i}" for i in range(30))
+        other = " ".join(f"z{i}" for i in range(30))
+        rows = (
+            # chain of 4 near-dups -> one cluster of 4 (bucket 2)
+            [(i, f"{base} tail{i}") for i in range(1, 5)]
+            # pair -> cluster of 2 (bucket 1)
+            + [(10, f"{other} tailA"), (11, f"{other} tailB")]
+            # singleton: not in any pair, absent from the spectrum
+            + [(20, "entirely unrelated text about nothing shared")]
+        )
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).withColumn("source", F.lit("s")).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet")
+        )
+        got = {
+            r["log2_size_bucket"]: r
+            for r in q174_cluster_size_spectrum(spark, str(tmp_path)).collect()
+        }
+        assert got[2]["n_clusters"] == 1 and got[2]["n_docs"] == 4
+        assert got[1]["n_clusters"] == 1 and got[1]["n_docs"] == 2
+        assert got[2]["docs_ppm"] == 666_666
+        assert got[1]["docs_ppm"] == 333_333
+        assert set(got) == {1, 2}  # singleton doc contributes nothing

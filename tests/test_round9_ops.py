@@ -1694,3 +1694,70 @@ class TestClusterSizeSpectrum:
         assert got[2]["docs_ppm"] == 666_666
         assert got[1]["docs_ppm"] == 333_333
         assert set(got) == {1, 2}  # singleton doc contributes nothing
+
+
+class TestBurstiness:
+    def test_cf_df_hand_computed(self, spark):
+        from ursa_major_choir_etl_spark.operators.text import (
+            burstiness_profile,
+        )
+
+        # "topic" appears 3x in each of 2 docs (cf 6, df 2 -> 3.0);
+        # "the" appears once in all 5 docs (cf 5, df 5 -> 1.0)
+        rows = [
+            (1, "s", "the topic topic topic"),
+            (2, "s", "the topic topic topic"),
+            (3, "s", "the filler"),
+            (4, "s", "the filler"),
+            (5, "s", "the filler"),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        got = {
+            r["tok"]: r
+            for r in burstiness_profile(docs, min_df=2, k=10).collect()
+        }
+        assert got["topic"]["cf"] == 6 and got["topic"]["df"] == 2
+        assert got["topic"]["burst_ppm"] == 3_000_000
+        assert got["the"]["burst_ppm"] == 1_000_000
+        assert got["topic"]["rank"] == 1  # cf 6 beats cf 5
+        assert "filler" in got and got["filler"]["df"] == 3
+
+
+class TestMarkovBaseline:
+    def test_argmax_successor_accuracy(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q176_markov_baseline_accuracy,
+        )
+
+        t0 = dt.datetime(2026, 1, 1)
+        seq = ["a", "b", "a", "b", "a", "c"]  # a->b x2, a->c, b->a x2
+        rows = [
+            (i + 1, 1, t0 + dt.timedelta(minutes=i), s)
+            for i, s in enumerate(seq)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts timestamp, event_type string",
+        ).selectExpr(
+            "event_id", "ts", "user_id", "event_type",
+            "CAST(0.0 AS DOUBLE) AS value", "'{}' AS props"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "events.parquet")
+        )
+        got = {
+            r["state"]: r
+            for r in q176_markov_baseline_accuracy(
+                spark, str(tmp_path)
+            ).collect()
+        }
+        a = got["a"]
+        assert a["predicted_next"] == "b"
+        assert (a["n_transitions"], a["n_correct"]) == (3, 2)
+        assert a["accuracy_ppm"] == 666_666
+        b = got["b"]
+        assert b["predicted_next"] == "a" and b["accuracy_ppm"] == 1_000_000

@@ -1094,3 +1094,63 @@ def positional_template_profile(
             ).alias("share_ppm"),
         )
     )
+
+
+def burstiness_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    min_df: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Church-Gale burstiness: for each group's top-``k`` tokens by
+    collection frequency, the mean occurrences per CONTAINING doc
+    (cf/df in integer ppm-of-occurrences) — content words burst
+    (high cf/df: a doc about a topic repeats its terms), function
+    words and templated boilerplate spread thin. The lexical
+    statistic that separates topical vocabulary from glue.
+
+    One tokenize pass builds per-(group, token, doc) counts; cf and
+    df both aggregate from it (cf = sum of counts, df = row count),
+    so raw text is read once. Selection runs the salted bounded
+    top-N keyed by group. burst_ppm = cf * 1e6 DIV df.
+
+    Output: (group, token, cf, df, burst_ppm, rank).
+    """
+    from ursa_major_choir_etl_spark.caching import stage
+    from ursa_major_choir_etl_spark.operators.curation import (
+        bounded_topn_per_key,
+    )
+
+    per_doc = stage(
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("_rid"),
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            ).alias("tok"),
+        )
+        .groupBy("grp", "_rid", "tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    stats = per_doc.groupBy("grp", "tok").agg(
+        F.sum("_c").alias("cf"), F.count(F.lit(1)).alias("df")
+    )
+    scored = stats.filter(F.col("df") >= min_df).select(
+        "grp",
+        "tok",
+        "cf",
+        "df",
+        F.expr("CAST(CAST(cf AS DECIMAL(38,0)) * 1000000 DIV df AS BIGINT)")
+        .alias("burst_ppm"),
+    )
+    return bounded_topn_per_key(
+        scored,
+        ["grp"],
+        [F.col("cf").desc(), F.col("tok").asc()],
+        cap=k,
+        salt_on=F.col("tok"),
+    ).select(
+        F.col("grp").alias(group_col), "tok", "cf", "df", "burst_ppm", "rank"
+    )

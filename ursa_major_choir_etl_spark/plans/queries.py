@@ -153,6 +153,8 @@ Operator coverage map (SURVEY §2 ids -> query):
   conversion hazard buckets ........ q172 (log2-second time-to-convert)
   embedding dimension health ....... q173 (dead/dominant dim audit)
   cluster size spectrum ............ q174 (log2 dedup-mass histogram)
+  token burstiness profile ......... q175 (Church-Gale cf/df ppm)
+  Markov baseline accuracy ......... q176 (argmax-successor eval)
 """
 
 from __future__ import annotations
@@ -8136,6 +8138,111 @@ FROM hist
 """
 
 
+def q175_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale burstiness (text.burstiness_profile): top-20
+    tokens per source by collection frequency with cf/df in integer
+    ppm — topical vocabulary bursts within containing docs, glue
+    words spread thin. One tokenize pass feeds both cf and df;
+    salted bounded top-N selection."""
+    return text.burstiness_profile(T(spark, sf_dir, "documents"))
+
+
+ORACLE_Q175 = """
+WITH per_doc AS (
+  SELECT source AS grp, doc_id, tok, count(*) AS c
+  FROM (SELECT source, doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        FROM documents)
+  GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT grp, tok, CAST(sum(c) AS BIGINT) AS cf, count(*) AS df
+  FROM per_doc GROUP BY 1, 2
+),
+scored AS (
+  SELECT grp, tok, cf, df,
+         CAST(CAST(cf AS HUGEINT) * 1000000 // df AS BIGINT) AS burst_ppm
+  FROM stats WHERE df >= 5
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY grp
+                               ORDER BY cf DESC, tok ASC) AS rank
+  FROM scored
+)
+SELECT grp AS source, tok, cf, df, burst_ppm, rank
+FROM ranked WHERE rank <= 20
+"""
+
+
+def q176_markov_baseline_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-baseline evaluation: train the q171 transition matrix
+    on the stream, predict each state's most likely successor
+    (deterministic struct-max argmax), and score the prediction
+    against every actual transition — per-state accuracy in integer
+    ppm, the sanity baseline any sequence model must beat. The
+    transition matrix is states^2 model state; scoring joins it back
+    to the (state, next) counts, so no second corpus pass."""
+    trans = events.markov_transition_profile(T(spark, sf_dir, "events"))
+    pred = trans.groupBy("state").agg(
+        F.max(
+            F.struct(
+                F.col("n_transitions").alias("c"),
+                F.col("next_state").alias("s"),
+            )
+        ).alias("_top"),
+        F.sum("n_transitions").alias("n_total"),
+    )
+    return (
+        trans.join(pred, "state")
+        .groupBy("state")
+        .agg(
+            F.max("n_total").alias("n_transitions"),
+            F.max(F.col("_top.s")).alias("predicted_next"),
+            F.sum(
+                F.when(
+                    F.col("next_state") == F.col("_top.s"),
+                    F.col("n_transitions"),
+                ).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy_ppm",
+            F.expr(
+                "CAST(CAST(n_correct AS DECIMAL(38,0)) * 1000000"
+                " DIV n_transitions AS BIGINT)"
+            ),
+        )
+    )
+
+
+ORACLE_Q176 = """
+WITH pairs AS (
+  SELECT event_type AS state,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_state
+  FROM events
+),
+cnt AS (
+  SELECT state, next_state, count(*) AS n
+  FROM pairs WHERE next_state IS NOT NULL GROUP BY 1, 2
+),
+pred AS (
+  SELECT state, (max({'c': n, 's': next_state})).s AS p,
+         CAST(sum(n) AS BIGINT) AS n_total
+  FROM cnt GROUP BY 1
+)
+SELECT c.state, max(p.n_total) AS n_transitions,
+       max(p.p) AS predicted_next,
+       CAST(sum(CASE WHEN c.next_state = p.p THEN c.n ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(CAST(sum(CASE WHEN c.next_state = p.p THEN c.n ELSE 0 END)
+            AS HUGEINT) * 1000000 // max(p.n_total) AS BIGINT)
+         AS accuracy_ppm
+FROM cnt c JOIN pred p USING (state)
+GROUP BY c.state
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -8311,6 +8418,8 @@ QUERIES = {
     "q172_conversion_hazard": q172_conversion_hazard,
     "q173_embedding_dim_health": q173_embedding_dim_health,
     "q174_cluster_size_spectrum": q174_cluster_size_spectrum,
+    "q175_burstiness": q175_burstiness,
+    "q176_markov_baseline_accuracy": q176_markov_baseline_accuracy,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -8340,16 +8449,18 @@ def _qnum(k: str) -> int:
 
 _names = sorted(QUERIES, key=_qnum)
 _CHANGED_R8 = (
-    # q117_/q118_ dropped from the head: their early-round-8 fixes are
-    # exercised by the q125-family / q128 entries below, and the 50-slot
-    # grading window must keep room for the never-graded q142+ tail.
+    # q117_/q118_/q122_/q130_ dropped from the head: their early-round-8
+    # changes are the same artifact-consumption rewiring exercised by the
+    # q55/q77/q116/q124 entries kept below, and the 50-slot grading
+    # window must keep room for the never-graded q142+ tail.
     "q20_", "q23_", "q55_", "q77_", "q108_", "q116_",
-    "q122_", "q124_", "q128_", "q130_", "q137_", "q138_", "q139_", "q140_",
+    "q124_", "q128_", "q137_", "q138_", "q139_", "q140_",
     "q141_", "q142_", "q143_", "q144_", "q145_", "q146_", "q147_",
     "q148_", "q149_", "q150_", "q151_", "q152_", "q153_", "q154_",
     "q155_", "q156_", "q157_", "q158_", "q159_", "q160_", "q161_",
     "q162_", "q163_", "q164_", "q165_", "q166_", "q167_", "q168_",
-    "q169_", "q170_", "q171_", "q172_", "q173_", "q174_",
+    "q169_", "q170_", "q171_", "q172_", "q173_", "q174_", "q175_",
+    "q176_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -8549,4 +8660,6 @@ ORACLES: dict[str, str | None] = {
     "q172_conversion_hazard": ORACLE_Q172,
     "q173_embedding_dim_health": ORACLE_Q173,
     "q174_cluster_size_spectrum": _oracle_q174(),
+    "q175_burstiness": ORACLE_Q175,
+    "q176_markov_baseline_accuracy": ORACLE_Q176,
 }

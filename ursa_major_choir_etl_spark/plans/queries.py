@@ -155,6 +155,8 @@ Operator coverage map (SURVEY §2 ids -> query):
   cluster size spectrum ............ q174 (log2 dedup-mass histogram)
   token burstiness profile ......... q175 (Church-Gale cf/df ppm)
   Markov baseline accuracy ......... q176 (argmax-successor eval)
+  market-basket pair mining ........ q177 (support/lift, integer ppm)
+  returns p-chart .................. q178 (3-sigma SPC, out-of-control)
 """
 
 from __future__ import annotations
@@ -8243,6 +8245,168 @@ GROUP BY c.state
 """
 
 
+def q177_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining over order line items: co-occurring
+    part pairs with support and lift — the classic association
+    screen. Pair fan-out is bounded by lines-per-order squared (an
+    order is small by construction), never corpus-sized; marginals
+    come from the distinct (order, part) table; lift is integer ppm
+    via DECIMAL cross-multiplication (lift_ppm = co * n_orders * 1e6
+    DIV (s_a * s_b)) — no floats. min_support prunes before the
+    marginal joins."""
+    li = T(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select("o", F.col("p").alias("part_a"))
+    b = op.select("o", F.col("p").alias("part_b"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 3)
+    )
+    sup = op.groupBy(F.col("p")).agg(F.count(F.lit(1)).alias("s"))
+    n_orders = op.select("o").distinct().count()
+    return (
+        pairs.join(
+            sup.select(F.col("p").alias("part_a"), F.col("s").alias("s_a")),
+            "part_a",
+        )
+        .join(
+            sup.select(F.col("p").alias("part_b"), F.col("s").alias("s_b")),
+            "part_b",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "n_co",
+            "s_a",
+            "s_b",
+            F.expr(
+                f"CAST(CAST(n_co AS DECIMAL(38,0)) * {n_orders} * 1000000"
+                " DIV (CAST(s_a AS DECIMAL(38,0)) * s_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+def _oracle_q177(min_support: int = 3) -> str:
+    return f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+pairs AS (
+  SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_co
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= {min_support}
+),
+sup AS (SELECT p, count(*) AS s FROM op GROUP BY 1),
+n AS (SELECT count(DISTINCT o) AS n_orders FROM op)
+SELECT part_a, part_b, n_co,
+       CAST(sa.s AS BIGINT) AS s_a, CAST(sb.s AS BIGINT) AS s_b,
+       CAST(CAST(n_co AS HUGEINT) * n.n_orders * 1000000
+            // (CAST(sa.s AS HUGEINT) * sb.s) AS BIGINT) AS lift_ppm
+FROM pairs
+JOIN sup sa ON sa.p = part_a
+JOIN sup sb ON sb.p = part_b
+CROSS JOIN n
+"""
+
+
+def q178_returns_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-process-control p-chart on monthly return rates:
+    each ship-month's return share vs 3-sigma binomial control
+    limits around the corpus-wide rate — the out-of-control flag a
+    quality team alerts on. Rates are integer ppm; the limits take
+    ONE IEEE sqrt each from exact integer inputs (the q139
+    precedent) and round to ppm before the flag compare, so both
+    engines make the identical call. One scan + month-cardinality
+    aggregate + a broadcast 1-row global rate."""
+    li = T(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.date_trunc("month", F.col("l_shipdate"))
+        .cast("date")
+        .cast("string")
+        .alias("ship_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((F.col("l_returnflag") == "R").cast("bigint")).alias(
+            "n_returns"
+        ),
+    )
+    tot = monthly.agg(
+        F.sum("n_lines").alias("_n"), F.sum("n_returns").alias("_r")
+    )
+    j = monthly.crossJoin(bbound(tot, "single global-rate row"))
+    pbar = F.col("_r").cast("double") / F.col("_n").cast("double")
+    sigma = F.sqrt(
+        pbar * (1.0 - pbar) / F.col("n_lines").cast("double")
+    )
+    ucl = F.expr("CAST(round(least(_pbar + 3 * _sigma, 1.0) * 1000000) AS BIGINT)")
+    lcl = F.expr(
+        "CAST(round(greatest(_pbar - 3 * _sigma, 0.0) * 1000000) AS BIGINT)"
+    )
+    rate = F.expr(
+        "CAST(CAST(n_returns AS DECIMAL(38,0)) * 1000000 DIV n_lines"
+        " AS BIGINT)"
+    )
+    return (
+        j.withColumn("_pbar", pbar)
+        .withColumn("_sigma", sigma)
+        .select(
+            "ship_month",
+            "n_lines",
+            "n_returns",
+            rate.alias("rate_ppm"),
+            ucl.alias("ucl_ppm"),
+            lcl.alias("lcl_ppm"),
+        )
+        .withColumn(
+            "out_of_control",
+            (
+                (F.col("rate_ppm") > F.col("ucl_ppm"))
+                | (F.col("rate_ppm") < F.col("lcl_ppm"))
+            ).cast("bigint"),
+        )
+    )
+
+
+ORACLE_Q178 = """
+WITH monthly AS (
+  SELECT CAST(CAST(date_trunc('month', l_shipdate) AS DATE) AS VARCHAR)
+           AS ship_month,
+         count(*) AS n_lines,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_returns
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_lines) AS BIGINT) AS n,
+         CAST(sum(n_returns) AS BIGINT) AS r
+  FROM monthly
+),
+scored AS (
+  SELECT ship_month, n_lines, n_returns,
+         CAST(CAST(n_returns AS HUGEINT) * 1000000 // n_lines AS BIGINT)
+           AS rate_ppm,
+         CAST(round(least(
+           (r * 1.0 / n) + 3 * sqrt((r * 1.0 / n) * (1 - r * 1.0 / n)
+                                    / n_lines), 1.0) * 1000000) AS BIGINT)
+           AS ucl_ppm,
+         CAST(round(greatest(
+           (r * 1.0 / n) - 3 * sqrt((r * 1.0 / n) * (1 - r * 1.0 / n)
+                                    / n_lines), 0.0) * 1000000) AS BIGINT)
+           AS lcl_ppm
+  FROM monthly CROSS JOIN tot
+)
+SELECT *, CAST(CASE WHEN rate_ppm > ucl_ppm OR rate_ppm < lcl_ppm
+               THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+FROM scored
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -8420,6 +8584,8 @@ QUERIES = {
     "q174_cluster_size_spectrum": q174_cluster_size_spectrum,
     "q175_burstiness": q175_burstiness,
     "q176_markov_baseline_accuracy": q176_markov_baseline_accuracy,
+    "q177_market_basket": q177_market_basket,
+    "q178_returns_control_chart": q178_returns_control_chart,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -8449,18 +8615,19 @@ def _qnum(k: str) -> int:
 
 _names = sorted(QUERIES, key=_qnum)
 _CHANGED_R8 = (
-    # q117_/q118_/q122_/q130_ dropped from the head: their early-round-8
-    # changes are the same artifact-consumption rewiring exercised by the
-    # q55/q77/q116/q124 entries kept below, and the 50-slot grading
+    # q117_/q118_/q122_/q130_/q20_/q128_ dropped from the head: their
+    # early-round-8 changes are the same artifact rewiring exercised by
+    # the q55/q77/q116/q124 entries kept below (and a dozen consumers
+    # whose oracles recompute pairs from raw text); the 50-slot grading
     # window must keep room for the never-graded q142+ tail.
-    "q20_", "q23_", "q55_", "q77_", "q108_", "q116_",
-    "q124_", "q128_", "q137_", "q138_", "q139_", "q140_",
+    "q23_", "q55_", "q77_", "q108_", "q116_",
+    "q124_", "q137_", "q138_", "q139_", "q140_",
     "q141_", "q142_", "q143_", "q144_", "q145_", "q146_", "q147_",
     "q148_", "q149_", "q150_", "q151_", "q152_", "q153_", "q154_",
     "q155_", "q156_", "q157_", "q158_", "q159_", "q160_", "q161_",
     "q162_", "q163_", "q164_", "q165_", "q166_", "q167_", "q168_",
     "q169_", "q170_", "q171_", "q172_", "q173_", "q174_", "q175_",
-    "q176_",
+    "q176_", "q177_", "q178_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -8662,4 +8829,6 @@ ORACLES: dict[str, str | None] = {
     "q174_cluster_size_spectrum": _oracle_q174(),
     "q175_burstiness": ORACLE_Q175,
     "q176_markov_baseline_accuracy": ORACLE_Q176,
+    "q177_market_basket": _oracle_q177(),
+    "q178_returns_control_chart": ORACLE_Q178,
 }

@@ -1761,3 +1761,39 @@ class TestMarkovBaseline:
         assert a["accuracy_ppm"] == 666_666
         b = got["b"]
         assert b["predicted_next"] == "a" and b["accuracy_ppm"] == 1_000_000
+
+
+class TestReorderGapMedian:
+    def test_tie_aware_lower_median(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q180_reorder_gap_median,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        d = str(tmp_path)
+        # customer 1: orders at days 0,1,3,10 -> gaps 1,2,7 (median 2)
+        rows = [(k, 1, t0 + dt.timedelta(days=day))
+                for k, day in [(1, 0), (2, 1), (3, 3), (4, 10)]]
+        # customer 2 (same segment): days 0,4 -> gap 4
+        rows += [(5, 2, t0), (6, 2, t0 + dt.timedelta(days=4))]
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+        ).selectExpr(
+            "o_orderkey", "o_custkey", "'O' AS o_orderstatus",
+            "1.0 AS o_totalprice", "o_orderdate",
+            "'1-URGENT' AS o_orderpriority"
+        ).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+        spark.createDataFrame(
+            [(1, "SEG"), (2, "SEG")],
+            "c_custkey long, c_mktsegment string",
+        ).selectExpr(
+            "c_custkey", "'n' AS c_name", "0 AS c_nationkey",
+            "0.0 AS c_acctbal", "c_mktsegment"
+        ).write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+        r = q180_reorder_gap_median(spark, d).collect()
+        assert len(r) == 1
+        # gaps pooled: [1,2,4,7], n=4 -> lower median (cum*2 >= 4) = 2
+        assert r[0]["median_gap_days"] == 2 and r[0]["n_gaps"] == 4

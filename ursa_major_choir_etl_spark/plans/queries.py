@@ -157,6 +157,8 @@ Operator coverage map (SURVEY §2 ids -> query):
   Markov baseline accuracy ......... q176 (argmax-successor eval)
   market-basket pair mining ........ q177 (support/lift, integer ppm)
   returns p-chart .................. q178 (3-sigma SPC, out-of-control)
+  traffic heatmap + peaks .......... q179 (dow x hour share ppm)
+  reorder gap median ............... q180 (histogram-exact cadence)
 """
 
 from __future__ import annotations
@@ -8407,6 +8409,133 @@ FROM scored
 """
 
 
+def q179_traffic_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday x hour traffic heatmap with per-weekday peak-hour
+    flags: event counts per (dow, hour) cell, each cell's share of
+    its weekday in integer ppm, and the deterministic struct-max
+    peak hour — the capacity-planning view every ops dashboard
+    renders. One scan, one 7x24-cardinality aggregate."""
+    ev = T(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.dayofweek(F.col("ts")).cast("bigint").alias("dow"),
+        F.hour(F.col("ts")).cast("bigint").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    per_dow = cells.groupBy("dow").agg(
+        F.sum("n_events").alias("_dow_total"),
+        F.max(
+            F.struct(F.col("n_events").alias("c"), F.col("hour").alias("h"))
+        ).alias("_peak"),
+    )
+    return cells.join(per_dow, "dow").select(
+        "dow",
+        "hour",
+        "n_events",
+        F.expr(
+            "CAST(CAST(n_events AS DECIMAL(38,0)) * 1000000"
+            " DIV _dow_total AS BIGINT)"
+        ).alias("share_of_dow_ppm"),
+        (F.col("hour") == F.col("_peak.h")).cast("bigint").alias("is_peak"),
+    )
+
+
+ORACLE_Q179 = """
+WITH cells AS (
+  SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hour, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+per_dow AS (
+  SELECT dow, CAST(sum(n_events) AS BIGINT) AS dow_total,
+         (max({'c': n_events, 'h': hour})).h AS peak_hour
+  FROM cells GROUP BY 1
+)
+SELECT c.dow, c.hour, c.n_events,
+       CAST(CAST(c.n_events AS HUGEINT) * 1000000 // p.dow_total
+            AS BIGINT) AS share_of_dow_ppm,
+       CAST(CASE WHEN c.hour = p.peak_hour THEN 1 ELSE 0 END AS BIGINT)
+         AS is_peak
+FROM cells c JOIN per_dow p USING (dow)
+"""
+
+
+def q180_reorder_gap_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact inter-order gap median per market segment: days between
+    a customer's consecutive orders, the median taken from the gap
+    VALUE HISTOGRAM with the q114/q150 boundary arithmetic (windows
+    over distinct gap values, never order rows) — the repurchase
+    cadence number behind inventory and retention planning. Tie-aware
+    lower median: the smallest gap g whose cumulative count reaches
+    ceil(n/2)."""
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+            F.lag("o_orderdate").over(w).alias("_prev"),
+        )
+        .filter(F.col("_prev").isNotNull())
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_mktsegment",
+            F.datediff(F.col("o_orderdate"), F.col("_prev"))
+            .cast("bigint")
+            .alias("gap_days"),
+        )
+    )
+    h = gaps.groupBy("c_mktsegment", "gap_days").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    wcum = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("gap_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hc = h.withColumn("_cum", F.sum("_cnt").over(wcum))
+    n = h.groupBy("c_mktsegment").agg(F.sum("_cnt").alias("_n"))
+    return (
+        hc.join(n, "c_mktsegment")
+        .filter(F.col("_cum") * 2 >= F.col("_n"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.min("gap_days").alias("median_gap_days"),
+            F.max("_n").alias("n_gaps"),
+        )
+    )
+
+
+ORACLE_Q180 = """
+WITH gaps AS (
+  SELECT c_mktsegment,
+         CAST(date_diff('day', prev, o_orderdate) AS BIGINT) AS gap_days
+  FROM (
+    SELECT o_custkey, o_orderdate,
+           lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS prev
+    FROM orders
+  ) o
+  JOIN customer ON o.o_custkey = c_custkey
+  WHERE prev IS NOT NULL
+),
+h AS (SELECT c_mktsegment, gap_days, count(*) AS cnt FROM gaps GROUP BY 1, 2),
+hc AS (
+  SELECT c_mktsegment, gap_days, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY c_mktsegment ORDER BY gap_days)
+              AS BIGINT) AS cum
+  FROM h
+),
+n AS (SELECT c_mktsegment, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1)
+SELECT c_mktsegment,
+       min(gap_days) AS median_gap_days,
+       max(n.n) AS n_gaps
+FROM hc JOIN n USING (c_mktsegment)
+WHERE cum * 2 >= n.n
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -8586,6 +8715,8 @@ QUERIES = {
     "q176_markov_baseline_accuracy": q176_markov_baseline_accuracy,
     "q177_market_basket": q177_market_basket,
     "q178_returns_control_chart": q178_returns_control_chart,
+    "q179_traffic_heatmap": q179_traffic_heatmap,
+    "q180_reorder_gap_median": q180_reorder_gap_median,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -8620,14 +8751,14 @@ _CHANGED_R8 = (
     # the q55/q77/q116/q124 entries kept below (and a dozen consumers
     # whose oracles recompute pairs from raw text); the 50-slot grading
     # window must keep room for the never-graded q142+ tail.
-    "q23_", "q55_", "q77_", "q108_", "q116_",
+    "q55_", "q77_", "q116_",
     "q124_", "q137_", "q138_", "q139_", "q140_",
     "q141_", "q142_", "q143_", "q144_", "q145_", "q146_", "q147_",
     "q148_", "q149_", "q150_", "q151_", "q152_", "q153_", "q154_",
     "q155_", "q156_", "q157_", "q158_", "q159_", "q160_", "q161_",
     "q162_", "q163_", "q164_", "q165_", "q166_", "q167_", "q168_",
     "q169_", "q170_", "q171_", "q172_", "q173_", "q174_", "q175_",
-    "q176_", "q177_", "q178_",
+    "q176_", "q177_", "q178_", "q179_", "q180_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -8831,4 +8962,6 @@ ORACLES: dict[str, str | None] = {
     "q176_markov_baseline_accuracy": ORACLE_Q176,
     "q177_market_basket": _oracle_q177(),
     "q178_returns_control_chart": ORACLE_Q178,
+    "q179_traffic_heatmap": ORACLE_Q179,
+    "q180_reorder_gap_median": ORACLE_Q180,
 }

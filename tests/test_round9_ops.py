@@ -1797,3 +1797,117 @@ class TestReorderGapMedian:
         assert len(r) == 1
         # gaps pooled: [1,2,4,7], n=4 -> lower median (cum*2 >= 4) = 2
         assert r[0]["median_gap_days"] == 2 and r[0]["n_gaps"] == 4
+
+
+class TestIntervalCoverage:
+    def test_islands_merge_overlaps_exactly(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q181_interval_coverage,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        # user 1: [0,10), [5,12) overlap -> island [0,12); [20,25)
+        # disjoint; [12,13) adjacent (s == prev end) -> SAME island
+        # (closed join at the boundary: s > prev_max is false).
+        rows = [
+            (1, 1, t0, 10.0),
+            (2, 1, t0 + dt.timedelta(seconds=5), 7.0),
+            (3, 1, t0 + dt.timedelta(seconds=12), 1.0),
+            (4, 1, t0 + dt.timedelta(seconds=20), 5.0),
+            # user 2: one interval
+            (5, 2, t0, 2.5),
+        ]
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double"
+        ).selectExpr(
+            "event_id", "ts", "user_id", "'view' AS event_type",
+            "value", "'{}' AS props"
+        ).write.mode("overwrite").parquet(os.path.join(str(tmp_path), "events.parquet"))
+        got = {r["user_id"]: r for r in
+               q181_interval_coverage(spark, str(tmp_path)).collect()}
+        u1 = got[1]
+        # islands: [0,13) = 13s, [20,25) = 5s -> covered 18s
+        assert u1["n_intervals"] == 4 and u1["n_islands"] == 2
+        assert u1["covered_us"] == 18_000_000
+        # raw durations 10+7+1+5 = 23s -> overlap 5s
+        assert u1["overlap_us"] == 5_000_000
+        u2 = got[2]
+        assert (u2["n_islands"], u2["covered_us"], u2["overlap_us"]) == (
+            1, 2_500_000, 0)
+
+
+class TestBenfordAudit:
+    def test_digit_extraction_and_constants(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q182_benford_audit,
+        )
+
+        # 9 orders with first digits 1,1,1,1,2,2,3,9 and one sub-dollar
+        # price (0.47 -> cents 47 -> first digit 4).
+        prices = [123.45, 1999.99, 10.0, 150.0, 23.4, 250.0, 3.99, 900.0,
+                  0.47]
+        rows = [(i, 1, p) for i, p in enumerate(prices)]
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_totalprice double"
+        ).selectExpr(
+            "o_orderkey", "o_custkey", "'O' AS o_orderstatus",
+            "o_totalprice", "CAST('2024-01-01' AS DATE) AS o_orderdate",
+            "'1-URGENT' AS o_orderpriority"
+        ).write.mode("overwrite").parquet(os.path.join(str(tmp_path), "orders.parquet"))
+        got = {r["digit"]: r for r in
+               q182_benford_audit(spark, str(tmp_path)).collect()}
+        assert got[1]["n_orders"] == 4 and got[2]["n_orders"] == 2
+        assert got[4]["n_orders"] == 1  # 0.47 -> cents 47
+        assert got[9]["n_orders"] == 1
+        # ppm arithmetic: 4/9 -> 444444 (truncating div)
+        assert got[1]["observed_ppm"] == 444_444
+        assert got[1]["benford_ppm"] == 301_030
+        assert got[1]["dev_ppm"] == 143_414
+        # Benford constants sum to exactly 1e6 over d=1..9
+        from ursa_major_choir_etl_spark.plans.queries import _BENFORD_CASE
+        import re
+        vals = [int(x) for x in re.findall(r"THEN (\d+)", _BENFORD_CASE)]
+        vals.append(int(re.search(r"ELSE (\d+)", _BENFORD_CASE).group(1)))
+        assert sum(vals) == 1_000_000 and len(vals) == 9
+
+
+class TestKCore:
+    def _core(self, spark, edges, k=2, rounds=8):
+        from ursa_major_choir_etl_spark.operators.graph import (
+            kcore_membership,
+        )
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {
+            r["node"]: r["core_degree"]
+            for r in kcore_membership(df, k=k, rounds=rounds).collect()
+        }
+
+    def test_star_dissolves_triangle_survives(self, spark):
+        # hub 1 with leaves 2,3,4 (star) + triangle 10-11-12
+        edges = [(1, 2), (1, 3), (1, 4), (10, 11), (11, 12), (10, 12)]
+        got = self._core(spark, edges)
+        assert got == {10: 2, 11: 2, 12: 2}
+
+    def test_chain_cascade_fully_peels(self, spark):
+        # path 1-2-3-4-5-6: every 2-core peel cascades from the ends;
+        # needs 3 rounds to empty - exercises the iteration, and an
+        # 8-round run must agree with any later round (monotone).
+        edges = [(i, i + 1) for i in range(1, 6)]
+        assert self._core(spark, edges, rounds=8) == {}
+
+    def test_fixed_rounds_match_after_convergence(self, spark):
+        edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6), (4, 6),
+                 (6, 7)]
+        a = self._core(spark, edges, rounds=2)
+        b = self._core(spark, edges, rounds=8)
+        assert a == b
+        # two triangles joined by a bridge: only pendant 7 peels; the
+        # bridge 3-4 survives (both endpoints in-core), so its
+        # endpoints carry degree 3
+        assert a == {1: 2, 2: 2, 3: 3, 4: 3, 5: 2, 6: 2}

@@ -176,3 +176,66 @@ def triangle_counts(
         .unionAll(tris.select(F.col("z").alias("node")))
     )
     return member.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def kcore_membership(
+    pairs: DataFrame,
+    k: int = 2,
+    rounds: int = 8,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: drop every node of
+    degree < k, recompute degrees on the induced subgraph, repeat.
+    The k-core separates COHESIVE duplicate families (every member
+    tied to >= k others — safe to collapse to one representative)
+    from star/chain collision artifacts that connected components
+    (q55/q77) lumps together; the standard densest-region screen on
+    a near-dup graph before aggressive dedup.
+
+    Deterministic by construction: each round is a pure function of
+    the previous node set, so a chained-CTE oracle replays the same
+    ``rounds`` peels bit-for-bit. ``rounds`` is FIXED (not
+    converge-tested): both engines report the round-``rounds`` state,
+    identical even mid-convergence; peeling cascades shrink the graph
+    monotonically, and on bounded-cluster dedup graphs the fixpoint
+    lands in 2-3 rounds (asserted converged in tests).
+
+    Scale: per round, one semi-join of the staged edge list against
+    the surviving node set per endpoint plus one map-side-combined
+    degree aggregate — O(rounds) small shuffles, node state only.
+    ``localCheckpoint`` cuts lineage per round (the q55/q93 lesson:
+    an iterative plan that re-references its inputs grows the logical
+    tree exponentially without the cut).
+
+    Output: (node, core_degree) for nodes surviving the k-core, where
+    core_degree is the node's degree WITHIN the core.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select(F.col("a").alias("node")).distinct()
+    for _ in range(rounds):
+        alive = (
+            edges.join(nodes.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(nodes.withColumnRenamed("node", "b"), "b", "left_semi")
+        )
+        deg = alive.groupBy(F.col("a").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        nodes = (
+            deg.filter(F.col("deg") >= k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+    core_edges = (
+        edges.join(nodes.withColumnRenamed("node", "a"), "a", "left_semi")
+        .join(nodes.withColumnRenamed("node", "b"), "b", "left_semi")
+    )
+    return core_edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )

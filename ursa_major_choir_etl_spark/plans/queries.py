@@ -159,6 +159,9 @@ Operator coverage map (SURVEY §2 ids -> query):
   returns p-chart .................. q178 (3-sigma SPC, out-of-control)
   traffic heatmap + peaks .......... q179 (dow x hour share ppm)
   reorder gap median ............... q180 (histogram-exact cadence)
+  union-of-intervals coverage ...... q181 (sweep-line islands, exact us)
+  Benford first-digit audit ........ q182 (fraud screen, integer ppm)
+  k-core duplicate families ........ q183 (peeling over pair artifact)
 """
 
 from __future__ import annotations
@@ -2162,11 +2165,11 @@ def q55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(jaccard_pairs_table(spark, sf_dir))
 
 
-def _cc_oracle_ctes() -> str:
-    """Shared CTE chain: q20 jaccard pairs -> symmetric edges ->
-    recursive transitive closure ``reach(n, m)``. Callers prefix
-    ``WITH RECURSIVE`` and aggregate reach (q55/q77 labels; q122
-    representative election)."""
+def _pairs_oracle_ctes() -> str:
+    """Shared CTE chain: q20 jaccard pairs (threshold 0.5) ->
+    symmetric ``edges(a, b)``. The SQL-side recomputation of the
+    materialized pair artifact, reused by every oracle that grades a
+    pair-graph consumer (q55/q77/q122 closures, q183 k-core)."""
     return f"""{osql.shingles_cte_sql(3)},
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM doc_shingles GROUP BY 1),
 freq AS (SELECT shingle, count(*) AS df FROM doc_shingles GROUP BY 1),
@@ -2193,12 +2196,23 @@ edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
   SELECT id_b, id_a FROM pairs
-),
+)"""
+
+
+def _cc_oracle_ctes() -> str:
+    """:func:`_pairs_oracle_ctes` extended with the recursive
+    transitive closure ``reach(n, m)``. Callers prefix
+    ``WITH RECURSIVE`` and aggregate reach (q55/q77 labels; q122
+    representative election)."""
+    return (
+        _pairs_oracle_ctes()
+        + """,
 reach(n, m) AS (
   SELECT DISTINCT a, a FROM edges
   UNION
   SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
 )"""
+    )
 
 
 def _oracle_q55() -> str:
@@ -8536,6 +8550,221 @@ GROUP BY c_mktsegment
 """
 
 
+def q181_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals utilization per user: each event occupies
+    [ts, ts + value seconds); overlapping intervals are merged into
+    islands with the sweep-line window (running max of interval end
+    over preceding rows starts a new island whenever the next start
+    clears it), then covered time = sum of island lengths and
+    double-booked time = sum of raw durations minus covered — the
+    resource-utilization / SLA-coverage primitive. Exact integer
+    microseconds throughout (floor(value*1e6) is IEEE-identical in
+    both engines); one window shuffle partitioned by user_id, island
+    aggregation on the same key — co-partitioned, no second
+    exchange."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        F.floor(F.col("value") * 1000000).alias("dur"),
+    )
+    ev = ev.withColumn("e", F.col("s") + F.col("dur"))
+    w = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.withColumn(
+        "_new",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = marked.groupBy("user_id", "_island").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("dur").alias("_rawdur"),
+        (F.max("e") - F.min("s")).alias("_len"),
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("_n").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("_len").alias("covered_us"),
+        (F.sum("_rawdur") - F.sum("_len")).alias("overlap_us"),
+    )
+
+
+ORACLE_Q181 = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         CAST(floor(value * 1000000) AS BIGINT) AS dur,
+         epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS e
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, s, e, dur,
+         CASE WHEN max(e) OVER (PARTITION BY user_id
+                                ORDER BY s, e, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+                   OR s > max(e) OVER (PARTITION BY user_id
+                                       ORDER BY s, e, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+numbered AS (
+  SELECT user_id, s, e, dur,
+         sum(new_island) OVER (PARTITION BY user_id
+                               ORDER BY s, e, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+  FROM marked
+),
+islands AS (
+  SELECT user_id, island, count(*) AS n, sum(dur) AS rawdur,
+         max(e) - min(s) AS len
+  FROM numbered GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(sum(n) AS BIGINT) AS n_intervals,
+       count(*) AS n_islands,
+       CAST(sum(len) AS BIGINT) AS covered_us,
+       CAST(sum(rawdur) - sum(len) AS BIGINT) AS overlap_us
+FROM islands GROUP BY user_id
+"""
+
+
+# log10(1 + 1/d) in integer ppm, d = 1..9; sums to exactly 1_000_000.
+_BENFORD_CASE = (
+    "CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939"
+    " WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947"
+    " WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END"
+)
+
+
+def q182_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of order totals per
+    priority class — the classic synthetic-data / fraud screen: a
+    organically-priced ledger follows log10(1+1/d); a fabricated or
+    truncated feed doesn't. First digit extracted via integer cents
+    (floor(price*100) -> bigint -> leading decimal digit through
+    string, never float log10, whose ULP behavior near powers of ten
+    is libm-dependent). Observed share and the Benford expectation
+    both in integer ppm; DECIMAL(38,0) ratio arithmetic so counts
+    stay exact at 100 TB cardinalities. One scan, one 45-cell
+    aggregate."""
+    orders = T(spark, sf_dir, "orders")
+    digits = orders.select(
+        "o_orderpriority",
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100).cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit"),
+    )
+    counts = digits.groupBy("o_orderpriority", "digit").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    totals = counts.groupBy("o_orderpriority").agg(
+        F.sum("n_orders").alias("_total")
+    )
+    return (
+        counts.join(totals, "o_orderpriority")
+        .withColumn(
+            "observed_ppm",
+            F.expr(
+                "CAST(CAST(n_orders AS DECIMAL(38,0)) * 1000000"
+                " DIV _total AS BIGINT)"
+            ),
+        )
+        .withColumn("benford_ppm", F.expr(_BENFORD_CASE))
+        .select(
+            "o_orderpriority",
+            "digit",
+            "n_orders",
+            "observed_ppm",
+            "benford_ppm",
+            F.abs(F.col("observed_ppm") - F.col("benford_ppm")).alias(
+                "dev_ppm"
+            ),
+        )
+    )
+
+
+ORACLE_Q182 = f"""
+WITH digits AS (
+  SELECT o_orderpriority,
+         CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+),
+counts AS (
+  SELECT o_orderpriority, digit, count(*) AS n_orders
+  FROM digits GROUP BY 1, 2
+),
+totals AS (
+  SELECT o_orderpriority, sum(n_orders) AS total FROM counts GROUP BY 1
+)
+SELECT c.o_orderpriority, c.digit, c.n_orders,
+       CAST(CAST(c.n_orders AS HUGEINT) * 1000000 // t.total AS BIGINT)
+         AS observed_ppm,
+       CAST({_BENFORD_CASE} AS BIGINT) AS benford_ppm,
+       abs(CAST(CAST(c.n_orders AS HUGEINT) * 1000000 // t.total AS BIGINT)
+           - CAST({_BENFORD_CASE} AS BIGINT)) AS dev_ppm
+FROM counts c JOIN totals t USING (o_orderpriority)
+"""
+
+
+def q183_kcore_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-duplicate pair graph (4 peeling rounds over
+    the materialized q20 artifact): cohesive duplicate FAMILIES —
+    every surviving node tied to >= 2 others inside the core — vs the
+    star/chain collision artifacts that a connected-components view
+    (q55) lumps into the same cluster. The density screen run before
+    aggressive collapse-to-representative. Third iterative-graph
+    family after PageRank (q93) and triangles (q124); same exact
+    chained-CTE oracle playbook. 4 rounds: the peel converges in 2 on
+    the graded graphs (tests assert rounds-2 == rounds-8), and the
+    fixed-round output is engine-identical even mid-convergence."""
+    from ursa_major_choir_etl_spark.operators.graph import kcore_membership
+
+    return kcore_membership(
+        jaccard_pairs_table(spark, sf_dir), k=2, rounds=4
+    )
+
+
+def _oracle_q183(k: int = 2, rounds: int = 4) -> str:
+    # Every nodes_i is referenced twice by deg_i (and edges by every
+    # round): AS MATERIALIZED pins each to one evaluation — inlined,
+    # the CTE tree doubles per peel round (2^rounds copies of the
+    # whole shingle->pairs chain; the un-annotated first cut ran past
+    # 500s at sf0.01, materialized it grades in milliseconds).
+    peel = []
+    for i in range(rounds):
+        peel.append(f"""
+deg_{i} AS MATERIALIZED (
+  SELECT e.a AS node, count(*) AS deg
+  FROM edges2 e
+  JOIN nodes_{i} na ON e.a = na.node
+  JOIN nodes_{i} nb ON e.b = nb.node
+  GROUP BY 1
+),
+nodes_{i + 1} AS MATERIALIZED
+  (SELECT node FROM deg_{i} WHERE deg >= {k})""")
+    return f"""
+WITH {_pairs_oracle_ctes()},
+edges2 AS MATERIALIZED (SELECT a, b FROM edges),
+nodes_0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM edges2),{
+        ",".join(peel)}
+SELECT e.a AS node, count(*) AS core_degree
+FROM edges2 e
+JOIN nodes_{rounds} na ON e.a = na.node
+JOIN nodes_{rounds} nb ON e.b = nb.node
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -8717,6 +8946,9 @@ QUERIES = {
     "q178_returns_control_chart": q178_returns_control_chart,
     "q179_traffic_heatmap": q179_traffic_heatmap,
     "q180_reorder_gap_median": q180_reorder_gap_median,
+    "q181_interval_coverage": q181_interval_coverage,
+    "q182_benford_audit": q182_benford_audit,
+    "q183_kcore_families": q183_kcore_families,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -8746,19 +8978,20 @@ def _qnum(k: str) -> int:
 
 _names = sorted(QUERIES, key=_qnum)
 _CHANGED_R8 = (
-    # q117_/q118_/q122_/q130_/q20_/q128_ dropped from the head: their
-    # early-round-8 changes are the same artifact rewiring exercised by
-    # the q55/q77/q116/q124 entries kept below (and a dozen consumers
-    # whose oracles recompute pairs from raw text); the 50-slot grading
-    # window must keep room for the never-graded q142+ tail.
-    "q55_", "q77_", "q116_",
-    "q124_", "q137_", "q138_", "q139_", "q140_",
+    # q55_/q77_/q116_/q124_ (and earlier q117_/q118_/q122_/q130_/q20_/
+    # q128_) dropped from the head: all were driver-graded green in r7
+    # and their round-8 change is the same artifact rewiring exercised
+    # by the never-graded consumers below (q137/q141/q152/q157 value-
+    # hash the pair-artifact contents against from-raw oracles); the
+    # 50-slot grading window must keep room for the never-graded tail.
+    "q137_", "q138_", "q139_", "q140_",
     "q141_", "q142_", "q143_", "q144_", "q145_", "q146_", "q147_",
     "q148_", "q149_", "q150_", "q151_", "q152_", "q153_", "q154_",
     "q155_", "q156_", "q157_", "q158_", "q159_", "q160_", "q161_",
     "q162_", "q163_", "q164_", "q165_", "q166_", "q167_", "q168_",
     "q169_", "q170_", "q171_", "q172_", "q173_", "q174_", "q175_",
     "q176_", "q177_", "q178_", "q179_", "q180_",
+    "q181_", "q182_", "q183_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -8964,4 +9197,7 @@ ORACLES: dict[str, str | None] = {
     "q178_returns_control_chart": ORACLE_Q178,
     "q179_traffic_heatmap": ORACLE_Q179,
     "q180_reorder_gap_median": ORACLE_Q180,
+    "q181_interval_coverage": ORACLE_Q181,
+    "q182_benford_audit": ORACLE_Q182,
+    "q183_kcore_families": _oracle_q183(),
 }

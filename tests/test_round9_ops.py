@@ -1993,3 +1993,113 @@ class TestTokenizerFertility:
         assert (r["total_tokens"], r["total_pieces"]) == (3, 5)
         assert r["chars_per_piece_ppm"] == 8 * 1_000_000 // 5
         assert r["pieces_per_token_ppm"] == 5 * 1_000_000 // 3
+
+
+class TestTouchAttribution:
+    def test_models_credit_expected_channels(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q187_touch_attribution,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        s = lambda i: t0 + dt.timedelta(seconds=i)  # noqa: E731
+        rows = [
+            # user 1: view, click, purchase(100), purchase(50)
+            (1, s(0), 1, "view", 1.00),
+            (2, s(1), 1, "click", 1.00),
+            (3, s(2), 1, "purchase", 100.00),
+            (4, s(3), 1, "purchase", 50.00),
+            # user 2: purchase with no prior touch
+            (5, s(0), 2, "purchase", 9.00),
+        ]
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double"
+        ).selectExpr("event_id", "ts", "user_id", "event_type",
+                     "value", "'{}' AS props").write.mode(
+            "overwrite").parquet(os.path.join(str(tmp_path), "events.parquet"))
+        got = {(r["model"], r["channel"]): r for r in
+               q187_touch_attribution(spark, str(tmp_path)).collect()}
+        # first-touch: both user-1 purchases credit 'view'
+        assert got[("first_touch", "view")]["attributed_cents"] == 15000
+        assert got[("first_touch", "none")]["attributed_cents"] == 900
+        # last-touch: click is the latest NON-purchase before both
+        # (the first purchase never credits the second)
+        assert got[("last_touch", "click")]["attributed_cents"] == 15000
+        assert got[("last_touch", "none")]["n_purchases"] == 1
+
+
+class TestSourceTvDistance:
+    def test_identical_and_disjoint_sources(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q188_source_tv_distance,
+        )
+
+        rows = [
+            # srcA and srcB identical distributions; srcC disjoint
+            (1, "aa bb", "en", "srcA", 5),
+            (2, "aa bb", "en", "srcB", 5),
+            (3, "cc dd", "en", "srcC", 5),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string,"
+            " source string, n_chars long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        got = {r["source"]: r for r in
+               q188_source_tv_distance(spark, str(tmp_path)).collect()}
+        # corpus: aa 2/6, bb 2/6, cc 1/6, dd 1/6
+        # srcA: ps(aa)=.5 -> |500000-333333| * 2 plus absent mass
+        # (166666*2) -> 2TV = 333334 + 333332 = 666666 -> TV = 333333
+        assert got["srcA"]["tv_ppm"] == got["srcB"]["tv_ppm"] == 333333
+        # srcC: present |500000-166666|*2 = 666668; absent 333333*2
+        # -> 2TV = 1333334 -> TV = 666667
+        assert got["srcC"]["tv_ppm"] == 666667
+        assert got["srcA"]["n_terms"] == 2
+
+
+class TestOrderReconciliation:
+    def test_bands_and_missing_lineitems(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q189_order_reconciliation,
+        )
+
+        d = str(tmp_path)
+        # order 1 reconciles exactly; order 2 off by 50%; order 3 has
+        # no lineitems
+        spark.createDataFrame(
+            [(1, 100.0), (2, 100.0), (3, 10.0)],
+            "o_orderkey long, o_totalprice double",
+        ).selectExpr(
+            "o_orderkey", "1 AS o_custkey", "'O' AS o_orderstatus",
+            "o_totalprice", "CAST('2024-01-01' AS DATE) AS o_orderdate",
+            "'1-URGENT' AS o_orderpriority"
+        ).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+        li = [
+            (1, 100.0, 0.0, 0.0),
+            (2, 100.0, 0.5, 0.0),  # charge 50 -> dev 50 -> 500000ppm
+        ]
+        spark.createDataFrame(
+            li, "l_orderkey long, l_extendedprice double,"
+            " l_discount double, l_tax double"
+        ).selectExpr(
+            "l_orderkey", "1 AS l_partkey", "1 AS l_suppkey",
+            "1 AS l_linenumber", "1.0 AS l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "'N' AS l_returnflag",
+            "'O' AS l_linestatus",
+            "CAST('2024-01-02' AS DATE) AS l_shipdate"
+        ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+        got = {r["band"]: r for r in
+               q189_order_reconciliation(spark, d).collect()}
+        assert got["dev<=1e4ppm"]["n_orders"] == 1
+        assert got["dev<=1e4ppm"]["abs_dev_cents"] == 0
+        assert got["dev<=1e6ppm"]["abs_dev_cents"] == 5000
+        assert got["no_lineitems"]["n_orders"] == 1
+        assert got["no_lineitems"]["max_dev_ppm"] == 0

@@ -165,6 +165,9 @@ Operator coverage map (SURVEY §2 ids -> query):
   equi-depth histogram stats ....... q184 (ANALYZE column stats, ppm)
   incremental rollup maintenance ... q185 (mergeable partial state)
   tokenizer fertility per language . q186 (chars/piece, pieces/token)
+  first/last-touch attribution ..... q187 (one-window channel credit)
+  source TV-distance drift ......... q188 (mass shift, no outer join)
+  order-lineitem reconciliation .... q189 (books-balance ppm bands)
 """
 
 from __future__ import annotations
@@ -9004,6 +9007,259 @@ FROM per_doc GROUP BY lang
 """
 
 
+def q187_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch purchase attribution: each purchase's
+    cents credited to the user's earliest (first model) and most
+    recent (last model) preceding non-purchase event type — the
+    channel-credit report behind marketing spend. ONE pass computes
+    both: a single user-partitioned window carries first()/last()
+    IGNORE NULLS over preceding rows (purchases contribute NULL
+    channel, so they never self-credit); purchases with no prior
+    touch credit 'none'. Two 5-row aggregates off the same windowed
+    frame, unioned with a model tag."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("_cents"),
+    )
+    touch = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pur = (
+        ev.withColumn("_first", F.first(touch, ignorenulls=True).over(w))
+        .withColumn("_last", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+    )
+
+    def credit(col: str, model: str) -> DataFrame:
+        return pur.groupBy(
+            F.coalesce(F.col(col), F.lit("none")).alias("channel")
+        ).agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("_cents").alias("attributed_cents"),
+        ).select(F.lit(model).alias("model"), "*")
+
+    return credit("_first", "first_touch").unionByName(
+        credit("_last", "last_touch")
+    )
+
+
+ORACLE_Q187 = """
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type <> 'purchase' THEN event_type END AS touch
+  FROM events
+),
+marked AS (
+  SELECT *,
+         first_value(touch IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS f_ch,
+         last_value(touch IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS l_ch
+  FROM ev
+),
+pur AS (SELECT * FROM marked WHERE event_type = 'purchase')
+SELECT 'first_touch' AS model, coalesce(f_ch, 'none') AS channel,
+       count(*) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS attributed_cents
+FROM pur GROUP BY 2
+UNION ALL
+SELECT 'last_touch', coalesce(l_ch, 'none'), count(*),
+       CAST(sum(cents) AS BIGINT)
+FROM pur GROUP BY 2
+"""
+
+
+def q188_source_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-weighted distribution shift per source:
+    total-variation distance between each source's unigram
+    distribution and the corpus baseline, in integer ppm — the
+    metric that catches a source whose WORD MASS drifted even when
+    its vocabulary set (q154) and top-k list (q129) still overlap.
+    Exact integer identity avoids materializing absent-term rows:
+    2*TV = sum_present |ps - pc| + (PCTOT - sum_present pc), where
+    PCTOT = sum of pc over the whole vocabulary (one scalar row,
+    broadcast) — so the plan is ONE shuffle on the term key plus
+    per-source aggregates; no source x vocabulary outer join."""
+    toks = T(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("term"),
+    )
+    counts = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stot = counts.groupBy("source").agg(F.sum("c").alias("s_total"))
+    corpus = counts.groupBy("term").agg(F.sum("c").alias("ct"))
+    ntot = corpus.agg(F.sum("ct").alias("n_total"))
+    pc = corpus.crossJoin(
+        bbound(ntot, "single corpus-total row")
+    ).select(
+        "term",
+        F.expr(
+            "CAST(CAST(ct AS DECIMAL(38,0)) * 1000000 DIV n_total"
+            " AS BIGINT)"
+        ).alias("pc_ppm"),
+    )
+    pctot = pc.agg(F.sum("pc_ppm").alias("pctot"))
+    joined = (
+        counts.join(stot, "source")
+        .join(pc, "term")
+        .select(
+            "source",
+            F.expr(
+                "CAST(CAST(c AS DECIMAL(38,0)) * 1000000 DIV s_total"
+                " AS BIGINT)"
+            ).alias("ps_ppm"),
+            "pc_ppm",
+        )
+    )
+    per_src = joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(F.abs(F.col("ps_ppm") - F.col("pc_ppm"))).alias("_dev"),
+        F.sum("pc_ppm").alias("_pc_present"),
+    )
+    return per_src.crossJoin(
+        bbound(pctot, "single vocabulary pc-mass row")
+    ).select(
+        "source",
+        "n_terms",
+        (
+            (F.col("_dev") + F.col("pctot") - F.col("_pc_present"))
+            .cast("bigint")
+            / F.lit(2)
+        )
+        .cast("bigint")
+        .alias("tv_ppm"),
+    )
+
+
+ORACLE_Q188 = """
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS term
+  FROM documents
+),
+counts AS (SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2),
+stot AS (SELECT source, sum(c) AS s_total FROM counts GROUP BY 1),
+corpus AS (SELECT term, sum(c) AS ct FROM counts GROUP BY 1),
+ntot AS (SELECT sum(ct) AS n_total FROM corpus),
+pc AS (
+  SELECT term,
+         CAST(CAST(ct AS HUGEINT) * 1000000 // n_total AS BIGINT)
+           AS pc_ppm
+  FROM corpus CROSS JOIN ntot
+),
+pctot AS (SELECT CAST(sum(pc_ppm) AS BIGINT) AS t FROM pc),
+joined AS (
+  SELECT c.source,
+         CAST(CAST(c.c AS HUGEINT) * 1000000 // s.s_total AS BIGINT)
+           AS ps_ppm,
+         p.pc_ppm
+  FROM counts c JOIN stot s USING (source) JOIN pc p USING (term)
+)
+SELECT source, count(*) AS n_terms,
+       CAST((CAST(sum(abs(ps_ppm - pc_ppm)) AS BIGINT)
+             + (SELECT t FROM pctot)
+             - CAST(sum(pc_ppm) AS BIGINT)) // 2 AS BIGINT) AS tv_ppm
+FROM joined GROUP BY source
+"""
+
+
+def q189_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial reconciliation audit: per order, the lineitem-derived
+    charge sum(floor(extprice*(1-disc)*(1+tax)*100)) against the
+    order header's total, banded by relative deviation in ppm
+    (log-decade bands) plus an explicit no-lineitems band — the
+    books-balance check a warehouse runs after every load. Per-line
+    floor to integer cents BEFORE the sum, so aggregation order can't
+    move a boundary; one fact-fact shuffle on the order key, one
+    5-row band aggregate."""
+    li = T(spark, sf_dir, "lineitem")
+    charges = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+                * (F.lit(1.0) + F.col("l_tax"))
+                * 100
+            )
+        ).alias("lc"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", F.floor(F.col("o_totalprice") * 100).alias("oc")
+    )
+    j = orders.join(
+        charges, orders["o_orderkey"] == charges["l_orderkey"], "left"
+    ).select(
+        "oc",
+        "lc",
+        F.expr(
+            "CAST(CAST(abs(lc - oc) AS DECIMAL(38,0)) * 1000000"
+            " DIV oc AS BIGINT)"
+        ).alias("dev_ppm"),
+    )
+    band = (
+        F.when(F.col("lc").isNull(), "no_lineitems")
+        .when(F.col("dev_ppm") <= 10000, "dev<=1e4ppm")
+        .when(F.col("dev_ppm") <= 100000, "dev<=1e5ppm")
+        .when(F.col("dev_ppm") <= 1000000, "dev<=1e6ppm")
+        .otherwise("dev>1e6ppm")
+    )
+    return j.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.coalesce(F.sum(F.abs(F.col("lc") - F.col("oc"))), F.lit(0))
+        .cast("bigint")
+        .alias("abs_dev_cents"),
+        F.coalesce(F.max("dev_ppm"), F.lit(0))
+        .cast("bigint")
+        .alias("max_dev_ppm"),
+    )
+
+
+ORACLE_Q189 = """
+WITH charges AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax) * 100) AS BIGINT))
+              AS BIGINT) AS lc,
+         count(*) AS n_lines
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS oc, c.lc,
+         CAST(CAST(abs(c.lc - CAST(floor(o_totalprice * 100) AS BIGINT))
+                   AS HUGEINT) * 1000000
+              // CAST(floor(o_totalprice * 100) AS BIGINT) AS BIGINT)
+           AS dev_ppm
+  FROM orders o LEFT JOIN charges c ON o.o_orderkey = c.l_orderkey
+)
+SELECT CASE WHEN lc IS NULL THEN 'no_lineitems'
+            WHEN dev_ppm <= 10000 THEN 'dev<=1e4ppm'
+            WHEN dev_ppm <= 100000 THEN 'dev<=1e5ppm'
+            WHEN dev_ppm <= 1000000 THEN 'dev<=1e6ppm'
+            ELSE 'dev>1e6ppm' END AS band,
+       count(*) AS n_orders,
+       CAST(coalesce(sum(abs(lc - oc)), 0) AS BIGINT) AS abs_dev_cents,
+       CAST(coalesce(max(dev_ppm), 0) AS BIGINT) AS max_dev_ppm
+FROM j GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -9191,6 +9447,9 @@ QUERIES = {
     "q184_equidepth_histogram": q184_equidepth_histogram,
     "q185_incremental_rollup": q185_incremental_rollup,
     "q186_tokenizer_fertility": q186_tokenizer_fertility,
+    "q187_touch_attribution": q187_touch_attribution,
+    "q188_source_tv_distance": q188_source_tv_distance,
+    "q189_order_reconciliation": q189_order_reconciliation,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -9234,6 +9493,7 @@ _CHANGED_R8 = (
     "q169_", "q170_", "q171_", "q172_", "q173_", "q174_", "q175_",
     "q176_", "q177_", "q178_", "q179_", "q180_",
     "q181_", "q182_", "q183_", "q184_", "q185_", "q186_",
+    "q187_", "q188_", "q189_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -9450,4 +9710,7 @@ ORACLES: dict[str, str | None] = {
     "q184_equidepth_histogram": ORACLE_Q184,
     "q185_incremental_rollup": ORACLE_Q185,
     "q186_tokenizer_fertility": _oracle_q186(),
+    "q187_touch_attribution": ORACLE_Q187,
+    "q188_source_tv_distance": ORACLE_Q188,
+    "q189_order_reconciliation": ORACLE_Q189,
 }

@@ -2103,3 +2103,91 @@ class TestOrderReconciliation:
         assert got["dev<=1e6ppm"]["abs_dev_cents"] == 5000
         assert got["no_lineitems"]["n_orders"] == 1
         assert got["no_lineitems"]["max_dev_ppm"] == 0
+
+
+class TestTrigramJourneys:
+    def test_paths_and_shares(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q190_trigram_journeys,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        s = lambda i: t0 + dt.timedelta(seconds=i)  # noqa: E731
+        # user 1: a b a b -> trigrams (a,b,a), (b,a,b); user 2: a b
+        # (too short, contributes none)
+        rows = [(1, s(0), 1, "a"), (2, s(1), 1, "b"), (3, s(2), 1, "a"),
+                (4, s(3), 1, "b"), (5, s(0), 2, "a"), (6, s(1), 2, "b")]
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string"
+        ).selectExpr("event_id", "ts", "user_id", "event_type",
+                     "1.0 AS value", "'{}' AS props").write.mode(
+            "overwrite").parquet(os.path.join(str(tmp_path), "events.parquet"))
+        got = {(r["e1"], r["e2"], r["e3"]): r for r in
+               q190_trigram_journeys(spark, str(tmp_path)).collect()}
+        assert set(got) == {("a", "b", "a"), ("b", "a", "b")}
+        assert got[("a", "b", "a")]["n_paths"] == 1
+        assert got[("a", "b", "a")]["share_ppm"] == 500_000
+
+
+class TestDecileShift:
+    def test_known_shift(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q191_decile_shift,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        # early week: purchase values 1..100; late week (day 21+):
+        # values 2..200 (exactly doubled) -> every decile +100%
+        for i in range(100):
+            rows.append((i, t0 + dt.timedelta(hours=i % 24), 1,
+                         "purchase", float(i + 1)))
+            rows.append((1000 + i,
+                         t0 + dt.timedelta(days=21, hours=i % 24), 1,
+                         "purchase", float(2 * (i + 1))))
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double"
+        ).selectExpr("event_id", "ts", "user_id", "event_type",
+                     "value", "'{}' AS props").write.mode(
+            "overwrite").parquet(os.path.join(str(tmp_path), "events.parquet"))
+        got = q191_decile_shift(spark, str(tmp_path)).collect()
+        assert len(got) == 9
+        for r in got:
+            assert r["q_late_cents"] == 2 * r["q_early_cents"]
+            assert r["shift_pct"] == 100.0
+
+
+class TestLDiversity:
+    def test_tiers(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q192_l_diversity,
+        )
+
+        t0 = dt.datetime(2024, 1, 1, 9)  # one (type,hour,dow) class each
+        rows = []
+        # class A (view@9): 1 user, 3 rows -> l=1
+        rows += [(i, t0, 7, "view") for i in range(3)]
+        # class B (click@9): 3 users -> l=2-4
+        rows += [(10 + u, t0, u, "click") for u in range(3)]
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string"
+        ).selectExpr("event_id", "ts", "user_id", "event_type",
+                     "1.0 AS value", "'{}' AS props").write.mode(
+            "overwrite").parquet(os.path.join(str(tmp_path), "events.parquet"))
+        got = {r["l_tier"]: r for r in
+               q192_l_diversity(spark, str(tmp_path)).collect()}
+        assert got["l=1"]["n_classes"] == 1
+        assert got["l=1"]["n_events"] == 3
+        assert got["l=2-4"]["min_l"] == 3 and got["l=2-4"]["max_l"] == 3

@@ -168,6 +168,9 @@ Operator coverage map (SURVEY §2 ids -> query):
   first/last-touch attribution ..... q187 (one-window channel credit)
   source TV-distance drift ......... q188 (mass shift, no outer join)
   order-lineitem reconciliation .... q189 (books-balance ppm bands)
+  trigram journey mining ........... q190 (state^3 path shares, ppm)
+  two-sample decile shift .......... q191 (QQ drift, FILTERed agg row)
+  l-diversity audit ................ q192 (distinct-user class tiers)
 """
 
 from __future__ import annotations
@@ -9260,6 +9263,213 @@ FROM j GROUP BY 1
 """
 
 
+def q190_trigram_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential path mining one order deeper than the Markov bigram
+    profile (q171): 3-event journeys per user (two leads over the
+    same user-partitioned window), counted with each path's share of
+    all complete trigrams in integer ppm — the state^3-cardinality
+    behavioural fingerprint (5 event types -> <= 125 rows) that
+    surfaces multi-step loops a first-order transition matrix cannot
+    represent. One window shuffle; the trigram aggregate is
+    fixed-cardinality."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    counts = tri.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).alias("n_paths")
+    )
+    total = counts.agg(F.sum("n_paths").alias("_t"))
+    return counts.crossJoin(
+        bbound(total, "single trigram-total row")
+    ).select(
+        "e1",
+        "e2",
+        "e3",
+        "n_paths",
+        F.expr(
+            "CAST(CAST(n_paths AS DECIMAL(38,0)) * 1000000 DIV _t"
+            " AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+ORACLE_Q190 = """
+WITH tri AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+counts AS (
+  SELECT e1, e2, e3, count(*) AS n_paths
+  FROM tri WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+),
+total AS (SELECT sum(n_paths) AS t FROM counts)
+SELECT e1, e2, e3, n_paths,
+       CAST(CAST(n_paths AS HUGEINT) * 1000000 // t AS BIGINT)
+         AS share_ppm
+FROM counts CROSS JOIN total
+"""
+
+
+def q191_decile_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample QQ drift report: purchase-value deciles of the
+    first week against the last week of the event window, with the
+    per-decile relative shift — the distribution-drift check behind
+    pricing/mix monitoring, quantile-by-quantile rather than
+    mean-only (a mean hides offsetting tail moves). Periods anchor to
+    the data's own min/max day (no wall-clock literals); values
+    percentile over integer cents so interpolation is exact; ONE
+    aggregate row (18 FILTERed percentiles) unpivoted via stack — no
+    global sort, no second scan."""
+    ev = T(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.col("ts"),
+    )
+    span = pur.agg(
+        F.date_trunc("day", F.min("ts")).alias("_d0"),
+        F.date_trunc("day", F.max("ts")).alias("_d1"),
+    )
+    tagged = pur.crossJoin(
+        bbound(span, "single min/max-day anchor row")
+    ).select(
+        "cents",
+        (F.col("ts") < F.col("_d0") + F.expr("INTERVAL 7 DAYS")).alias(
+            "_early"
+        ),
+        (F.col("ts") >= F.col("_d1") - F.expr("INTERVAL 6 DAYS")).alias(
+            "_late"
+        ),
+    )
+    aggs = []
+    for i in range(1, 10):
+        aggs.append(
+            F.expr(
+                f"percentile(cents, {i / 10.0}) FILTER (WHERE _early)"
+            ).alias(f"qe{i}")
+        )
+        aggs.append(
+            F.expr(
+                f"percentile(cents, {i / 10.0}) FILTER (WHERE _late)"
+            ).alias(f"ql{i}")
+        )
+    one = tagged.agg(*aggs)
+    stacked = one.select(
+        F.expr(
+            "stack(9, "
+            + ", ".join(f"{i}, qe{i}, ql{i}" for i in range(1, 10))
+            + ") AS (decile, q_early, q_late)"
+        )
+    )
+    return stacked.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        F.round("q_early", 4).alias("q_early_cents"),
+        F.round("q_late", 4).alias("q_late_cents"),
+        F.round(
+            (F.col("q_late") - F.col("q_early"))
+            / F.col("q_early")
+            * 100,
+            4,
+        ).alias("shift_pct"),
+    )
+
+
+ORACLE_Q191 = """
+WITH pur AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents, ts
+  FROM events WHERE event_type = 'purchase'
+),
+span AS (
+  SELECT date_trunc('day', min(ts)) AS d0,
+         date_trunc('day', max(ts)) AS d1
+  FROM pur
+),
+tagged AS (
+  SELECT cents,
+         ts < d0 + INTERVAL 7 DAY AS early,
+         ts >= d1 - INTERVAL 6 DAY AS late
+  FROM pur CROSS JOIN span
+),
+one AS (
+  SELECT {aggs} FROM tagged
+),
+stacked AS (
+  {unions}
+)
+SELECT decile, round(q_early, 4) AS q_early_cents,
+       round(q_late, 4) AS q_late_cents,
+       round((q_late - q_early) / q_early * 100, 4) AS shift_pct
+FROM stacked
+""".format(
+    aggs=", ".join(
+        f"quantile_cont(cents, {i}/10.0) FILTER (WHERE early) AS qe{i},"
+        f" quantile_cont(cents, {i}/10.0) FILTER (WHERE late) AS ql{i}"
+        for i in range(1, 10)
+    ),
+    unions=" UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS decile, qe{i} AS q_early,"
+        f" ql{i} AS q_late FROM one"
+        for i in range(1, 10)
+    ),
+)
+
+
+def q192_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the event log — the attribute-level
+    companion to q160's entity-level k-anonymity: equivalence classes
+    keyed by behavioural quasi-identifiers (event type, hour of day,
+    weekday) must each contain >= l DISTINCT users, or the class
+    pins its rows to a handful of people even when the class itself
+    is large. Classes bucketed into l-tiers 1 / 2-4 / 5-9 / 10+ with
+    class and row counts per tier. One QI-key shuffle with distinct
+    aggregation; the tier rollup is 4 rows."""
+    ev = T(spark, sf_dir, "events")
+    classes = ev.groupBy(
+        F.col("event_type"),
+        F.hour("ts").cast("bigint").alias("hour"),
+        F.dayofweek("ts").cast("bigint").alias("dow"),
+    ).agg(
+        F.countDistinct("user_id").alias("l_val"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    tier = (
+        F.when(F.col("l_val") == 1, "l=1")
+        .when(F.col("l_val") <= 4, "l=2-4")
+        .when(F.col("l_val") <= 9, "l=5-9")
+        .otherwise("l>=10")
+    )
+    return classes.groupBy(tier.alias("l_tier")).agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("n_rows").alias("n_events"),
+        F.min("l_val").alias("min_l"),
+        F.max("l_val").alias("max_l"),
+    )
+
+
+ORACLE_Q192 = """
+WITH classes AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+         CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+         count(DISTINCT user_id) AS l_val, count(*) AS n_rows
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT CASE WHEN l_val = 1 THEN 'l=1'
+            WHEN l_val <= 4 THEN 'l=2-4'
+            WHEN l_val <= 9 THEN 'l=5-9'
+            ELSE 'l>=10' END AS l_tier,
+       count(*) AS n_classes,
+       CAST(sum(n_rows) AS BIGINT) AS n_events,
+       min(l_val) AS min_l, max(l_val) AS max_l
+FROM classes GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -9450,6 +9660,9 @@ QUERIES = {
     "q187_touch_attribution": q187_touch_attribution,
     "q188_source_tv_distance": q188_source_tv_distance,
     "q189_order_reconciliation": q189_order_reconciliation,
+    "q190_trigram_journeys": q190_trigram_journeys,
+    "q191_decile_shift": q191_decile_shift,
+    "q192_l_diversity": q192_l_diversity,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -9493,7 +9706,7 @@ _CHANGED_R8 = (
     "q169_", "q170_", "q171_", "q172_", "q173_", "q174_", "q175_",
     "q176_", "q177_", "q178_", "q179_", "q180_",
     "q181_", "q182_", "q183_", "q184_", "q185_", "q186_",
-    "q187_", "q188_", "q189_",
+    "q187_", "q188_", "q189_", "q190_", "q191_", "q192_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -9713,4 +9926,7 @@ ORACLES: dict[str, str | None] = {
     "q187_touch_attribution": ORACLE_Q187,
     "q188_source_tv_distance": ORACLE_Q188,
     "q189_order_reconciliation": ORACLE_Q189,
+    "q190_trigram_journeys": ORACLE_Q190,
+    "q191_decile_shift": ORACLE_Q191,
+    "q192_l_diversity": ORACLE_Q192,
 }

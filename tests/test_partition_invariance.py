@@ -46,6 +46,16 @@ QUERIES_UNDER_TEST = [
     "q159_rfm_segments",
     "q162_centroid_confusion",
     "q163_rrf_shortlist",
+    # late round-8 additions: sweep-line island numbering must not
+    # depend on row order (q181), percentile-boundary broadcasts
+    # (q184/q191), iterative peel (q183), double-product floor before
+    # sum (q189), window-carried IGNORE NULLS channels (q187)
+    "q181_interval_coverage",
+    "q183_kcore_families",
+    "q184_equidepth_histogram",
+    "q187_touch_attribution",
+    "q189_order_reconciliation",
+    "q191_decile_shift",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"

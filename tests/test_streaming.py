@@ -743,3 +743,64 @@ class TestStreamingFuzzyDedupSink:
             .select("batch_id").distinct().count()
         )
         assert n_batches >= 1
+
+
+class TestStreamingRollupStore:
+    def test_merged_store_equals_batch_aggregate_and_replay_safe(
+        self, spark, tmp_path_factory
+    ):
+        """Per-batch partial states combine to EXACTLY the single-shot
+        batch rollup (integer measures, algebraic merge); replaying
+        the same checkpoint adds nothing."""
+        src = str(tmp_path_factory.mktemp("roll_stream"))
+        wh = str(tmp_path_factory.mktemp("roll_wh"))
+        ckpt = str(tmp_path_factory.mktemp("roll_ckpt"))
+
+        df = spark.range(1, 1001).select(
+            F.concat(F.lit("k"), (F.col("id") % 7).cast("string")).alias("k"),
+            (F.col("id") * 13 % 101).cast("long").alias("v"),
+        )
+        df.repartition(4).write.mode("overwrite").parquet(src)
+
+        def stream():
+            return (
+                spark.readStream.schema("k string, v long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+        q = jobs.streaming_rollup_sink(
+            stream(), ["k"], "v", wh, "v_rollup", checkpoint_dir=ckpt
+        )
+        q.awaitTermination(180)
+
+        def canon(frame):
+            return {
+                r["k"]: (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+                for r in frame.collect()
+            }
+
+        merged = canon(jobs.read_rollup_store(spark, wh, "v_rollup", ["k"]))
+        whole = canon(
+            df.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("sum_v"),
+                F.min("v").alias("min_v"),
+                F.max("v").alias("max_v"),
+            )
+        )
+        assert merged == whole
+        # genuinely incremental: state arrived across >= 2 batches
+        assert (
+            spark.read.parquet(f"{wh}/v_rollup")
+            .select("batch_id").distinct().count() >= 2
+        )
+
+        # replay on the same checkpoint: store unchanged
+        q2 = jobs.streaming_rollup_sink(
+            stream(), ["k"], "v", wh, "v_rollup", checkpoint_dir=ckpt
+        )
+        q2.awaitTermination(120)
+        assert canon(
+            jobs.read_rollup_store(spark, wh, "v_rollup", ["k"])
+        ) == whole

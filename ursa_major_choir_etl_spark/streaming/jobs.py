@@ -770,3 +770,76 @@ def read_card_store(spark, warehouse: str, name: str) -> DataFrame:
     from ursa_major_choir_etl_spark.operators.quality import stack_metrics
 
     return stack_metrics(merged, metrics)
+
+
+def streaming_rollup_sink(
+    stream_df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    warehouse: str,
+    name: str,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming form of the q185 incremental-rollup pattern: each
+    micro-batch reduces to MERGEABLE per-key partial state
+    (n / sum / min / max over ``value_col``) and lands in a parquet
+    store partitioned by batch_id — the additive-state sibling of
+    streaming_cms_sink (which stores sketch cells) and the contrast
+    to streaming_upsert_sink (which replaces whole rows, CDC-style).
+
+    Replay safety: an additive merge is not idempotent, so each batch
+    DYNAMIC-partition-overwrites only its own batch_id partition — a
+    replayed batch replaces, never double-counts. ``read_rollup_store``
+    re-aggregates partial states with the algebraic combine (sum of
+    counts/sums, min of mins, max of maxes), which is bit-exact for
+    integer measures — the store merged over ANY batching equals the
+    single-shot batch aggregate, pinned by the drive test.
+
+    Scale: state written per batch is keyspace-sized, not batch-sized;
+    reading N batches of state is an O(N * keyspace) parquet scan with
+    a map-side-combined merge.
+    """
+
+    def rollup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os as _os
+
+        (
+            batch_df.groupBy(*group_cols)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(value_col).alias("sum_v"),
+                F.min(value_col).alias("min_v"),
+                F.max(value_col).alias("max_v"),
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(_os.path.join(warehouse, name))
+        )
+
+    writer = stream_df.writeStream.foreachBatch(rollup_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def read_rollup_store(
+    spark, warehouse: str, name: str, group_cols: list[str]
+) -> DataFrame:
+    """Merged rollup over a streaming rollup store: the algebraic
+    combine of the per-batch partial states."""
+    import os as _os
+
+    return (
+        spark.read.parquet(_os.path.join(warehouse, name))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )

@@ -2191,3 +2191,93 @@ class TestLDiversity:
         assert got["l=1"]["n_classes"] == 1
         assert got["l=1"]["n_events"] == 3
         assert got["l=2-4"]["min_l"] == 3 and got["l=2-4"]["max_l"] == 3
+
+
+class TestSkippingEffectiveness:
+    def test_zorder_prunes_linear_does_not(self, spark):
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q193_skipping_effectiveness,
+        )
+
+        got = q193_skipping_effectiveness(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        by = {(r["layout"], r["lo"]): r for r in got}
+        assert len(by) == 8
+        for (layout, lo), r in by.items():
+            assert 0 <= r["files_read"] <= r["n_files"]
+        # in-span predicates: z-order must strictly dominate the
+        # single-column layout (whose files mostly span the full date
+        # domain; tiny sparse files can prune incidentally at
+        # sf0.001, so compare aggregate pruning, not exact zeros)
+        lin = [r for (lay, _), r in by.items() if lay == "linear_price"]
+        zo = [r for (lay, _), r in by.items() if lay == "zorder"]
+        lin_pruned = sum(r["pruned_ppm"] for r in lin)
+        zo_pruned = sum(r["pruned_ppm"] for r in zo)
+        assert zo_pruned > lin_pruned
+        assert all(r["pruned_ppm"] >= 500_000 for r in zo)
+
+
+class TestPreferencePairs:
+    def test_argmax_argmin_with_tie_break(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q194_preference_pairs,
+        )
+
+        rows = [
+            # srcA: doc 1 and 2 identical text (quality tie) -> lowest
+            # doc_id wins both ends consistently (-id struct order);
+            # doc 3 clearly worse (punct-heavy short)
+            (1, "the quick brown fox jumps over the lazy dog today", "en", "srcA", 0),
+            (2, "the quick brown fox jumps over the lazy dog today", "en", "srcA", 0),
+            (3, "!!! ??? ### $$$", "en", "srcA", 0),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string,"
+            " source string, n_chars long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        r = q194_preference_pairs(spark, str(tmp_path)).collect()[0]
+        assert r["chosen_id"] == 1  # tie -> smaller doc_id
+        assert r["rejected_id"] == 3
+        assert r["quality_gap"] > 0
+        assert r["n_docs"] == 3
+
+
+class TestDemandDeclineRuns:
+    def test_run_lengths(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q195_demand_decline_runs,
+        )
+
+        def rows_for(part, qtys):
+            # one lineitem per quarter starting 2020Q1
+            out = []
+            for i, qty in enumerate(qtys):
+                d = dt.date(2020 + i // 4, 1 + 3 * (i % 4), 15)
+                out.append((part, float(qty), d))
+            return out
+
+        rows = (
+            rows_for(1, [10, 8, 6, 9, 5])   # runs: 2 (10>8>6), 1 (9>5)
+            + rows_for(2, [3, 4, 5])        # no decline
+            + rows_for(3, [9, 7])           # run 1
+        )
+        spark.createDataFrame(
+            rows, "l_partkey long, l_quantity double, l_shipdate date"
+        ).selectExpr(
+            "1 AS l_orderkey", "l_partkey", "1 AS l_suppkey",
+            "1 AS l_linenumber", "l_quantity", "1.0 AS l_extendedprice",
+            "0.0 AS l_discount", "0.0 AS l_tax", "'N' AS l_returnflag",
+            "'O' AS l_linestatus", "l_shipdate"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "lineitem.parquet"))
+        got = {r["max_run"]: r["n_parts"] for r in
+               q195_demand_decline_runs(spark, str(tmp_path)).collect()}
+        # part 1 max run 2; part 3 max run 1; part 2 absent (no runs)
+        assert got == {2: 1, 1: 1}

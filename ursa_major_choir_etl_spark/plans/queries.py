@@ -171,6 +171,9 @@ Operator coverage map (SURVEY §2 ids -> query):
   trigram journey mining ........... q190 (state^3 path shares, ppm)
   two-sample decile shift .......... q191 (QQ drift, FILTERed agg row)
   l-diversity audit ................ q192 (distinct-user class tiers)
+  file-skipping layout A/B ......... q193 (linear vs Z-order pruning)
+  preference-pair assembly ......... q194 (DPO chosen/rejected per domain)
+  demand decline-run histogram ..... q195 (monotone-run detection)
 """
 
 from __future__ import annotations
@@ -9470,6 +9473,257 @@ FROM classes GROUP BY 1
 """
 
 
+# Fixed 30-day date-predicate workload for the skipping A/B (days
+# since the 1992-01-01 domain minimum, spread across the order-date
+# span — the test data runs 1995-01-01..2001-08-01 = days 1096..3500,
+# so all four land in-span). Literal constants: the workload IS part
+# of the query definition, mirrored verbatim in the oracle.
+_Q193_PREDICATES = [(1200, 1230), (1800, 1830), (2400, 2430), (3000, 3030)]
+
+
+def q193_skipping_effectiveness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """File-skipping A/B: the SAME date-range workload evaluated
+    against per-file min/max stats under two physical layouts of
+    orders — (a) files range-bucketed by price alone (the classic
+    single-column sort: every file spans the full DATE domain, so a
+    date predicate prunes nothing) and (b) Z-order files (q109's
+    Morton buckets: narrow in BOTH dims, so the same stats prune most
+    files). Reports files_read and pruned_ppm per (layout, predicate)
+    — the measured justification for paying the Z-order write. Two
+    fixed-cardinality stats aggregates + a 4-row predicate broadcast;
+    nothing data-sized beyond the two scans."""
+    orders = T(spark, sf_dir, "orders")
+    pre = orders.select(
+        (
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            / F.lit(_Z_PRICE_DIV)
+        )
+        .cast("long")
+        .alias("x"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    from ursa_major_choir_etl_spark.operators.layout import morton_key
+
+    linear = pre.select(
+        F.lit("linear_price").alias("layout"),
+        (F.col("x") / 64).cast("long").alias("file_id"),
+        "y",
+    )
+    zorder = pre.select(
+        F.lit("zorder").alias("layout"),
+        F.shiftright(
+            morton_key(F.col("x"), F.col("y"), bits=_Z_BITS), _Z_SHIFT
+        ).alias("file_id"),
+        "y",
+    )
+    stats = (
+        linear.unionByName(zorder)
+        .groupBy("layout", "file_id")
+        .agg(F.min("y").alias("y_min"), F.max("y").alias("y_max"))
+    )
+    preds = spark.createDataFrame(
+        _Q193_PREDICATES, "lo long, hi long"
+    )
+    hits = stats.crossJoin(
+        bbound(preds, "fixed 4-predicate workload frame")
+    ).groupBy("layout", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(
+            (
+                (F.col("y_min") < F.col("hi"))
+                & (F.col("y_max") >= F.col("lo"))
+            ).cast("bigint")
+        ).alias("files_read"),
+    )
+    return hits.select(
+        "layout",
+        "lo",
+        "hi",
+        "n_files",
+        "files_read",
+        F.expr(
+            "CAST(CAST(n_files - files_read AS DECIMAL(38,0)) * 1000000"
+            " DIV n_files AS BIGINT)"
+        ).alias("pruned_ppm"),
+    )
+
+
+def _oracle_q193() -> str:
+    morton = _morton_duckdb("x", "y", _Z_BITS)
+    preds = ", ".join(f"({lo}, {hi})" for lo, hi in _Q193_PREDICATES)
+    return f"""
+WITH pre AS (
+  SELECT (CAST(round(o_totalprice * 100, 0) AS BIGINT) // {_Z_PRICE_DIV})
+           AS x,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+           AS y
+  FROM orders
+),
+files AS (
+  SELECT 'linear_price' AS layout, x // 64 AS file_id, y FROM pre
+  UNION ALL
+  SELECT 'zorder', ({morton} >> {_Z_SHIFT}), y FROM pre
+),
+stats AS (
+  SELECT layout, file_id, min(y) AS y_min, max(y) AS y_max
+  FROM files GROUP BY 1, 2
+),
+preds(lo, hi) AS (VALUES {preds})
+SELECT layout, lo, hi, count(*) AS n_files,
+       CAST(sum(CASE WHEN y_min < hi AND y_max >= lo THEN 1 ELSE 0 END)
+            AS BIGINT) AS files_read,
+       CAST(CAST(count(*) - sum(CASE WHEN y_min < hi AND y_max >= lo
+                                     THEN 1 ELSE 0 END)
+                 AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+         AS pruned_ppm
+FROM stats CROSS JOIN preds
+GROUP BY 1, 2, 3
+"""
+
+
+def q194_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair assembly (DPO/RLHF data prep): within each
+    source domain, the highest- and lowest-quality documents become a
+    (chosen, rejected) pair with the quality gap in ppm — the
+    contrastive construction a preference-tuning run consumes, with
+    deterministic doc_id tie-breaks on both ends (struct-ordered
+    max/min, the q35 argmax pattern). One scan, one
+    domain-cardinality aggregate; no pair joins."""
+    docs = T(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        text.quality_score("text").alias("q"),
+    )
+    agg = scored.groupBy("source").agg(
+        F.max(
+            F.struct(
+                F.col("q").alias("q"), (-F.col("doc_id")).alias("nid")
+            )
+        ).alias("_mx"),
+        F.min(
+            F.struct(
+                F.col("q").alias("q"), (-F.col("doc_id")).alias("nid")
+            )
+        ).alias("_mn"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        (-F.col("_mx.nid")).cast("bigint").alias("chosen_id"),
+        F.col("_mx.q").alias("chosen_q"),
+        (-F.col("_mn.nid")).cast("bigint").alias("rejected_id"),
+        F.col("_mn.q").alias("rejected_q"),
+        F.round(F.col("_mx.q") - F.col("_mn.q"), 6).alias("quality_gap"),
+    )
+
+
+def _oracle_q194() -> str:
+    qs = osql.quality_score_sql("text")
+    return f"""
+WITH scored AS (
+  SELECT source, doc_id, {qs} AS q FROM documents
+),
+agg AS (
+  SELECT source, count(*) AS n_docs,
+         max({{'q': q, 'nid': -doc_id}}) AS mx,
+         min({{'q': q, 'nid': -doc_id}}) AS mn
+  FROM scored GROUP BY 1
+)
+SELECT source, n_docs,
+       CAST(-(mx.nid) AS BIGINT) AS chosen_id, mx.q AS chosen_q,
+       CAST(-(mn.nid) AS BIGINT) AS rejected_id, mn.q AS rejected_q,
+       round(mx.q - mn.q, 6) AS quality_gap
+FROM agg
+"""
+
+
+def q195_demand_decline_runs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Monotone-run detection: per part, quarterly demand totals; a
+    decline run is consecutive quarters with strictly lower quantity
+    than the one before. Reports the distribution of each part's
+    LONGEST run (how much of the catalogue is in sustained decline)
+    — the inventory-planning screen behind discontinuation reviews.
+    Quarter series per part is time-bounded (a few dozen rows), so
+    the per-part windows are bounded partitions; one shuffle on
+    partkey."""
+    li = T(spark, sf_dir, "lineitem")
+    q = li.groupBy(
+        "l_partkey",
+        (
+            F.year(F.col("l_shipdate")) * 4
+            + F.quarter(F.col("l_shipdate"))
+        ).alias("qtr"),
+    ).agg(F.sum("l_quantity").cast("long").alias("qty"))
+    w = Window.partitionBy("l_partkey").orderBy("qtr")
+    marked = q.withColumn(
+        "_down",
+        (
+            (F.col("qtr") - F.lag("qtr").over(w) == 1)
+            & (F.col("qty") < F.lag("qty").over(w))
+        ).cast("int"),
+    ).withColumn(
+        "_brk",
+        F.sum(
+            (F.coalesce(F.col("_down"), F.lit(0)) == 0).cast("int")
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = (
+        marked.filter(F.col("_down") == 1)
+        .groupBy("l_partkey", "_brk")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    longest = runs.groupBy("l_partkey").agg(
+        F.max("run_len").alias("max_run")
+    )
+    return longest.groupBy("max_run").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+
+
+ORACLE_Q195 = """
+WITH q AS (
+  SELECT l_partkey,
+         year(l_shipdate) * 4 + quarter(l_shipdate) AS qtr,
+         CAST(sum(l_quantity) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+marked AS (
+  SELECT l_partkey, qtr, qty,
+         CASE WHEN qtr - lag(qtr) OVER w = 1
+                   AND qty < lag(qty) OVER w
+              THEN 1 ELSE 0 END AS down
+  FROM q
+  WINDOW w AS (PARTITION BY l_partkey ORDER BY qtr)
+),
+numbered AS (
+  SELECT l_partkey, down,
+         sum(CASE WHEN down = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY l_partkey ORDER BY qtr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS brk
+  FROM marked
+),
+runs AS (
+  SELECT l_partkey, brk, count(*) AS run_len
+  FROM numbered WHERE down = 1 GROUP BY 1, 2
+),
+longest AS (
+  SELECT l_partkey, max(run_len) AS max_run FROM runs GROUP BY 1
+)
+SELECT max_run, count(*) AS n_parts FROM longest GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -9663,6 +9917,9 @@ QUERIES = {
     "q190_trigram_journeys": q190_trigram_journeys,
     "q191_decile_shift": q191_decile_shift,
     "q192_l_diversity": q192_l_diversity,
+    "q193_skipping_effectiveness": q193_skipping_effectiveness,
+    "q194_preference_pairs": q194_preference_pairs,
+    "q195_demand_decline_runs": q195_demand_decline_runs,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -9707,6 +9964,7 @@ _CHANGED_R8 = (
     "q176_", "q177_", "q178_", "q179_", "q180_",
     "q181_", "q182_", "q183_", "q184_", "q185_", "q186_",
     "q187_", "q188_", "q189_", "q190_", "q191_", "q192_",
+    "q193_", "q194_", "q195_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -9929,4 +10187,7 @@ ORACLES: dict[str, str | None] = {
     "q190_trigram_journeys": ORACLE_Q190,
     "q191_decile_shift": ORACLE_Q191,
     "q192_l_diversity": ORACLE_Q192,
+    "q193_skipping_effectiveness": _oracle_q193(),
+    "q194_preference_pairs": _oracle_q194(),
+    "q195_demand_decline_runs": ORACLE_Q195,
 }

@@ -2281,3 +2281,74 @@ class TestDemandDeclineRuns:
                q195_demand_decline_runs(spark, str(tmp_path)).collect()}
         # part 1 max run 2; part 3 max run 1; part 2 absent (no runs)
         assert got == {2: 1, 1: 1}
+
+
+class TestCellSuppression:
+    def test_primary_and_complementary(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q196_cell_suppression,
+        )
+
+        t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+        rows = []
+        eid = 0
+
+        def add(et, hour, n):
+            nonlocal eid
+            for _ in range(n):
+                rows.append((eid, t(hour), 1, et))
+                eid += 1
+
+        # type A: hours 0 (n=12), 1 (n=11), 2 (n=5, primary) ->
+        # exactly one primary -> complementary suppresses hour 1
+        add("A", 0, 12); add("A", 1, 11); add("A", 2, 5)
+        # type B: two primaries (no complementary needed)
+        add("B", 0, 20); add("B", 1, 3); add("B", 2, 4)
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string"
+        ).selectExpr("event_id", "ts", "user_id", "event_type",
+                     "1.0 AS value", "'{}' AS props").write.mode(
+            "overwrite").parquet(os.path.join(str(tmp_path), "events.parquet"))
+        got = {r["event_type"]: r for r in
+               q196_cell_suppression(spark, str(tmp_path)).collect()}
+        a = got["A"]
+        assert (a["n_primary"], a["n_complementary"]) == (1, 1)
+        assert a["published_events"] == 12
+        assert a["suppressed_events"] == 16
+        b = got["B"]
+        assert (b["n_primary"], b["n_complementary"]) == (2, 0)
+        assert b["published_events"] == 20
+
+
+class TestDedupSaturation:
+    def test_late_duplicates_flatten_curve(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q197_dedup_saturation,
+        )
+
+        # 100 docs: ids 0-49 unique texts; ids 50-99 repeat text of
+        # (id - 50) -> second half adds ZERO new uniques
+        rows = [(i, f"unique document text number {i % 50}", "en", "s", 10)
+                for i in range(100)]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string,"
+            " source string, n_chars long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        got = sorted(q197_dedup_saturation(spark, str(tmp_path)).collect(),
+                     key=lambda r: r["decile"])
+        assert sum(r["n_docs"] for r in got) == 100
+        assert sum(r["new_uniques"] for r in got) == 50
+        # first-half deciles are all-new; second half adds nothing
+        assert all(r["new_uniques"] == r["n_docs"]
+                   for r in got if r["decile"] <= 4)
+        assert all(r["new_uniques"] == 0 for r in got if r["decile"] >= 5)
+        # cumulative ratio: 100% through decile 4, 500000ppm at the end
+        assert got[4]["cum_unique_ppm"] == 1_000_000
+        assert got[-1]["cum_unique_ppm"] == 500_000

@@ -174,6 +174,8 @@ Operator coverage map (SURVEY §2 ids -> query):
   file-skipping layout A/B ......... q193 (linear vs Z-order pruning)
   preference-pair assembly ......... q194 (DPO chosen/rejected per domain)
   demand decline-run histogram ..... q195 (monotone-run detection)
+  small-cell suppression ........... q196 (SDC primary+complementary)
+  dedup saturation curve ........... q197 (marginal-uniqueness deciles)
 """
 
 from __future__ import annotations
@@ -9737,6 +9739,188 @@ SELECT max_run, count(*) AS n_parts FROM longest GROUP BY 1
 """
 
 
+def q196_cell_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical disclosure control before publishing a contingency
+    table: event counts per (event_type, hour) with PRIMARY
+    suppression of cells under k=10 and COMPLEMENTARY suppression —
+    if exactly one cell in a row-group is primary-suppressed, its
+    value is recoverable from the row total, so the smallest
+    surviving cell is suppressed too (deterministic min-(n, hour)
+    struct pick). Reports per event type the cell/suppression counts
+    and published vs suppressed event mass — the SDC audit a stats
+    office runs on every release. Fixed-cardinality cell space; one
+    corpus shuffle."""
+    ev = T(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    marked = cells.withColumn("prim", (F.col("n") < 10).cast("int"))
+    grp = marked.groupBy("event_type").agg(
+        F.sum("prim").alias("n_primary"),
+        F.min(
+            F.when(
+                F.col("prim") == 0,
+                F.struct(F.col("n").alias("n"), F.col("hour").alias("h")),
+            )
+        ).alias("_min_ok"),
+    )
+    flagged = marked.join(grp, "event_type").withColumn(
+        "comp",
+        (
+            (F.col("n_primary") == 1)
+            & (F.col("prim") == 0)
+            & (F.col("n") == F.col("_min_ok.n"))
+            & (F.col("hour") == F.col("_min_ok.h"))
+        ).cast("int"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("prim").alias("n_primary"),
+        F.sum("comp").alias("n_complementary"),
+        F.sum(
+            F.when(F.col("prim") + F.col("comp") == 0, F.col("n")).otherwise(
+                F.lit(0)
+            )
+        ).alias("published_events"),
+        F.sum(
+            F.when(F.col("prim") + F.col("comp") > 0, F.col("n")).otherwise(
+                F.lit(0)
+            )
+        ).alias("suppressed_events"),
+    )
+
+
+ORACLE_Q196 = """
+WITH cells AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+marked AS (
+  SELECT *, CASE WHEN n < 10 THEN 1 ELSE 0 END AS prim FROM cells
+),
+grp AS (
+  SELECT event_type, sum(prim) AS n_primary,
+         min(CASE WHEN prim = 0 THEN {'n': n, 'h': hour} END) AS min_ok
+  FROM marked GROUP BY 1
+),
+flagged AS (
+  SELECT m.*, g.n_primary AS gp,
+         CASE WHEN g.n_primary = 1 AND m.prim = 0
+                   AND m.n = (g.min_ok).n AND m.hour = (g.min_ok).h
+              THEN 1 ELSE 0 END AS comp
+  FROM marked m JOIN grp g USING (event_type)
+)
+SELECT event_type, count(*) AS n_cells,
+       CAST(sum(prim) AS BIGINT) AS n_primary,
+       CAST(sum(comp) AS BIGINT) AS n_complementary,
+       CAST(sum(CASE WHEN prim + comp = 0 THEN n ELSE 0 END) AS BIGINT)
+         AS published_events,
+       CAST(sum(CASE WHEN prim + comp > 0 THEN n ELSE 0 END) AS BIGINT)
+         AS suppressed_events
+FROM flagged GROUP BY 1
+"""
+
+
+def q197_dedup_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup saturation curve: stream the corpus in doc_id order and
+    report, per ingestion decile, how many NEW unique fingerprints
+    arrive and the cumulative unique ratio — the curve that says when
+    additional crawl stops adding content (the marginal-value input
+    to a crawl-budget decision). No global sort: decile boundaries
+    are ONE array-percentile row over doc_id broadcast back (q184
+    pattern); each fingerprint's first occurrence is a min(doc_id)
+    aggregate (q95's keep-first rule); the cumulative window runs
+    over 10 decile rows."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", text.fingerprint("text").alias("fp")
+    )
+    bounds = docs.agg(
+        F.percentile("doc_id", F.lit([i / 10.0 for i in range(1, 10)]))
+        .alias("_bs")
+    ).select(
+        *[
+            F.element_at("_bs", i).alias(f"b{i}")
+            for i in range(1, 10)
+        ]
+    )
+    bcast = bbound(bounds, "single 9-boundary decile row")
+    dec = sum(
+        ((F.col("doc_id") > F.col(f"b{i}")).cast("int") for i in range(1, 10)),
+        F.lit(0),
+    )
+    per_doc = docs.crossJoin(bcast).select(
+        "doc_id", "fp", dec.alias("decile")
+    )
+    firsts = per_doc.groupBy("fp").agg(F.min("doc_id").alias("_owner"))
+    fdec = firsts.crossJoin(bcast).select(
+        sum(
+            (
+                (F.col("_owner") > F.col(f"b{i}")).cast("int")
+                for i in range(1, 10)
+            ),
+            F.lit(0),
+        ).alias("decile")
+    )
+    news = fdec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("new_uniques")
+    )
+    sizes = per_doc.groupBy("decile").agg(F.count(F.lit(1)).alias("n_docs"))
+    joined = sizes.join(news, "decile", "left").select(
+        "decile",
+        "n_docs",
+        F.coalesce("new_uniques", F.lit(0)).alias("new_uniques"),
+    )
+    return joined.select(
+        "decile",
+        "n_docs",
+        "new_uniques",
+        F.expr(
+            "CAST(CAST(sum(new_uniques) OVER (ORDER BY decile"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " AS DECIMAL(38,0)) * 1000000"
+            " DIV sum(n_docs) OVER (ORDER BY decile"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " AS BIGINT)"
+        ).alias("cum_unique_ppm"),
+    )
+
+
+def _oracle_q197() -> str:
+    fp = osql.fingerprint_sql("text")
+    bexprs = ", ".join(
+        f"quantile_cont(doc_id, {i}/10.0) AS b{i}" for i in range(1, 10)
+    )
+    dec = " + ".join(
+        f"CASE WHEN doc_id > b{i} THEN 1 ELSE 0 END" for i in range(1, 10)
+    )
+    fdec = " + ".join(
+        f"CASE WHEN owner > b{i} THEN 1 ELSE 0 END" for i in range(1, 10)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, {fp} AS fp FROM documents),
+bounds AS (SELECT {bexprs} FROM docs),
+per_doc AS (
+  SELECT doc_id, fp, ({dec}) AS decile FROM docs CROSS JOIN bounds
+),
+firsts AS (SELECT fp, min(doc_id) AS owner FROM docs GROUP BY 1),
+fdec AS (
+  SELECT ({fdec}) AS decile FROM firsts CROSS JOIN bounds
+),
+news AS (SELECT decile, count(*) AS new_uniques FROM fdec GROUP BY 1),
+sizes AS (SELECT decile, count(*) AS n_docs FROM per_doc GROUP BY 1)
+SELECT s.decile, s.n_docs,
+       coalesce(n.new_uniques, 0) AS new_uniques,
+       CAST(CAST(sum(coalesce(n.new_uniques, 0))
+                   OVER (ORDER BY s.decile ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND CURRENT ROW) AS HUGEINT)
+            * 1000000
+            // sum(s.n_docs) OVER (ORDER BY s.decile ROWS BETWEEN
+                                   UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_unique_ppm
+FROM sizes s LEFT JOIN news n USING (decile)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -9933,6 +10117,8 @@ QUERIES = {
     "q193_skipping_effectiveness": q193_skipping_effectiveness,
     "q194_preference_pairs": q194_preference_pairs,
     "q195_demand_decline_runs": q195_demand_decline_runs,
+    "q196_cell_suppression": q196_cell_suppression,
+    "q197_dedup_saturation": q197_dedup_saturation,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -9977,7 +10163,7 @@ _CHANGED_R8 = (
     "q176_", "q177_", "q178_", "q179_", "q180_",
     "q181_", "q182_", "q183_", "q184_", "q185_", "q186_",
     "q187_", "q188_", "q189_", "q190_", "q191_", "q192_",
-    "q193_", "q194_", "q195_",
+    "q193_", "q194_", "q195_", "q196_", "q197_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -10203,4 +10389,6 @@ ORACLES: dict[str, str | None] = {
     "q193_skipping_effectiveness": _oracle_q193(),
     "q194_preference_pairs": _oracle_q194(),
     "q195_demand_decline_runs": ORACLE_Q195,
+    "q196_cell_suppression": ORACLE_Q196,
+    "q197_dedup_saturation": _oracle_q197(),
 }

@@ -170,10 +170,13 @@ class TestRegistrySweep:
     # HISTOGRAMS of the user table (distinct recency-days / frequency /
     # purchase-count values) — bounded by the signal domain, not the
     # corpus.
+    # q197: the cumulative window orders exactly 10 post-aggregation
+    # decile rows (fixed cardinality by construction).
     GLOBAL_WINDOW_OK = {
         "q53_monthly_trend",
         "q104_quantile_sketch_accuracy",
         "q159_rfm_segments",
+        "q197_dedup_saturation",
     }
 
     def test_no_scale_antipatterns_anywhere(self, spark, registry):

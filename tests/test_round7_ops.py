@@ -342,31 +342,31 @@ class TestConsensusPairs:
 class TestGradingWindowRotation:
     def test_window_leads_with_changed_paths_then_stalest(self):
         """The driver grades the first 50 registry entries. Round-8
-        policy (the round-7 verdict's rotation ask): every query whose
-        code path or oracle changed this round — including the
-        never-graded q137 — leads the window, and the remaining slots
-        are filled by GRADING AGE, stalest first (the round-5-era
-        block before anything round-6/7-graded)."""
+        policy (the round-7 verdict's rotation ask, amended once the
+        never-graded set outgrew one window): never-graded/changed
+        queries fill the window in ascending q-number order — oldest
+        claims grade first, the newest additions roll to the next
+        round — and nothing already freshly graded (q101-q136, green
+        in round 7) occupies a slot."""
         from ursa_major_choir_etl_spark.plans.queries import (
             _CHANGED_R8,
             QUERIES,
         )
 
         window = list(QUERIES)[:50]
-        for k in QUERIES:
-            if k.startswith(_CHANGED_R8):
-                assert k in window, f"changed {k} queued outside the window"
-        assert "q137_pretraining_pipeline" in window
-        # the filler is the round-5-era stale block, not freshly
-        # graded rows: nothing numbered 101-136 may occupy a slot
-        # (they all earned green driver rows in round 7)
-        r7_fresh = [
-            k for k in window
-            if 100 < int(k[1 : k.index("_")]) < 137
-            and not k.startswith(_CHANGED_R8)
-        ]
-        assert not r7_fresh, f"fresh rows crowd the window: {r7_fresh}"
         assert len(window) == 50
+        assert "q137_pretraining_pipeline" in window
+        # every window slot is a changed/never-graded query...
+        assert all(k.startswith(_CHANGED_R8) for k in window)
+        # ...and the queue drains oldest-first: anything rolled over
+        # must be strictly newer than everything graded this round
+        rolled = [
+            k for k in QUERIES
+            if k.startswith(_CHANGED_R8) and k not in window
+        ]
+        if rolled:
+            qnum = lambda k: int(k[1 : k.index("_")])  # noqa: E731
+            assert min(map(qnum, rolled)) > max(map(qnum, window))
 
 
 class TestRound7Properties:

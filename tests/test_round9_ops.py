@@ -2352,3 +2352,252 @@ class TestDedupSaturation:
         # cumulative ratio: 100% through decile 4, 500000ppm at the end
         assert got[4]["cum_unique_ppm"] == 1_000_000
         assert got[-1]["cum_unique_ppm"] == 500_000
+
+
+class TestQualityAuc:
+    def test_ties_and_perfect_separation(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q198_quality_auc,
+        )
+
+        # The dup label is corpus-wide (fingerprint counts), so every
+        # text below is unique to its source.
+        eq_a = "alpha beta gamma"  # 3 tokens -> 0.215
+        eq_b = "delta epsilon zeta"  # same shape -> same score
+        low2 = "aa bb"  # 2 tokens, no stopwords -> score 0.21
+        hi2 = "the and is of to a in it aa bb"  # 8/10 stopwords -> high
+        hi3 = "the and is of to a in it cc dd"  # distinct text, same shape
+        low3 = "cc dd"
+        rows = [
+            # s1: dup pair and the unique doc share one score -> ties
+            (1, eq_a, "s1"), (2, eq_a, "s1"), (3, eq_b, "s1"),
+            # s2: duplicates score LOWER than the unique -> AUC 0
+            (11, low2, "s2"), (12, low2, "s2"), (13, hi2, "s2"),
+            # s3: duplicates score HIGHER -> AUC 1
+            (21, hi3, "s3"), (22, hi3, "s3"), (23, low3, "s3"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        got = {r["source"]: r for r in
+               q198_quality_auc(spark, str(tmp_path)).collect()}
+        for s in ("s1", "s2", "s3"):
+            assert (got[s]["n_dup"], got[s]["n_uniq"]) == (2, 1)
+        assert got["s1"]["auc_ppm"] == 500_000
+        assert got["s2"]["auc_ppm"] == 0
+        assert got["s3"]["auc_ppm"] == 1_000_000
+
+    def test_degenerate_groups_report_null(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q198_quality_auc,
+        )
+
+        rows = [
+            (1, "all same text", "alldup"), (2, "all same text", "alldup"),
+            (3, "first unique text", "nodup"), (4, "second one here", "nodup"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        got = {r["source"]: r for r in
+               q198_quality_auc(spark, str(tmp_path)).collect()}
+        assert got["alldup"]["n_uniq"] == 0
+        assert got["alldup"]["auc_ppm"] is None
+        assert got["nodup"]["n_dup"] == 0
+        assert got["nodup"]["auc_ppm"] is None
+
+
+class TestCusumChangepoint:
+    def test_known_mean_shift(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q199_cusum_changepoint,
+        )
+
+        t0 = dt.datetime(2024, 3, 1, 12)
+        rows = []
+        eid = 0
+        # click: 10/day for days 0-9, then 30/day for days 10-19
+        for d in range(20):
+            for _ in range(10 if d < 10 else 30):
+                rows.append((eid, t0 + dt.timedelta(days=d), 1, "click"))
+                eid += 1
+        # view: constant 5/day -> dev 0 everywhere, earliest day wins
+        for d in range(4):
+            for _ in range(5):
+                rows.append((eid, t0 + dt.timedelta(days=d), 1, "view"))
+                eid += 1
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "events.parquet"))
+        got = {r["event_type"]: r for r in
+               q199_cusum_changepoint(spark, str(tmp_path)).collect()}
+        c = got["click"]
+        assert (c["n_days"], c["total_events"]) == (20, 400)
+        # argmax at k=10 (last low-regime day): |20*100 - 10*400| = 2000
+        assert c["cp_date"] == dt.date(2024, 3, 10)
+        assert c["max_dev"] == 2000
+        assert c["mean_before_u"] == 10_000_000
+        assert c["mean_after_u"] == 30_000_000
+        v = got["view"]
+        assert v["max_dev"] == 0
+        assert v["cp_date"] == dt.date(2024, 3, 1)  # tie -> earliest
+        assert v["mean_before_u"] == 5_000_000
+
+
+class TestBlockingQuality:
+    def test_completeness_counts_shingleless_misses(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q200_blocking_quality,
+        )
+
+        rows = [
+            # dup pair with >=3 tokens: shingled, LSH finds it
+            (1, "alpha beta gamma delta epsilon", "en", "s", 30),
+            (2, "alpha beta gamma delta epsilon", "en", "s", 30),
+            # dup pair under 3 tokens: no shingles, blocker misses it
+            (3, "aa bb", "en", "s", 5),
+            (4, "aa bb", "en", "s", 5),
+            (5, "zeta eta theta iota kappa lambda", "en", "s", 32),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string,"
+            " source string, n_chars long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        r = q200_blocking_quality(spark, str(tmp_path)).collect()[0]
+        assert (r["n_docs"], r["n_truth"], r["n_hits"]) == (5, 2, 1)
+        assert r["completeness_ppm"] == 500_000
+        # reduction vs the 5-choose-2 = 10 comparison space
+        assert r["reduction_ppm"] == 1_000_000 - r["n_cand"] * 1_000_000 // 10
+
+
+class TestHtEstimation:
+    def test_estimator_identity_and_rate(self, spark, tmp_path):
+        import hashlib
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q201_ht_estimation,
+        )
+
+        # 800 docs, every doc exactly 10 tokens -> est = 8 * 10 * n_sampled
+        rows = [(i, " ".join(f"tok{j}" for j in range(10)), "s")
+                for i in range(800)]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        r = q201_ht_estimation(spark, str(tmp_path)).collect()[0]
+        assert (r["n_docs"], r["true_tokens"]) == (800, 8000)
+        assert r["est_tokens"] == 8 * 10 * r["n_sampled"]
+        # python mirror of the md5-nibble inclusion rule
+        expected = sum(
+            1 for i in range(800)
+            if int(hashlib.md5(f"7:{i}".encode()).hexdigest()[:5], 16)
+            < 16 ** 5 // 8
+        )
+        assert r["n_sampled"] == expected
+        err = abs(r["est_tokens"] - 8000) * 1_000_000 // 8000
+        assert r["abs_err_ppm"] == err
+
+
+class TestAbZtest:
+    def test_arms_match_python_mirror_and_significance(self, spark, tmp_path):
+        import datetime as dt
+        import hashlib
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import q202_ab_ztest
+
+        def arm_a(uid: int) -> bool:
+            pos = int(hashlib.md5(f"11:{uid}".encode()).hexdigest()[:5], 16)
+            return pos < 16 ** 5 // 2
+
+        # arm A users always purchase; arm B users never do
+        t0 = dt.datetime(2024, 5, 1)
+        rows = []
+        for uid in range(200):
+            et = "purchase" if arm_a(uid) else "view"
+            rows.append((uid, t0, uid, et))
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "events.parquet"))
+        r = q202_ab_ztest(spark, str(tmp_path)).collect()[0]
+        n_a = sum(1 for u in range(200) if arm_a(u))
+        assert (r["n_a"], r["conv_a"]) == (n_a, n_a)
+        assert (r["n_b"], r["conv_b"]) == (200 - n_a, 0)
+        assert r["p_a_ppm"] == 1_000_000 and r["p_b_ppm"] == 0
+        assert r["significant"] is True
+
+    def test_no_effect_is_insignificant(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import q202_ab_ztest
+
+        # nobody converts in either arm -> pooled p = 0 -> NULL z2
+        t0 = dt.datetime(2024, 5, 1)
+        rows = [(uid, t0, uid, "view") for uid in range(100)]
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "events.parquet"))
+        r = q202_ab_ztest(spark, str(tmp_path)).collect()[0]
+        assert r["z2_milli"] is None and r["significant"] is None
+
+
+class TestChi2Independence:
+    def test_independent_and_perfectly_associated(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q203_chi2_independence,
+        )
+
+        # independent: both sources have the same 50/50 lang mix
+        rows = []
+        i = 0
+        for src in ("X", "Y"):
+            for lang in ("en", "fr"):
+                for _ in range(2):
+                    rows.append((i, f"text {i}", lang, src))
+                    i += 1
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        got = {r["source"]: r for r in
+               q203_chi2_independence(spark, str(tmp_path)).collect()}
+        assert got["X"]["chi2_contrib_micro"] == 0
+        assert got["Y"]["chi2_contrib_micro"] == 0
+
+        # perfect association: X only en, Y only fr; n=8, E=2 per cell
+        # -> each cell contributes (2)^2/2 = 2.0 -> 2e6 micro; per
+        # source (observed + zero cell) = 4e6; total 8e6 = chi2 of 8
+        rows = [(i, f"text {i}", "en", "X") for i in range(4)]
+        rows += [(10 + i, f"more {i}", "fr", "Y") for i in range(4)]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        got = {r["source"]: r for r in
+               q203_chi2_independence(spark, str(tmp_path)).collect()}
+        assert got["X"]["n_docs"] == 4
+        assert got["X"]["chi2_contrib_micro"] == 4_000_000
+        assert got["Y"]["chi2_contrib_micro"] == 4_000_000

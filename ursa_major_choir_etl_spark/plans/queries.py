@@ -176,6 +176,12 @@ Operator coverage map (SURVEY §2 ids -> query):
   demand decline-run histogram ..... q195 (monotone-run detection)
   small-cell suppression ........... q196 (SDC primary+complementary)
   dedup saturation curve ........... q197 (marginal-uniqueness deciles)
+  quality-score ROC-AUC ............ q198 (tie-aware Mann-Whitney, ppm)
+  CUSUM changepoint ................ q199 (volume mean-shift, argmax day)
+  blocking-quality eval ............ q200 (pair completeness / reduction)
+  Horvitz-Thompson sample audit .... q201 (1/8 Bernoulli, est vs exact)
+  deterministic A/B z-test ......... q202 (hash split, integer z², 95%)
+  chi² independence screen ......... q203 (source x lang drift, micro)
 """
 
 from __future__ import annotations
@@ -9921,6 +9927,568 @@ FROM sizes s LEFT JOIN news n USING (decile)
 """
 
 
+def q198_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC (Mann-Whitney) of the heuristic quality
+    score as a detector of exact duplicates, per source — the
+    one-number rank statistic a curation team checks before wiring a
+    score threshold into the dedup gate (q152 measures the band-level
+    interaction; this is the classifier-eval view).
+
+    Histogram double-rank construction (the q167 Gini machinery):
+    AUC = P(score_dup > score_uniq) + P(=)/2 over all dup x uniq
+    pairs, assembled from the per-score histogram as
+
+        2U      = sum_s pos(s) * (2 * cum_neg(s) - neg(s))
+        auc_ppm = 1e6 * 2U DIV (2 * P * N)
+
+    where cum_neg is the inclusive running negative count in score
+    order. Scores enter as micro-unit BIGINTs (quality_score is
+    6dp-rounded, so *1e6 is exact), every downstream term is integer
+    DECIMAL(38,0), and both engines floor identically. 100 TB shape:
+    one fingerprint shuffle for the label, one histogram shuffle,
+    and a per-source window over DISTINCT score rows — never the
+    corpus."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        text.fingerprint("text").alias("fp"),
+        F.round(text.quality_score("text") * 1000000, 0)
+        .cast("bigint")
+        .alias("score_u"),
+    )
+    fpc = docs.groupBy("fp").agg(F.count(F.lit(1)).alias("_g"))
+    lab = docs.join(fpc, "fp").select(
+        "source",
+        "score_u",
+        (F.col("_g") > 1).cast("int").alias("dup"),
+    )
+    hist = lab.groupBy("source", "score_u").agg(
+        F.sum("dup").alias("pos"),
+        F.sum(F.lit(1) - F.col("dup")).alias("neg"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("score_u")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hc = hist.withColumn("cum_neg", F.sum("neg").over(w))
+    return (
+        hc.groupBy("source")
+        .agg(
+            F.sum("pos").alias("n_dup"),
+            F.sum("neg").alias("n_uniq"),
+            F.sum(
+                F.expr(
+                    "CAST(pos AS DECIMAL(38,0)) * (2 * cum_neg - neg)"
+                )
+            ).alias("_two_u"),
+        )
+        .select(
+            "source",
+            "n_dup",
+            "n_uniq",
+            F.expr(
+                "CASE WHEN n_dup > 0 AND n_uniq > 0 THEN CAST("
+                " _two_u * 1000000"
+                " DIV (2 * CAST(n_dup AS DECIMAL(38,0)) * n_uniq)"
+                " AS BIGINT) END"
+            ).alias("auc_ppm"),
+        )
+    )
+
+
+def _oracle_q198() -> str:
+    fp = osql.fingerprint_sql("text")
+    qs = osql.quality_score_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, source, {fp} AS fp,
+         CAST(round(({qs}) * 1000000, 0) AS BIGINT) AS score_u
+  FROM documents
+),
+fpc AS (SELECT fp, count(*) AS g FROM docs GROUP BY 1),
+lab AS (
+  SELECT source, score_u, CASE WHEN g > 1 THEN 1 ELSE 0 END AS dup
+  FROM docs JOIN fpc USING (fp)
+),
+hist AS (
+  SELECT source, score_u, sum(dup) AS pos, sum(1 - dup) AS neg
+  FROM lab GROUP BY 1, 2
+),
+hc AS (
+  SELECT source, pos, neg,
+         sum(neg) OVER (PARTITION BY source ORDER BY score_u
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_neg
+  FROM hist
+),
+agg AS (
+  SELECT source, CAST(sum(pos) AS BIGINT) AS n_dup,
+         CAST(sum(neg) AS BIGINT) AS n_uniq,
+         sum(CAST(pos AS HUGEINT) * (2 * cum_neg - neg)) AS two_u
+  FROM hc GROUP BY 1
+)
+SELECT source, n_dup, n_uniq,
+       CASE WHEN n_dup > 0 AND n_uniq > 0 THEN
+         CAST(two_u * 1000000 // (2 * CAST(n_dup AS HUGEINT) * n_uniq)
+              AS BIGINT)
+       END AS auc_ppm
+FROM agg
+"""
+
+
+def q199_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline single-changepoint detection (CUSUM / binary-segmentation
+    first split) on daily event volume per event type: the day k that
+    maximizes |n * cum_k - k * total| — the scaled deviation of the
+    cumulative count from the constant-rate line — is the most likely
+    mean-shift point. The drift monitor a pipeline runs when a source's
+    volume chart 'looks different lately' and someone asks since WHEN.
+
+    Integer-exact: the deviation statistic multiplies out the usual
+    (cum_k/k - total/n) comparison so no division happens before the
+    argmax; ties break to the EARLIEST day via a (dev, -epoch_day)
+    struct max (the q196 pattern). Windows run over per-type daily
+    rows (bounded by the calendar, not the corpus); daily counts are
+    one map-side-combinable groupBy. Reported means are integer
+    micro-events/day."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    cur = daily.withColumn("k", F.row_number().over(wo)).withColumn(
+        "cum", F.sum("cnt").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("cnt").alias("tot"), F.count(F.lit(1)).alias("n_days")
+    )
+    j = cur.join(tot, "event_type").withColumn(
+        "dev", F.abs(F.col("n_days") * F.col("cum") - F.col("k") * F.col("tot"))
+    )
+    best = j.groupBy("event_type").agg(
+        F.max("n_days").alias("n_days"),
+        F.max("tot").alias("total_events"),
+        F.max(
+            F.struct(
+                F.col("dev").alias("d"),
+                (-F.unix_date("day")).alias("nd"),
+                F.col("k").alias("k"),
+                F.col("cum").alias("cum"),
+            )
+        ).alias("_b"),
+    )
+    return best.select(
+        "event_type",
+        "n_days",
+        "total_events",
+        F.date_add(F.lit("1970-01-01").cast("date"), -F.col("_b.nd")).alias(
+            "cp_date"
+        ),
+        F.col("_b.d").alias("max_dev"),
+        F.expr(
+            "CAST(CAST(_b.cum AS DECIMAL(38,0)) * 1000000 DIV _b.k"
+            " AS BIGINT)"
+        ).alias("mean_before_u"),
+        F.expr(
+            "CASE WHEN n_days > _b.k THEN CAST("
+            " CAST(total_events - _b.cum AS DECIMAL(38,0)) * 1000000"
+            " DIV (n_days - _b.k) AS BIGINT) END"
+        ).alias("mean_after_u"),
+    )
+
+
+ORACLE_Q199 = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+cur AS (
+  SELECT event_type, day, cnt,
+         row_number() OVER w AS k,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+tot AS (
+  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1
+),
+j AS (
+  SELECT c.*, t.tot, t.n_days,
+         abs(t.n_days * c.cum - c.k * t.tot) AS dev,
+         -CAST(c.day - DATE '1970-01-01' AS BIGINT) AS nd
+  FROM cur c JOIN tot t USING (event_type)
+),
+best AS (
+  SELECT event_type, max(n_days) AS n_days, max(tot) AS total_events,
+         max({'d': dev, 'nd': nd, 'k': k, 'cum': cum}) AS b
+  FROM j GROUP BY 1
+)
+SELECT event_type, n_days, total_events,
+       DATE '1970-01-01' + CAST(-(b).nd AS INTEGER) AS cp_date,
+       CAST((b).d AS BIGINT) AS max_dev,
+       CAST(CAST((b).cum AS HUGEINT) * 1000000 // (b).k AS BIGINT)
+         AS mean_before_u,
+       CASE WHEN n_days > (b).k THEN
+         CAST(CAST(total_events - (b).cum AS HUGEINT) * 1000000
+              // (n_days - (b).k) AS BIGINT)
+       END AS mean_after_u
+FROM best
+"""
+
+
+def q200_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking-quality evaluation: grade the MinHash
+    LSH candidate generator (q19's 8-perm/4-band blocker) against the
+    ground truth of exact-duplicate pairs — PAIR COMPLETENESS (what
+    fraction of true pairs survive blocking) and REDUCTION RATIO (what
+    fraction of the n-choose-2 comparison space the blocker prunes),
+    the two standard record-linkage blocking metrics. This is the
+    recall side of the q91 sketch-accuracy story: q91 grades the
+    estimator's VALUES, this grades the candidate SET.
+
+    Truth pairs come from fingerprint groups (quadratic only within an
+    exact-dup group — bounded by the max duplicate-cluster size, the
+    quantity q174's spectrum monitors; production corpora cap the
+    enumerated group size). Candidates are the banded LSH equi-join —
+    no all-pairs path anywhere. The report is four 1-row aggregates
+    cross-joined (q168's pattern); docs with fewer than 3 tokens have
+    no shingles and honestly depress completeness."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", text.fingerprint("text").alias("fp")
+    )
+    lft = docs.alias("l")
+    rgt = docs.alias("r")
+    truth = lft.join(
+        rgt,
+        (F.col("l.fp") == F.col("r.fp"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select(
+        F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+    )
+    sh = dedup.word_shingles(T(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    cand = dedup.lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+    from ursa_major_choir_etl_spark.caching import stage
+
+    truth = stage(truth)  # consumed twice: count + hit join
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hits = truth.join(cand, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        n_docs.crossJoin(n_truth)
+        .crossJoin(n_cand)
+        .crossJoin(n_hits)
+        .select(
+            "n_docs",
+            "n_truth",
+            "n_cand",
+            "n_hits",
+            F.expr(
+                "CASE WHEN n_truth > 0 THEN CAST("
+                " CAST(n_hits AS DECIMAL(38,0)) * 1000000 DIV n_truth"
+                " AS BIGINT) END"
+            ).alias("completeness_ppm"),
+            F.expr(
+                "CAST(1000000 - CAST(n_cand AS DECIMAL(38,0)) * 1000000"
+                " DIV (CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1) DIV 2)"
+                " AS BIGINT)"
+            ).alias("reduction_ppm"),
+        )
+    )
+
+
+def _oracle_q200() -> str:
+    fp = osql.fingerprint_sql("text")
+    return f"""
+WITH {osql.shingles_cte_sql(3)},
+sigs AS ({osql.minhash_select_sql(8)}),
+cand AS (WITH {osql.lsh_bands_sql(8, 4)}),
+docs AS (SELECT doc_id, {fp} AS fp FROM documents),
+truth AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM docs l JOIN docs r ON l.fp = r.fp AND l.doc_id < r.doc_id
+),
+counts AS (
+  SELECT (SELECT count(*) FROM docs) AS n_docs,
+         (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM cand) AS n_cand,
+         (SELECT count(*) FROM truth t JOIN cand c
+            USING (id_a, id_b)) AS n_hits
+)
+SELECT n_docs, n_truth, n_cand, n_hits,
+       CASE WHEN n_truth > 0 THEN
+         CAST(CAST(n_hits AS HUGEINT) * 1000000 // n_truth AS BIGINT)
+       END AS completeness_ppm,
+       CAST(1000000 - CAST(n_cand AS HUGEINT) * 1000000
+            // (CAST(n_docs AS HUGEINT) * (n_docs - 1) // 2)
+            AS BIGINT) AS reduction_ppm
+FROM counts
+"""
+
+
+def q201_ht_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimation audit: a deterministic 1-in-8
+    Bernoulli doc sample (md5-nibble uniform, the q103 machinery with
+    a FIXED inclusion probability instead of a fixed size) estimates
+    per-source token totals as sample_sum / p, graded against the
+    exact totals — the 'can we bill/plan from a sample' calibration a
+    team runs before trusting sampled telemetry at 100 TB, where the
+    exact pass is the expensive one and the sample IS the product.
+
+    p = 1/8 is exact in the uniform's integer domain (16^5 / 8), so
+    inclusion is a pure integer comparison, the estimator multiplies
+    by exactly 8, and the whole report value-hashes in SQL. One scan,
+    one groupBy source; no sort, no window."""
+    thresh = 16**5 // 8  # P(pos < thresh) = 1/8 exactly
+    pos = F.expr(
+        dedup.bloom_position_sql(7, "CAST(doc_id AS STRING)", 5)
+    )
+    docs = T(spark, sf_dir, "documents").select(
+        "source",
+        text.token_count("text").alias("toks"),
+        (pos < thresh).cast("int").alias("in_sample"),
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("in_sample").alias("n_sampled"),
+        F.sum("toks").alias("true_tokens"),
+        (F.sum(F.col("toks") * F.col("in_sample")) * 8).alias("est_tokens"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_sampled",
+        "true_tokens",
+        "est_tokens",
+        F.expr(
+            "CASE WHEN true_tokens > 0 THEN CAST("
+            " abs(CAST(est_tokens - true_tokens AS DECIMAL(38,0)))"
+            " * 1000000 DIV true_tokens AS BIGINT) END"
+        ).alias("abs_err_ppm"),
+    )
+
+
+def _oracle_q201() -> str:
+    pos = _bloom_position_duckdb(7, "CAST(doc_id AS STRING)", 5)
+    toks = osql.token_count_sql("text")
+    thresh = 16**5 // 8
+    return f"""
+WITH docs AS (
+  SELECT source, {toks} AS toks,
+         CASE WHEN {pos} < {thresh} THEN 1 ELSE 0 END AS in_sample
+  FROM documents
+),
+agg AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(in_sample) AS BIGINT) AS n_sampled,
+         CAST(sum(toks) AS BIGINT) AS true_tokens,
+         CAST(sum(toks * in_sample) * 8 AS BIGINT) AS est_tokens
+  FROM docs GROUP BY 1
+)
+SELECT source, n_docs, n_sampled, true_tokens, est_tokens,
+       CASE WHEN true_tokens > 0 THEN
+         CAST(abs(CAST(est_tokens AS HUGEINT) - true_tokens) * 1000000
+              // true_tokens AS BIGINT)
+       END AS abs_err_ppm
+FROM agg
+"""
+
+
+def q202_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B experiment readout: users hash-split 50/50 by
+    an md5-nibble parity (the assignment every experimentation system
+    runs — sticky, uniform, reproducible without storing assignments),
+    conversion = 'user ever fired a purchase event', and the
+    two-proportion pooled z-test decides significance. The z² statistic
+    is computed in EXACT integer arithmetic:
+
+        z2_milli = 1000 * d² * n_a * n_b
+                   DIV (p̂ * (1e6 - p̂) * (n_a + n_b))
+
+    with d and p̂ in ppm — algebraically z² scaled 1000x, no libm,
+    identical floors in both engines; significant at 95% when
+    z2_milli > 3841 (chi²_{1,0.05} = 3.841). Shape: one user-level
+    groupBy, one 2-row arm aggregate, a 1-row report."""
+    thresh = 16**5 // 2  # arm A: uniform below the midpoint
+    pos = F.expr(
+        dedup.bloom_position_sql(11, "CAST(user_id AS STRING)", 5)
+    )
+    ev = T(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    arms = users.select(
+        (pos < thresh).cast("int").alias("arm_a"), "conv"
+    ).agg(
+        F.sum("arm_a").alias("n_a"),
+        F.sum(F.col("arm_a") * F.col("conv")).alias("conv_a"),
+        F.sum(F.lit(1) - F.col("arm_a")).alias("n_b"),
+        F.sum((F.lit(1) - F.col("arm_a")) * F.col("conv")).alias("conv_b"),
+    )
+    with_p = arms.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.expr("CAST(conv_a AS DECIMAL(38,0)) * 1000000 DIV n_a")
+        .cast("bigint")
+        .alias("p_a_ppm"),
+        F.expr("CAST(conv_b AS DECIMAL(38,0)) * 1000000 DIV n_b")
+        .cast("bigint")
+        .alias("p_b_ppm"),
+        F.expr(
+            "CAST(CAST(conv_a + conv_b AS DECIMAL(38,0)) * 1000000"
+            " DIV (n_a + n_b) AS BIGINT)"
+        ).alias("_pool_ppm"),
+    )
+    return with_p.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        "p_a_ppm",
+        "p_b_ppm",
+        F.expr(
+            "CASE WHEN _pool_ppm > 0 AND _pool_ppm < 1000000 THEN CAST("
+            " 1000 * CAST(p_a_ppm - p_b_ppm AS DECIMAL(38,0))"
+            "   * (p_a_ppm - p_b_ppm) * n_a * n_b"
+            " DIV (CAST(_pool_ppm AS DECIMAL(38,0)) * (1000000 - _pool_ppm)"
+            "      * (n_a + n_b))"
+            " AS BIGINT) END"
+        ).alias("z2_milli"),
+    ).withColumn("significant", F.col("z2_milli") > 3841)
+
+
+def _oracle_q202() -> str:
+    pos = _bloom_position_duckdb(11, "CAST(user_id AS STRING)", 5)
+    thresh = 16**5 // 2
+    return f"""
+WITH users AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+),
+arms AS (
+  SELECT CASE WHEN {pos} < {thresh} THEN 1 ELSE 0 END AS arm_a, conv
+  FROM users
+),
+agg AS (
+  SELECT CAST(sum(arm_a) AS BIGINT) AS n_a,
+         CAST(sum(arm_a * conv) AS BIGINT) AS conv_a,
+         CAST(sum(1 - arm_a) AS BIGINT) AS n_b,
+         CAST(sum((1 - arm_a) * conv) AS BIGINT) AS conv_b
+  FROM arms
+),
+with_p AS (
+  SELECT *,
+         CAST(CAST(conv_a AS HUGEINT) * 1000000 // n_a AS BIGINT) AS p_a_ppm,
+         CAST(CAST(conv_b AS HUGEINT) * 1000000 // n_b AS BIGINT) AS p_b_ppm,
+         CAST(CAST(conv_a + conv_b AS HUGEINT) * 1000000 // (n_a + n_b)
+              AS BIGINT) AS pool_ppm
+  FROM agg
+)
+SELECT n_a, conv_a, n_b, conv_b, p_a_ppm, p_b_ppm,
+       CASE WHEN pool_ppm > 0 AND pool_ppm < 1000000 THEN CAST(
+         1000 * CAST(p_a_ppm - p_b_ppm AS HUGEINT)
+           * (p_a_ppm - p_b_ppm) * n_a * n_b
+         // (CAST(pool_ppm AS HUGEINT) * (1000000 - pool_ppm)
+             * (n_a + n_b))
+         AS BIGINT) END AS z2_milli,
+       CASE WHEN pool_ppm > 0 AND pool_ppm < 1000000 THEN CAST(
+         1000 * CAST(p_a_ppm - p_b_ppm AS HUGEINT)
+           * (p_a_ppm - p_b_ppm) * n_a * n_b
+         // (CAST(pool_ppm AS HUGEINT) * (1000000 - pool_ppm)
+             * (n_a + n_b))
+         AS BIGINT) > 3841 END AS significant
+FROM with_p
+"""
+
+
+def q203_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence between document source and
+    language — 'is the language mix the same across sources, or does
+    some source skew the corpus?' — the categorical drift screen that
+    needs no logarithms (unlike mutual information), so it stays
+    integer-exact. Per-cell contribution over the FULL source x lang
+    grid (zero cells contribute rt*ct/N and must not be dropped):
+
+        E_u      = rt * ct * 1e6 DIV N          (expected, micro)
+        contrib  = (O*1e6 - E_u)^2 DIV E_u      (micro units: the
+                   1e12 of the squared micro numerator over the 1e6
+                   of the micro denominator leaves exactly 1e6)
+
+    The numerator square stays under DECIMAL(38,0) through N ~ 3e13
+    rows; both engines floor E to micro identically, so the statistic
+    value-hashes. Shape: two tiny marginal aggregates cross-joined
+    into a fixed-cardinality grid (sources x languages), one observed
+    groupBy — zero corpus-sized shuffles beyond it. Output is one row
+    per source (its summed contribution); the full statistic is the
+    column sum and df = (R-1)(C-1)."""
+    docs = T(spark, sf_dir, "documents").select("source", "lang")
+    rt = docs.groupBy("source").agg(F.count(F.lit(1)).alias("rt"))
+    ct = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("ct"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    obs = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    grid = (
+        rt.crossJoin(bbound(ct, "fixed language-dim marginal rows"))
+        .crossJoin(bbound(n, "single corpus-total row"))
+        .join(obs, ["source", "lang"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+        .withColumn(
+            "e_u",
+            F.expr("CAST(rt AS DECIMAL(38,0)) * ct * 1000000 DIV n"),
+        )
+    )
+    return (
+        grid.withColumn(
+            "contrib",
+            F.expr(
+                "CASE WHEN e_u > 0 THEN"
+                " CAST((CAST(o AS DECIMAL(38,0)) * 1000000 - e_u)"
+                "      * (CAST(o AS DECIMAL(38,0)) * 1000000 - e_u)"
+                " DIV e_u AS BIGINT) ELSE 0 END"
+            ),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("rt").alias("n_docs"),
+            F.sum("contrib").alias("chi2_contrib_micro"),
+        )
+    )
+
+
+ORACLE_Q203 = """
+WITH rt AS (SELECT source, count(*) AS rt FROM documents GROUP BY 1),
+ct AS (SELECT lang, count(*) AS ct FROM documents GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+obs AS (SELECT source, lang, count(*) AS o
+        FROM documents GROUP BY 1, 2),
+grid AS (
+  SELECT rt.source, ct.lang, rt.rt, ct.ct, n.n,
+         coalesce(obs.o, 0) AS o,
+         CAST(rt.rt AS HUGEINT) * ct.ct * 1000000 // n.n AS e_u
+  FROM rt CROSS JOIN ct CROSS JOIN n
+  LEFT JOIN obs ON obs.source = rt.source AND obs.lang = ct.lang
+)
+SELECT source, CAST(max(rt) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN e_u > 0 THEN
+         (CAST(o AS HUGEINT) * 1000000 - e_u)
+           * (CAST(o AS HUGEINT) * 1000000 - e_u)
+           // e_u
+         ELSE 0 END) AS BIGINT) AS chi2_contrib_micro
+FROM grid GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -10119,6 +10687,12 @@ QUERIES = {
     "q195_demand_decline_runs": q195_demand_decline_runs,
     "q196_cell_suppression": q196_cell_suppression,
     "q197_dedup_saturation": q197_dedup_saturation,
+    "q198_quality_auc": q198_quality_auc,
+    "q199_cusum_changepoint": q199_cusum_changepoint,
+    "q200_blocking_quality": q200_blocking_quality,
+    "q201_ht_estimation": q201_ht_estimation,
+    "q202_ab_ztest": q202_ab_ztest,
+    "q203_chi2_independence": q203_chi2_independence,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -10164,6 +10738,7 @@ _CHANGED_R8 = (
     "q181_", "q182_", "q183_", "q184_", "q185_", "q186_",
     "q187_", "q188_", "q189_", "q190_", "q191_", "q192_",
     "q193_", "q194_", "q195_", "q196_", "q197_",
+    "q198_", "q199_", "q200_", "q201_", "q202_", "q203_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -10391,4 +10966,10 @@ ORACLES: dict[str, str | None] = {
     "q195_demand_decline_runs": ORACLE_Q195,
     "q196_cell_suppression": ORACLE_Q196,
     "q197_dedup_saturation": _oracle_q197(),
+    "q198_quality_auc": _oracle_q198(),
+    "q199_cusum_changepoint": ORACLE_Q199,
+    "q200_blocking_quality": _oracle_q200(),
+    "q201_ht_estimation": _oracle_q201(),
+    "q202_ab_ztest": _oracle_q202(),
+    "q203_chi2_independence": ORACLE_Q203,
 }

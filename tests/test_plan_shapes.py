@@ -172,11 +172,15 @@ class TestRegistrySweep:
     # corpus.
     # q197: the cumulative window orders exactly 10 post-aggregation
     # decile rows (fixed cardinality by construction).
+    # q204: the exclusive bucket-prefix window orders <= 32 bucket-
+    # total rows (fixed by the boundary count); the value-level
+    # cumulative is partitioned by bucket.
     GLOBAL_WINDOW_OK = {
         "q53_monthly_trend",
         "q104_quantile_sketch_accuracy",
         "q159_rfm_segments",
         "q197_dedup_saturation",
+        "q204_ks_test",
     }
 
     def test_no_scale_antipatterns_anywhere(self, spark, registry):

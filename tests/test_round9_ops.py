@@ -2601,3 +2601,204 @@ class TestChi2Independence:
         assert got["X"]["n_docs"] == 4
         assert got["X"]["chi2_contrib_micro"] == 4_000_000
         assert got["Y"]["chi2_contrib_micro"] == 4_000_000
+
+
+class TestKsTest:
+    def test_disjoint_and_identical_distributions(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import q204_ks_test
+
+        d0 = dt.date(2024, 1, 1)
+        cust = [(1, "BUILDING"), (2, "MACHINERY")]
+        spark.createDataFrame(
+            cust, "c_custkey long, c_mktsegment string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "customer.parquet"))
+        # disjoint supports: BUILDING orders all 10.00, MACHINERY all
+        # 20.00 -> at value 1000 cents cdf1=1, cdf2=0 -> D = 1e6
+        orders = [(i, 1, 10.0, d0) for i in range(50)]
+        orders += [(100 + i, 2, 20.0, d0) for i in range(50)]
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long,"
+            " o_totalprice double, o_orderdate date"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "orders.parquet"))
+        r = q204_ks_test(spark, str(tmp_path)).collect()[0]
+        assert (r["n_building"], r["n_machinery"]) == (50, 50)
+        assert r["ks_d_ppm"] == 1_000_000
+        assert r["at_cents"] == 1000
+
+        # identical distributions -> D = 0, argmax ties to the
+        # smallest value
+        orders = [(i, 1, float(v), d0)
+                  for i, v in enumerate([10, 20, 30] * 10)]
+        orders += [(1000 + i, 2, float(v), d0)
+                   for i, v in enumerate([10, 20, 30] * 10)]
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long,"
+            " o_totalprice double, o_orderdate date"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "orders.parquet"))
+        r = q204_ks_test(spark, str(tmp_path)).collect()[0]
+        assert r["ks_d_ppm"] == 0
+        assert r["at_cents"] == 1000
+
+
+class TestSplitLeakage:
+    def test_leak_flagged_in_every_split_it_touches(self, spark, tmp_path):
+        import hashlib
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q205_split_leakage,
+        )
+
+        def split_of(did: int) -> str:
+            m = 16 ** 5
+            pos = int(hashlib.md5(f"13:{did}".encode()).hexdigest()[:5], 16)
+            if pos < m * 7 // 8:
+                return "train"
+            if pos < m * 15 // 16:
+                return "val"
+            return "test"
+
+        # find two doc ids landing in different splits, give them the
+        # SAME text -> both rows are leaked
+        ids = list(range(400))
+        by_split = {}
+        for i in ids:
+            by_split.setdefault(split_of(i), []).append(i)
+        a = by_split["train"][0]
+        b = by_split["val"][0]
+        rows = [(i, f"unique text number {i}" if i not in (a, b)
+                 else "the shared leaked text", "s") for i in ids]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        got = {r["split"]: r for r in
+               q205_split_leakage(spark, str(tmp_path)).collect()}
+        assert got["train"]["n_docs"] == len(by_split["train"])
+        assert got["train"]["n_leaked"] == 1
+        assert got["val"]["n_leaked"] == 1
+        assert got.get("test") is None or got["test"]["n_leaked"] == 0
+        exp_ppm = 1_000_000 // len(by_split["train"])
+        assert got["train"]["leaked_ppm"] == exp_ppm
+
+
+class TestTopkChurn:
+    def test_full_retention_and_full_churn(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import q206_topk_churn
+
+        rows = []
+        # month 1: parts 1..5; month 2: same parts (full retention);
+        # month 3: parts 101..105 (full churn)
+        for p in range(1, 6):
+            rows.append((p, 10.0, dt.date(2024, 1, p)))
+            rows.append((p, 10.0, dt.date(2024, 2, p)))
+            rows.append((100 + p, 10.0, dt.date(2024, 3, p)))
+        spark.createDataFrame(
+            rows, "l_partkey long, l_quantity double, l_shipdate date"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "lineitem.parquet"))
+        got = sorted(q206_topk_churn(spark, str(tmp_path)).collect(),
+                     key=lambda r: r["midx"])
+        assert len(got) == 3
+        first, second, third = got
+        assert first["n_prev"] is None and first["churn_ppm"] is None
+        assert (second["n_retained"], second["churn_ppm"]) == (5, 0)
+        assert (third["n_retained"], third["churn_ppm"]) == (0, 1_000_000)
+
+
+class TestDecayedEngagement:
+    def test_halving_per_week_and_cap(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q207_decayed_engagement,
+        )
+
+        anchor = dt.datetime(2024, 6, 1)
+        rows = []
+        # fresh: at the anchor -> weight 1
+        rows += [(i, anchor, 1, "fresh", 1.0) for i in range(10)]
+        # twoweeks: exactly 14 days old -> cents 100 -> 100 DIV 4 = 25
+        rows += [(100 + i, anchor - dt.timedelta(days=14), 1,
+                  "twoweeks", 1.0) for i in range(10)]
+        # ancient: 100 weeks old -> capped at 40 halvings -> 0
+        rows += [(200 + i, anchor - dt.timedelta(weeks=100), 1,
+                  "ancient", 1.0) for i in range(10)]
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "events.parquet"))
+        got = {r["event_type"]: r for r in
+               q207_decayed_engagement(spark, str(tmp_path)).collect()}
+        assert got["fresh"]["decayed_cents"] == 1000
+        assert got["fresh"]["retention_ppm"] == 1_000_000
+        assert got["twoweeks"]["decayed_cents"] == 250
+        assert got["twoweeks"]["retention_ppm"] == 250_000
+        assert got["ancient"]["decayed_cents"] == 0
+        assert got["ancient"]["retention_ppm"] == 0
+
+
+class TestCoEngagement:
+    def test_jaccard_and_absent_pairs(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q208_co_engagement,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        # u1: A,B ; u2: A (twice -> distinct) ; u3: B,C
+        rows = [
+            (1, t0, 1, "A"), (2, t0, 1, "B"),
+            (3, t0, 2, "A"), (4, t0, 2, "A"),
+            (5, t0, 3, "B"), (6, t0, 3, "C"),
+        ]
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "events.parquet"))
+        got = {(r["type_a"], r["type_b"]): r for r in
+               q208_co_engagement(spark, str(tmp_path)).collect()}
+        ab = got[("A", "B")]
+        assert (ab["n_a"], ab["n_b"], ab["n_both"]) == (2, 2, 1)
+        assert ab["jaccard_ppm"] == 333_333
+        bc = got[("B", "C")]
+        assert (bc["n_b"], bc["n_both"]) == (1, 1)
+        assert bc["jaccard_ppm"] == 500_000
+        assert ("A", "C") not in got  # zero-overlap pairs are absent
+
+
+class TestDiscountLift:
+    def test_lift_vs_zero_baseline(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q209_discount_lift,
+        )
+
+        rows = [(0.0, 10.0)] * 4 + [(0.10, 20.0)] * 4 + [(0.05, 5.0)] * 2
+        spark.createDataFrame(
+            rows, "l_discount double, l_quantity double"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "lineitem.parquet"))
+        got = {r["disc_pct"]: r for r in
+               q209_discount_lift(spark, str(tmp_path)).collect()}
+        assert got[0]["avg_qty_milli"] == 10_000
+        assert got[0]["lift_ppm"] == 0
+        assert got[10]["avg_qty_milli"] == 20_000
+        assert got[10]["lift_ppm"] == 1_000_000
+        assert got[5]["avg_qty_milli"] == 5_000
+        assert got[5]["lift_ppm"] == -500_000

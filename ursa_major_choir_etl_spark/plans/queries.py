@@ -182,6 +182,12 @@ Operator coverage map (SURVEY §2 ids -> query):
   Horvitz-Thompson sample audit .... q201 (1/8 Bernoulli, est vs exact)
   deterministic A/B z-test ......... q202 (hash split, integer z², 95%)
   chi² independence screen ......... q203 (source x lang drift, micro)
+  exact two-sample KS test ......... q204 (bucketed distributed prefix sum)
+  split leakage audit .............. q205 (hash split, cross-split dups)
+  top-k churn monitor .............. q206 (monthly head stability, ppm)
+  half-life decayed engagement ..... q207 (power-of-2 decay, no libm)
+  co-engagement matrix ............. q208 (type-pair audience Jaccard)
+  discount lift tiers .............. q209 (promo readout vs 0% baseline)
 """
 
 from __future__ import annotations
@@ -10489,6 +10495,528 @@ FROM grid GROUP BY 1
 """
 
 
+def q204_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the order
+    value distributions of the BUILDING and MACHINERY customer
+    segments — 'did the spend distribution shift between cohorts' as
+    the sup-norm distance, the exact counterpart of q191's decile QQ
+    view.
+
+    The CDF needs a GLOBAL running sum over distinct order values —
+    the one shape this registry otherwise bans — so it is computed as
+    a distributed two-level prefix sum: a 31-boundary percentile row
+    buckets the value histogram (q197's pattern), per-bucket totals
+    get their exclusive prefix offsets in a <=32-row window, and the
+    within-bucket cumulative runs partitioned BY bucket. No global
+    sort or global window ever materializes; the bucket count scales
+    with the cluster, not the data. All CDF terms are integer-floored
+    ppm (both engines floor identically); the argmax value reports
+    WHERE the distributions diverge most, ties to the smallest value."""
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    j = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    hist = j.groupBy("cents").agg(
+        F.sum((F.col("seg") == "BUILDING").cast("int")).alias("n1"),
+        F.sum((F.col("seg") == "MACHINERY").cast("int")).alias("n2"),
+    )
+    from ursa_major_choir_etl_spark.caching import stage
+
+    hist = stage(hist)  # buckets, totals, and the cumsum all read it
+    n_buckets = 32
+    bounds = hist.agg(
+        F.percentile(
+            "cents", F.lit([i / n_buckets for i in range(1, n_buckets)])
+        ).alias("_bs")
+    ).select(
+        *[
+            F.element_at("_bs", i).alias(f"b{i}")
+            for i in range(1, n_buckets)
+        ]
+    )
+    bcast = bbound(bounds, "single 31-boundary percentile row")
+    bucket = sum(
+        (
+            (F.col("cents") > F.col(f"b{i}")).cast("int")
+            for i in range(1, n_buckets)
+        ),
+        F.lit(0),
+    )
+    hb = hist.crossJoin(bcast).select("cents", "n1", "n2", bucket.alias("bkt"))
+    btot = hb.groupBy("bkt").agg(
+        F.sum("n1").alias("t1"), F.sum("n2").alias("t2")
+    )
+    wb = (
+        Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # <= 32 rows: exclusive bucket prefix
+    offs = btot.select(
+        "bkt",
+        F.coalesce(F.sum("t1").over(wb), F.lit(0)).alias("off1"),
+        F.coalesce(F.sum("t2").over(wb), F.lit(0)).alias("off2"),
+    )
+    wi = (
+        Window.partitionBy("bkt")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        hb.join(bbound(offs, "one row per bucket (<=32)"), "bkt")
+        .withColumn("cum1", F.col("off1") + F.sum("n1").over(wi))
+        .withColumn("cum2", F.col("off2") + F.sum("n2").over(wi))
+    )
+    tot = hist.agg(
+        F.sum("n1").alias("n1t"), F.sum("n2").alias("n2t")
+    )
+    d = cum.crossJoin(bbound(tot, "single totals row")).select(
+        F.expr(
+            "abs(CAST(cum1 AS DECIMAL(38,0)) * 1000000 DIV n1t"
+            " - CAST(cum2 AS DECIMAL(38,0)) * 1000000 DIV n2t)"
+        )
+        .cast("bigint")
+        .alias("d_ppm"),
+        (-F.col("cents")).alias("nv"),
+        "n1t",
+        "n2t",
+    )
+    return d.agg(
+        F.max("n1t").alias("n_building"),
+        F.max("n2t").alias("n_machinery"),
+        F.max(F.struct(F.col("d_ppm").alias("d"), F.col("nv").alias("nv"))).alias(
+            "_b"
+        ),
+    ).select(
+        "n_building",
+        "n_machinery",
+        F.col("_b.d").alias("ks_d_ppm"),
+        (-F.col("_b.nv")).alias("at_cents"),
+    )
+
+
+ORACLE_Q204 = """
+WITH j AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         c_mktsegment AS seg
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+hist AS (
+  SELECT cents,
+         sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS n2
+  FROM j GROUP BY 1
+),
+c AS (
+  SELECT cents,
+         sum(n1) OVER w AS cum1, sum(n2) OVER w AS cum2
+  FROM hist
+  WINDOW w AS (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+t AS (SELECT CAST(sum(n1) AS BIGINT) AS n1t,
+             CAST(sum(n2) AS BIGINT) AS n2t FROM hist),
+d AS (
+  SELECT abs(CAST(cum1 AS HUGEINT) * 1000000 // n1t
+             - CAST(cum2 AS HUGEINT) * 1000000 // n2t) AS d_ppm,
+         -cents AS nv, n1t, n2t
+  FROM c CROSS JOIN t
+),
+best AS (
+  SELECT max(n1t) AS n_building, max(n2t) AS n_machinery,
+         max({'d': d_ppm, 'nv': nv}) AS b
+  FROM d
+)
+SELECT n_building, n_machinery,
+       CAST((b).d AS BIGINT) AS ks_d_ppm,
+       CAST(-(b).nv AS BIGINT) AS at_cents
+FROM best
+"""
+
+
+def q205_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split integrity audit: docs are hash-assigned
+    87.5/6.25/6.25 by an md5-nibble uniform (sticky, reproducible,
+    no stored assignment table — the q201/q202 machinery with
+    power-of-two thresholds, exact in the 16^5 domain), then every
+    fingerprint that lands in MORE THAN ONE split is flagged —
+    exact-duplicate leakage across splits is the classic eval
+    contamination that survives doc-level splitting. Reports per
+    split: size, token mass, leaked docs and ppm. One fingerprint
+    shuffle, one split groupBy; at 100 TB this is exactly the audit
+    run before a holdout ships (q135 builds the decontaminated set;
+    this grades an existing split)."""
+    m = 16**5
+    pos = F.expr(
+        dedup.bloom_position_sql(13, "CAST(doc_id AS STRING)", 5)
+    )
+    split = (
+        F.when(pos < m * 7 // 8, F.lit("train"))
+        .when(pos < m * 15 // 16, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    docs = T(spark, sf_dir, "documents").select(
+        split.alias("split"),
+        text.fingerprint("text").alias("fp"),
+        text.token_count("text").alias("toks"),
+    )
+    fpg = docs.groupBy("fp").agg(
+        F.countDistinct("split").alias("_k")
+    )
+    lab = docs.join(fpg, "fp")
+    return lab.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+        F.sum((F.col("_k") > 1).cast("int")).alias("n_leaked"),
+    ).withColumn(
+        "leaked_ppm",
+        F.expr(
+            "CAST(CAST(n_leaked AS DECIMAL(38,0)) * 1000000 DIV n_docs"
+            " AS BIGINT)"
+        ),
+    )
+
+
+def _oracle_q205() -> str:
+    pos = _bloom_position_duckdb(13, "CAST(doc_id AS STRING)", 5)
+    fp = osql.fingerprint_sql("text")
+    toks = osql.token_count_sql("text")
+    m = 16**5
+    return f"""
+WITH docs AS (
+  SELECT CASE WHEN {pos} < {m * 7 // 8} THEN 'train'
+              WHEN {pos} < {m * 15 // 16} THEN 'val'
+              ELSE 'test' END AS split,
+         {fp} AS fp, {toks} AS toks
+  FROM documents
+),
+fpg AS (SELECT fp, count(DISTINCT split) AS k FROM docs GROUP BY 1),
+lab AS (SELECT d.split, d.toks, f.k FROM docs d JOIN fpg f USING (fp))
+SELECT split, count(*) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+       CAST(CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS HUGEINT)
+            * 1000000 // count(*) AS BIGINT) AS leaked_ppm
+FROM lab GROUP BY 1
+"""
+
+
+def q206_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-stability monitor: the monthly top-20 parts by shipped
+    quantity, and how much of the previous month's list survives —
+    'is the head of the distribution stable or churning', the trend
+    sanity check behind caching, stocking, and hot-key planning
+    decisions (q69 profiles skew at a point in time; this tracks the
+    head's identity over time).
+
+    Ranks are per-month windows (partitioned, q08's accepted shape)
+    with a deterministic (qty DESC, partkey) tie-break; consecutive
+    months meet in one equi-join on (month+1, partkey) — adjacent-
+    month overlap without any cross-month window. Months without a
+    predecessor report NULLs."""
+    li = T(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).alias(
+            "midx"
+        ),
+        "l_partkey",
+    ).agg(F.sum("l_quantity").cast("long").alias("qty"))
+    wr = Window.partitionBy("midx").orderBy(
+        F.col("qty").desc(), F.col("l_partkey")
+    )
+    top = monthly.withColumn("rn", F.row_number().over(wr)).filter(
+        F.col("rn") <= 20
+    )
+    from ursa_major_choir_etl_spark.caching import stage
+
+    top = stage(top)  # both sides of the adjacent-month join
+    cur = top.groupBy("midx").agg(F.count(F.lit(1)).alias("n_cur"))
+    prev = top.select(
+        (F.col("midx") + 1).alias("midx"),
+        F.col("l_partkey"),
+    )
+    retained = top.join(prev, ["midx", "l_partkey"], "left_semi").groupBy(
+        "midx"
+    ).agg(F.count(F.lit(1)).alias("n_retained"))
+    pn = top.groupBy("midx").agg(
+        F.count(F.lit(1)).alias("n_prev")
+    ).select((F.col("midx") + 1).alias("midx"), "n_prev")
+    return (
+        cur.join(pn, "midx", "left")
+        .join(retained, "midx", "left")
+        .select(
+            "midx",
+            "n_cur",
+            "n_prev",
+            F.when(
+                F.col("n_prev").isNotNull(),
+                F.coalesce("n_retained", F.lit(0)),
+            ).alias("n_retained"),
+            F.expr(
+                "CASE WHEN n_prev IS NOT NULL THEN"
+                " 1000000 - CAST(CAST(coalesce(n_retained, 0)"
+                " AS DECIMAL(38,0)) * 1000000 DIV n_prev AS BIGINT) END"
+            ).alias("churn_ppm"),
+        )
+    )
+
+
+ORACLE_Q206 = """
+WITH monthly AS (
+  SELECT year(l_shipdate) * 12 + month(l_shipdate) - 1 AS midx,
+         l_partkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+top AS (
+  SELECT midx, l_partkey,
+         row_number() OVER (PARTITION BY midx
+                            ORDER BY qty DESC, l_partkey) AS rn
+  FROM monthly
+  QUALIFY rn <= 20
+),
+cur AS (SELECT midx, count(*) AS n_cur FROM top GROUP BY 1),
+pn AS (SELECT midx + 1 AS midx, count(*) AS n_prev FROM top GROUP BY 1),
+retained AS (
+  SELECT t.midx, count(*) AS n_retained
+  FROM top t JOIN top p
+    ON p.midx + 1 = t.midx AND p.l_partkey = t.l_partkey
+  GROUP BY 1
+)
+SELECT c.midx, c.n_cur, pn.n_prev,
+       CASE WHEN pn.n_prev IS NOT NULL
+            THEN coalesce(r.n_retained, 0) END AS n_retained,
+       CASE WHEN pn.n_prev IS NOT NULL THEN
+         1000000 - CAST(CAST(coalesce(r.n_retained, 0) AS HUGEINT)
+                        * 1000000 // pn.n_prev AS BIGINT)
+       END AS churn_ppm
+FROM cur c
+LEFT JOIN pn USING (midx)
+LEFT JOIN retained r ON r.midx = c.midx
+"""
+
+
+def q207_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement: per event type, total value mass
+    under an exponential half-life of one week — the freshness-aware
+    score behind trending/ranking decisions, where last week counts
+    double vs the week before. The decay is 1/2^age_weeks computed as
+    an INTEGER power-of-two division on value cents (ages capped at
+    40 halvings, past which the weight is exactly 0 in cents) — no
+    exp/pow libm anywhere, so both engines agree bit-for-bit.
+
+    The 'now' anchor is the corpus max timestamp (one-row broadcast,
+    q191's no-wall-clock rule). One scan + one groupBy; the
+    retention ratio says how front-loaded each type's engagement is."""
+    ev = T(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    anchor = ev.agg(F.max("ts").alias("_anchor"))
+    j = ev.crossJoin(bbound(anchor, "single max-timestamp row"))
+    return (
+        j.withColumn(
+            "_w",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), least("
+                " CAST((unix_micros(_anchor) - unix_micros(ts))"
+                "      DIV 604800000000 AS INT), 40))"
+            ),
+        )
+        .withColumn("decayed", F.expr("cents DIV _w"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("raw_cents"),
+            F.sum("decayed").alias("decayed_cents"),
+        )
+        .withColumn(
+            "retention_ppm",
+            F.expr(
+                "CASE WHEN raw_cents > 0 THEN CAST("
+                " CAST(decayed_cents AS DECIMAL(38,0)) * 1000000"
+                " DIV raw_cents AS BIGINT) END"
+            ),
+        )
+    )
+
+
+ORACLE_Q207 = """
+WITH ev AS (
+  SELECT event_type, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+anchor AS (SELECT max(ts) AS a FROM ev),
+aged AS (
+  SELECT event_type, cents,
+         cents // (CAST(1 AS BIGINT) << least(
+           CAST((epoch_us(a) - epoch_us(ts)) // 604800000000 AS INT),
+           40)) AS decayed
+  FROM ev CROSS JOIN anchor
+)
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS raw_cents,
+       CAST(sum(decayed) AS BIGINT) AS decayed_cents,
+       CASE WHEN sum(cents) > 0 THEN
+         CAST(CAST(sum(decayed) AS HUGEINT) * 1000000
+              // sum(cents) AS BIGINT)
+       END AS retention_ppm
+FROM aged GROUP BY 1
+"""
+
+
+def q208_co_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, how
+    many users do both, and the Jaccard of their audiences — the
+    cross-sell / cannibalization readout ('do buyers also click?').
+    The q154 source-vocab-overlap shape applied to behavior.
+
+    The per-user type set is bounded by the type vocabulary (a fixed
+    dim), so the within-user pair expansion is O(types²) per user —
+    constant — and the only corpus-sized shuffle is the (user, type)
+    distinct. Marginals join in from a types-cardinality aggregate."""
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type")
+    ut = ev.distinct()
+    from ursa_major_choir_etl_spark.caching import stage
+
+    ut = stage(ut)  # pair self-join + marginals all read it
+    lft = ut.alias("l")
+    rgt = ut.alias("r")
+    both = (
+        lft.join(
+            rgt,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("l.event_type") < F.col("r.event_type")),
+        )
+        .groupBy(
+            F.col("l.event_type").alias("type_a"),
+            F.col("r.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    marg = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    ma = bbound(
+        marg.select(
+            F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+        ),
+        "one row per event type (fixed dim)",
+    )
+    mb = bbound(
+        marg.select(
+            F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+        ),
+        "one row per event type (fixed dim)",
+    )
+    return (
+        both.join(ma, "type_a")
+        .join(mb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr(
+                "CAST(CAST(n_both AS DECIMAL(38,0)) * 1000000"
+                " DIV (n_a + n_b - n_both) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+ORACLE_Q208 = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+pairs AS (
+  SELECT l.event_type AS type_a, r.event_type AS type_b,
+         count(*) AS n_both
+  FROM ut l JOIN ut r
+    ON l.user_id = r.user_id AND l.event_type < r.event_type
+  GROUP BY 1, 2
+),
+marg AS (SELECT event_type, count(*) AS n_users FROM ut GROUP BY 1)
+SELECT b.type_a, b.type_b,
+       CAST(ma.n_users AS BIGINT) AS n_a,
+       CAST(mb.n_users AS BIGINT) AS n_b,
+       b.n_both,
+       CAST(CAST(b.n_both AS HUGEINT) * 1000000
+            // (ma.n_users + mb.n_users - b.n_both) AS BIGINT)
+         AS jaccard_ppm
+FROM pairs b
+JOIN marg ma ON ma.event_type = b.type_a
+JOIN marg mb ON mb.event_type = b.type_b
+"""
+
+
+def q209_discount_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo-effectiveness readout: average line quantity per discount
+    tier (integer percent buckets) and its lift vs the zero-discount
+    baseline — does a deeper discount actually move more units? One
+    map-combined groupBy over a fixed tier space plus a 1-row baseline
+    broadcast; averages are exact integer milli-units (TPC-H
+    quantities are integral), so the lift floors identically in both
+    engines."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100, 0).cast("int").alias("disc_pct"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    tiers = li.groupBy("disc_pct").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("qty").alias("total_qty"),
+    ).withColumn(
+        "avg_qty_milli",
+        F.expr(
+            "CAST(CAST(total_qty AS DECIMAL(38,0)) * 1000"
+            " DIV n_lines AS BIGINT)"
+        ),
+    )
+    base = bbound(
+        tiers.filter(F.col("disc_pct") == 0).select(
+            F.col("avg_qty_milli").alias("_base")
+        ),
+        "single zero-discount baseline row",
+    )
+    return tiers.crossJoin(base).select(
+        "disc_pct",
+        "n_lines",
+        "total_qty",
+        "avg_qty_milli",
+        F.expr(
+            "CASE WHEN _base > 0 THEN CAST("
+            " CAST(avg_qty_milli - _base AS DECIMAL(38,0)) * 1000000"
+            " DIV _base AS BIGINT) END"
+        ).alias("lift_ppm"),
+    )
+
+
+ORACLE_Q209 = """
+WITH tiers AS (
+  SELECT CAST(round(l_discount * 100, 0) AS INTEGER) AS disc_pct,
+         count(*) AS n_lines,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1
+),
+t2 AS (
+  SELECT *, CAST(CAST(total_qty AS HUGEINT) * 1000 // n_lines AS BIGINT)
+              AS avg_qty_milli
+  FROM tiers
+),
+base AS (SELECT avg_qty_milli AS b FROM t2 WHERE disc_pct = 0)
+SELECT disc_pct, n_lines, total_qty, avg_qty_milli,
+       CASE WHEN b > 0 THEN
+         CAST(CAST(avg_qty_milli - b AS HUGEINT) * 1000000 // b AS BIGINT)
+       END AS lift_ppm
+FROM t2 CROSS JOIN base
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -10693,6 +11221,12 @@ QUERIES = {
     "q201_ht_estimation": q201_ht_estimation,
     "q202_ab_ztest": q202_ab_ztest,
     "q203_chi2_independence": q203_chi2_independence,
+    "q204_ks_test": q204_ks_test,
+    "q205_split_leakage": q205_split_leakage,
+    "q206_topk_churn": q206_topk_churn,
+    "q207_decayed_engagement": q207_decayed_engagement,
+    "q208_co_engagement": q208_co_engagement,
+    "q209_discount_lift": q209_discount_lift,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -10739,6 +11273,7 @@ _CHANGED_R8 = (
     "q187_", "q188_", "q189_", "q190_", "q191_", "q192_",
     "q193_", "q194_", "q195_", "q196_", "q197_",
     "q198_", "q199_", "q200_", "q201_", "q202_", "q203_",
+    "q204_", "q205_", "q206_", "q207_", "q208_", "q209_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -10972,4 +11507,10 @@ ORACLES: dict[str, str | None] = {
     "q201_ht_estimation": _oracle_q201(),
     "q202_ab_ztest": _oracle_q202(),
     "q203_chi2_independence": ORACLE_Q203,
+    "q204_ks_test": ORACLE_Q204,
+    "q205_split_leakage": _oracle_q205(),
+    "q206_topk_churn": ORACLE_Q206,
+    "q207_decayed_engagement": ORACLE_Q207,
+    "q208_co_engagement": ORACLE_Q208,
+    "q209_discount_lift": ORACLE_Q209,
 }

@@ -804,3 +804,103 @@ class TestStreamingRollupStore:
         assert canon(
             jobs.read_rollup_store(spark, wh, "v_rollup", ["k"])
         ) == whole
+
+
+class TestStreamingDecayedEngagement:
+    def test_store_matches_batch_bucket_decay_and_replays(
+        self, spark, tmp_path_factory
+    ):
+        """Week-bucketed additive state + read-time power-of-two decay
+        equals the single-shot batch computation over the same bucket
+        ages; replaying the checkpoint changes nothing."""
+        src = str(tmp_path_factory.mktemp("eng_stream"))
+        wh = str(tmp_path_factory.mktemp("eng_wh"))
+        ckpt = str(tmp_path_factory.mktemp("eng_ckpt"))
+
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 6, 1)
+        rows = []
+        for i in range(300):
+            rows.append(
+                (i, t0 - dt.timedelta(days=(i % 30)), i % 9,
+                 "click" if i % 3 else "purchase", float(1 + i % 5))
+            )
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double"
+        )
+        df.repartition(4).write.mode("overwrite").parquet(src)
+
+        def stream():
+            return (
+                spark.readStream.schema(
+                    "event_id long, ts timestamp, user_id long,"
+                    " event_type string, value double"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+        q = jobs.streaming_decayed_engagement_sink(
+            stream(), wh, "eng", checkpoint_dir=ckpt
+        )
+        q.awaitTermination(180)
+
+        def canon(frame):
+            return {
+                r["event_type"]: (
+                    r["n_events"], r["raw_cents"],
+                    r["decayed_cents"], r["retention_ppm"],
+                )
+                for r in frame.collect()
+            }
+
+        got = canon(jobs.read_decayed_engagement(spark, wh, "eng"))
+
+        # batch mirror with the SAME epoch-week bucket ages
+        weekly = df.select(
+            "event_type",
+            F.expr("unix_micros(ts) DIV 604800000000").alias("w"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        ).groupBy("event_type", "w").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sc")
+        )
+        aw = weekly.agg(F.max("w").alias("_aw"))
+        want = canon(
+            weekly.crossJoin(aw)
+            .withColumn(
+                "dec",
+                F.expr(
+                    "sc DIV shiftleft(CAST(1 AS BIGINT),"
+                    " least(CAST(_aw - w AS INT), 40))"
+                ),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.sum("n").alias("n_events"),
+                F.sum("sc").alias("raw_cents"),
+                F.sum("dec").alias("decayed_cents"),
+            )
+            .withColumn(
+                "retention_ppm",
+                F.expr(
+                    "CASE WHEN raw_cents > 0 THEN CAST("
+                    " CAST(decayed_cents AS DECIMAL(38,0)) * 1000000"
+                    " DIV raw_cents AS BIGINT) END"
+                ),
+            )
+        )
+        assert got == want
+        # decay actually bit: some mass must be lost to age
+        assert all(g[2] < g[1] for g in got.values())
+        assert (
+            spark.read.parquet(f"{wh}/eng")
+            .select("batch_id").distinct().count() >= 2
+        )
+
+        q2 = jobs.streaming_decayed_engagement_sink(
+            stream(), wh, "eng", checkpoint_dir=ckpt
+        )
+        q2.awaitTermination(120)
+        assert canon(jobs.read_decayed_engagement(spark, wh, "eng")) == want

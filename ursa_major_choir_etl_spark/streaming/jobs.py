@@ -843,3 +843,101 @@ def read_rollup_store(
             F.max("max_v").alias("max_v"),
         )
     )
+
+
+def streaming_decayed_engagement_sink(
+    stream_df: DataFrame,
+    warehouse: str,
+    name: str,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming form of q207's half-life engagement score: each
+    micro-batch reduces events to per-(event_type, epoch_week) cents
+    sums — TIME-BUCKETED additive state. Exponential decay is applied
+    at READ time (``read_decayed_engagement``) by integer power-of-two
+    division against the store's max week, so the state itself never
+    needs rewriting as time passes — the standard trick that makes
+    decayed counters maintainable incrementally: a week bucket's
+    weight changes, its stored sum never does.
+
+    Same replay contract as streaming_rollup_sink: per-batch dynamic
+    partition overwrite keyed by batch_id; state per batch is
+    (types x weeks)-sized, not batch-sized."""
+
+    def engagement_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os as _os
+
+        (
+            batch_df.select(
+                "event_type",
+                F.expr(
+                    "unix_micros(ts) DIV 604800000000"
+                ).alias("epoch_week"),
+                F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+            )
+            .groupBy("event_type", "epoch_week")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(_os.path.join(warehouse, name))
+        )
+
+    writer = stream_df.writeStream.foreachBatch(engagement_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def read_decayed_engagement(spark, warehouse: str, name: str) -> DataFrame:
+    """Merged + decayed view over a streaming engagement store: week
+    buckets combine additively across batches, then each bucket is
+    halved once per week of age against the store's max week (integer
+    ``1 << age`` division, capped at 40 — q207's exact arithmetic).
+    Output per event_type: (n_events, raw_cents, decayed_cents,
+    retention_ppm). Ages are quantized to EPOCH-WEEK BUCKETS (the
+    price of never rewriting state): bit-equal to a single-shot batch
+    computation that uses the same bucket ages — the drive test pins
+    that equality — but up to one halving apart from q207, whose age
+    is measured from the exact max timestamp."""
+    import os as _os
+
+    weekly = (
+        spark.read.parquet(_os.path.join(warehouse, name))
+        .groupBy("event_type", "epoch_week")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+    )
+    anchor = weekly.agg(F.max("epoch_week").alias("_aw"))
+    return (
+        weekly.crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "decayed",
+            F.expr(
+                "sum_cents DIV shiftleft(CAST(1 AS BIGINT),"
+                " least(CAST(_aw - epoch_week AS INT), 40))"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sum_cents").alias("raw_cents"),
+            F.sum("decayed").alias("decayed_cents"),
+        )
+        .withColumn(
+            "retention_ppm",
+            F.expr(
+                "CASE WHEN raw_cents > 0 THEN CAST("
+                " CAST(decayed_cents AS DECIMAL(38,0)) * 1000000"
+                " DIV raw_cents AS BIGINT) END"
+            ),
+        )
+    )

@@ -175,12 +175,15 @@ class TestRegistrySweep:
     # q204: the exclusive bucket-prefix window orders <= 32 bucket-
     # total rows (fixed by the boundary count); the value-level
     # cumulative is partitioned by bucket.
+    # q212: the top-down cumulative orders exactly 10 post-aggregation
+    # decile rows (q197's shape).
     GLOBAL_WINDOW_OK = {
         "q53_monthly_trend",
         "q104_quantile_sketch_accuracy",
         "q159_rfm_segments",
         "q197_dedup_saturation",
         "q204_ks_test",
+        "q212_quality_yield_curve",
     }
 
     def test_no_scale_antipatterns_anywhere(self, spark, registry):

@@ -2802,3 +2802,112 @@ class TestDiscountLift:
         assert got[10]["lift_ppm"] == 1_000_000
         assert got[5]["avg_qty_milli"] == 5_000
         assert got[5]["lift_ppm"] == -500_000
+
+
+class TestHeadTokenMass:
+    def test_coverage_levels_and_small_vocab(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q210_head_token_mass,
+        )
+
+        # vocabulary of 3 terms: 'hot' x 70, 'warm' x 20, 'cold' x 10
+        text = " ".join(["hot"] * 70 + ["warm"] * 20 + ["cold"] * 10)
+        spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        got = {r["k"]: r for r in
+               q210_head_token_mass(spark, str(tmp_path)).collect()}
+        assert set(got) == {100, 1000, 10000}
+        for k in got:
+            # vocab smaller than every k -> full coverage, 3 terms
+            assert got[k]["n_terms"] == 3
+            assert got[k]["head_tokens"] == 100
+            assert got[k]["total_tokens"] == 100
+            assert got[k]["share_ppm"] == 1_000_000
+
+    def test_head_share_with_large_vocab(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q210_head_token_mass,
+        )
+
+        # 150 distinct tail terms (1 occurrence each) + 1 head term
+        # with 150 occurrences -> top-100 = head + 99 tail = 249 tokens
+        words = ["head"] * 150 + [f"tail{i:03d}" for i in range(150)]
+        spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id long, text string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        got = {r["k"]: r for r in
+               q210_head_token_mass(spark, str(tmp_path)).collect()}
+        assert got[100]["n_terms"] == 100
+        assert got[100]["head_tokens"] == 150 + 99
+        assert got[100]["total_tokens"] == 300
+        assert got[100]["share_ppm"] == (249 * 1_000_000) // 300
+        assert got[1000]["n_terms"] == 151
+        assert got[1000]["share_ppm"] == 1_000_000
+
+
+class TestGiantComponent:
+    def test_chain_forms_giant(self, spark, tmp_path, monkeypatch):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q211_giant_component,
+        )
+
+        monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS",
+                           os.path.join(str(tmp_path), "art"))
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        toks = base.split()
+        rows = []
+        # docs 1-4: a transitive chain (each shares most tokens with
+        # the next); docs 10-14: five isolated unique docs
+        for i in range(4):
+            body = " ".join(toks[i:] + toks[:i])  # rotations: high overlap
+            rows.append((1 + i, body))
+        for i in range(5):
+            rows.append((10 + i, f"totally distinct text number{i} "
+                                 f"with words w{i}a w{i}b w{i}c"))
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        r = q211_giant_component(spark, str(tmp_path)).collect()[0]
+        assert r["n_docs"] == 9
+        assert r["giant_size"] >= 2
+        assert r["n_clustered"] >= r["giant_size"]
+        assert r["giant_ppm"] == r["giant_size"] * 1_000_000 // 9
+        assert r["clustered_ppm"] == r["n_clustered"] * 1_000_000 // 9
+
+
+class TestQualityYieldCurve:
+    def test_cumulative_from_top_and_totals(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q212_quality_yield_curve,
+        )
+
+        # 100 docs with 100 distinct score levels (token counts 1..100)
+        rows = [(i, " ".join(["w"] * (i + 1))) for i in range(100)]
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        got = sorted(q212_quality_yield_curve(spark, str(tmp_path)).collect(),
+                     key=lambda r: -r["decile"])
+        assert sum(r["n_docs"] for r in got) == 100
+        total = sum(r["tokens"] for r in got)
+        assert total == 5050
+        # cumulative doc counts increase top-down and end at 100
+        assert got[0]["cum_docs"] < got[-1]["cum_docs"] == 100
+        assert got[-1]["cum_token_ppm"] == 1_000_000
+        # the top decile holds the longest docs: its token share must
+        # exceed its doc share
+        top = got[0]
+        assert top["cum_token_ppm"] * 100 > top["cum_docs"] * 1_000_000 // 100

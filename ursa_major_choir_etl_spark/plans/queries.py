@@ -188,6 +188,9 @@ Operator coverage map (SURVEY §2 ids -> query):
   half-life decayed engagement ..... q207 (power-of-2 decay, no libm)
   co-engagement matrix ............. q208 (type-pair audience Jaccard)
   discount lift tiers .............. q209 (promo readout vs 0% baseline)
+  head token mass .................. q210 (top-k coverage, heap + stack)
+  giant component health ........... q211 (transitive-collapse monitor)
+  quality yield curve .............. q212 (cut-at-decile data budget)
 """
 
 from __future__ import annotations
@@ -11017,6 +11020,251 @@ FROM t2 CROSS JOIN base
 """
 
 
+def q210_head_token_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-planning readout: what share of ALL corpus tokens is
+    covered by the top-100 / top-1k / top-10k terms — the head-mass
+    curve that decides vocabulary size (q140 fits the Zipf slope;
+    this is the cumulative coverage the slope implies, measured
+    exactly).
+
+    The only ordered structure is the top-10k term list, which plans
+    as TakeOrderedAndProject (per-partition heaps, no global sort of
+    the vocabulary); the rank window then runs over those <= 10k rows
+    — bounded by the LIMIT, not the data. Totals are a 1-row
+    aggregate; the three k-levels are conditional sums unpivoted with
+    stack()."""
+    docs = T(spark, sf_dir, "documents")
+    hist = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+            ).alias("token")
+        )
+        .filter(F.length("token") >= 1)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from ursa_major_choir_etl_spark.caching import stage
+
+    hist = stage(hist)  # top-k heap + the total read it
+    top = hist.orderBy(F.col("n").desc(), "token").limit(10000)
+    ranked = top.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), "token"))
+        .alias("rnk"),
+    )
+    sums = ranked.agg(
+        *[
+            F.sum(F.when(F.col("rnk") <= k, F.col("n"))).alias(f"s{k}")
+            for k in (100, 1000, 10000)
+        ],
+        *[
+            F.sum((F.col("rnk") <= k).cast("int")).alias(f"c{k}")
+            for k in (100, 1000, 10000)
+        ],
+    )
+    tot = hist.agg(F.sum("n").alias("total_tokens"))
+    wide = sums.crossJoin(bbound(tot, "single total-tokens row"))
+    return wide.selectExpr(
+        "stack(3,"
+        " 100, c100, s100,"
+        " 1000, c1000, s1000,"
+        " 10000, c10000, s10000"
+        ") AS (k, n_terms, head_tokens)",
+        "total_tokens",
+    ).select(
+        F.col("k").cast("int").alias("k"),
+        F.coalesce(F.col("n_terms"), F.lit(0)).cast("long").alias("n_terms"),
+        F.coalesce(F.col("head_tokens"), F.lit(0)).alias("head_tokens"),
+        "total_tokens",
+        F.expr(
+            "CASE WHEN total_tokens > 0 THEN CAST("
+            " CAST(coalesce(head_tokens, 0) AS DECIMAL(38,0)) * 1000000"
+            " DIV total_tokens AS BIGINT) END"
+        ).alias("share_ppm"),
+    )
+
+
+ORACLE_Q210 = """
+WITH hist AS (
+  SELECT token, count(*) AS n
+  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+          AS token FROM documents)
+  WHERE length(token) >= 1
+  GROUP BY 1
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rnk FROM hist
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens FROM hist),
+ks AS (SELECT unnest([100, 1000, 10000]) AS k)
+SELECT CAST(k AS INTEGER) AS k,
+       CAST(count(r.rnk) AS BIGINT) AS n_terms,
+       CAST(coalesce(sum(r.n), 0) AS BIGINT) AS head_tokens,
+       (SELECT total_tokens FROM tot) AS total_tokens,
+       CASE WHEN (SELECT total_tokens FROM tot) > 0 THEN
+         CAST(CAST(coalesce(sum(r.n), 0) AS HUGEINT) * 1000000
+              // (SELECT total_tokens FROM tot) AS BIGINT)
+       END AS share_ppm
+FROM ks LEFT JOIN ranked r ON r.rnk <= ks.k
+GROUP BY k
+"""
+
+
+def q211_giant_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup graph health check: the size of the LARGEST
+    transitive near-duplicate cluster relative to the corpus — the
+    number that catches catastrophic transitive collapse (one
+    boilerplate template chaining half the corpus into a single
+    component, the classic MinHash-dedup failure mode that q120's
+    soft-dedup cap defends against). Consumes the materialized q20
+    pair artifact + the q55 connected-components operator; the report
+    is three small aggregates over cluster labels."""
+    clusters = dedup.connected_components(jaccard_pairs_table(spark, sf_dir))
+    sizes = clusters.groupBy("component").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    stats = sizes.agg(
+        F.count(F.lit(1)).alias("n_components"),
+        F.sum("sz").alias("n_clustered"),
+        F.max("sz").alias("giant_size"),
+    )
+    nd = T(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return stats.crossJoin(bbound(nd, "single corpus-count row")).select(
+        "n_docs",
+        "n_clustered",
+        "n_components",
+        "giant_size",
+        F.expr(
+            "CAST(CAST(giant_size AS DECIMAL(38,0)) * 1000000"
+            " DIV n_docs AS BIGINT)"
+        ).alias("giant_ppm"),
+        F.expr(
+            "CAST(CAST(n_clustered AS DECIMAL(38,0)) * 1000000"
+            " DIV n_docs AS BIGINT)"
+        ).alias("clustered_ppm"),
+    )
+
+
+def _oracle_q211() -> str:
+    return f"""
+WITH RECURSIVE {_cc_oracle_ctes()},
+comp AS (SELECT n AS node, min(m) AS c FROM reach GROUP BY n),
+csizes AS (SELECT c, count(*) AS sz FROM comp GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_components,
+         CAST(sum(sz) AS BIGINT) AS n_clustered,
+         CAST(max(sz) AS BIGINT) AS giant_size
+  FROM csizes
+),
+nd AS (SELECT count(*) AS n_docs FROM documents)
+SELECT n_docs, n_clustered, n_components, giant_size,
+       CAST(CAST(giant_size AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+         AS giant_ppm,
+       CAST(CAST(n_clustered AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+         AS clustered_ppm
+FROM stats CROSS JOIN nd
+"""
+
+
+def q212_quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation yield curve: if the corpus is cut at each quality-score
+    decile, how many documents and what token mass survive — the
+    'keep the top 30%' planning table that turns a score distribution
+    into a concrete data budget (q152 calibrates score vs duplication;
+    this prices the cut itself).
+
+    Deciles come from ONE percentile row over micro-unit scores
+    (q197's boundary pattern) broadcast back; the cumulative runs top-
+    down over <= 10 decile rows. Low-cardinality score distributions
+    leave some deciles empty — absent in both engines, never padded."""
+    docs = T(spark, sf_dir, "documents").select(
+        F.round(text.quality_score("text") * 1000000, 0)
+        .cast("bigint")
+        .alias("score_u"),
+        text.token_count("text").alias("toks"),
+    )
+    from ursa_major_choir_etl_spark.caching import stage
+
+    docs = stage(docs)  # boundary row + decile agg read it
+    bounds = docs.agg(
+        F.percentile(
+            "score_u", F.lit([i / 10.0 for i in range(1, 10)])
+        ).alias("_bs")
+    ).select(
+        *[F.element_at("_bs", i).alias(f"b{i}") for i in range(1, 10)]
+    )
+    dec = sum(
+        ((F.col("score_u") > F.col(f"b{i}")).cast("int") for i in range(1, 10)),
+        F.lit(0),
+    )
+    per = (
+        docs.crossJoin(bbound(bounds, "single 9-boundary decile row"))
+        .select(dec.alias("decile"), "toks")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("tokens"),
+        )
+    )
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("_td"), F.sum("toks").alias("_tt")
+    )
+    w = Window.orderBy(F.col("decile").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per.crossJoin(bbound(tot, "single totals row"))
+        .withColumn("cum_docs", F.sum("n_docs").over(w))
+        .withColumn("cum_tokens", F.sum("tokens").over(w))
+        .select(
+            "decile",
+            "n_docs",
+            "tokens",
+            "cum_docs",
+            F.expr(
+                "CAST(CAST(cum_tokens AS DECIMAL(38,0)) * 1000000"
+                " DIV _tt AS BIGINT)"
+            ).alias("cum_token_ppm"),
+        )
+    )
+
+
+def _oracle_q212() -> str:
+    qs = osql.quality_score_sql("text")
+    toks = osql.token_count_sql("text")
+    bexprs = ", ".join(
+        f"quantile_cont(score_u, {i}/10.0) AS b{i}" for i in range(1, 10)
+    )
+    dec = " + ".join(
+        f"CASE WHEN score_u > b{i} THEN 1 ELSE 0 END" for i in range(1, 10)
+    )
+    return f"""
+WITH docs AS (
+  SELECT CAST(round(({qs}) * 1000000, 0) AS BIGINT) AS score_u,
+         {toks} AS toks
+  FROM documents
+),
+bounds AS (SELECT {bexprs} FROM docs),
+per AS (
+  SELECT ({dec}) AS decile, count(*) AS n_docs,
+         CAST(sum(toks) AS BIGINT) AS tokens
+  FROM docs CROSS JOIN bounds GROUP BY 1
+),
+tot AS (SELECT CAST(sum(toks) AS BIGINT) AS tt FROM docs)
+SELECT decile, n_docs, tokens,
+       CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+       CAST(CAST(sum(tokens) OVER w AS HUGEINT) * 1000000
+            // (SELECT tt FROM tot) AS BIGINT) AS cum_token_ppm
+FROM per
+WINDOW w AS (ORDER BY decile DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -11227,6 +11475,9 @@ QUERIES = {
     "q207_decayed_engagement": q207_decayed_engagement,
     "q208_co_engagement": q208_co_engagement,
     "q209_discount_lift": q209_discount_lift,
+    "q210_head_token_mass": q210_head_token_mass,
+    "q211_giant_component": q211_giant_component,
+    "q212_quality_yield_curve": q212_quality_yield_curve,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -11274,6 +11525,7 @@ _CHANGED_R8 = (
     "q193_", "q194_", "q195_", "q196_", "q197_",
     "q198_", "q199_", "q200_", "q201_", "q202_", "q203_",
     "q204_", "q205_", "q206_", "q207_", "q208_", "q209_",
+    "q210_", "q211_", "q212_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -11513,4 +11765,7 @@ ORACLES: dict[str, str | None] = {
     "q207_decayed_engagement": ORACLE_Q207,
     "q208_co_engagement": ORACLE_Q208,
     "q209_discount_lift": ORACLE_Q209,
+    "q210_head_token_mass": ORACLE_Q210,
+    "q211_giant_component": _oracle_q211(),
+    "q212_quality_yield_curve": _oracle_q212(),
 }

@@ -2911,3 +2911,119 @@ class TestQualityYieldCurve:
         # exceed its doc share
         top = got[0]
         assert top["cum_token_ppm"] * 100 > top["cum_docs"] * 1_000_000 // 100
+
+
+class TestWindowFunnel:
+    def test_depths_respect_order_and_hour_bound(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q213_window_funnel,
+        )
+
+        t0 = dt.datetime(2024, 7, 1, 10)
+        m = dt.timedelta(minutes=1)
+        rows = [
+            # u1: full chain inside the hour windows -> depth 3
+            (1, t0, 1, "view"), (2, t0 + 10 * m, 1, "click"),
+            (3, t0 + 20 * m, 1, "purchase"),
+            # u2: click comes 2h after the view -> depth 1
+            (4, t0, 2, "view"), (5, t0 + 120 * m, 2, "click"),
+            # u3: purchase BEFORE click -> depth 2 only
+            (6, t0, 3, "view"), (7, t0 + 5 * m, 3, "purchase"),
+            (8, t0 + 10 * m, 3, "click"),
+            # u4: never viewed -> depth 0
+            (9, t0, 4, "click"), (10, t0 + m, 4, "purchase"),
+        ]
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "events.parquet"))
+        got = {r["depth"]: r["n_users"] for r in
+               q213_window_funnel(spark, str(tmp_path)).collect()}
+        assert got == {3: 1, 1: 1, 2: 1, 0: 1}
+
+
+class TestStickiness:
+    def test_exact_ratio(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import q214_stickiness
+
+        t0 = dt.datetime(2024, 8, 1, 9)
+        rows = []
+        eid = 0
+        # 4 users active in the month; each of 2 days has 2 distinct
+        # users -> dau_sum 4, n_days 2, mau 4 -> stickiness 500000
+        for d, users in ((0, (1, 2)), (1, (3, 4))):
+            for u in users:
+                rows.append((eid, t0 + dt.timedelta(days=d), u, "view"))
+                eid += 1
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "events.parquet"))
+        r = q214_stickiness(spark, str(tmp_path)).collect()[0]
+        assert (r["n_days"], r["dau_sum"], r["mau"]) == (2, 4, 4)
+        assert r["stickiness_ppm"] == 500_000
+        assert r["month"] == "2024-08-01"
+
+
+class TestFeatureHashCollisions:
+    def test_identity_and_mirror(self, spark, tmp_path):
+        import hashlib
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q215_feature_hash_collisions,
+        )
+
+        words = [f"word{i:04d}" for i in range(500)]
+        text = " ".join(words * 2)  # every term has count 2
+        spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        r = q215_feature_hash_collisions(spark, str(tmp_path)).collect()[0]
+        assert r["n_terms"] == 500
+        assert r["total_tokens"] == 1000
+        # python mirror of the bucket map
+        buckets = {}
+        for wd in words:
+            b = int(hashlib.md5(f"17:{wd}".encode()).hexdigest()[:4], 16)
+            buckets.setdefault(b, []).append(wd)
+        collided = sum(len(v) for v in buckets.values() if len(v) > 1)
+        assert r["n_buckets_used"] == len(buckets)
+        assert r["collided_terms"] == collided
+        assert r["collided_tokens"] == 2 * collided
+        assert r["collided_mass_ppm"] == 2 * collided * 1_000_000 // 1000
+
+
+class TestLangidConfusion:
+    def test_shares_per_label(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q216_langid_confusion,
+        )
+
+        en = "the cat and the dog is in it"     # english markers
+        und = "zzz qqq xxx"                      # no markers -> und
+        rows = [
+            (1, en, "en"), (2, en, "en"), (3, und, "en"),
+            (4, und, "fr"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        got = {(r["label"], r["pred"]): r for r in
+               q216_langid_confusion(spark, str(tmp_path)).collect()}
+        assert got[("en", "en")]["n"] == 2
+        assert got[("en", "en")]["label_share_ppm"] == 666_666
+        assert got[("en", "und")]["label_share_ppm"] == 333_333
+        assert got[("fr", "und")]["label_share_ppm"] == 1_000_000

@@ -191,6 +191,10 @@ Operator coverage map (SURVEY §2 ids -> query):
   head token mass .................. q210 (top-k coverage, heap + stack)
   giant component health ........... q211 (transitive-collapse monitor)
   quality yield curve .............. q212 (cut-at-decile data budget)
+  time-bounded window funnel ....... q213 (1h-step depth histogram)
+  DAU/MAU stickiness ............... q214 (engagement ratio, exact)
+  feature-hash collision audit ..... q215 (2^16 buckets, mass ppm)
+  lang-ID confusion matrix ......... q216 (classifier vs label recall)
 """
 
 from __future__ import annotations
@@ -11265,6 +11269,283 @@ WINDOW w AS (ORDER BY decile DESC
 """
 
 
+def q213_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel (the ClickHouse windowFunnel shape): per
+    user, the deepest view -> click -> purchase chain where EACH step
+    follows the previous within one hour — q57 measures the ordered
+    funnel over all time; this is the intent-window variant that
+    product analytics actually reports. Output: users per max depth
+    (0 = never viewed).
+
+    One shuffle: both window passes share the per-user partitioning
+    (the cascaded step times t1/t2/t3 are conditional mins over the
+    same partition — Catalyst plans one Exchange, chained Window
+    operators). Step times are unix micros, so the one-hour bound is
+    integer arithmetic in both engines."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("um"),
+    )
+    hour = 3_600_000_000
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("um"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("um") > F.col("t1"))
+                    & (F.col("um") - F.col("t1") <= hour),
+                    F.col("um"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("um") > F.col("t2"))
+                    & (F.col("um") - F.col("t2") <= hour),
+                    F.col("um"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("depth")
+    )
+    return per_user.groupBy("depth").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+ORACLE_Q213 = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS um FROM events
+),
+s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN um END)
+              OVER (PARTITION BY user_id) AS t1
+  FROM ev
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND um > t1
+                      AND um - t1 <= 3600000000 THEN um END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND um > t2
+                      AND um - t2 <= 3600000000 THEN um END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM s2
+),
+per_user AS (
+  SELECT user_id,
+         max(CASE WHEN t3 IS NOT NULL THEN 3
+                  WHEN t2 IS NOT NULL THEN 2
+                  WHEN t1 IS NOT NULL THEN 1
+                  ELSE 0 END) AS depth
+  FROM s3 GROUP BY 1
+)
+SELECT depth, count(*) AS n_users FROM per_user GROUP BY 1
+"""
+
+
+def q214_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per event type and month — the engagement
+    ratio every growth dashboard leads with: of the users active some
+    time this month, what fraction shows up on an average day?
+    stickiness_ppm = 1e6 * sum(daily actives) / (n_days * monthly
+    actives); exact integer floors. Two count-distinct shuffles (day
+    grain, month grain) joined on the month — both map-side
+    partially aggregated; no windows."""
+    ev = T(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+    )
+    dau = ev.groupBy("event_type", "month", "day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    daily = dau.groupBy("event_type", "month").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("dau").alias("dau_sum"),
+    )
+    mau = ev.groupBy("event_type", "month").agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return daily.join(mau, ["event_type", "month"]).select(
+        "event_type",
+        F.col("month").cast("string").alias("month"),
+        "n_days",
+        "dau_sum",
+        "mau",
+        F.expr(
+            "CAST(CAST(dau_sum AS DECIMAL(38,0)) * 1000000"
+            " DIV (n_days * mau) AS BIGINT)"
+        ).alias("stickiness_ppm"),
+    )
+
+
+ORACLE_Q214 = """
+WITH ev AS (
+  SELECT event_type, user_id, CAST(ts AS DATE) AS day,
+         CAST(date_trunc('month', ts) AS DATE) AS month
+  FROM events
+),
+dau AS (
+  SELECT event_type, month, day, count(DISTINCT user_id) AS dau
+  FROM ev GROUP BY 1, 2, 3
+),
+daily AS (
+  SELECT event_type, month, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(dau) AS BIGINT) AS dau_sum
+  FROM dau GROUP BY 1, 2
+),
+mau AS (
+  SELECT event_type, month, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+  FROM ev GROUP BY 1, 2
+)
+SELECT d.event_type, CAST(d.month AS STRING) AS month,
+       d.n_days, d.dau_sum, m.mau,
+       CAST(CAST(d.dau_sum AS HUGEINT) * 1000000
+            // (d.n_days * m.mau) AS BIGINT) AS stickiness_ppm
+FROM daily d JOIN mau m USING (event_type, month)
+"""
+
+
+def q215_feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick audit: terms hashed into 2^16 feature buckets
+    (md5-nibble, exactly the 16^4 domain — engine-portable), then the
+    collision damage is measured — how many distinct terms share a
+    bucket, and what share of TOKEN MASS sits in collided buckets.
+    The go/no-go check before shipping a feature-hashed model at a
+    given width. One term histogram (the corpus-sized shuffle), one
+    bucket groupBy over <= 65536 rows, a 1-row report."""
+    docs = T(spark, sf_dir, "documents")
+    terms = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+            ).alias("token")
+        )
+        .filter(F.length("token") >= 1)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bucket = F.expr(dedup.bloom_position_sql(17, "token", 4))
+    buckets = terms.select(bucket.alias("bkt"), "n").groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("n").alias("mass"),
+    )
+    return buckets.agg(
+        F.sum("n_terms").alias("n_terms"),
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.sum(F.when(F.col("n_terms") > 1, F.col("n_terms")).otherwise(0))
+        .alias("collided_terms"),
+        F.sum("mass").alias("total_tokens"),
+        F.sum(F.when(F.col("n_terms") > 1, F.col("mass")).otherwise(0))
+        .alias("collided_tokens"),
+    ).withColumn(
+        "collided_mass_ppm",
+        F.expr(
+            "CASE WHEN total_tokens > 0 THEN CAST("
+            " CAST(collided_tokens AS DECIMAL(38,0)) * 1000000"
+            " DIV total_tokens AS BIGINT) END"
+        ),
+    )
+
+
+def _oracle_q215() -> str:
+    bucket = _bloom_position_duckdb(17, "token", 4)
+    return f"""
+WITH terms AS (
+  SELECT token, count(*) AS n
+  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+          AS token FROM documents)
+  WHERE length(token) >= 1
+  GROUP BY 1
+),
+buckets AS (
+  SELECT {bucket} AS bkt, count(*) AS n_terms, sum(n) AS mass
+  FROM terms GROUP BY 1
+),
+agg AS (
+  SELECT CAST(sum(n_terms) AS BIGINT) AS n_terms,
+         count(*) AS n_buckets_used,
+         CAST(sum(CASE WHEN n_terms > 1 THEN n_terms ELSE 0 END)
+              AS BIGINT) AS collided_terms,
+         CAST(sum(mass) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN n_terms > 1 THEN mass ELSE 0 END)
+              AS BIGINT) AS collided_tokens
+  FROM buckets
+)
+SELECT *,
+       CASE WHEN total_tokens > 0 THEN
+         CAST(CAST(collided_tokens AS HUGEINT) * 1000000
+              // total_tokens AS BIGINT)
+       END AS collided_mass_ppm
+FROM agg
+"""
+
+
+def q216_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the n-gram classifier's
+    prediction (q17's language_id) against the corpus's own lang
+    label, with per-label recall share — the eval that turns 'we have
+    a lang-ID heuristic' into 'we know where it fails' (labels with
+    heavy 'und' rows need a better marker list before lang-gated
+    curation trusts them). One scan + one fixed-cardinality
+    (label x prediction) groupBy; the label marginal joins in from a
+    label-cardinality aggregate."""
+    docs = T(spark, sf_dir, "documents").select(
+        F.col("lang").alias("label"),
+        text.language_id("text").alias("pred"),
+    )
+    cells = docs.groupBy("label", "pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    marg = cells.groupBy("label").agg(F.sum("n").alias("_lt"))
+    return cells.join(
+        bbound(marg, "one row per language label (fixed dim)"), "label"
+    ).select(
+        "label",
+        "pred",
+        "n",
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * 1000000 DIV _lt AS BIGINT)"
+        ).alias("label_share_ppm"),
+    )
+
+
+def _oracle_q216() -> str:
+    pred = osql.language_id_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT lang AS label, {pred} AS pred FROM documents
+),
+cells AS (SELECT label, pred, count(*) AS n FROM docs GROUP BY 1, 2),
+marg AS (SELECT label, CAST(sum(n) AS BIGINT) AS lt FROM cells GROUP BY 1)
+SELECT c.label, c.pred, c.n,
+       CAST(CAST(c.n AS HUGEINT) * 1000000 // m.lt AS BIGINT)
+         AS label_share_ppm
+FROM cells c JOIN marg m USING (label)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -11478,6 +11759,10 @@ QUERIES = {
     "q210_head_token_mass": q210_head_token_mass,
     "q211_giant_component": q211_giant_component,
     "q212_quality_yield_curve": q212_quality_yield_curve,
+    "q213_window_funnel": q213_window_funnel,
+    "q214_stickiness": q214_stickiness,
+    "q215_feature_hash_collisions": q215_feature_hash_collisions,
+    "q216_langid_confusion": q216_langid_confusion,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -11525,7 +11810,7 @@ _CHANGED_R8 = (
     "q193_", "q194_", "q195_", "q196_", "q197_",
     "q198_", "q199_", "q200_", "q201_", "q202_", "q203_",
     "q204_", "q205_", "q206_", "q207_", "q208_", "q209_",
-    "q210_", "q211_", "q212_",
+    "q210_", "q211_", "q212_", "q213_", "q214_", "q215_", "q216_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -11768,4 +12053,8 @@ ORACLES: dict[str, str | None] = {
     "q210_head_token_mass": ORACLE_Q210,
     "q211_giant_component": _oracle_q211(),
     "q212_quality_yield_curve": _oracle_q212(),
+    "q213_window_funnel": ORACLE_Q213,
+    "q214_stickiness": ORACLE_Q214,
+    "q215_feature_hash_collisions": _oracle_q215(),
+    "q216_langid_confusion": _oracle_q216(),
 }

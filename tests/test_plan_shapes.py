@@ -177,6 +177,10 @@ class TestRegistrySweep:
     # cumulative is partitioned by bucket.
     # q212: the top-down cumulative orders exactly 10 post-aggregation
     # decile rows (q197's shape).
+    # q217: the global-reference cumulative orders the fixed 10-row
+    # decile spine; class windows are partitioned.
+    # q219: the grand-total window spans the 25 nation rows (fixed
+    # geography dims).
     GLOBAL_WINDOW_OK = {
         "q53_monthly_trend",
         "q104_quantile_sketch_accuracy",
@@ -184,6 +188,8 @@ class TestRegistrySweep:
         "q197_dedup_saturation",
         "q204_ks_test",
         "q212_quality_yield_curve",
+        "q217_t_closeness",
+        "q219_share_of_parent",
     }
 
     def test_no_scale_antipatterns_anywhere(self, spark, registry):

@@ -3027,3 +3027,125 @@ class TestLangidConfusion:
         assert got[("en", "en")]["label_share_ppm"] == 666_666
         assert got[("en", "und")]["label_share_ppm"] == 333_333
         assert got[("fr", "und")]["label_share_ppm"] == 1_000_000
+
+
+class TestTCloseness:
+    def test_uniform_class_is_close_skewed_is_far(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q217_t_closeness,
+        )
+
+        t0 = dt.datetime(2024, 1, 1, 9)  # hour 9
+        t1 = dt.datetime(2024, 1, 1, 10)  # hour 10
+        rows = []
+        eid = 0
+        # class A (hour 9): 180 events uniform over 1..90 — it IS
+        # most of the global mass, so its distribution nearly matches
+        # the global one; class B (hour 10): 20 events all at the max
+        # -> concentrated in the top decile, far from global
+        for v in range(1, 91):
+            for _ in range(2):
+                rows.append((eid, t0, 1, "view", float(v))); eid += 1
+        for _ in range(20):
+            rows.append((eid, t1, 1, "view", 100.0)); eid += 1
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "events.parquet"))
+        got = {(r["event_type"], r["hour"]): r for r in
+               q217_t_closeness(spark, str(tmp_path)).collect()}
+        a = got[("view", 9)]
+        b = got[("view", 10)]
+        assert a["n_events"] == 180 and b["n_events"] == 20
+        # the concentrated class is far from global; the dominant
+        # class is close (its zero-mass top decile costs ~1/10)
+        assert a["emd_ppm"] < 100_000
+        assert b["emd_ppm"] > 300_000
+        assert b["emd_ppm"] > 5 * a["emd_ppm"]
+
+    def test_identical_classes_have_zero_emd(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q217_t_closeness,
+        )
+
+        t0 = dt.datetime(2024, 1, 1, 9)
+        rows = []
+        eid = 0
+        for h in (9, 10):
+            for v in range(1, 51):
+                rows.append((eid, t0.replace(hour=h), 1, "view",
+                             float(v)))
+                eid += 1
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "events.parquet"))
+        got = q217_t_closeness(spark, str(tmp_path)).collect()
+        assert all(r["emd_ppm"] == 0 for r in got)
+
+
+class TestRaterKappa:
+    def test_perfect_agreement_and_independence(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import q218_rater_kappa
+
+        hi = " ".join(["the", "cat", "and"] * 40)  # 120 toks, stopwordy
+        lo = "zz"                                   # 1 tok, low quality
+        # both raters agree on every doc -> kappa = 1e6
+        rows = [(i, hi) for i in range(10)] + [(100 + i, lo)
+                                               for i in range(10)]
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        r = q218_rater_kappa(spark, str(tmp_path)).collect()[0]
+        assert (r["n11"], r["n00"], r["n10"], r["n01"]) == (10, 10, 0, 0)
+        assert r["po_ppm"] == 1_000_000
+        assert r["kappa_ppm"] == 1_000_000
+
+
+class TestShareOfParent:
+    def test_shares_sum_within_region(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q219_share_of_parent,
+        )
+
+        spark.createDataFrame(
+            [(0, "EUROPE"), (1, "ASIA")], "r_regionkey long, r_name string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "region.parquet"))
+        spark.createDataFrame(
+            [(0, "FRANCE", 0), (1, "GERMANY", 0), (2, "JAPAN", 1)],
+            "n_nationkey long, n_name string, n_regionkey long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "nation.parquet"))
+        spark.createDataFrame(
+            [(1, 0), (2, 1), (3, 2)], "c_custkey long, c_nationkey long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "customer.parquet"))
+        d0 = dt.date(2024, 1, 1)
+        orders = [(1, 1, 30.0, d0), (2, 2, 10.0, d0), (3, 3, 60.0, d0)]
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long,"
+            " o_totalprice double, o_orderdate date"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "orders.parquet"))
+        got = {r["nation"]: r for r in
+               q219_share_of_parent(spark, str(tmp_path)).collect()}
+        assert got["FRANCE"]["share_of_region_ppm"] == 750_000
+        assert got["GERMANY"]["share_of_region_ppm"] == 250_000
+        assert got["JAPAN"]["share_of_region_ppm"] == 1_000_000
+        assert got["FRANCE"]["share_of_total_ppm"] == 300_000
+        assert got["JAPAN"]["share_of_total_ppm"] == 600_000

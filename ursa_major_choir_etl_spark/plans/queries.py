@@ -195,6 +195,9 @@ Operator coverage map (SURVEY §2 ids -> query):
   DAU/MAU stickiness ............... q214 (engagement ratio, exact)
   feature-hash collision audit ..... q215 (2^16 buckets, mass ppm)
   lang-ID confusion matrix ......... q216 (classifier vs label recall)
+  t-closeness audit ................ q217 (ordered-EMD per QI class)
+  inter-rater kappa ................ q218 (chance-adjusted gate agreement)
+  share-of-parent report ........... q219 (ratio-to-parent drill-down)
 """
 
 from __future__ import annotations
@@ -11546,6 +11549,319 @@ FROM cells c JOIN marg m USING (label)
 """
 
 
+def q217_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the disclosure-control
+    ladder (q160 k-anonymity: class sizes; q192 l-diversity: distinct
+    sensitive values; this: the sensitive DISTRIBUTION within each
+    quasi-identifier class must stay close to the global one). The
+    sensitive attribute is the event-value decile; distance is the
+    exact ordered-category EMD, sum of |cumulative differences| over
+    the 10 deciles DIV 9 — integer ppm, the standard formulation for
+    ordinal attributes.
+
+    Deciles come from ONE global percentile row broadcast back
+    (q197's boundary pattern); per-class cumulative windows cover
+    <= 10 rows per (type, hour) class; the global reference
+    distribution is a 10-row aggregate whose cumulative window is
+    fixed-cardinality. One corpus shuffle (the class x decile
+    groupBy)."""
+    ev = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hour"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    from ursa_major_choir_etl_spark.caching import stage
+
+    ev = stage(ev)  # boundary row + cell counts read it
+    bounds = ev.agg(
+        F.percentile(
+            "cents", F.lit([i / 10.0 for i in range(1, 10)])
+        ).alias("_bs")
+    ).select(
+        *[F.element_at("_bs", i).alias(f"b{i}") for i in range(1, 10)]
+    )
+    dec = sum(
+        ((F.col("cents") > F.col(f"b{i}")).cast("int") for i in range(1, 10)),
+        F.lit(0),
+    )
+    celled = ev.crossJoin(
+        bbound(bounds, "single 9-boundary decile row")
+    ).select("event_type", "hour", dec.alias("decile"))
+    cells = celled.groupBy("event_type", "hour", "decile").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cells = stage(cells)  # grid, class cums, and the global ref read it
+    # The EMD must run over ALL 10 deciles — a class concentrated in
+    # one decile has zero rows (not zero cums) everywhere else, and a
+    # cells-only join would silently skip exactly the deciles where
+    # the distributions diverge. Full spine, zero-filled (q203's
+    # zero-cell rule).
+    spine = spark.range(10).select(F.col("id").cast("int").alias("decile"))
+    classes = cells.select("event_type", "hour").distinct()
+    grid = (
+        classes.crossJoin(bbound(spine, "fixed 10-row decile spine"))
+        .join(cells, ["event_type", "hour", "decile"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+    )
+    wc = (
+        Window.partitionBy("event_type", "hour")
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ctot = Window.partitionBy("event_type", "hour")
+    class_cum = grid.withColumn("cum", F.sum("n").over(wc)).withColumn(
+        "tot", F.sum("n").over(ctot)
+    )
+    gl = (
+        spine.join(
+            cells.groupBy("decile").agg(F.sum("n").alias("gn")),
+            "decile",
+            "left",
+        )
+        .withColumn("gn", F.coalesce("gn", F.lit(0)))
+    )
+    wg = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    g_cum = gl.withColumn("gcum", F.sum("gn").over(wg)).crossJoin(
+        bbound(
+            cells.agg(F.sum("n").alias("gtot")), "single global-total row"
+        )
+    )
+    j = class_cum.join(
+        bbound(g_cum.select("decile", "gcum", "gtot"), "10 decile rows"),
+        "decile",
+    ).withColumn(
+        "absdiff",
+        F.expr(
+            "abs(CAST(cum AS DECIMAL(38,0)) * 1000000 DIV tot"
+            " - CAST(gcum AS DECIMAL(38,0)) * 1000000 DIV gtot)"
+        ),
+    )
+    return j.groupBy("event_type", "hour").agg(
+        F.max("tot").alias("n_events"),
+        F.expr("CAST(sum(absdiff) DIV 9 AS BIGINT)").alias("emd_ppm"),
+    )
+
+
+ORACLE_Q217 = """
+WITH ev AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+bounds AS (
+  SELECT """ + ", ".join(
+    f"quantile_cont(cents, {i}/10.0) AS b{i}" for i in range(1, 10)
+) + """
+  FROM ev
+),
+celled AS (
+  SELECT event_type, hour,
+         (""" + " + ".join(
+    f"CASE WHEN cents > b{i} THEN 1 ELSE 0 END" for i in range(1, 10)
+) + """) AS decile
+  FROM ev CROSS JOIN bounds
+),
+cells AS (
+  SELECT event_type, hour, decile, count(*) AS n
+  FROM celled GROUP BY 1, 2, 3
+),
+spine AS (SELECT unnest(range(0, 10)) AS decile),
+grid AS (
+  SELECT cl.event_type, cl.hour, s.decile, coalesce(c.n, 0) AS n
+  FROM (SELECT DISTINCT event_type, hour FROM cells) cl
+  CROSS JOIN spine s
+  LEFT JOIN cells c ON c.event_type = cl.event_type
+    AND c.hour = cl.hour AND c.decile = s.decile
+),
+class_cum AS (
+  SELECT *,
+         sum(n) OVER (PARTITION BY event_type, hour ORDER BY decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(n) OVER (PARTITION BY event_type, hour) AS tot
+  FROM grid
+),
+gl AS (
+  SELECT s.decile, coalesce(sum(c.n), 0) AS gn
+  FROM spine s LEFT JOIN cells c ON c.decile = s.decile
+  GROUP BY 1
+),
+g_cum AS (
+  SELECT decile,
+         sum(gn) OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS gcum,
+         (SELECT sum(n) FROM cells) AS gtot
+  FROM gl
+)
+SELECT c.event_type, c.hour, CAST(max(c.tot) AS BIGINT) AS n_events,
+       CAST(sum(abs(CAST(c.cum AS HUGEINT) * 1000000 // c.tot
+                    - CAST(g.gcum AS HUGEINT) * 1000000 // g.gtot))
+            // 9 AS BIGINT) AS emd_ppm
+FROM class_cum c JOIN g_cum g USING (decile)
+GROUP BY 1, 2
+"""
+
+
+def q218_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement (Cohen's kappa) between two independent
+    quality gates — the composite score threshold (rater A: quality
+    >= 0.30) and the bare length gate (rater B: >= 50 tokens). Raw
+    agreement flatters any pair of gates that both mostly say 'keep';
+    kappa subtracts chance agreement, the standard before 'the cheap
+    gate can replace the expensive one' decisions. Exact integer:
+    po/pe in ppm from the 2x2 cell counts,
+    kappa_ppm = 1e6 * (po - pe) DIV (1e6 - pe). One scan, one 1-row
+    aggregate."""
+    docs = T(spark, sf_dir, "documents").select(
+        (text.quality_score("text") >= 0.30).cast("int").alias("a"),
+        (text.token_count("text") >= 50).cast("int").alias("b"),
+    )
+    cells = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("a * b")).alias("n11"),
+        F.sum(F.expr("a * (1 - b)")).alias("n10"),
+        F.sum(F.expr("(1 - a) * b")).alias("n01"),
+        F.sum(F.expr("(1 - a) * (1 - b)")).alias("n00"),
+    )
+    probs = cells.withColumn(
+        "po_ppm",
+        F.expr(
+            "CAST(CAST(n11 + n00 AS DECIMAL(38,0)) * 1000000 DIV n"
+            " AS BIGINT)"
+        ),
+    ).withColumn(
+        "pe_ppm",
+        F.expr(
+            "CAST(("
+            " CAST(n11 + n10 AS DECIMAL(38,0)) * 1000000 DIV n"
+            "   * (CAST(n11 + n01 AS DECIMAL(38,0)) * 1000000 DIV n)"
+            " + (1000000 - CAST(n11 + n10 AS DECIMAL(38,0)) * 1000000 DIV n)"
+            "   * (1000000 - CAST(n11 + n01 AS DECIMAL(38,0)) * 1000000 DIV n)"
+            ") DIV 1000000 AS BIGINT)"
+        ),
+    )
+    return probs.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        "po_ppm",
+        "pe_ppm",
+        F.expr(
+            "CASE WHEN pe_ppm < 1000000 THEN CAST("
+            " CAST(po_ppm - pe_ppm AS DECIMAL(38,0)) * 1000000"
+            " DIV (1000000 - pe_ppm) AS BIGINT) END"
+        ).alias("kappa_ppm"),
+    )
+
+
+def _oracle_q218() -> str:
+    qs = osql.quality_score_sql("text")
+    toks = osql.token_count_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT CASE WHEN ({qs}) >= 0.30 THEN 1 ELSE 0 END AS a,
+         CASE WHEN ({toks}) >= 50 THEN 1 ELSE 0 END AS b
+  FROM documents
+),
+cells AS (
+  SELECT count(*) AS n,
+         CAST(sum(a * b) AS BIGINT) AS n11,
+         CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+         CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM docs
+),
+probs AS (
+  SELECT *,
+         CAST(CAST(n11 + n00 AS HUGEINT) * 1000000 // n AS BIGINT)
+           AS po_ppm,
+         CAST((
+           CAST(n11 + n10 AS HUGEINT) * 1000000 // n
+             * (CAST(n11 + n01 AS HUGEINT) * 1000000 // n)
+           + (1000000 - CAST(n11 + n10 AS HUGEINT) * 1000000 // n)
+             * (1000000 - CAST(n11 + n01 AS HUGEINT) * 1000000 // n)
+         ) // 1000000 AS BIGINT) AS pe_ppm
+  FROM cells
+)
+SELECT n, n11, n10, n01, n00, po_ppm, pe_ppm,
+       CASE WHEN pe_ppm < 1000000 THEN
+         CAST(CAST(po_ppm - pe_ppm AS HUGEINT) * 1000000
+              // (1000000 - pe_ppm) AS BIGINT)
+       END AS kappa_ppm
+FROM probs
+"""
+
+
+def q219_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent reporting: per (region, nation) order revenue
+    with the nation's share of its region and of the world — the
+    OLAP 'percent of parent' every drill-down report carries next to
+    the raw number (q27 builds the rollup levels; this wires the
+    levels together). Windows are bounded by the geography dims (25
+    nations, 5 regions); revenue lands in integer cents before any
+    division."""
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    nation = bdim(T(spark, sf_dir, "nation"), "nation")
+    region = bdim(T(spark, sf_dir, "region"), "region")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .alias("revenue_cents")
+        )
+    )
+    wr = Window.partitionBy("region")
+    wg = Window.partitionBy()
+    return (
+        rev.withColumn("_rt", F.sum("revenue_cents").over(wr))
+        .withColumn("_gt", F.sum("revenue_cents").over(wg))
+        .select(
+            "region",
+            "nation",
+            "revenue_cents",
+            F.expr(
+                "CAST(CAST(revenue_cents AS DECIMAL(38,0)) * 1000000"
+                " DIV _rt AS BIGINT)"
+            ).alias("share_of_region_ppm"),
+            F.expr(
+                "CAST(CAST(revenue_cents AS DECIMAL(38,0)) * 1000000"
+                " DIV _gt AS BIGINT)"
+            ).alias("share_of_total_ppm"),
+        )
+    )
+
+
+ORACLE_Q219 = """
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS revenue_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation, revenue_cents,
+       CAST(CAST(revenue_cents AS HUGEINT) * 1000000
+            // sum(revenue_cents) OVER (PARTITION BY region) AS BIGINT)
+         AS share_of_region_ppm,
+       CAST(CAST(revenue_cents AS HUGEINT) * 1000000
+            // sum(revenue_cents) OVER () AS BIGINT)
+         AS share_of_total_ppm
+FROM rev
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -11763,6 +12079,9 @@ QUERIES = {
     "q214_stickiness": q214_stickiness,
     "q215_feature_hash_collisions": q215_feature_hash_collisions,
     "q216_langid_confusion": q216_langid_confusion,
+    "q217_t_closeness": q217_t_closeness,
+    "q218_rater_kappa": q218_rater_kappa,
+    "q219_share_of_parent": q219_share_of_parent,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -11811,6 +12130,7 @@ _CHANGED_R8 = (
     "q198_", "q199_", "q200_", "q201_", "q202_", "q203_",
     "q204_", "q205_", "q206_", "q207_", "q208_", "q209_",
     "q210_", "q211_", "q212_", "q213_", "q214_", "q215_", "q216_",
+    "q217_", "q218_", "q219_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -12057,4 +12377,7 @@ ORACLES: dict[str, str | None] = {
     "q214_stickiness": ORACLE_Q214,
     "q215_feature_hash_collisions": _oracle_q215(),
     "q216_langid_confusion": _oracle_q216(),
+    "q217_t_closeness": ORACLE_Q217,
+    "q218_rater_kappa": _oracle_q218(),
+    "q219_share_of_parent": ORACLE_Q219,
 }

@@ -3149,3 +3149,96 @@ class TestShareOfParent:
         assert got["JAPAN"]["share_of_region_ppm"] == 1_000_000
         assert got["FRANCE"]["share_of_total_ppm"] == 300_000
         assert got["JAPAN"]["share_of_total_ppm"] == 600_000
+
+
+class TestPeakConcurrency:
+    def test_overlaps_and_handoff(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q220_peak_concurrency,
+        )
+
+        t0 = dt.datetime(2024, 9, 1, 12)
+        m = dt.timedelta(minutes=1)
+        rows = []
+        # u1: session 12:00-12:10; u2: 12:05-12:15 (overlap of 2);
+        # u3: starts exactly when u1 ends -> handoff counts as overlap
+        rows += [(1, t0, 1), (2, t0 + 10 * m, 1)]
+        rows += [(3, t0 + 5 * m, 2), (4, t0 + 15 * m, 2)]
+        rows += [(5, t0 + 10 * m, 3), (6, t0 + 12 * m, 3)]
+        # next day: one lone session -> peak 1
+        t1 = t0 + dt.timedelta(days=1)
+        rows += [(7, t1, 9)]
+        spark.createDataFrame(
+            [(eid, ts, uid, "view") for eid, ts, uid in rows],
+            "event_id long, ts timestamp, user_id long, event_type string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "events.parquet"))
+        got = {r["day"]: r for r in
+               q220_peak_concurrency(spark, str(tmp_path)).collect()}
+        d0 = got[dt.date(2024, 9, 1)]
+        # at 12:10 u1 is ending, u2 running, u3 starting: starts
+        # process first -> peak 3
+        assert (d0["n_sessions"], d0["peak_concurrent"]) == (3, 3)
+        d1 = got[dt.date(2024, 9, 2)]
+        assert (d1["n_sessions"], d1["peak_concurrent"]) == (1, 1)
+
+
+class TestSrmCheck:
+    def test_balanced_split_passes(self, spark, tmp_path):
+        import datetime as dt
+        import hashlib
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import q221_srm_check
+
+        t0 = dt.datetime(2024, 5, 1)
+        rows = [(u, t0, u, "view") for u in range(1000)]
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "events.parquet"))
+        r = q221_srm_check(spark, str(tmp_path)).collect()[0]
+        n_a = sum(
+            1 for u in range(1000)
+            if int(hashlib.md5(f"11:{u}".encode()).hexdigest()[:5], 16)
+            < 16 ** 5 // 2
+        )
+        assert (r["n_users"], r["n_a"], r["n_b"]) == (1000, n_a, 1000 - n_a)
+        assert r["chi2_micro"] == (2 * n_a - 1000) ** 2 * 1_000_000 // 1000
+        assert r["srm_suspected"] is False  # md5 split is balanced
+
+
+class TestIvfNprobeSweep:
+    def test_recall_monotone_in_probe_depth(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q222_ivf_nprobe_sweep,
+        )
+
+        # 64 deterministic 8-dim vectors in 4 rough directions
+        import numpy as np
+
+        rng = []
+        for i in range(64):
+            base = np.zeros(8)
+            base[i % 4] = 10.0
+            base[4 + (i % 4)] = float(i % 7)
+            base[(i * 3) % 8] += 1.0 + i * 0.01
+            rng.append((i, [float(x) for x in base], i % 4))
+        spark.createDataFrame(
+            rng, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "embeddings.parquet"))
+        got = {r["n_probe"]: r for r in
+               q222_ivf_nprobe_sweep(spark, str(tmp_path)).collect()}
+        assert set(got) == {1, 2, 4}
+        assert all(r["n_exact"] == got[1]["n_exact"] for r in got.values())
+        # recall must be monotone non-decreasing in probe depth
+        assert got[1]["recall_ppm"] <= got[2]["recall_ppm"] \
+            <= got[4]["recall_ppm"]
+        assert got[4]["recall_ppm"] > 0

@@ -198,6 +198,9 @@ Operator coverage map (SURVEY §2 ids -> query):
   t-closeness audit ................ q217 (ordered-EMD per QI class)
   inter-rater kappa ................ q218 (chance-adjusted gate agreement)
   share-of-parent report ........... q219 (ratio-to-parent drill-down)
+  peak session concurrency ......... q220 (per-day sweep line, +1/-1)
+  sample-ratio mismatch ............ q221 (experiment split guard)
+  IVF n_probe recall sweep ......... q222 (probe-depth tuning curve)
 """
 
 from __future__ import annotations
@@ -224,11 +227,21 @@ def _probe_emb_dims_at(sf_dir: str) -> int | None:
     """Embedding dimensionality of one sf_dir's embeddings.parquet
     (reads one row of one column via pyarrow — no Spark job)."""
     try:
+        import glob
+
         import pyarrow.parquet as pq
 
-        tbl = pq.ParquetFile(
-            os.path.join(sf_dir, "embeddings.parquet")
-        ).read_row_group(0, columns=["embedding"])
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        if os.path.isdir(path):
+            # Spark-written datasets are directories of part files
+            # (test fixtures take this shape); probe the first part.
+            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not parts:
+                return None
+            path = parts[0]
+        tbl = pq.ParquetFile(path).read_row_group(
+            0, columns=["embedding"]
+        )
         return len(tbl.column("embedding")[0].as_py()) or None
     except Exception:
         return None
@@ -11862,6 +11875,276 @@ FROM rev
 """
 
 
+def q220_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-planning readout: per day, how many 30-minute-gap
+    sessions (q13's rule) ran CONCURRENTLY at the busiest instant —
+    the sweep-line +1/-1 running maximum that sizes connection pools
+    and serving fleets. Sessions are attributed to their START day
+    (midnight-reset convention, stated here because both engines must
+    share it); at equal timestamps starts are processed before ends,
+    so a back-to-back handoff counts as an overlap.
+
+    Shapes: sessionization is the per-user window (one shuffle); the
+    sweep-line cumulative is partitioned BY DAY — bounded partitions,
+    never a global sort. Endpoint deltas double the session rows,
+    nothing more."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts)").alias("um")
+    )
+    wu = Window.partitionBy("user_id").orderBy("um")
+    marked = ev.withColumn(
+        "new_s",
+        F.when(
+            F.col("um") - F.lag("um").over(wu) > 1_800_000_000, 1
+        ).when(F.lag("um").over(wu).isNull(), 1).otherwise(0),
+    )
+    sess = (
+        marked.withColumn(
+            "sid",
+            F.sum("new_s").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("um").alias("s"), F.max("um").alias("e"))
+        .withColumn(
+            "day", F.to_date(F.timestamp_micros(F.col("s")))
+        )
+    )
+    deltas = sess.select(
+        "day", F.col("s").alias("um"), F.lit(1).alias("d")
+    ).unionByName(
+        sess.select("day", F.col("e").alias("um"), F.lit(-1).alias("d"))
+    )
+    wd = (
+        Window.partitionBy("day")
+        .orderBy(F.col("um"), F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    conc = deltas.withColumn("c", F.sum("d").over(wd))
+    return conc.groupBy("day").agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_sessions"),
+        F.max("c").alias("peak_concurrent"),
+    )
+
+
+ORACLE_Q220 = """
+WITH ev AS (SELECT user_id, epoch_us(ts) AS um FROM events),
+marked AS (
+  SELECT user_id, um,
+         CASE WHEN um - lag(um) OVER w > 1800000000
+                   OR lag(um) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY um)
+),
+sess AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY um
+                          ROWS UNBOUNDED PRECEDING) AS sid,
+         um
+  FROM marked
+),
+spans AS (
+  SELECT user_id, sid, min(um) AS s, max(um) AS e,
+         CAST(make_timestamp(min(um)) AS DATE) AS day
+  FROM sess GROUP BY 1, 2
+),
+deltas AS (
+  SELECT day, s AS um, 1 AS d FROM spans
+  UNION ALL
+  SELECT day, e AS um, -1 AS d FROM spans
+),
+conc AS (
+  SELECT day, d,
+         sum(d) OVER (PARTITION BY day ORDER BY um, d DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c
+  FROM deltas
+)
+SELECT day,
+       CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions,
+       CAST(max(c) AS BIGINT) AS peak_concurrent
+FROM conc GROUP BY 1
+"""
+
+
+def q221_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard for the q202 experiment: the
+    hash-split arms must actually land 50/50 — an SRM (chi² of the
+    observed split against the design ratio) invalidates the whole
+    readout before any effect size is looked at, which is why
+    experimentation platforms run THIS check first. For a 2-cell
+    50/50 design the statistic collapses to (2*n_a - n)² / n, exact
+    in integer micro units; suspicious at chi²_{1,0.001} = 10.83
+    (SRM checks use a tight alpha — a real imbalance shows up
+    glaringly). One user-level groupBy + a 1-row report."""
+    pos = F.expr(
+        dedup.bloom_position_sql(11, "CAST(user_id AS STRING)", 5)
+    )
+    users = (
+        T(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select((pos < 16**5 // 2).cast("int").alias("arm_a"))
+    )
+    agg = users.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("arm_a").alias("n_a"),
+    )
+    return agg.select(
+        "n_users",
+        "n_a",
+        (F.col("n_users") - F.col("n_a")).alias("n_b"),
+        F.expr(
+            "CAST(CAST(2 * n_a - n_users AS DECIMAL(38,0))"
+            " * (2 * n_a - n_users) * 1000000 DIV n_users AS BIGINT)"
+        ).alias("chi2_micro"),
+    ).withColumn("srm_suspected", F.col("chi2_micro") > 10_828_000)
+
+
+def _oracle_q221() -> str:
+    pos = _bloom_position_duckdb(11, "CAST(user_id AS STRING)", 5)
+    return f"""
+WITH users AS (
+  SELECT DISTINCT user_id FROM events
+),
+arms AS (
+  SELECT CASE WHEN {pos} < {16**5 // 2} THEN 1 ELSE 0 END AS arm_a
+  FROM users
+),
+agg AS (
+  SELECT count(*) AS n_users, CAST(sum(arm_a) AS BIGINT) AS n_a
+  FROM arms
+)
+SELECT n_users, n_a, n_users - n_a AS n_b,
+       CAST(CAST(2 * n_a - n_users AS HUGEINT)
+            * (2 * n_a - n_users) * 1000000 // n_users AS BIGINT)
+         AS chi2_micro,
+       CAST(CAST(2 * n_a - n_users AS HUGEINT)
+            * (2 * n_a - n_users) * 1000000 // n_users AS BIGINT)
+         > 10828000 AS srm_suspected
+FROM agg
+"""
+
+
+def q222_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning curve: recall@5 against the exact brute-force top-5
+    as n_probe sweeps 1 -> 2 -> 4 — THE plot an IVF deployment tunes
+    against (probe more cells, pay more compute, recover more recall).
+    q30 runs the index at one setting; q127/q131 grade LSH/PQ; this
+    completes the ANN eval kit with the probe-depth axis.
+
+    Each setting is query-cardinality work over the same
+    deterministic geometric index (the build is re-derived per
+    setting — at 100 TB the built index would be a persisted artifact
+    like the q20 pair table, but the 3-build form keeps this query
+    self-contained and the oracle exact). Aggregate recall is summed
+    overlap over summed truth, integer ppm."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    from ursa_major_choir_etl_spark.caching import stage
+
+    exact = stage(
+        similarity.cosine_topk(emb, queries, k=5).select(
+            "query_id", "neighbor_id"
+        )
+    )
+    dims = _emb_dims_for(sf_dir)
+    per_setting = []
+    for p in (1, 2, 4):
+        ap = similarity.ivf_topk(
+            emb, queries, k=5, n_probe=p, n_cells=8, dims=dims
+        ).select("query_id", "neighbor_id")
+        ov = ap.join(exact, ["query_id", "neighbor_id"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_overlap")
+        )
+        ex_n = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        per_setting.append(
+            ov.crossJoin(bbound(ex_n, "single truth-count row")).select(
+                F.lit(p).alias("n_probe"), "n_exact", "n_overlap"
+            )
+        )
+    out = per_setting[0]
+    for frame in per_setting[1:]:
+        out = out.unionByName(frame)
+    return out.select(
+        "n_probe",
+        "n_exact",
+        "n_overlap",
+        F.expr(
+            "CAST(CAST(n_overlap AS DECIMAL(38,0)) * 1000000"
+            " DIV n_exact AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
+
+
+def _oracle_q222() -> str:
+    """Shared build CTEs (the _oracle_q30 chain) + one probe/score/
+    rank branch per n_probe setting, each intersected with the q22
+    brute-force truth."""
+    branches = []
+    finals = []
+    for p in (1, 2, 4):
+        branches.append(f"""
+probed_{p} AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.v AS qv, q.vec_id AS query_id, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cos('q.v', 'c.cv')} DESC,
+                                       c.cell ASC) AS crk
+    FROM emb q CROSS JOIN cent_l c WHERE q.vec_id < 10
+  ) WHERE crk <= {p}
+),
+ranked_{p} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, a.neighbor_id,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY {_cos('p.qv', 'a.v')} DESC,
+                                       a.neighbor_id ASC) AS rank
+    FROM probed_{p} p JOIN asg a USING (cell)
+    WHERE p.query_id <> a.neighbor_id
+  ) WHERE rank <= 5
+),
+ov_{p} AS (
+  SELECT count(*) AS n_overlap
+  FROM ranked_{p} r JOIN ex USING (query_id, neighbor_id)
+)""")
+        finals.append(
+            f"SELECT {p} AS n_probe, (SELECT n_exact FROM exn) AS n_exact,\n"
+            f"       CAST((SELECT n_overlap FROM ov_{p}) AS BIGINT)"
+            f" AS n_overlap,\n"
+            f"       CAST(CAST((SELECT n_overlap FROM ov_{p}) AS HUGEINT)"
+            f" * 1000000 // (SELECT n_exact FROM exn) AS BIGINT)"
+            f" AS recall_ppm"
+        )
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (SELECT vec_id AS cell, v AS sv FROM emb ORDER BY vec_id LIMIT 8),
+asg AS (
+  SELECT vec_id AS neighbor_id, v, cell FROM (
+    SELECT e.vec_id, e.v, s.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos('e.v', 's.sv')} DESC,
+                                       s.cell ASC) AS rk
+    FROM emb e CROSS JOIN seeds s
+  ) WHERE rk = 1
+),
+cent AS (
+  SELECT cell, j,
+         CAST(sum(CAST(trunc(val * 1000000.0) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 / count(*) AS c
+  FROM (SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS j
+        FROM asg)
+  GROUP BY cell, j
+),
+cent_l AS (SELECT cell, list(c ORDER BY j) AS cv FROM cent GROUP BY cell),
+ex AS (SELECT query_id, neighbor_id FROM ({ORACLE_Q22})),
+exn AS (SELECT count(*) AS n_exact FROM ex),
+{",".join(branches)}
+{" UNION ALL ".join(finals)}
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -12082,6 +12365,9 @@ QUERIES = {
     "q217_t_closeness": q217_t_closeness,
     "q218_rater_kappa": q218_rater_kappa,
     "q219_share_of_parent": q219_share_of_parent,
+    "q220_peak_concurrency": q220_peak_concurrency,
+    "q221_srm_check": q221_srm_check,
+    "q222_ivf_nprobe_sweep": q222_ivf_nprobe_sweep,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -12130,7 +12416,7 @@ _CHANGED_R8 = (
     "q198_", "q199_", "q200_", "q201_", "q202_", "q203_",
     "q204_", "q205_", "q206_", "q207_", "q208_", "q209_",
     "q210_", "q211_", "q212_", "q213_", "q214_", "q215_", "q216_",
-    "q217_", "q218_", "q219_",
+    "q217_", "q218_", "q219_", "q220_", "q221_", "q222_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -12380,4 +12666,7 @@ ORACLES: dict[str, str | None] = {
     "q217_t_closeness": ORACLE_Q217,
     "q218_rater_kappa": _oracle_q218(),
     "q219_share_of_parent": ORACLE_Q219,
+    "q220_peak_concurrency": ORACLE_Q220,
+    "q221_srm_check": _oracle_q221(),
+    "q222_ivf_nprobe_sweep": _oracle_q222(),
 }

@@ -3242,3 +3242,98 @@ class TestIvfNprobeSweep:
         assert got[1]["recall_ppm"] <= got[2]["recall_ppm"] \
             <= got[4]["recall_ppm"]
         assert got[4]["recall_ppm"] > 0
+
+
+class TestDedupRepPolicy:
+    def test_punctuation_variant_changes_winner(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q223_dedup_rep_policy,
+        )
+
+        clean = "hello world this is a fine sentence"
+        noisy = "Hello!!! world??? this,,, is... a; fine: sentence!!!"
+        same = "alpha beta gamma repeated words here"
+        rows = [
+            # group 1: identical docs -> same score -> keep-first wins
+            (1, same), (2, same),
+            # group 2: same fingerprint (normalization strips punct),
+            # but the noisy copy has the smaller id and a LOWER score
+            (3, noisy), (4, clean),
+            (9, "some unique filler document"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        r = q223_dedup_rep_policy(spark, str(tmp_path)).collect()[0]
+        assert r["n_groups"] == 2
+        assert r["n_differ"] == 1
+        assert r["differ_ppm"] == 500_000
+        assert r["avg_gain_u"] > 0
+
+
+class TestSyndicationMatrix:
+    def test_cross_source_pair_counted_once(self, spark, tmp_path,
+                                            monkeypatch):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q224_syndication_matrix,
+        )
+
+        monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS",
+                           os.path.join(str(tmp_path), "art"))
+        shared = "alpha beta gamma delta epsilon zeta"
+        rows = [
+            (1, shared, "srcA"),
+            (2, shared, "srcB"),
+            (3, "completely different words entirely unrelated", "srcA"),
+            (4, "another unrelated document body text", "srcB"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        got = {(r["src_a"], r["src_b"]): r for r in
+               q224_syndication_matrix(spark, str(tmp_path)).collect()}
+        assert set(got) == {("srcA", "srcB")}
+        r = got[("srcA", "srcB")]
+        assert r["n_pairs"] == 1
+        assert r["avg_jaccard_ppm"] == 1_000_000
+
+
+class TestLatencyTrend:
+    def test_exact_slope(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q225_latency_trend,
+        )
+
+        orders, lines = [], []
+        oid = 0
+        # months 0..2: all lines ship 10/12/14 days after order
+        for m, lat in ((0, 10), (1, 12), (2, 14)):
+            for i in range(5):
+                od = dt.date(2024, 1 + m, 3 + i)
+                orders.append((oid, 1, 100.0, od))
+                lines.append((oid, dt.datetime.combine(
+                    od + dt.timedelta(days=lat), dt.time())))
+                oid += 1
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long,"
+            " o_totalprice double, o_orderdate date"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "orders.parquet"))
+        spark.createDataFrame(
+            lines, "l_orderkey long, l_shipdate timestamp"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "lineitem.parquet"))
+        r = q225_latency_trend(spark, str(tmp_path)).collect()[0]
+        assert r["n_months"] == 3
+        assert r["first_month_milli"] == 10_000
+        assert r["last_month_milli"] == 14_000
+        assert r["slope_micro_per_month"] == 2_000_000

@@ -201,6 +201,9 @@ Operator coverage map (SURVEY §2 ids -> query):
   peak session concurrency ......... q220 (per-day sweep line, +1/-1)
   sample-ratio mismatch ............ q221 (experiment split guard)
   IVF n_probe recall sweep ......... q222 (probe-depth tuning curve)
+  dedup representative policy ...... q223 (keep-first vs keep-best A/B)
+  syndication matrix ............... q224 (source-pair shared dups)
+  latency OLS trend ................ q225 (integer least-squares slope)
 """
 
 from __future__ import annotations
@@ -12145,6 +12148,245 @@ exn AS (SELECT count(*) AS n_exact FROM ex),
 """
 
 
+def q223_dedup_rep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup representative-policy A/B: within each exact-duplicate
+    group, does keep-FIRST (min doc_id — q95's rule, the streaming-
+    friendly default) pick the same survivor as keep-BEST (max
+    quality score)? Reports how many groups change representative and
+    the average quality gained by re-electing — the number that
+    decides whether the dedup pipeline needs a second election pass
+    or can keep the cheap keep-first rule. Both elections are single
+    struct-min/max aggregates on the fingerprint key (one shuffle);
+    ties in score break to the smaller id so the comparison is
+    deterministic."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        text.fingerprint("text").alias("fp"),
+        F.round(text.quality_score("text") * 1000000, 0)
+        .cast("bigint")
+        .alias("score_u"),
+    )
+    groups = (
+        docs.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("g"),
+            F.min(
+                F.struct(F.col("doc_id").alias("id"), F.col("score_u").alias("s"))
+            ).alias("first"),
+            F.max(
+                F.struct(
+                    F.col("score_u").alias("s"), (-F.col("doc_id")).alias("nid")
+                )
+            ).alias("best"),
+        )
+        .filter(F.col("g") > 1)
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(
+            (F.col("first.id") != -F.col("best.nid")).cast("int")
+        ).alias("n_differ"),
+        F.sum(F.expr("best.s - first.s")).alias("gain_u_total"),
+    ).select(
+        "n_groups",
+        "n_differ",
+        F.expr(
+            "CASE WHEN n_groups > 0 THEN CAST("
+            " CAST(n_differ AS DECIMAL(38,0)) * 1000000 DIV n_groups"
+            " AS BIGINT) END"
+        ).alias("differ_ppm"),
+        F.expr(
+            "CASE WHEN n_groups > 0 THEN CAST("
+            " CAST(gain_u_total AS DECIMAL(38,0)) DIV n_groups"
+            " AS BIGINT) END"
+        ).alias("avg_gain_u"),
+    )
+
+
+def _oracle_q223() -> str:
+    fp = osql.fingerprint_sql("text")
+    qs = osql.quality_score_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {fp} AS fp,
+         CAST(round(({qs}) * 1000000, 0) AS BIGINT) AS score_u
+  FROM documents
+),
+groups AS (
+  SELECT fp, count(*) AS g,
+         min({{'id': doc_id, 's': score_u}}) AS first,
+         max({{'s': score_u, 'nid': -doc_id}}) AS best
+  FROM docs GROUP BY 1
+  HAVING count(*) > 1
+),
+agg AS (
+  SELECT count(*) AS n_groups,
+         CAST(sum(CASE WHEN (first).id <> -(best).nid THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_differ,
+         CAST(sum((best).s - (first).s) AS BIGINT) AS gain_u_total
+  FROM groups
+)
+SELECT n_groups, n_differ,
+       CASE WHEN n_groups > 0 THEN
+         CAST(CAST(n_differ AS HUGEINT) * 1000000 // n_groups AS BIGINT)
+       END AS differ_ppm,
+       CASE WHEN n_groups > 0 THEN
+         CAST(CAST(gain_u_total AS HUGEINT) // n_groups AS BIGINT)
+       END AS avg_gain_u
+FROM agg
+"""
+
+
+def q224_syndication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source syndication matrix: for each (unordered) source
+    pair, how many NEAR-DUPLICATE pairs (the materialized q20 jaccard
+    artifact) connect them, and how similar those pairs are — the
+    provenance view of duplication (q141 rates duplication per
+    domain; q154 compares vocabularies; this names which pairs of
+    sources republish each other, the input to 'which feed do we
+    drop'). Consumes the stored pair table — two doc-keyed lookups of
+    the source dim per pair row; no pair generation of its own. Same-
+    source pairs appear on the matrix diagonal."""
+    pairs = jaccard_pairs_table(spark, sf_dir).select(
+        "id_a",
+        "id_b",
+        F.round(F.col("jaccard") * 1000000, 0).cast("bigint").alias("jppm"),
+    )
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")
+    )
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    return (
+        j.groupBy(
+            F.least("_sa", "_sb").alias("src_a"),
+            F.greatest("_sa", "_sb").alias("src_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("jppm").alias("_js"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_pairs",
+            F.expr(
+                "CAST(CAST(_js AS DECIMAL(38,0)) DIV n_pairs AS BIGINT)"
+            ).alias("avg_jaccard_ppm"),
+        )
+    )
+
+
+def _oracle_q224() -> str:
+    return f"""
+WITH pairs AS ({_oracle_q20()}),
+withsrc AS (
+  SELECT least(a.source, b.source) AS src_a,
+         greatest(a.source, b.source) AS src_b,
+         CAST(round(p.jaccard * 1000000, 0) AS BIGINT) AS jppm
+  FROM pairs p
+  JOIN documents a ON a.doc_id = p.id_a
+  JOIN documents b ON b.doc_id = p.id_b
+)
+SELECT src_a, src_b, count(*) AS n_pairs,
+       CAST(CAST(sum(jppm) AS HUGEINT) // count(*) AS BIGINT)
+         AS avg_jaccard_ppm
+FROM withsrc GROUP BY 1, 2
+"""
+
+
+def q225_latency_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency trend: monthly mean latency (milli-days)
+    with an EXACT integer least-squares slope over the month series —
+    'is fulfillment getting slower, and by how much per month' as a
+    fitted number instead of eyeballing a chart (q53 shows the MoM
+    deltas; this fits the line). The regression runs over month rows
+    (calendar-bounded); the slope is the closed form
+    (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) in DECIMAL(38,0) with
+    milli-day y values, so both engines floor identically. One
+    fact-fact equi-join shuffle + a month groupBy."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).alias("midx"),
+        F.datediff(F.to_date("l_shipdate"), F.col("o_orderdate")).alias(
+            "lat_days"
+        ),
+    )
+    monthly = j.groupBy("midx").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.expr(
+            "CAST(CAST(sum(lat_days) AS DECIMAL(38,0)) * 1000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("y_milli"),
+    )
+    base = monthly.agg(F.min("midx").alias("_m0"))
+    pts = monthly.crossJoin(bbound(base, "single min-month row")).select(
+        (F.col("midx") - F.col("_m0")).alias("x"), "y_milli", "n_lines"
+    )
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.min(F.struct("x", "y_milli")).alias("_f"),
+        F.max(F.struct("x", "y_milli")).alias("_l"),
+        F.sum("x").alias("_sx"),
+        F.sum("y_milli").alias("_sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y_milli")).alias("_sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("_sxx"),
+    ).select(
+        "n_months",
+        F.col("_f.y_milli").alias("first_month_milli"),
+        F.col("_l.y_milli").alias("last_month_milli"),
+        F.expr(
+            "CASE WHEN n_months > 1 THEN CAST("
+            " (n_months * _sxy - _sx * _sy) * 1000"
+            " DIV (n_months * _sxx - _sx * _sx) AS BIGINT) END"
+        ).alias("slope_micro_per_month"),
+    )
+
+
+ORACLE_Q225 = """
+WITH j AS (
+  SELECT year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1 AS midx,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS lat_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+monthly AS (
+  SELECT midx, count(*) AS n_lines,
+         CAST(CAST(sum(lat_days) AS HUGEINT) * 1000 // count(*)
+              AS BIGINT) AS y_milli
+  FROM j GROUP BY 1
+),
+base AS (SELECT min(midx) AS m0 FROM monthly),
+pts AS (
+  SELECT midx - m0 AS x, y_milli FROM monthly CROSS JOIN base
+),
+agg AS (
+  SELECT count(*) AS n_months,
+         min({'x': x, 'y_milli': y_milli}) AS f,
+         max({'x': x, 'y_milli': y_milli}) AS l,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y_milli) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y_milli) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM pts
+)
+SELECT n_months,
+       (f).y_milli AS first_month_milli,
+       (l).y_milli AS last_month_milli,
+       CASE WHEN n_months > 1 THEN
+         CAST((n_months * sxy - sx * sy) * 1000
+              // (n_months * sxx - sx * sx) AS BIGINT)
+       END AS slope_micro_per_month
+FROM agg
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -12368,6 +12610,9 @@ QUERIES = {
     "q220_peak_concurrency": q220_peak_concurrency,
     "q221_srm_check": q221_srm_check,
     "q222_ivf_nprobe_sweep": q222_ivf_nprobe_sweep,
+    "q223_dedup_rep_policy": q223_dedup_rep_policy,
+    "q224_syndication_matrix": q224_syndication_matrix,
+    "q225_latency_trend": q225_latency_trend,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -12417,6 +12662,7 @@ _CHANGED_R8 = (
     "q204_", "q205_", "q206_", "q207_", "q208_", "q209_",
     "q210_", "q211_", "q212_", "q213_", "q214_", "q215_", "q216_",
     "q217_", "q218_", "q219_", "q220_", "q221_", "q222_",
+    "q223_", "q224_", "q225_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -12669,4 +12915,7 @@ ORACLES: dict[str, str | None] = {
     "q220_peak_concurrency": ORACLE_Q220,
     "q221_srm_check": _oracle_q221(),
     "q222_ivf_nprobe_sweep": _oracle_q222(),
+    "q223_dedup_rep_policy": _oracle_q223(),
+    "q224_syndication_matrix": _oracle_q224(),
+    "q225_latency_trend": ORACLE_Q225,
 }

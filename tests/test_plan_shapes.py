@@ -181,6 +181,8 @@ class TestRegistrySweep:
     # decile spine; class windows are partitioned.
     # q219: the grand-total window spans the 25 nation rows (fixed
     # geography dims).
+    # q226: the cumulative-token window orders the DISTINCT doc-length
+    # histogram (the q104/q167 value-histogram class).
     GLOBAL_WINDOW_OK = {
         "q53_monthly_trend",
         "q104_quantile_sketch_accuracy",
@@ -190,6 +192,7 @@ class TestRegistrySweep:
         "q212_quality_yield_curve",
         "q217_t_closeness",
         "q219_share_of_parent",
+        "q226_token_weighted_lengths",
     }
 
     def test_no_scale_antipatterns_anywhere(self, spark, registry):

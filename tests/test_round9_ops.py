@@ -3337,3 +3337,132 @@ class TestLatencyTrend:
         assert r["first_month_milli"] == 10_000
         assert r["last_month_milli"] == 14_000
         assert r["slope_micro_per_month"] == 2_000_000
+
+
+class TestTokenWeightedLengths:
+    def test_heavy_doc_dominates_token_mass(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q226_token_weighted_lengths,
+        )
+
+        # 99 docs of 1 token + one doc of 901 tokens: total 1000
+        # tokens, 90.1% in the big doc -> p50 and p90 land on 901,
+        # while the doc-count median would be 1
+        rows = [(i, "w") for i in range(99)]
+        rows.append((100, " ".join(["w"] * 901)))
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        got = {r["pct"]: r for r in
+               q226_token_weighted_lengths(spark, str(tmp_path)).collect()}
+        assert got[50]["total_tokens"] == 1000
+        assert got[50]["doc_len_at"] == 901
+        assert got[90]["doc_len_at"] == 901
+        assert got[99]["doc_len_at"] == 901
+
+    def test_uniform_lengths(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q226_token_weighted_lengths,
+        )
+
+        rows = [(i, " ".join(["w"] * 10)) for i in range(100)]
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        got = {r["pct"]: r["doc_len_at"] for r in
+               q226_token_weighted_lengths(spark, str(tmp_path)).collect()}
+        assert got == {50: 10, 90: 10, 99: 10}
+
+
+class TestTopnWithOther:
+    def test_other_folds_the_tail(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q227_topn_with_other,
+        )
+
+        rows = []
+        did = 0
+        # 8 sources: s0 gets 8 docs of 10 tokens, s1 gets 7, ... s7
+        # gets 1 -> top-5 = s0..s4; OTHER = s5+s6+s7 = 6 docs
+        for s in range(8):
+            for _ in range(8 - s):
+                rows.append((did, " ".join(["w"] * 10), f"s{s}"))
+                did += 1
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        got = {r["source"]: r for r in
+               q227_topn_with_other(spark, str(tmp_path)).collect()}
+        assert set(got) == {"s0", "s1", "s2", "s3", "s4", "OTHER"}
+        assert got["OTHER"]["is_other"] == 1
+        assert got["OTHER"]["tokens"] == (3 + 2 + 1) * 10
+        total = 36 * 10
+        assert got["s0"]["share_ppm"] == 80 * 1_000_000 // total
+        assert sum(r["tokens"] for r in got.values()) == total
+
+    def test_no_other_when_few_sources(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q227_topn_with_other,
+        )
+
+        rows = [(1, "w w", "only_a"), (2, "w", "only_b")]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        got = {r["source"] for r in
+               q227_topn_with_other(spark, str(tmp_path)).collect()}
+        assert got == {"only_a", "only_b"}  # no empty OTHER row
+
+
+class TestSalesGapDensify:
+    def test_dark_months_and_runs(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q228_sales_gap_densify,
+        )
+
+        spark.createDataFrame(
+            [(0, "EUROPE"), (1, "ASIA")], "r_regionkey long, r_name string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "region.parquet"))
+        spark.createDataFrame(
+            [(0, "FRANCE", 0), (1, "JAPAN", 1)],
+            "n_nationkey long, n_name string, n_regionkey long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "nation.parquet"))
+        spark.createDataFrame(
+            [(1, 0), (2, 1)], "c_custkey long, c_nationkey long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "customer.parquet"))
+        # span Jan..Jun (6 months). EUROPE sells Jan and Jun (4-month
+        # hole); ASIA sells only in March -> zero runs of 2 and 3
+        orders = [
+            (1, 1, 10.0, dt.date(2024, 1, 5)),
+            (2, 1, 10.0, dt.date(2024, 6, 5)),
+            (3, 2, 10.0, dt.date(2024, 3, 5)),
+        ]
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long,"
+            " o_totalprice double, o_orderdate date"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "orders.parquet"))
+        got = {r["region"]: r for r in
+               q228_sales_gap_densify(spark, str(tmp_path)).collect()}
+        eu, asia = got["EUROPE"], got["ASIA"]
+        assert eu["n_months"] == 6 and asia["n_months"] == 6
+        assert (eu["n_zero_months"], eu["longest_zero_run"]) == (4, 4)
+        assert (asia["n_zero_months"], asia["longest_zero_run"]) == (5, 3)

@@ -204,6 +204,9 @@ Operator coverage map (SURVEY §2 ids -> query):
   dedup representative policy ...... q223 (keep-first vs keep-best A/B)
   syndication matrix ............... q224 (source-pair shared dups)
   latency OLS trend ................ q225 (integer least-squares slope)
+  token-weighted length quantiles .. q226 (mass-weighted histogram)
+  top-N + OTHER rollup ............. q227 (bounded exec-summary rows)
+  calendar densify + gap audit ..... q228 (zero-fill spine, dark runs)
 """
 
 from __future__ import annotations
@@ -12387,6 +12390,265 @@ FROM agg
 """
 
 
+def q226_token_weighted_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted document-length quantiles: the doc length below
+    which 50% / 90% / 99% of the corpus's TOKENS live — doc-count
+    percentiles (q29's kind) mislead curation because a handful of
+    huge docs carry most of the training mass; packing and context-
+    window policy (q64/q147) need the token-weighted view.
+
+    Weighted quantiles come from the LENGTH HISTOGRAM (distinct
+    doc-length rows, the q167 value-histogram class) with a
+    cumulative token window; each quantile is then a conditional min
+    — no per-doc sorting anywhere."""
+    docs = T(spark, sf_dir, "documents").select(
+        text.token_count("text").alias("len")
+    )
+    hist = docs.groupBy("len").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn(
+        "cum_toks",
+        F.sum(F.expr("CAST(len AS DECIMAL(38,0)) * n_docs")).over(w),
+    )
+    tot = hist.agg(
+        F.sum(F.expr("CAST(len AS DECIMAL(38,0)) * n_docs")).alias("_tt")
+    )
+    j = cum.crossJoin(bbound(tot, "single total-tokens row"))
+    sel = j.agg(
+        *[
+            F.min(
+                F.when(
+                    F.expr(f"cum_toks * 100 >= _tt * {pct}"), F.col("len")
+                )
+            ).alias(f"l{pct}")
+            for pct in (50, 90, 99)
+        ],
+        F.expr("CAST(max(_tt) AS BIGINT)").alias("total_tokens"),
+    )
+    return sel.selectExpr(
+        "stack(3, 50, l50, 90, l90, 99, l99) AS (pct, doc_len_at)",
+        "total_tokens",
+    ).select(
+        F.col("pct").cast("int").alias("pct"),
+        F.col("doc_len_at").cast("bigint").alias("doc_len_at"),
+        "total_tokens",
+    )
+
+
+def _oracle_q226() -> str:
+    toks = osql.token_count_sql("text")
+    return f"""
+WITH docs AS (SELECT {toks} AS len FROM documents),
+hist AS (SELECT len, count(*) AS n_docs FROM docs GROUP BY 1),
+cum AS (
+  SELECT len,
+         sum(CAST(len AS HUGEINT) * n_docs)
+           OVER (ORDER BY len
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_toks
+  FROM hist
+),
+tot AS (SELECT sum(CAST(len AS HUGEINT) * n_docs) AS tt FROM hist),
+sel AS (
+  SELECT
+    min(CASE WHEN cum_toks * 100 >= tt * 50 THEN len END) AS l50,
+    min(CASE WHEN cum_toks * 100 >= tt * 90 THEN len END) AS l90,
+    min(CASE WHEN cum_toks * 100 >= tt * 99 THEN len END) AS l99,
+    CAST(max(tt) AS BIGINT) AS total_tokens
+  FROM cum CROSS JOIN tot
+)
+SELECT CAST(pct AS INTEGER) AS pct,
+       CAST(doc_len_at AS BIGINT) AS doc_len_at, total_tokens
+FROM (
+  SELECT unnest([50, 90, 99]) AS pct,
+         unnest([l50, l90, l99]) AS doc_len_at,
+         total_tokens
+  FROM sel
+)
+"""
+
+
+def q227_topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N + OTHER rollup: the five biggest sources by token mass as
+    named rows, everything else folded into one OTHER row — the
+    reporting primitive behind every pie chart and exec summary
+    (unbounded group lists don't ship; this is how they get bounded).
+    The top-5 plans as TakeOrderedAndProject over the source
+    aggregate; OTHER is a left-anti + 1-row aggregate; shares divide
+    by a bbound grand total. Ties at the cut break by source name,
+    total order both engines."""
+    docs = T(spark, sf_dir, "documents").select(
+        "source", text.token_count("text").alias("toks")
+    )
+    totals = docs.groupBy("source").agg(F.sum("toks").alias("tokens"))
+    from ursa_major_choir_etl_spark.caching import stage
+
+    totals = stage(totals)  # top-5 heap, anti-join, and grand total
+    top = totals.orderBy(F.col("tokens").desc(), "source").limit(5)
+    other = (
+        totals.join(top, "source", "left_anti")
+        .agg(F.sum("tokens").alias("tokens"))
+        .select(F.lit("OTHER").alias("source"), "tokens")
+        .filter(F.col("tokens").isNotNull())
+    )
+    grand = totals.agg(F.sum("tokens").alias("_gt"))
+    rows = top.select("source", "tokens", F.lit(0).alias("is_other")).unionByName(
+        other.select("source", "tokens", F.lit(1).alias("is_other"))
+    )
+    return rows.crossJoin(bbound(grand, "single grand-total row")).select(
+        "source",
+        "is_other",
+        "tokens",
+        F.expr(
+            "CAST(CAST(tokens AS DECIMAL(38,0)) * 1000000 DIV _gt"
+            " AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+def _oracle_q227() -> str:
+    toks = osql.token_count_sql("text")
+    return f"""
+WITH totals AS (
+  SELECT source, CAST(sum({toks}) AS BIGINT) AS tokens
+  FROM documents GROUP BY 1
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY tokens DESC, source) AS rnk
+  FROM totals
+),
+rows_ AS (
+  SELECT source, tokens, 0 AS is_other FROM ranked WHERE rnk <= 5
+  UNION ALL
+  SELECT 'OTHER', CAST(sum(tokens) AS BIGINT), 1
+  FROM ranked WHERE rnk > 5
+  HAVING count(*) > 0
+),
+grand AS (SELECT CAST(sum(tokens) AS BIGINT) AS gt FROM totals)
+SELECT source, is_other, tokens,
+       CAST(CAST(tokens AS HUGEINT) * 1000000 // gt AS BIGINT)
+         AS share_ppm
+FROM rows_ CROSS JOIN grand
+"""
+
+
+def q228_sales_gap_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + gap audit: zero-fill every (region,
+    month) cell over the corpus's full month span, then report each
+    region's dark months and its LONGEST consecutive zero-revenue run
+    — absent rows are invisible to a plain groupBy, and 'how long was
+    the longest outage' is a question about rows that don't exist
+    until the spine manufactures them (the BI densify idiom; q86
+    forward-fills values, this audits the holes themselves).
+
+    The month spine is a sequence off a 1-row min/max broadcast; the
+    grid is regions x months (both bounded); runs are per-region
+    gaps-and-islands windows over calendar-bounded rows."""
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    nation = bdim(T(spark, sf_dir, "nation"), "nation")
+    region = bdim(T(spark, sf_dir, "region"), "region")
+    monthly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+            ).alias("midx"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .alias("rev_cents")
+        )
+    )
+    bounds = monthly.agg(
+        F.min("midx").alias("_m0"), F.max("midx").alias("_m1")
+    )
+    spine = (
+        bbound(bounds, "single min/max month row")
+        .select(
+            F.explode(F.sequence(F.col("_m0"), F.col("_m1"))).alias("midx")
+        )
+    )
+    regions = T(spark, sf_dir, "region").select(
+        F.col("r_name").alias("region")
+    )
+    grid = (
+        regions.crossJoin(bbound(spine, "calendar-bounded month spine"))
+        .join(monthly, ["region", "midx"], "left")
+        .withColumn("zero", F.col("rev_cents").isNull().cast("int"))
+    )
+    wr = Window.partitionBy("region").orderBy("midx")
+    runs = grid.withColumn(
+        "brk",
+        F.sum(F.lit(1) - F.col("zero")).over(
+            wr.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    zero_runs = (
+        runs.filter(F.col("zero") == 1)
+        .groupBy("region", "brk")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("region")
+        .agg(F.max("run_len").alias("longest_zero_run"))
+    )
+    per_region = grid.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("zero").alias("n_zero_months"),
+    )
+    return per_region.join(zero_runs, "region", "left").withColumn(
+        "longest_zero_run", F.coalesce("longest_zero_run", F.lit(0))
+    )
+
+
+ORACLE_Q228 = """
+WITH monthly AS (
+  SELECT r.r_name AS region,
+         year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1 AS midx,
+         sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS rev_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+),
+bounds AS (SELECT min(midx) AS m0, max(midx) AS m1 FROM monthly),
+spine AS (
+  SELECT unnest(range(m0, m1 + 1)) AS midx FROM bounds
+),
+grid AS (
+  SELECT rg.r_name AS region, s.midx,
+         CASE WHEN m.rev_cents IS NULL THEN 1 ELSE 0 END AS zero
+  FROM region rg CROSS JOIN spine s
+  LEFT JOIN monthly m ON m.region = rg.r_name AND m.midx = s.midx
+),
+runs AS (
+  SELECT region, zero,
+         sum(1 - zero) OVER (PARTITION BY region ORDER BY midx
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS brk
+  FROM grid
+),
+zero_runs AS (
+  SELECT region, max(run_len) AS longest_zero_run
+  FROM (SELECT region, brk, count(*) AS run_len
+        FROM runs WHERE zero = 1 GROUP BY 1, 2)
+  GROUP BY 1
+),
+per_region AS (
+  SELECT region, count(*) AS n_months,
+         CAST(sum(zero) AS BIGINT) AS n_zero_months
+  FROM grid GROUP BY 1
+)
+SELECT p.region, p.n_months, p.n_zero_months,
+       CAST(coalesce(z.longest_zero_run, 0) AS BIGINT)
+         AS longest_zero_run
+FROM per_region p LEFT JOIN zero_runs z USING (region)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -12613,6 +12875,9 @@ QUERIES = {
     "q223_dedup_rep_policy": q223_dedup_rep_policy,
     "q224_syndication_matrix": q224_syndication_matrix,
     "q225_latency_trend": q225_latency_trend,
+    "q226_token_weighted_lengths": q226_token_weighted_lengths,
+    "q227_topn_with_other": q227_topn_with_other,
+    "q228_sales_gap_densify": q228_sales_gap_densify,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -12662,7 +12927,7 @@ _CHANGED_R8 = (
     "q204_", "q205_", "q206_", "q207_", "q208_", "q209_",
     "q210_", "q211_", "q212_", "q213_", "q214_", "q215_", "q216_",
     "q217_", "q218_", "q219_", "q220_", "q221_", "q222_",
-    "q223_", "q224_", "q225_",
+    "q223_", "q224_", "q225_", "q226_", "q227_", "q228_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -12918,4 +13183,7 @@ ORACLES: dict[str, str | None] = {
     "q223_dedup_rep_policy": _oracle_q223(),
     "q224_syndication_matrix": _oracle_q224(),
     "q225_latency_trend": ORACLE_Q225,
+    "q226_token_weighted_lengths": _oracle_q226(),
+    "q227_topn_with_other": _oracle_q227(),
+    "q228_sales_gap_densify": ORACLE_Q228,
 }

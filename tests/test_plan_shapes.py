@@ -183,6 +183,9 @@ class TestRegistrySweep:
     # geography dims).
     # q226: the cumulative-token window orders the DISTINCT doc-length
     # histogram (the q104/q167 value-histogram class).
+    # q230: the remainder rank + base sum windows span source-dim rows.
+    # q231: the exclusive prefix-max orders the DISTINCT price
+    # histogram (value-histogram class).
     GLOBAL_WINDOW_OK = {
         "q53_monthly_trend",
         "q104_quantile_sketch_accuracy",
@@ -193,6 +196,8 @@ class TestRegistrySweep:
         "q217_t_closeness",
         "q219_share_of_parent",
         "q226_token_weighted_lengths",
+        "q230_largest_remainder_quota",
+        "q231_pareto_skyline",
     }
 
     def test_no_scale_antipatterns_anywhere(self, spark, registry):

@@ -3466,3 +3466,111 @@ class TestSalesGapDensify:
         assert eu["n_months"] == 6 and asia["n_months"] == 6
         assert (eu["n_zero_months"], eu["longest_zero_run"]) == (4, 4)
         assert (asia["n_zero_months"], asia["longest_zero_run"]) == (5, 3)
+
+
+class TestGrowthAccounting:
+    def test_ledger_classes(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q229_growth_accounting,
+        )
+
+        # week boundaries: unix epoch weeks; use a Thursday anchor so
+        # consecutive dt weeks are consecutive epoch weeks
+        w0 = dt.datetime(2024, 1, 4, 12)
+
+        def at_week(w):
+            return w0 + dt.timedelta(weeks=w)
+
+        rows = []
+        eid = 0
+        # u1: weeks 0,1,2 (new, retained, retained; churns after 2)
+        for w in (0, 1, 2):
+            rows.append((eid, at_week(w), 1, "view")); eid += 1
+        # u2: weeks 0,2 (new; resurrected in 2; counted churning in 0)
+        for w in (0, 2):
+            rows.append((eid, at_week(w), 2, "view")); eid += 1
+        # u3: week 1 only (new; churning in 1)
+        rows.append((eid, at_week(1), 3, "view")); eid += 1
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "events.parquet"))
+        got = sorted(q229_growth_accounting(spark, str(tmp_path)).collect(),
+                     key=lambda r: r["midx"])
+        wk0, wk1, wk2 = got
+        assert (wk0["n_active"], wk0["n_new"]) == (2, 2)
+        assert wk0["n_churning"] == 1  # u2 skips week 1
+        assert (wk1["n_active"], wk1["n_new"], wk1["n_retained"]) == (2, 1, 1)
+        assert wk1["n_churning"] == 1  # u3 disappears
+        assert (wk2["n_retained"], wk2["n_resurrected"]) == (1, 1)
+        assert wk2["n_churning"] == 2  # final week: everyone
+
+
+class TestLargestRemainderQuota:
+    def test_quotas_sum_exactly_to_budget(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q230_largest_remainder_quota,
+        )
+
+        # 3 sources with token masses 1, 1, 1 -> 1000/3: bases 333,
+        # remainders equal -> tie broken by name: sa gets the +1
+        rows = [(1, "w", "sa"), (2, "w", "sb"), (3, "w", "sc")]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        got = {r["source"]: r for r in
+               q230_largest_remainder_quota(spark, str(tmp_path)).collect()}
+        assert sum(r["quota"] for r in got.values()) == 1000
+        assert got["sa"]["quota"] == 334
+        assert got["sb"]["quota"] == 333 and got["sc"]["quota"] == 333
+
+    def test_proportionality(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q230_largest_remainder_quota,
+        )
+
+        rows = [(1, " ".join(["w"] * 900), "big"),
+                (2, " ".join(["w"] * 100), "small")]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        got = {r["source"]: r["quota"] for r in
+               q230_largest_remainder_quota(spark, str(tmp_path)).collect()}
+        assert got == {"big": 900, "small": 100}
+
+
+class TestParetoSkyline:
+    def test_dominated_points_dropped(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q231_pareto_skyline,
+        )
+
+        parts = [
+            (1, 10.00, 5),   # frontier (cheapest)
+            (2, 12.00, 4),   # dominated: pricier AND smaller
+            (3, 12.50, 9),   # frontier
+            (4, 15.00, 9),   # dominated: same size, pricier
+            (5, 20.00, 12),  # frontier
+            (6, 10.00, 3),   # same price as 1, smaller -> folded away
+        ]
+        spark.createDataFrame(
+            parts, "p_partkey long, p_retailprice double, p_size int"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "part.parquet"))
+        got = sorted(
+            (r["price_cents"], r["best_size"])
+            for r in q231_pareto_skyline(spark, str(tmp_path)).collect()
+        )
+        assert got == [(1000, 5), (1250, 9), (2000, 12)]

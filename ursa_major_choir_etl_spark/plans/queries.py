@@ -207,6 +207,9 @@ Operator coverage map (SURVEY §2 ids -> query):
   token-weighted length quantiles .. q226 (mass-weighted histogram)
   top-N + OTHER rollup ............. q227 (bounded exec-summary rows)
   calendar densify + gap audit ..... q228 (zero-fill spine, dark runs)
+  growth accounting ................ q229 (new/retained/resurrected)
+  largest-remainder quota .......... q230 (exact-sum allocation)
+  Pareto skyline ................... q231 (price-size frontier)
 """
 
 from __future__ import annotations
@@ -12649,6 +12652,199 @@ FROM per_region p LEFT JOIN zero_runs z USING (region)
 """
 
 
+def q229_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every active user classified as NEW
+    (first week ever), RETAINED (also active the previous week) or
+    RESURRECTED (active before, skipped at least one week), plus how
+    many of this week's actives go dark next week — the
+    new/retained/resurrected/churned decomposition every growth team
+    reports instead of a bare WAU line (q56's cohort matrix is the
+    long-form view; this is the week-over-week ledger; week grain
+    because the test corpus spans ~a month). All classification
+    happens in per-user windows over that user's ACTIVE WEEKS
+    (bounded by the calendar); the final week's 'churning' count is
+    definitionally everyone (no next week to observe) — the standard
+    edge, kept so the ledger sums."""
+    am = (
+        T(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) DIV 604800000000").alias("midx"),
+        )
+        .distinct()
+    )
+    wu = Window.partitionBy("user_id").orderBy("midx")
+    classified = (
+        am.withColumn("_first", F.min("midx").over(
+            wu.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+        .withColumn("_lag", F.lag("midx").over(wu))
+        .withColumn("_lead", F.lead("midx").over(wu))
+        .withColumn(
+            "cls",
+            F.when(F.col("midx") == F.col("_first"), "new")
+            .when(F.col("_lag") == F.col("midx") - 1, "retained")
+            .otherwise("resurrected"),
+        )
+    )
+    return classified.groupBy("midx").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum((F.col("cls") == "new").cast("int")).alias("n_new"),
+        F.sum((F.col("cls") == "retained").cast("int")).alias("n_retained"),
+        F.sum((F.col("cls") == "resurrected").cast("int")).alias(
+            "n_resurrected"
+        ),
+        F.sum(
+            (
+                F.col("_lead").isNull()
+                | (F.col("_lead") > F.col("midx") + 1)
+            ).cast("int")
+        ).alias("n_churning"),
+    )
+
+
+ORACLE_Q229 = """
+WITH am AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 604800000000 AS midx
+  FROM events
+),
+classified AS (
+  SELECT midx,
+         CASE WHEN midx = min(midx) OVER w_all THEN 'new'
+              WHEN lag(midx) OVER w = midx - 1 THEN 'retained'
+              ELSE 'resurrected' END AS cls,
+         lead(midx) OVER w AS nxt
+  FROM am
+  WINDOW w AS (PARTITION BY user_id ORDER BY midx),
+         w_all AS (PARTITION BY user_id ORDER BY midx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT midx, count(*) AS n_active,
+       CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_retained,
+       CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_resurrected,
+       CAST(sum(CASE WHEN nxt IS NULL OR nxt > midx + 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_churning
+FROM classified GROUP BY 1
+"""
+
+
+def q230_largest_remainder_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional allocation (Hamilton / largest-remainder):
+    split a budget of 1000 sample slots across sources proportional
+    to token mass so the quotas SUM EXACTLY to the budget — floored
+    proportional shares under-allocate, and handing the remainder to
+    the largest fractional parts is the deterministic standard
+    (q117/q125 cap and plan mixtures; this nails the exact integer
+    hand-out a sampler executes). Integer-only: the fractional part
+    ranks as K*w MOD W (same order, no division), ties to source
+    name; windows run over source-dim rows."""
+    budget = 1000
+    docs = T(spark, sf_dir, "documents").select(
+        "source", text.token_count("text").alias("toks")
+    )
+    totals = docs.groupBy("source").agg(F.sum("toks").alias("tokens"))
+    tot = totals.agg(F.sum("tokens").alias("_w"))
+    j = totals.crossJoin(bbound(tot, "single total row")).select(
+        "source",
+        "tokens",
+        F.expr(
+            f"CAST(CAST({budget} AS DECIMAL(38,0)) * tokens DIV _w"
+            " AS BIGINT)"
+        ).alias("base"),
+        F.expr(
+            f"CAST(CAST({budget} AS DECIMAL(38,0)) * tokens % _w"
+            " AS BIGINT)"
+        ).alias("_rem"),
+    )
+    wr = Window.orderBy(F.col("_rem").desc(), "source")
+    wall = Window.partitionBy()
+    ranked = j.withColumn("_rnk", F.row_number().over(wr)).withColumn(
+        "_left", F.lit(budget) - F.sum("base").over(wall)
+    )
+    return ranked.select(
+        "source",
+        "tokens",
+        "base",
+        (F.col("base") + (F.col("_rnk") <= F.col("_left")).cast("int"))
+        .alias("quota"),
+    )
+
+
+def _oracle_q230(budget: int = 1000) -> str:
+    toks = osql.token_count_sql("text")
+    return f"""
+WITH totals AS (
+  SELECT source, CAST(sum({toks}) AS BIGINT) AS tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(tokens) AS HUGEINT) AS w FROM totals),
+j AS (
+  SELECT source, tokens,
+         CAST({budget} * CAST(tokens AS HUGEINT) // w AS BIGINT) AS base,
+         CAST({budget} * CAST(tokens AS HUGEINT) % w AS BIGINT) AS rem
+  FROM totals CROSS JOIN tot
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY rem DESC, source) AS rnk,
+         {budget} - sum(base) OVER () AS leftover
+  FROM j
+)
+SELECT source, tokens, base,
+       base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS quota
+FROM ranked
+"""
+
+
+def q231_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier of the part catalog: the parts where
+    no cheaper part offers an equal-or-bigger size — 'best size per
+    price point', the multi-objective shortlist behind procurement
+    and plan-selection UIs. The distributed-skyline trick: reduce to
+    the PRICE HISTOGRAM (max size per distinct price, one shuffle),
+    then a point is on the frontier iff its size strictly exceeds the
+    running max over all cheaper prices — an exclusive-prefix window
+    over histogram rows (q167's value-histogram class), never a
+    pairwise dominance join."""
+    part = T(spark, sf_dir, "part").select(
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias(
+            "price_cents"
+        ),
+        F.col("p_size").cast("int").alias("size"),
+    )
+    hist = part.groupBy("price_cents").agg(F.max("size").alias("best_size"))
+    w = Window.orderBy("price_cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flagged = hist.withColumn("_prev", F.max("best_size").over(w))
+    return flagged.filter(
+        F.col("_prev").isNull() | (F.col("best_size") > F.col("_prev"))
+    ).select("price_cents", "best_size")
+
+
+ORACLE_Q231 = """
+WITH hist AS (
+  SELECT CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_cents,
+         CAST(max(p_size) AS INTEGER) AS best_size
+  FROM part GROUP BY 1
+),
+flagged AS (
+  SELECT price_cents, best_size,
+         max(best_size) OVER (ORDER BY price_cents
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev
+  FROM hist
+)
+SELECT price_cents, best_size
+FROM flagged WHERE prev IS NULL OR best_size > prev
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -12878,6 +13074,9 @@ QUERIES = {
     "q226_token_weighted_lengths": q226_token_weighted_lengths,
     "q227_topn_with_other": q227_topn_with_other,
     "q228_sales_gap_densify": q228_sales_gap_densify,
+    "q229_growth_accounting": q229_growth_accounting,
+    "q230_largest_remainder_quota": q230_largest_remainder_quota,
+    "q231_pareto_skyline": q231_pareto_skyline,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -12928,6 +13127,7 @@ _CHANGED_R8 = (
     "q210_", "q211_", "q212_", "q213_", "q214_", "q215_", "q216_",
     "q217_", "q218_", "q219_", "q220_", "q221_", "q222_",
     "q223_", "q224_", "q225_", "q226_", "q227_", "q228_",
+    "q229_", "q230_", "q231_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -13186,4 +13386,7 @@ ORACLES: dict[str, str | None] = {
     "q226_token_weighted_lengths": _oracle_q226(),
     "q227_topn_with_other": _oracle_q227(),
     "q228_sales_gap_densify": ORACLE_Q228,
+    "q229_growth_accounting": ORACLE_Q229,
+    "q230_largest_remainder_quota": _oracle_q230(),
+    "q231_pareto_skyline": ORACLE_Q231,
 }

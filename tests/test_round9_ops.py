@@ -3574,3 +3574,102 @@ class TestParetoSkyline:
             for r in q231_pareto_skyline(spark, str(tmp_path)).collect()
         )
         assert got == [(1000, 5), (1250, 9), (2000, 12)]
+
+
+class TestHhiConcentration:
+    def test_monopoly_and_even_split(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q232_hhi_concentration,
+        )
+
+        spark.createDataFrame(
+            [(0, "MONO"), (1, "SPLIT")], "r_regionkey long, r_name string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "region.parquet"))
+        spark.createDataFrame(
+            [(0, "A", 0), (1, "B", 1), (2, "C", 1), (3, "D", 1),
+             (4, "E", 1)],
+            "n_nationkey long, n_name string, n_regionkey long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "nation.parquet"))
+        spark.createDataFrame(
+            [(i, i) for i in range(5)], "c_custkey long, c_nationkey long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "customer.parquet"))
+        d0 = dt.date(2024, 1, 1)
+        orders = [(1, 0, 50.0, d0)]  # MONO: one nation owns it all
+        # SPLIT: four nations with equal revenue
+        orders += [(10 + i, 1 + i, 25.0, d0) for i in range(4)]
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long,"
+            " o_totalprice double, o_orderdate date"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "orders.parquet"))
+        got = {r["region"]: r for r in
+               q232_hhi_concentration(spark, str(tmp_path)).collect()}
+        assert got["MONO"]["hhi_ppm"] == 1_000_000
+        assert got["SPLIT"]["n_nations"] == 4
+        assert got["SPLIT"]["hhi_ppm"] == 250_000
+
+
+class TestRecordDays:
+    def test_records_and_plateau(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import q233_record_days
+
+        t0 = dt.datetime(2024, 4, 1, 10)
+        rows = []
+        eid = 0
+        # daily counts 3, 5, 5, 2, 7 -> records on days 0, 1, 4
+        for d, c in enumerate((3, 5, 5, 2, 7)):
+            for _ in range(c):
+                rows.append((eid, t0 + dt.timedelta(days=d), 1, "click"))
+                eid += 1
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "events.parquet"))
+        r = q233_record_days(spark, str(tmp_path)).collect()[0]
+        assert (r["n_days"], r["n_record_days"]) == (5, 3)
+        assert r["record_day"] == dt.date(2024, 4, 5)
+        assert r["record_count"] == 7
+
+
+class TestTierMigration:
+    def test_transitions_and_churn(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q234_tier_migration,
+        )
+
+        gold, bronze = 400_000.0, 1_000.0
+        orders = [
+            # c1: gold in Jan, bronze in Feb
+            (1, 1, gold, dt.date(2024, 1, 5)),
+            (2, 1, bronze, dt.date(2024, 2, 5)),
+            # c2: bronze in Jan, then nothing -> churned
+            (3, 2, bronze, dt.date(2024, 1, 7)),
+            # c3: bronze Jan, skips Feb, back in Mar -> churned (gap)
+            (4, 3, bronze, dt.date(2024, 1, 9)),
+            (5, 3, bronze, dt.date(2024, 3, 9)),
+        ]
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long,"
+            " o_totalprice double, o_orderdate date"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "orders.parquet"))
+        got = {(r["tier"], r["tier_next"]): r["n_customers"] for r in
+               q234_tier_migration(spark, str(tmp_path)).collect()}
+        assert got[("gold", "bronze")] == 1
+        # c2 churns, c3's Jan row churns (gap), c1's Feb row churns
+        # (last), c3's Mar row churns (last)
+        assert got[("bronze", "churned")] == 4
+        assert ("bronze", "bronze") not in got

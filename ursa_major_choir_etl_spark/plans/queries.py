@@ -210,6 +210,9 @@ Operator coverage map (SURVEY §2 ids -> query):
   growth accounting ................ q229 (new/retained/resurrected)
   largest-remainder quota .......... q230 (exact-sum allocation)
   Pareto skyline ................... q231 (price-size frontier)
+  HHI concentration ................ q232 (squared shares per region)
+  record-high tracker .............. q233 (running-max break days)
+  tier migration matrix ............ q234 (spend-tier transitions)
 """
 
 from __future__ import annotations
@@ -12845,6 +12848,210 @@ FROM flagged WHERE prev IS NULL OR best_size > prev
 """
 
 
+def q232_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market concentration per region: the sum
+    of squared nation revenue shares — the antitrust-style 'is this
+    market a monopoly' number (q167's Gini measures inequality of the
+    whole distribution; HHI weights the TOP, which is what a
+    concentration review asks about). Shares and their squares are
+    integer ppm (share² DIV 1e6 keeps the sum in ppm); monopoly =
+    1e6, perfectly split across k nations = 1e6/k. One broadcast-dim
+    join + a region-bounded aggregate."""
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    nation = bdim(T(spark, sf_dir, "nation"), "nation")
+    region = bdim(T(spark, sf_dir, "region"), "region")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .alias("cents")
+        )
+    )
+    wr = Window.partitionBy("region")
+    shares = rev.withColumn("_rt", F.sum("cents").over(wr)).withColumn(
+        "share_ppm",
+        F.expr("CAST(CAST(cents AS DECIMAL(38,0)) * 1000000 DIV _rt AS BIGINT)"),
+    )
+    return shares.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.expr(
+            "CAST(sum(CAST(share_ppm AS DECIMAL(38,0)) * share_ppm)"
+            " DIV 1000000 AS BIGINT)"
+        ).alias("hhi_ppm"),
+    )
+
+
+ORACLE_Q232 = """
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+),
+shares AS (
+  SELECT region,
+         CAST(CAST(cents AS HUGEINT) * 1000000
+              // sum(cents) OVER (PARTITION BY region) AS BIGINT)
+           AS share_ppm
+  FROM rev
+)
+SELECT region, count(*) AS n_nations,
+       CAST(sum(CAST(share_ppm AS HUGEINT) * share_ppm) // 1000000
+            AS BIGINT) AS hhi_ppm
+FROM shares GROUP BY 1
+"""
+
+
+def q233_record_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-high tracker: per event type, how many days set a new
+    all-time daily-volume record, when the standing record was set,
+    and its size — 'are we still breaking records or did we plateau'
+    (q199 finds the mean SHIFT; this tracks the running MAX). A day
+    is a record iff its count strictly exceeds the running max over
+    all earlier days — an exclusive prefix-max window over per-type
+    daily rows (calendar-bounded), ties to the earliest day."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = daily.withColumn("_prev", F.max("cnt").over(w)).withColumn(
+        "is_record",
+        (F.col("_prev").isNull() | (F.col("cnt") > F.col("_prev"))).cast(
+            "int"
+        ),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("is_record").alias("n_record_days"),
+        F.max(
+            F.when(
+                F.col("is_record") == 1,
+                F.struct(F.col("cnt").alias("c"), F.col("day").alias("d")),
+            )
+        ).alias("_best"),
+    ).select(
+        "event_type",
+        "n_days",
+        "n_record_days",
+        F.col("_best.d").alias("record_day"),
+        F.col("_best.c").alias("record_count"),
+    )
+
+
+ORACLE_Q233 = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+flagged AS (
+  SELECT event_type, day, cnt,
+         CASE WHEN max(cnt) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) IS NULL
+                   OR cnt > max(cnt) OVER (PARTITION BY event_type
+                                           ORDER BY day
+                                           ROWS BETWEEN UNBOUNDED
+                                           PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_record
+  FROM daily
+),
+best AS (
+  SELECT event_type, count(*) AS n_days,
+         CAST(sum(is_record) AS BIGINT) AS n_record_days,
+         max(CASE WHEN is_record = 1
+                  THEN {'c': cnt, 'd': day} END) AS b
+  FROM flagged GROUP BY 1
+)
+SELECT event_type, n_days, n_record_days,
+       (b).d AS record_day, CAST((b).c AS BIGINT) AS record_count
+FROM best
+"""
+
+
+def q234_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer tier migration matrix: customers bucketed into monthly
+    spend tiers (integer cents thresholds), counted by their
+    (tier this month -> tier next month) transition — the customer-
+    movement ledger behind lifecycle marketing ('how many GOLD fell
+    to BRONZE'), with disappearing customers landing in an explicit
+    CHURNED column (q171 profiles event-type transitions; this tracks
+    VALUE-tier movement; q159's RFM is the static segmentation).
+    Fixed thresholds rather than in-month quantiles so a tier means
+    the same thing in every month. One (customer, month) aggregate
+    shuffle + per-customer lead windows over active months."""
+    orders = T(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias(
+            "midx"
+        ),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "cents"
+        )
+    )
+    tier = (
+        F.when(F.col("cents") >= 30_000_000, "gold")
+        .when(F.col("cents") >= 15_000_000, "silver")
+        .otherwise("bronze")
+    )
+    tiered = monthly.select("o_custkey", "midx", tier.alias("tier"))
+    wc = Window.partitionBy("o_custkey").orderBy("midx")
+    moved = tiered.withColumn("_nm", F.lead("midx").over(wc)).withColumn(
+        "_nt", F.lead("tier").over(wc)
+    ).withColumn(
+        "tier_next",
+        F.when(
+            F.col("_nm").isNull() | (F.col("_nm") > F.col("midx") + 1),
+            F.lit("churned"),
+        ).otherwise(F.col("_nt")),
+    )
+    return moved.groupBy("tier", "tier_next").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+ORACLE_Q234 = """
+WITH monthly AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS midx,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2
+),
+tiered AS (
+  SELECT o_custkey, midx,
+         CASE WHEN cents >= 30000000 THEN 'gold'
+              WHEN cents >= 15000000 THEN 'silver'
+              ELSE 'bronze' END AS tier
+  FROM monthly
+),
+moved AS (
+  SELECT tier,
+         CASE WHEN lead(midx) OVER w IS NULL
+                   OR lead(midx) OVER w > midx + 1
+              THEN 'churned' ELSE lead(tier) OVER w END AS tier_next
+  FROM tiered
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY midx)
+)
+SELECT tier, tier_next, count(*) AS n_customers
+FROM moved GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -13077,6 +13284,9 @@ QUERIES = {
     "q229_growth_accounting": q229_growth_accounting,
     "q230_largest_remainder_quota": q230_largest_remainder_quota,
     "q231_pareto_skyline": q231_pareto_skyline,
+    "q232_hhi_concentration": q232_hhi_concentration,
+    "q233_record_days": q233_record_days,
+    "q234_tier_migration": q234_tier_migration,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -13127,7 +13337,7 @@ _CHANGED_R8 = (
     "q210_", "q211_", "q212_", "q213_", "q214_", "q215_", "q216_",
     "q217_", "q218_", "q219_", "q220_", "q221_", "q222_",
     "q223_", "q224_", "q225_", "q226_", "q227_", "q228_",
-    "q229_", "q230_", "q231_",
+    "q229_", "q230_", "q231_", "q232_", "q233_", "q234_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -13389,4 +13599,7 @@ ORACLES: dict[str, str | None] = {
     "q229_growth_accounting": ORACLE_Q229,
     "q230_largest_remainder_quota": _oracle_q230(),
     "q231_pareto_skyline": ORACLE_Q231,
+    "q232_hhi_concentration": ORACLE_Q232,
+    "q233_record_days": ORACLE_Q233,
+    "q234_tier_migration": ORACLE_Q234,
 }

@@ -186,6 +186,8 @@ class TestRegistrySweep:
     # q230: the remainder rank + base sum windows span source-dim rows.
     # q231: the exclusive prefix-max orders the DISTINCT price
     # histogram (value-histogram class).
+    # q237: the descending cumulative orders the DISTINCT customer-
+    # revenue histogram (value-histogram class).
     GLOBAL_WINDOW_OK = {
         "q53_monthly_trend",
         "q104_quantile_sketch_accuracy",
@@ -198,6 +200,7 @@ class TestRegistrySweep:
         "q226_token_weighted_lengths",
         "q230_largest_remainder_quota",
         "q231_pareto_skyline",
+        "q237_pareto_customer_mass",
     }
 
     def test_no_scale_antipatterns_anywhere(self, spark, registry):

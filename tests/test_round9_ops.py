@@ -3673,3 +3673,91 @@ class TestTierMigration:
         # (last), c3's Mar row churns (last)
         assert got[("bronze", "churned")] == 4
         assert ("bronze", "bronze") not in got
+
+
+class TestContaminationNSweep:
+    def test_rate_decreases_with_n(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q235_contamination_n_sweep,
+        )
+
+        # eval docs are doc_id % 50 == 0 -> ids 0, 50.
+        # doc 0 shares a 16-gram with train doc 1 (fully contaminated
+        # at every n); doc 50 shares only a 4-word phrase with train
+        # doc 2 -> contaminated at n=4, clean at n=8/16.
+        long = " ".join(f"w{i}" for i in range(20))
+        phrase = "alpha beta gamma delta"
+        rows = [
+            (0, long),
+            (1, long + " tail token"),
+            (50, phrase + " unique ending here now"),
+            (2, "different start words then " + phrase),
+            (3, "totally unrelated filler content document"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        got = {r["n"]: r for r in
+               q235_contamination_n_sweep(spark, str(tmp_path)).collect()}
+        assert all(r["n_eval"] == 2 for r in got.values())
+        assert got[4]["n_contaminated"] == 2
+        assert got[8]["n_contaminated"] == 1
+        assert got[16]["n_contaminated"] == 1
+        assert got[4]["contaminated_ppm"] == 1_000_000
+        assert got[8]["contaminated_ppm"] == 500_000
+
+
+class TestCharclassProfile:
+    def test_exact_shares(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q236_charclass_profile,
+        )
+
+        # 10 chars: 4 letters, 2 digits, 2 spaces, 2 punct
+        rows = [(1, "ab cd 12!?", "s")]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        r = q236_charclass_profile(spark, str(tmp_path)).collect()[0]
+        assert r["n_chars"] == 10
+        assert r["letter_ppm"] == 400_000
+        assert r["digit_ppm"] == 200_000
+        assert r["space_ppm"] == 200_000
+        assert r["other_ppm"] == 200_000
+
+
+class TestParetoCustomerMass:
+    def test_concentrated_base(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q237_pareto_customer_mass,
+        )
+
+        d0 = dt.date(2024, 1, 1)
+        # one whale with 800 revenue; 20 minnows with DISTINCT
+        # revenues 1..20 (the report is tie-inclusive at histogram
+        # resolution, so distinct values give per-customer counts).
+        # total 1010: 50% -> whale alone; 80% (808) -> whale + the
+        # 20-minnow; 95% (959.5) -> whale + minnows 20..10 = 12.
+        orders = [(0, 0, 800.0, d0)]
+        orders += [(1 + i, 1 + i, float(1 + i), d0) for i in range(20)]
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long,"
+            " o_totalprice double, o_orderdate date"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "orders.parquet"))
+        got = {r["rev_pct"]: r for r in
+               q237_pareto_customer_mass(spark, str(tmp_path)).collect()}
+        assert got[50]["n_customers"] == 21
+        assert got[50]["n_top_customers"] == 1
+        assert got[80]["n_top_customers"] == 2
+        assert got[95]["n_top_customers"] == 12
+        assert got[50]["top_customer_ppm"] == 1_000_000 // 21

@@ -213,6 +213,9 @@ Operator coverage map (SURVEY §2 ids -> query):
   HHI concentration ................ q232 (squared shares per region)
   record-high tracker .............. q233 (running-max break days)
   tier migration matrix ............ q234 (spend-tier transitions)
+  contamination n-sweep ............ q235 (gram-size sensitivity)
+  char-class source profile ........ q236 (letters/digits/space ppm)
+  Pareto customer mass ............. q237 (customers for 50/80/95%)
 """
 
 from __future__ import annotations
@@ -13052,6 +13055,245 @@ FROM moved GROUP BY 1, 2
 """
 
 
+def q235_contamination_n_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-rate sensitivity to n-gram size: the share of
+    eval docs (the q101 holdout split, doc_id % 50 == 0) sharing at
+    least one word n-gram with the training corpus, for n in
+    {4, 8, 16} — the sweep that turns 'we decontaminated at n=8'
+    into a defended choice (small n over-flags common phrases, large
+    n misses paraphrases; q78/q157 measure at a fixed n, q130 sweeps
+    the fuzzy-dedup threshold the same way). Each setting is one
+    distinct-gram equi-join; the eval side is 2% of the corpus by
+    construction."""
+    docs = T(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    n_eval = ev.agg(F.count(F.lit(1)).alias("n_eval"))
+    out = None
+    for n in (4, 8, 16):
+        tg = dedup.word_shingles(tr, n=n).select("shingle").distinct()
+        eg = dedup.word_shingles(ev, n=n)
+        hit = (
+            eg.join(tg, "shingle", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        )
+        row = hit.crossJoin(bbound(n_eval, "single eval-count row")).select(
+            F.lit(n).alias("n"),
+            "n_eval",
+            "n_contaminated",
+            F.expr(
+                "CAST(CAST(n_contaminated AS DECIMAL(38,0)) * 1000000"
+                " DIV n_eval AS BIGINT)"
+            ).alias("contaminated_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _oracle_q235() -> str:
+    branches = []
+    for n in (4, 8, 16):
+        branches.append(f"""
+c{n} AS (
+  WITH {osql.shingles_cte_sql(n)}
+  SELECT count(DISTINCT e.doc_id) AS n_contaminated
+  FROM (SELECT * FROM doc_shingles WHERE doc_id % 50 = 0) e
+  JOIN (SELECT DISTINCT shingle FROM doc_shingles
+        WHERE doc_id % 50 <> 0) t USING (shingle)
+)""")
+        # each branch re-derives doc_shingles at its own n inside a
+        # scoped WITH, so the shared CTE names cannot collide
+    return f"""
+WITH ne AS (
+  SELECT count(*) AS n_eval FROM documents WHERE doc_id % 50 = 0
+),
+{",".join(branches)}
+SELECT n, n_eval, n_contaminated,
+       CAST(CAST(n_contaminated AS HUGEINT) * 1000000 // n_eval
+            AS BIGINT) AS contaminated_ppm
+FROM (
+  SELECT 4 AS n, (SELECT n_contaminated FROM c4) AS n_contaminated
+  UNION ALL
+  SELECT 8, (SELECT n_contaminated FROM c8)
+  UNION ALL
+  SELECT 16, (SELECT n_contaminated FROM c16)
+) CROSS JOIN ne
+"""
+
+
+def q236_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class fingerprint per source: the ppm split of every
+    source's bytes into letters / digits / whitespace / punctuation —
+    the cheap structural signature that separates prose from tables
+    from code dumps before any tokenizer runs (q16 profiles per-doc
+    stats; this is the per-SOURCE composition a crawl dashboard
+    plots). Pure regexp_replace length arithmetic — one scan, one
+    source-bounded aggregate, no explode."""
+    docs = T(spark, sf_dir, "documents")
+    total = F.length("text")
+    letters = total - F.length(F.regexp_replace("text", r"[A-Za-z]", ""))
+    digits = total - F.length(F.regexp_replace("text", r"[0-9]", ""))
+    spaces = total - F.length(F.regexp_replace("text", r"\s", ""))
+    per = docs.select(
+        "source",
+        total.alias("_t"),
+        letters.alias("_l"),
+        digits.alias("_d"),
+        spaces.alias("_s"),
+    ).groupBy("source").agg(
+        F.sum("_t").alias("n_chars"),
+        F.sum("_l").alias("_letters"),
+        F.sum("_d").alias("_digits"),
+        F.sum("_s").alias("_spaces"),
+    )
+    ppm = (
+        lambda c: F.expr(
+            f"CAST(CAST({c} AS DECIMAL(38,0)) * 1000000 DIV n_chars"
+            " AS BIGINT)"
+        )
+    )
+    return per.filter(F.col("n_chars") > 0).select(
+        "source",
+        "n_chars",
+        ppm("_letters").alias("letter_ppm"),
+        ppm("_digits").alias("digit_ppm"),
+        ppm("_spaces").alias("space_ppm"),
+        ppm("n_chars - _letters - _digits - _spaces").alias("other_ppm"),
+    )
+
+
+ORACLE_Q236 = """
+WITH per AS (
+  SELECT source,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         CAST(sum(length(text)
+              - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+              AS BIGINT) AS letters,
+         CAST(sum(length(text)
+              - length(regexp_replace(text, '[0-9]', '', 'g')))
+              AS BIGINT) AS digits,
+         CAST(sum(length(text)
+              - length(regexp_replace(text, '\\s', '', 'g')))
+              AS BIGINT) AS spaces
+  FROM documents GROUP BY 1
+)
+SELECT source, n_chars,
+       CAST(CAST(letters AS HUGEINT) * 1000000 // n_chars AS BIGINT)
+         AS letter_ppm,
+       CAST(CAST(digits AS HUGEINT) * 1000000 // n_chars AS BIGINT)
+         AS digit_ppm,
+       CAST(CAST(spaces AS HUGEINT) * 1000000 // n_chars AS BIGINT)
+         AS space_ppm,
+       CAST(CAST(n_chars - letters - digits - spaces AS HUGEINT)
+            * 1000000 // n_chars AS BIGINT) AS other_ppm
+FROM per WHERE n_chars > 0
+"""
+
+
+def q237_pareto_customer_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 numbers: how many customers (count and ppm of the
+    base) generate 50% / 80% / 95% of total revenue — the Pareto
+    headline behind account-tier staffing (q167's Gini compresses the
+    whole curve to one number; execs ask for THESE three points).
+    Computed from the customer-revenue HISTOGRAM descending (distinct
+    revenue values, q167's class): cumulative revenue and cumulative
+    customer counts per value level, then each threshold is a
+    conditional min over histogram rows. Counts are TIE-INCLUSIVE:
+    customers sharing the boundary revenue value are indivisible at
+    histogram resolution, so all of them are counted in (exact-cent
+    revenue totals rarely tie in practice; a per-customer resolution
+    would need a corpus-sized global rank)."""
+    orders = T(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "cents"
+        )
+    )
+    hist = per_cust.groupBy("cents").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("cents").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.withColumn(
+        "cum_rev", F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * n")).over(w)
+    ).withColumn("cum_cust", F.sum("n").over(w))
+    tot = hist.agg(
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * n")).alias("_tr"),
+        F.sum("n").alias("_tc"),
+    )
+    j = cum.crossJoin(bbound(tot, "single totals row"))
+    sel = j.agg(
+        *[
+            F.min(
+                F.when(
+                    F.expr(f"cum_rev * 100 >= _tr * {pct}"),
+                    F.col("cum_cust"),
+                )
+            ).alias(f"c{pct}")
+            for pct in (50, 80, 95)
+        ],
+        F.expr("CAST(max(_tc) AS BIGINT)").alias("n_customers"),
+    )
+    return sel.selectExpr(
+        "stack(3, 50, c50, 80, c80, 95, c95) AS (rev_pct, n_top_customers)",
+        "n_customers",
+    ).select(
+        F.col("rev_pct").cast("int").alias("rev_pct"),
+        F.col("n_top_customers").cast("bigint").alias("n_top_customers"),
+        "n_customers",
+        F.expr(
+            "CAST(CAST(n_top_customers AS DECIMAL(38,0)) * 1000000"
+            " DIV n_customers AS BIGINT)"
+        ).alias("top_customer_ppm"),
+    )
+
+
+ORACLE_Q237 = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+hist AS (SELECT cents, count(*) AS n FROM per_cust GROUP BY 1),
+cum AS (
+  SELECT cents,
+         sum(CAST(cents AS HUGEINT) * n)
+           OVER (ORDER BY cents DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_rev,
+         sum(n) OVER (ORDER BY cents DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_cust
+  FROM hist
+),
+tot AS (
+  SELECT sum(CAST(cents AS HUGEINT) * n) AS tr,
+         CAST(sum(n) AS BIGINT) AS tc
+  FROM hist
+),
+sel AS (
+  SELECT
+    min(CASE WHEN cum_rev * 100 >= tr * 50 THEN cum_cust END) AS c50,
+    min(CASE WHEN cum_rev * 100 >= tr * 80 THEN cum_cust END) AS c80,
+    min(CASE WHEN cum_rev * 100 >= tr * 95 THEN cum_cust END) AS c95,
+    max(tc) AS n_customers
+  FROM cum CROSS JOIN tot
+)
+SELECT CAST(rev_pct AS INTEGER) AS rev_pct,
+       CAST(n_top AS BIGINT) AS n_top_customers,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       CAST(CAST(n_top AS HUGEINT) * 1000000 // n_customers AS BIGINT)
+         AS top_customer_ppm
+FROM (
+  SELECT unnest([50, 80, 95]) AS rev_pct,
+         unnest([c50, c80, c95]) AS n_top,
+         n_customers
+  FROM sel
+)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -13287,6 +13529,9 @@ QUERIES = {
     "q232_hhi_concentration": q232_hhi_concentration,
     "q233_record_days": q233_record_days,
     "q234_tier_migration": q234_tier_migration,
+    "q235_contamination_n_sweep": q235_contamination_n_sweep,
+    "q236_charclass_profile": q236_charclass_profile,
+    "q237_pareto_customer_mass": q237_pareto_customer_mass,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -13338,6 +13583,7 @@ _CHANGED_R8 = (
     "q217_", "q218_", "q219_", "q220_", "q221_", "q222_",
     "q223_", "q224_", "q225_", "q226_", "q227_", "q228_",
     "q229_", "q230_", "q231_", "q232_", "q233_", "q234_",
+    "q235_", "q236_", "q237_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -13602,4 +13848,7 @@ ORACLES: dict[str, str | None] = {
     "q232_hhi_concentration": ORACLE_Q232,
     "q233_record_days": ORACLE_Q233,
     "q234_tier_migration": ORACLE_Q234,
+    "q235_contamination_n_sweep": _oracle_q235(),
+    "q236_charclass_profile": ORACLE_Q236,
+    "q237_pareto_customer_mass": ORACLE_Q237,
 }

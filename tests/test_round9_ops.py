@@ -3761,3 +3761,89 @@ class TestParetoCustomerMass:
         assert got[80]["n_top_customers"] == 2
         assert got[95]["n_top_customers"] == 12
         assert got[50]["top_customer_ppm"] == 1_000_000 // 21
+
+
+class TestBounceRate:
+    def test_entry_attribution_and_bounces(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import q238_bounce_rate
+
+        t0 = dt.datetime(2024, 10, 1, 9)
+        m = dt.timedelta(minutes=1)
+        rows = [
+            # u1: session of 3 events entered via view -> not a bounce
+            (1, t0, 1, "view"), (2, t0 + m, 1, "click"),
+            (3, t0 + 2 * m, 1, "purchase"),
+            # u1 second session (>30min later): lone click -> bounce
+            (4, t0 + 60 * m, 1, "click"),
+            # u2: lone view -> bounce
+            (5, t0, 2, "view"),
+        ]
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "events.parquet"))
+        got = {r["entry_type"]: r for r in
+               q238_bounce_rate(spark, str(tmp_path)).collect()}
+        assert (got["view"]["n_sessions"], got["view"]["n_bounces"]) == (2, 1)
+        assert got["view"]["bounce_ppm"] == 500_000
+        assert (got["click"]["n_sessions"], got["click"]["n_bounces"]) == (1, 1)
+
+
+class TestSingleSourceRisk:
+    def test_buckets_and_mass(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q239_single_source_risk,
+        )
+
+        lines = [
+            # part 1: one supplier, 100.00 revenue
+            (1, 11, 100.0, 0.0),
+            # part 2: two suppliers, 300.00 total
+            (2, 21, 100.0, 0.0), (2, 22, 200.0, 0.0),
+            # part 3: one supplier seen twice (still 1 distinct), 100
+            (3, 31, 50.0, 0.0), (3, 31, 50.0, 0.0),
+        ]
+        spark.createDataFrame(
+            lines, "l_partkey long, l_suppkey long,"
+            " l_extendedprice double, l_discount double"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "lineitem.parquet"))
+        got = {r["n_suppliers"]: r for r in
+               q239_single_source_risk(spark, str(tmp_path)).collect()}
+        assert got[1]["n_parts"] == 2
+        assert got[1]["revenue_cents"] == 20_000
+        assert got[2]["n_parts"] == 1
+        assert got[1]["revenue_share_ppm"] == 400_000
+        assert got[2]["revenue_share_ppm"] == 600_000
+
+
+class TestMixedLanguageRate:
+    def test_code_switch_flagged(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q240_mixed_language_rate,
+        )
+
+        pure_en = "the cat and the dog of a to the house"
+        mixed = "the house of the cat le chat et la maison le les"
+        weak = "the cat le chat runs fast today"  # fr hits: le=1 -> not mixed
+        rows = [
+            (1, pure_en, "s1"), (2, mixed, "s1"),
+            (3, weak, "s2"), (4, pure_en, "s2"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        got = {r["source"]: r for r in
+               q240_mixed_language_rate(spark, str(tmp_path)).collect()}
+        assert (got["s1"]["n_docs"], got["s1"]["n_mixed"]) == (2, 1)
+        assert got["s1"]["mixed_ppm"] == 500_000
+        assert got["s2"]["n_mixed"] == 0

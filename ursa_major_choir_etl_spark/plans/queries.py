@@ -216,6 +216,9 @@ Operator coverage map (SURVEY §2 ids -> query):
   contamination n-sweep ............ q235 (gram-size sensitivity)
   char-class source profile ........ q236 (letters/digits/space ppm)
   Pareto customer mass ............. q237 (customers for 50/80/95%)
+  session bounce rate .............. q238 (entry-type landing quality)
+  single-source supply risk ........ q239 (revenue on 1-supplier parts)
+  mixed-language rate .............. q240 (code-switch detection/source)
 """
 
 from __future__ import annotations
@@ -13294,6 +13297,227 @@ FROM (
 """
 
 
+def q238_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session bounce rate by entry event: of the 30-minute-gap
+    sessions (q13's rule) that OPEN with each event type, how many
+    end after that single event — the landing-quality metric web
+    analytics leads with (q220 sizes concurrency; this grades the
+    entry experience). The entry event is a struct-min over the
+    session (tie at the same microsecond breaks to the
+    lexicographically smaller type, same rule both engines); bounce
+    = single-event session. One per-user window + one session
+    aggregate."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("um"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("um")
+    marked = ev.withColumn(
+        "new_s",
+        F.when(
+            F.col("um") - F.lag("um").over(wu) > 1_800_000_000, 1
+        ).when(F.lag("um").over(wu).isNull(), 1).otherwise(0),
+    )
+    sess = (
+        marked.withColumn(
+            "sid",
+            F.sum("new_s").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(
+                F.struct(
+                    F.col("um").alias("um"),
+                    F.col("event_type").alias("et"),
+                )
+            ).alias("_entry"),
+        )
+    )
+    return sess.groupBy(F.col("_entry.et").alias("entry_type")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("int")).alias("n_bounces"),
+    ).withColumn(
+        "bounce_ppm",
+        F.expr(
+            "CAST(CAST(n_bounces AS DECIMAL(38,0)) * 1000000"
+            " DIV n_sessions AS BIGINT)"
+        ),
+    )
+
+
+ORACLE_Q238 = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS um FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN um - lag(um) OVER w > 1800000000
+                      OR lag(um) OVER w IS NULL
+                 THEN 1 ELSE 0 END AS new_s
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY um)
+),
+sess AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY um
+                          ROWS UNBOUNDED PRECEDING) AS sid,
+         um, event_type
+  FROM marked
+),
+per_sess AS (
+  SELECT user_id, sid, count(*) AS n_events,
+         min({'um': um, 'et': event_type}) AS entry
+  FROM sess GROUP BY 1, 2
+)
+SELECT (entry).et AS entry_type,
+       count(*) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+         AS bounce_ppm
+FROM per_sess GROUP BY 1
+"""
+
+
+def q239_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration audit: parts bucketed by how many
+    DISTINCT suppliers have ever shipped them, with the revenue mass
+    riding on each bucket — the single-source risk report procurement
+    runs before a disruption, not after (q69 profiles key skew; this
+    prices it: 'X% of revenue flows through parts with exactly one
+    supplier'). One (part, supplier) distinct + one part-level
+    aggregate; the bucket histogram is supplier-count-bounded."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.sum("cents").alias("cents"),
+    )
+    hist = per_part.groupBy("n_suppliers").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    tot = per_part.agg(F.sum("cents").alias("_t"))
+    return hist.crossJoin(bbound(tot, "single total-revenue row")).select(
+        "n_suppliers",
+        "n_parts",
+        "revenue_cents",
+        F.expr(
+            "CAST(CAST(revenue_cents AS DECIMAL(38,0)) * 1000000"
+            " DIV _t AS BIGINT)"
+        ).alias("revenue_share_ppm"),
+    )
+
+
+ORACLE_Q239 = """
+WITH li AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+              AS BIGINT) AS cents
+  FROM lineitem
+),
+per_part AS (
+  SELECT l_partkey,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+         sum(cents) AS cents
+  FROM li GROUP BY 1
+),
+hist AS (
+  SELECT n_suppliers, count(*) AS n_parts,
+         CAST(sum(cents) AS BIGINT) AS revenue_cents
+  FROM per_part GROUP BY 1
+),
+tot AS (SELECT sum(cents) AS t FROM per_part)
+SELECT n_suppliers, n_parts, revenue_cents,
+       CAST(CAST(revenue_cents AS HUGEINT) * 1000000 // t AS BIGINT)
+         AS revenue_share_ppm
+FROM hist CROSS JOIN tot
+"""
+
+
+def q240_mixed_language_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language detection rate per source: a doc is MIXED when
+    at least two languages' marker words (q17's lists) each hit twice
+    or more — code-switched or concatenated-crawl documents degrade
+    both lang-gated curation and tokenizer fit, and per-source rates
+    say which feed stitches pages together (q216 grades the
+    classifier's argmax; this measures when argmax is the wrong
+    question). Marker counting is the same token-list filter as
+    language_id, all in scan-stage expressions; one source groupBy."""
+    from ursa_major_choir_etl_spark.operators.text import LANG_MARKERS
+
+    docs = T(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    hits = []
+    for lang in sorted(LANG_MARKERS):
+        markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        hits.append(
+            F.expr(
+                "size(filter(_toks,"
+                f" x -> array_contains(array({markers}), x)))"
+            ).alias(f"_h_{lang}")
+        )
+    staged = docs.select("source", toks.alias("_toks")).select(
+        "source", *hits
+    )
+    n_langs = sum(
+        (
+            (F.col(f"_h_{lang}") >= 2).cast("int")
+            for lang in sorted(LANG_MARKERS)
+        ),
+        F.lit(0),
+    )
+    flagged = staged.select(
+        "source", (n_langs >= 2).cast("int").alias("mixed")
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("mixed").alias("n_mixed"),
+    ).withColumn(
+        "mixed_ppm",
+        F.expr(
+            "CAST(CAST(n_mixed AS DECIMAL(38,0)) * 1000000 DIV n_docs"
+            " AS BIGINT)"
+        ),
+    )
+
+
+def _oracle_q240() -> str:
+    from ursa_major_choir_etl_spark.operators.text import LANG_MARKERS
+
+    toks = osql.tokens_sql("lower(text)")
+    hit_terms = []
+    for lang in sorted(LANG_MARKERS):
+        markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        hit_terms.append(
+            "CASE WHEN len(list_filter({t},"
+            " x -> list_contains([{m}], x))) >= 2"
+            " THEN 1 ELSE 0 END".format(t=toks, m=markers)
+        )
+    n_langs = " + ".join(hit_terms)
+    return f"""
+WITH flagged AS (
+  SELECT source,
+         CASE WHEN ({n_langs}) >= 2 THEN 1 ELSE 0 END AS mixed
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(mixed) AS BIGINT) AS n_mixed,
+       CAST(CAST(sum(mixed) AS HUGEINT) * 1000000 // count(*)
+            AS BIGINT) AS mixed_ppm
+FROM flagged GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -13532,6 +13756,9 @@ QUERIES = {
     "q235_contamination_n_sweep": q235_contamination_n_sweep,
     "q236_charclass_profile": q236_charclass_profile,
     "q237_pareto_customer_mass": q237_pareto_customer_mass,
+    "q238_bounce_rate": q238_bounce_rate,
+    "q239_single_source_risk": q239_single_source_risk,
+    "q240_mixed_language_rate": q240_mixed_language_rate,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -13583,7 +13810,7 @@ _CHANGED_R8 = (
     "q217_", "q218_", "q219_", "q220_", "q221_", "q222_",
     "q223_", "q224_", "q225_", "q226_", "q227_", "q228_",
     "q229_", "q230_", "q231_", "q232_", "q233_", "q234_",
-    "q235_", "q236_", "q237_",
+    "q235_", "q236_", "q237_", "q238_", "q239_", "q240_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -13851,4 +14078,7 @@ ORACLES: dict[str, str | None] = {
     "q235_contamination_n_sweep": _oracle_q235(),
     "q236_charclass_profile": ORACLE_Q236,
     "q237_pareto_customer_mass": ORACLE_Q237,
+    "q238_bounce_rate": ORACLE_Q238,
+    "q239_single_source_risk": ORACLE_Q239,
+    "q240_mixed_language_rate": _oracle_q240(),
 }

@@ -3847,3 +3847,100 @@ class TestMixedLanguageRate:
         assert (got["s1"]["n_docs"], got["s1"]["n_mixed"]) == (2, 1)
         assert got["s1"]["mixed_ppm"] == 500_000
         assert got["s2"]["n_mixed"] == 0
+
+
+class TestUshapeAttribution:
+    def test_position_credits(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q241_ushape_attribution,
+        )
+
+        t0 = dt.datetime(2024, 11, 1, 9)
+        m = dt.timedelta(minutes=1)
+        rows = [
+            # u1: 4 touches A,B,B,C then purchase ->
+            # A: 400, B: 100+100, C: 400
+            (1, t0, 1, "A"), (2, t0 + m, 1, "B"),
+            (3, t0 + 2 * m, 1, "B"), (4, t0 + 3 * m, 1, "C"),
+            (5, t0 + 4 * m, 1, "purchase"),
+            # u2: single touch D -> 1000
+            (6, t0, 2, "D"), (7, t0 + m, 2, "purchase"),
+            # u3: touches but never purchases -> excluded
+            (8, t0, 3, "A"), (9, t0 + m, 3, "B"),
+        ]
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "events.parquet"))
+        got = {r["event_type"]: r["credit_milli"] for r in
+               q241_ushape_attribution(spark, str(tmp_path)).collect()}
+        assert got == {"A": 400, "B": 200, "C": 400, "D": 1000}
+
+
+class TestClusterSourcePurity:
+    def test_intra_vs_cross_source_clusters(self, spark, tmp_path,
+                                            monkeypatch):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q242_cluster_source_purity,
+        )
+
+        monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS",
+                           os.path.join(str(tmp_path), "art"))
+        t1 = "alpha beta gamma delta epsilon zeta"
+        t2 = "eta theta iota kappa lambda mu"
+        rows = [
+            # cluster 1: both docs in srcA -> 1 source
+            (1, t1, "srcA"), (2, t1, "srcA"),
+            # cluster 2: crosses srcA and srcB -> 2 sources
+            (3, t2, "srcA"), (4, t2, "srcB"),
+            (5, "unique unclustered text body here", "srcC"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        got = {r["n_sources"]: r for r in
+               q242_cluster_source_purity(spark, str(tmp_path)).collect()}
+        assert got[1]["n_clusters"] == 1 and got[1]["n_docs"] == 2
+        assert got[2]["n_clusters"] == 1 and got[2]["n_docs"] == 2
+
+
+class TestAr1Persistence:
+    def test_constant_series_and_alternating(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q243_ar1_persistence,
+        )
+
+        t0 = dt.datetime(2024, 2, 1, 12)
+        rows = []
+        eid = 0
+        # trend: counts 1..10 over 10 consecutive days -> regressing
+        # y=x+1 on x gives slope exactly 1 -> phi = 1e6
+        for d in range(10):
+            for _ in range(d + 1):
+                rows.append((eid, t0 + dt.timedelta(days=d), 1, "up"))
+                eid += 1
+        # alternating 1,3,1,3... -> slope -1 -> phi = -1e6
+        for d in range(10):
+            for _ in range(1 if d % 2 == 0 else 3):
+                rows.append((eid, t0 + dt.timedelta(days=d), 1, "alt"))
+                eid += 1
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "events.parquet"))
+        got = {r["event_type"]: r for r in
+               q243_ar1_persistence(spark, str(tmp_path)).collect()}
+        assert got["up"]["n_pairs"] == 9
+        assert got["up"]["phi_micro"] == 1_000_000
+        assert got["alt"]["phi_micro"] == -1_000_000

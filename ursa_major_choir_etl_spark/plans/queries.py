@@ -219,6 +219,9 @@ Operator coverage map (SURVEY §2 ids -> query):
   session bounce rate .............. q238 (entry-type landing quality)
   single-source supply risk ........ q239 (revenue on 1-supplier parts)
   mixed-language rate .............. q240 (code-switch detection/source)
+  U-shaped attribution ............. q241 (40/20/40 position credits)
+  cluster source purity ............ q242 (dup-cluster source span)
+  AR(1) volume persistence ......... q243 (lagged OLS, integer phi)
 """
 
 from __future__ import annotations
@@ -13518,6 +13521,208 @@ FROM flagged GROUP BY 1
 """
 
 
+def q241_ushape_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each
+    converting user's pre-purchase touches split 1000 milli-credits
+    40/20/40 — first touch 400, last touch 400, the middle 200 shared
+    equally (q187's first/last models are the endpoints; the U-shape
+    is the industry compromise between them). Integer milli-credits
+    floor deterministically (a k-2 middle split keeps the remainder
+    unassigned — stated, not hidden); single-touch journeys take the
+    full 1000, two-touch 500/500. One per-user window pass over
+    touches before the FIRST purchase."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("unix_micros(ts)").alias("um")
+    )
+    wu = Window.partitionBy("user_id")
+    first_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("um"))
+    ).over(wu)
+    touches = (
+        ev.withColumn("_fp", first_purchase)
+        .filter(
+            F.col("_fp").isNotNull()
+            & (F.col("um") < F.col("_fp"))
+            & (F.col("event_type") != "purchase")
+        )
+    )
+    wt = Window.partitionBy("user_id").orderBy("um", "event_type")
+    wtd = Window.partitionBy("user_id").orderBy(
+        F.col("um").desc(), F.col("event_type").desc()
+    )
+    ranked = (
+        touches.withColumn("_ra", F.row_number().over(wt))
+        .withColumn("_rd", F.row_number().over(wtd))
+        .withColumn("_k", F.count(F.lit(1)).over(wu))
+    )
+    credit = (
+        F.when(F.col("_k") == 1, F.lit(1000))
+        .when(F.col("_k") == 2, F.lit(500))
+        .when(F.col("_ra") == 1, F.lit(400))
+        .when(F.col("_rd") == 1, F.lit(400))
+        .otherwise(F.expr("200 DIV (_k - 2)"))
+    )
+    return ranked.select("event_type", credit.alias("_c")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("_c").alias("credit_milli"),
+    )
+
+
+ORACLE_Q241 = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS um FROM events
+),
+fp AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' THEN um END)
+              OVER (PARTITION BY user_id) AS first_p
+  FROM ev
+),
+touches AS (
+  SELECT user_id, event_type, um FROM fp
+  WHERE first_p IS NOT NULL AND um < first_p
+    AND event_type <> 'purchase'
+),
+ranked AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY um, event_type) AS ra,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY um DESC, event_type DESC) AS rd,
+         count(*) OVER (PARTITION BY user_id) AS k
+  FROM touches
+),
+credited AS (
+  SELECT event_type,
+         CASE WHEN k = 1 THEN 1000
+              WHEN k = 2 THEN 500
+              WHEN ra = 1 THEN 400
+              WHEN rd = 1 THEN 400
+              ELSE 200 // (k - 2) END AS c
+  FROM ranked
+)
+SELECT event_type, count(*) AS n_touches,
+       CAST(sum(c) AS BIGINT) AS credit_milli
+FROM credited GROUP BY 1
+"""
+
+
+def q242_cluster_source_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source purity of fuzzy-dedup clusters: for each transitive
+    near-duplicate cluster (CC over the materialized q20 pair
+    artifact), how many DISTINCT sources its members span — the
+    cluster-level complement of q224's pair matrix ('is duplication
+    intra-feed noise or cross-feed syndication'), binned into a
+    span histogram so the answer stays one small table. Artifact
+    consumers only: one doc-keyed source lookup + two bounded
+    aggregates on cluster labels."""
+    clusters = dedup.connected_components(jaccard_pairs_table(spark, sf_dir))
+    docs = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"), "source"
+    )
+    per_cluster = (
+        clusters.join(docs, "node")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+    return per_cluster.groupBy("n_sources").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+    )
+
+
+def _oracle_q242() -> str:
+    return f"""
+WITH RECURSIVE {_cc_oracle_ctes()},
+comp AS (SELECT n AS node, min(m) AS component FROM reach GROUP BY n),
+per_cluster AS (
+  SELECT c.component, count(*) AS sz,
+         CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+  GROUP BY 1
+)
+SELECT n_sources, count(*) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs
+FROM per_cluster GROUP BY 1
+"""
+
+
+def q243_ar1_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) persistence of daily event volume per type: the OLS
+    coefficient of today's count on yesterday's — phi near 1e6 means
+    shocks persist (capacity must absorb runs), near 0 means noise,
+    negative means mean-reversion. The q225 integer least-squares
+    closed form applied to LAGGED pairs from per-type daily windows
+    (calendar-bounded); consecutive-day pairs only, so gaps don't
+    fabricate transitions."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wt = Window.partitionBy("event_type").orderBy("day")
+    pairs = (
+        daily.withColumn("_pd", F.lag("day").over(wt))
+        .withColumn("_pc", F.lag("cnt").over(wt))
+        .filter(F.expr("datediff(day, _pd) = 1"))
+        .select(
+            "event_type",
+            F.col("_pc").alias("x"),
+            F.col("cnt").alias("y"),
+        )
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("_sx"),
+        F.sum("y").alias("_sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("_sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("_sxx"),
+    ).select(
+        "event_type",
+        "n_pairs",
+        F.expr(
+            "CASE WHEN n_pairs > 1"
+            " AND n_pairs * _sxx - _sx * _sx <> 0 THEN CAST("
+            " (n_pairs * _sxy - _sx * _sy) * 1000000"
+            " DIV (n_pairs * _sxx - _sx * _sx) AS BIGINT) END"
+        ).alias("phi_micro"),
+    )
+
+
+ORACLE_Q243 = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT event_type,
+         lag(cnt) OVER w AS x, cnt AS y,
+         lag(day) OVER w AS pd, day
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+ok AS (
+  SELECT event_type, CAST(x AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y
+  FROM pairs WHERE pd IS NOT NULL AND day - pd = 1
+),
+agg AS (
+  SELECT event_type, count(*) AS n_pairs,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM ok GROUP BY 1
+)
+SELECT event_type, n_pairs,
+       CASE WHEN n_pairs > 1 AND n_pairs * sxx - sx * sx <> 0 THEN
+         CAST((n_pairs * sxy - sx * sy) * 1000000
+              // (n_pairs * sxx - sx * sx) AS BIGINT)
+       END AS phi_micro
+FROM agg
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -13759,6 +13964,9 @@ QUERIES = {
     "q238_bounce_rate": q238_bounce_rate,
     "q239_single_source_risk": q239_single_source_risk,
     "q240_mixed_language_rate": q240_mixed_language_rate,
+    "q241_ushape_attribution": q241_ushape_attribution,
+    "q242_cluster_source_purity": q242_cluster_source_purity,
+    "q243_ar1_persistence": q243_ar1_persistence,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -13811,6 +14019,7 @@ _CHANGED_R8 = (
     "q223_", "q224_", "q225_", "q226_", "q227_", "q228_",
     "q229_", "q230_", "q231_", "q232_", "q233_", "q234_",
     "q235_", "q236_", "q237_", "q238_", "q239_", "q240_",
+    "q241_", "q242_", "q243_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -14081,4 +14290,7 @@ ORACLES: dict[str, str | None] = {
     "q238_bounce_rate": ORACLE_Q238,
     "q239_single_source_risk": ORACLE_Q239,
     "q240_mixed_language_rate": _oracle_q240(),
+    "q241_ushape_attribution": ORACLE_Q241,
+    "q242_cluster_source_purity": _oracle_q242(),
+    "q243_ar1_persistence": ORACLE_Q243,
 }

@@ -188,6 +188,8 @@ class TestRegistrySweep:
     # histogram (value-histogram class).
     # q237: the descending cumulative orders the DISTINCT customer-
     # revenue histogram (value-histogram class).
+    # q244: the adjacent-month lag window orders calendar-bounded
+    # month rows (q53's class).
     GLOBAL_WINDOW_OK = {
         "q53_monthly_trend",
         "q104_quantile_sketch_accuracy",
@@ -201,6 +203,7 @@ class TestRegistrySweep:
         "q230_largest_remainder_quota",
         "q231_pareto_skyline",
         "q237_pareto_customer_mass",
+        "q244_revenue_bridge",
     }
 
     def test_no_scale_antipatterns_anywhere(self, spark, registry):

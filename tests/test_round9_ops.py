@@ -3944,3 +3944,90 @@ class TestAr1Persistence:
         assert got["up"]["n_pairs"] == 9
         assert got["up"]["phi_micro"] == 1_000_000
         assert got["alt"]["phi_micro"] == -1_000_000
+
+
+class TestRevenueBridge:
+    def test_pure_volume_and_pure_price_deltas(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q244_revenue_bridge,
+        )
+
+        lines = []
+        # month 0: 10 units @ 2.00 = 20.00
+        for i in range(10):
+            lines.append((1.0, 2.0, 0.0, dt.date(2024, 1, 2 + i)))
+        # month 1: 20 units @ 2.00 -> pure volume effect +20.00
+        for i in range(20):
+            lines.append((1.0, 2.0, 0.0, dt.date(2024, 2, 2 + i % 25)))
+        # month 2: 20 units @ 3.00 -> pure price effect +20.00
+        for i in range(20):
+            lines.append((1.0, 3.0, 0.0, dt.date(2024, 3, 2 + i % 25)))
+        spark.createDataFrame(
+            lines, "l_quantity double, l_extendedprice double,"
+            " l_discount double, l_shipdate date"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "lineitem.parquet"))
+        got = sorted(q244_revenue_bridge(spark, str(tmp_path)).collect(),
+                     key=lambda r: r["midx"])
+        feb, mar = got
+        assert feb["delta_cents"] == 2000
+        assert feb["volume_effect_cents"] == 2000
+        assert feb["price_effect_cents"] == 0
+        assert feb["residual_cents"] == 0
+        assert mar["delta_cents"] == 2000
+        assert mar["volume_effect_cents"] == 0
+        assert mar["price_effect_cents"] == 2000
+        assert mar["residual_cents"] == 0
+
+
+class TestRelationalDivision:
+    def test_only_full_coverage_suppliers_pass(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q245_relational_division,
+        )
+
+        spark.createDataFrame(
+            [(1, "B1"), (2, "B2"), (3, "B3"), (4, "B1")],
+            "p_partkey long, p_brand string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "part.parquet"))
+        lines = [
+            # supplier 10 ships parts of all three brands
+            (10, 1), (10, 2), (10, 3), (10, 4),
+            # supplier 20 covers only B1/B2
+            (20, 1), (20, 2), (20, 4),
+        ]
+        spark.createDataFrame(
+            lines, "l_suppkey long, l_partkey long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "lineitem.parquet"))
+        got = q245_relational_division(spark, str(tmp_path)).collect()
+        assert len(got) == 1
+        assert got[0]["l_suppkey"] == 10
+        assert got[0]["n_brands_covered"] == 3
+        assert got[0]["n_lines"] == 4
+
+
+class TestDedupFixpoint:
+    def test_fixpoint_holds(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q246_dedup_fixpoint,
+        )
+
+        rows = [(1, "same text"), (2, "same text"), (3, "same text"),
+                (4, "another doc"), (5, "third body")]
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        r = q246_dedup_fixpoint(spark, str(tmp_path)).collect()[0]
+        assert (r["n_docs"], r["n_after_dedup"], r["n_removed"]) == (5, 3, 2)
+        assert r["dup_groups_second_pass"] == 0
+        assert r["is_fixpoint"] is True

@@ -222,6 +222,9 @@ Operator coverage map (SURVEY §2 ids -> query):
   U-shaped attribution ............. q241 (40/20/40 position credits)
   cluster source purity ............ q242 (dup-cluster source span)
   AR(1) volume persistence ......... q243 (lagged OLS, integer phi)
+  revenue bridge ................... q244 (price vs volume effects)
+  relational division .............. q245 (FOR ALL via count trick)
+  dedup fixpoint audit ............. q246 (second-pass zero invariant)
 """
 
 from __future__ import annotations
@@ -13723,6 +13726,205 @@ FROM agg
 """
 
 
+def q244_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue bridge: the FP&A decomposition of each
+    revenue delta into a VOLUME effect ((q1-q0) at old unit price)
+    and a PRICE effect ((p1-p0) on new volume) — 'did we sell more,
+    or sell dearer' (q53 reports the raw MoM delta; this explains
+    it). Unit prices are integer micro-cents (rev*1e6 DIV qty), so
+    both engines floor identically; the flooring residual is REPORTED
+    as its own column rather than smeared into either effect. Adjacent
+    months meet in per-lag windows over calendar-bounded month rows."""
+    li = T(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).alias(
+            "midx"
+        )
+    ).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                0,
+            ).cast("long")
+        ).alias("rev_cents"),
+    ).withColumn(
+        "price_u",
+        F.expr(
+            "CAST(CAST(rev_cents AS DECIMAL(38,0)) * 1000000 DIV qty"
+            " AS BIGINT)"
+        ),
+    )
+    w = Window.orderBy("midx")
+    paired = (
+        monthly.withColumn("_pm", F.lag("midx").over(w))
+        .withColumn("_q0", F.lag("qty").over(w))
+        .withColumn("_r0", F.lag("rev_cents").over(w))
+        .withColumn("_p0", F.lag("price_u").over(w))
+        .filter(F.col("_pm") == F.col("midx") - 1)
+    )
+    return paired.select(
+        "midx",
+        F.col("_r0").alias("rev_prev_cents"),
+        F.col("rev_cents").alias("rev_cents"),
+        (F.col("rev_cents") - F.col("_r0")).alias("delta_cents"),
+        F.expr(
+            "CAST(CAST(qty - _q0 AS DECIMAL(38,0)) * _p0 DIV 1000000"
+            " AS BIGINT)"
+        ).alias("volume_effect_cents"),
+        F.expr(
+            "CAST(CAST(price_u - _p0 AS DECIMAL(38,0)) * qty DIV 1000000"
+            " AS BIGINT)"
+        ).alias("price_effect_cents"),
+    ).withColumn(
+        "residual_cents",
+        F.expr(
+            "delta_cents - volume_effect_cents - price_effect_cents"
+        ),
+    )
+
+
+ORACLE_Q244 = """
+WITH monthly AS (
+  SELECT year(l_shipdate) * 12 + month(l_shipdate) - 1 AS midx,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100,
+                             0) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem GROUP BY 1
+),
+priced AS (
+  SELECT *, CAST(CAST(rev_cents AS HUGEINT) * 1000000 // qty AS BIGINT)
+              AS price_u
+  FROM monthly
+),
+paired AS (
+  SELECT midx, qty, rev_cents, price_u,
+         lag(midx) OVER w AS pm,
+         lag(qty) OVER w AS q0,
+         lag(rev_cents) OVER w AS r0,
+         lag(price_u) OVER w AS p0
+  FROM priced
+  WINDOW w AS (ORDER BY midx)
+)
+SELECT midx, r0 AS rev_prev_cents, rev_cents,
+       rev_cents - r0 AS delta_cents,
+       CAST(CAST(qty - q0 AS HUGEINT) * p0 // 1000000 AS BIGINT)
+         AS volume_effect_cents,
+       CAST(CAST(price_u - p0 AS HUGEINT) * qty // 1000000 AS BIGINT)
+         AS price_effect_cents,
+       rev_cents - r0
+         - CAST(CAST(qty - q0 AS HUGEINT) * p0 // 1000000 AS BIGINT)
+         - CAST(CAST(price_u - p0 AS HUGEINT) * qty // 1000000 AS BIGINT)
+         AS residual_cents
+FROM paired WHERE pm = midx - 1
+"""
+
+
+def q245_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division — the textbook 'FOR ALL' operator: which
+    suppliers have shipped parts of EVERY brand in the catalog
+    (suppliers ÷ brands)? Universal quantification doesn't exist as a
+    join type; the scalable encoding is the count trick — distinct
+    (supplier, brand) pairs, then keep suppliers whose distinct-brand
+    count equals the brand-dim cardinality (a 1-row broadcast).
+    Doubly-negated NOT EXISTS (the other textbook form) builds the
+    same answer from two anti-joins; this form is one distinct + one
+    groupBy. Reports each full-coverage supplier with its line count."""
+    li = T(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    part = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sb = li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_suppkey", "p_brand"
+    )
+    n_brands = part.select("p_brand").distinct().agg(
+        F.count(F.lit(1)).alias("_nb")
+    )
+    per_supp = sb.groupBy("l_suppkey").agg(
+        F.countDistinct("p_brand").alias("n_brands_covered"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return (
+        per_supp.crossJoin(bbound(n_brands, "single brand-count row"))
+        .filter(F.col("n_brands_covered") == F.col("_nb"))
+        .select("l_suppkey", "n_brands_covered", "n_lines")
+    )
+
+
+ORACLE_Q245 = """
+WITH sb AS (
+  SELECT l.l_suppkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+nb AS (SELECT count(DISTINCT p_brand) AS n FROM part),
+per_supp AS (
+  SELECT l_suppkey,
+         CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands_covered,
+         count(*) AS n_lines
+  FROM sb GROUP BY 1
+)
+SELECT l_suppkey, n_brands_covered, n_lines
+FROM per_supp CROSS JOIN nb
+WHERE n_brands_covered = n
+"""
+
+
+def q246_dedup_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup idempotence audit: exact-dedup the corpus (keep-first per
+    fingerprint, q18/q95's rule), then run the SAME duplicate
+    detection over the survivors — a correct dedup finds ZERO on the
+    second pass, and a nonzero count here is the canary for a broken
+    keep rule or an unstable fingerprint (the fixpoint property CI
+    should assert about any dedup deployment). Two fingerprint-keyed
+    aggregates; the second pass runs over the already-shrunk
+    survivor set."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", text.fingerprint("text").alias("fp")
+    )
+    from ursa_major_choir_etl_spark.caching import stage
+
+    docs = stage(docs)
+    keep = docs.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    second = keep.groupBy("fp").agg(F.count(F.lit(1)).alias("_c")).filter(
+        F.col("_c") > 1
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_kept = keep.agg(F.count(F.lit(1)).alias("n_after_dedup"))
+    n_second = second.agg(
+        F.count(F.lit(1)).alias("dup_groups_second_pass")
+    )
+    return (
+        n_docs.crossJoin(n_kept)
+        .crossJoin(n_second)
+        .select(
+            "n_docs",
+            "n_after_dedup",
+            (F.col("n_docs") - F.col("n_after_dedup")).alias("n_removed"),
+            "dup_groups_second_pass",
+            (F.col("dup_groups_second_pass") == 0).alias("is_fixpoint"),
+        )
+    )
+
+
+def _oracle_q246() -> str:
+    fp = osql.fingerprint_sql("text")
+    return f"""
+WITH docs AS (SELECT doc_id, {fp} AS fp FROM documents),
+keep AS (SELECT fp, min(doc_id) AS doc_id FROM docs GROUP BY 1),
+second AS (
+  SELECT fp FROM keep GROUP BY fp HAVING count(*) > 1
+),
+counts AS (
+  SELECT (SELECT count(*) FROM docs) AS n_docs,
+         (SELECT count(*) FROM keep) AS n_after_dedup,
+         (SELECT count(*) FROM second) AS dup_groups_second_pass
+)
+SELECT n_docs, n_after_dedup,
+       n_docs - n_after_dedup AS n_removed,
+       dup_groups_second_pass,
+       dup_groups_second_pass = 0 AS is_fixpoint
+FROM counts
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -13967,6 +14169,9 @@ QUERIES = {
     "q241_ushape_attribution": q241_ushape_attribution,
     "q242_cluster_source_purity": q242_cluster_source_purity,
     "q243_ar1_persistence": q243_ar1_persistence,
+    "q244_revenue_bridge": q244_revenue_bridge,
+    "q245_relational_division": q245_relational_division,
+    "q246_dedup_fixpoint": q246_dedup_fixpoint,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -14019,7 +14224,7 @@ _CHANGED_R8 = (
     "q223_", "q224_", "q225_", "q226_", "q227_", "q228_",
     "q229_", "q230_", "q231_", "q232_", "q233_", "q234_",
     "q235_", "q236_", "q237_", "q238_", "q239_", "q240_",
-    "q241_", "q242_", "q243_",
+    "q241_", "q242_", "q243_", "q244_", "q245_", "q246_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -14293,4 +14498,7 @@ ORACLES: dict[str, str | None] = {
     "q241_ushape_attribution": ORACLE_Q241,
     "q242_cluster_source_purity": _oracle_q242(),
     "q243_ar1_persistence": ORACLE_Q243,
+    "q244_revenue_bridge": ORACLE_Q244,
+    "q245_relational_division": ORACLE_Q245,
+    "q246_dedup_fixpoint": _oracle_q246(),
 }

@@ -4031,3 +4031,63 @@ class TestDedupFixpoint:
         assert (r["n_docs"], r["n_after_dedup"], r["n_removed"]) == (5, 3, 2)
         assert r["dup_groups_second_pass"] == 0
         assert r["is_fixpoint"] is True
+
+
+class TestEffectiveSampleSize:
+    def test_uniform_vs_whale_weights(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q247_effective_sample_size,
+        )
+
+        rows = [(i, " ".join(["w"] * 10), "uniform") for i in range(10)]
+        # whale source: one 990-token doc + nine 1-token docs
+        rows += [(100, " ".join(["w"] * 990), "whale")]
+        rows += [(101 + i, "w", "whale") for i in range(9)]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        got = {r["source"]: r for r in
+               q247_effective_sample_size(spark, str(tmp_path)).collect()}
+        u = got["uniform"]
+        # equal weights -> ESS = n exactly
+        assert u["n_docs"] == 10 and u["ess_milli"] == 10_000
+        assert u["ess_ratio_ppm"] == 1_000_000
+        w = got["whale"]
+        # (999)^2 / (990^2 + 9) ~ 1.018 -> the source acts like ~1 doc
+        assert w["n_docs"] == 10
+        assert w["ess_milli"] == 999 * 999 * 1000 // (990 * 990 + 9)
+        assert w["ess_ratio_ppm"] < 110_000
+
+
+class TestSimpsonFlip:
+    def test_reversed_within_groups(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q248_simpson_flip,
+        )
+
+        spark.createDataFrame(
+            [(1, "B1"), (2, "B2")], "p_partkey long, p_brand string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "part.parquet"))
+        # within each brand qty FALLS with discount (slope < 0), but
+        # B2 has both higher discounts and higher volumes, so the
+        # pooled slope RISES: the classic flip
+        lines = []
+        for x, y in ((0, 20), (5, 10)):     # B1: slope -2
+            lines += [(1, float(x) / 100, float(y))] * 3
+        for x, y in ((10, 60), (15, 50)):   # B2: slope -2, higher both
+            lines += [(2, float(x) / 100, float(y))] * 3
+        spark.createDataFrame(
+            lines, "l_partkey long, l_discount double, l_quantity double"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "lineitem.parquet"))
+        r = q248_simpson_flip(spark, str(tmp_path)).collect()[0]
+        assert r["n_brands"] == 2
+        assert r["aggregate_slope_micro"] > 0
+        assert r["n_opposite_sign"] == 2
+        assert r["simpson_suspected"] is True

@@ -225,6 +225,8 @@ Operator coverage map (SURVEY §2 ids -> query):
   revenue bridge ................... q244 (price vs volume effects)
   relational division .............. q245 (FOR ALL via count trick)
   dedup fixpoint audit ............. q246 (second-pass zero invariant)
+  effective sample size ............ q247 ((Σw)²/Σw² weighting cost)
+  Simpson's-paradox screen ......... q248 (pooled vs per-brand slopes)
 """
 
 from __future__ import annotations
@@ -13925,6 +13927,158 @@ FROM counts
 """
 
 
+def q247_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of token-weighted document sampling, per
+    source: ESS = (Σw)² / Σw² — the importance-sampling diagnostic
+    that says how many EQUALLY-weighted docs the weighted corpus
+    behaves like (q103/q145 build weighted samples; this prices the
+    variance cost of the weights: a few huge docs can make a
+    million-doc source act like a hundred). Integer weights (token
+    counts), DECIMAL(38,0) squares; ESS reported in milli-docs and as
+    a ppm ratio to the raw count. One scan + one source groupBy."""
+    docs = T(spark, sf_dir, "documents").select(
+        "source", text.token_count("text").alias("w")
+    ).filter(F.col("w") > 0)
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("_sw"),
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * w")).alias("_sww"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        F.expr("CAST(_sw AS BIGINT)").alias("total_tokens"),
+        F.expr(
+            "CAST(CAST(_sw AS DECIMAL(38,0)) * _sw * 1000 DIV _sww"
+            " AS BIGINT)"
+        ).alias("ess_milli"),
+        F.expr(
+            "CAST(CAST(_sw AS DECIMAL(38,0)) * _sw * 1000000"
+            " DIV (_sww * n_docs) AS BIGINT)"
+        ).alias("ess_ratio_ppm"),
+    )
+
+
+def _oracle_q247() -> str:
+    toks = osql.token_count_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT source, {toks} AS w FROM documents
+),
+agg AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(w) AS HUGEINT) AS sw,
+         CAST(sum(CAST(w AS HUGEINT) * w) AS HUGEINT) AS sww
+  FROM docs WHERE w > 0 GROUP BY 1
+)
+SELECT source, n_docs, CAST(sw AS BIGINT) AS total_tokens,
+       CAST(sw * sw * 1000 // sww AS BIGINT) AS ess_milli,
+       CAST(sw * sw * 1000000 // (sww * n_docs) AS BIGINT)
+         AS ess_ratio_ppm
+FROM agg
+"""
+
+
+def q248_simpson_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen on the discount -> quantity relation:
+    the AGGREGATE integer OLS slope (q225's closed form, discount pct
+    as x, quantity as y) next to per-brand slopes, counting brands
+    whose slope sign OPPOSES the aggregate — the aggregation-bias
+    smoke detector every self-serve dashboard should run before
+    anyone reads the pooled trend line (q209 reports the pooled lift;
+    this asks whether pooling lied). Per-brand regressions aggregate
+    from the same single pass over (brand, disc, qty) rows; the
+    brand dim joins in broadcast-style."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    part = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_brand", "x", "y"
+    )
+    from ursa_major_choir_etl_spark.caching import stage
+
+    j = stage(j)  # aggregate + per-brand slopes read it
+
+    def slope_agg(grouped):
+        return grouped.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        ).withColumn(
+            "slope_micro",
+            F.expr(
+                "CASE WHEN n > 1 AND n * sxx - sx * sx <> 0 THEN CAST("
+                " (n * sxy - sx * sy) * 1000000"
+                " DIV (n * sxx - sx * sx) AS BIGINT) END"
+            ),
+        )
+    overall = slope_agg(j.groupBy()).select(
+        F.col("slope_micro").alias("_agg_slope")
+    )
+    brands = slope_agg(j.groupBy("p_brand")).select(
+        "p_brand", "slope_micro"
+    )
+    return brands.crossJoin(
+        bbound(overall, "single aggregate-slope row")
+    ).agg(
+        F.count(F.lit(1)).alias("n_brands"),
+        F.max("_agg_slope").alias("aggregate_slope_micro"),
+        F.sum(
+            (
+                F.signum("slope_micro") * F.signum("_agg_slope") < 0
+            ).cast("int")
+        ).alias("n_opposite_sign"),
+    ).withColumn(
+        "simpson_suspected", F.col("n_opposite_sign") * 2 > F.col("n_brands")
+    )
+
+
+ORACLE_Q248 = """
+WITH j AS (
+  SELECT p.p_brand,
+         CAST(round(l.l_discount * 100, 0) AS BIGINT) AS x,
+         CAST(l.l_quantity AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+overall AS (
+  SELECT CASE WHEN count(*) > 1
+              AND count(*) * sum(CAST(x AS HUGEINT) * x)
+                  - CAST(sum(x) AS HUGEINT) * sum(x) <> 0 THEN
+    CAST((count(*) * sum(CAST(x AS HUGEINT) * y)
+          - CAST(sum(x) AS HUGEINT) * sum(y)) * 1000000
+         // (count(*) * sum(CAST(x AS HUGEINT) * x)
+             - CAST(sum(x) AS HUGEINT) * sum(x)) AS BIGINT) END
+    AS agg_slope
+  FROM j
+),
+brands AS (
+  SELECT p_brand,
+         CASE WHEN count(*) > 1
+              AND count(*) * sum(CAST(x AS HUGEINT) * x)
+                  - CAST(sum(x) AS HUGEINT) * sum(x) <> 0 THEN
+           CAST((count(*) * sum(CAST(x AS HUGEINT) * y)
+                 - CAST(sum(x) AS HUGEINT) * sum(y)) * 1000000
+                // (count(*) * sum(CAST(x AS HUGEINT) * x)
+                    - CAST(sum(x) AS HUGEINT) * sum(x)) AS BIGINT) END
+           AS slope_micro
+  FROM j GROUP BY 1
+)
+SELECT count(*) AS n_brands,
+       max(agg_slope) AS aggregate_slope_micro,
+       CAST(sum(CASE WHEN sign(slope_micro) * sign(agg_slope) < 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_opposite_sign,
+       CAST(sum(CASE WHEN sign(slope_micro) * sign(agg_slope) < 0
+                THEN 1 ELSE 0 END) AS BIGINT) * 2 > count(*)
+         AS simpson_suspected
+FROM brands CROSS JOIN overall
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -14172,6 +14326,8 @@ QUERIES = {
     "q244_revenue_bridge": q244_revenue_bridge,
     "q245_relational_division": q245_relational_division,
     "q246_dedup_fixpoint": q246_dedup_fixpoint,
+    "q247_effective_sample_size": q247_effective_sample_size,
+    "q248_simpson_flip": q248_simpson_flip,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -14225,6 +14381,7 @@ _CHANGED_R8 = (
     "q229_", "q230_", "q231_", "q232_", "q233_", "q234_",
     "q235_", "q236_", "q237_", "q238_", "q239_", "q240_",
     "q241_", "q242_", "q243_", "q244_", "q245_", "q246_",
+    "q247_", "q248_",
 )
 _head = [k for k in _names if k.startswith(_CHANGED_R8)]
 
@@ -14501,4 +14658,6 @@ ORACLES: dict[str, str | None] = {
     "q244_revenue_bridge": ORACLE_Q244,
     "q245_relational_division": ORACLE_Q245,
     "q246_dedup_fixpoint": _oracle_q246(),
+    "q247_effective_sample_size": _oracle_q247(),
+    "q248_simpson_flip": ORACLE_Q248,
 }

@@ -154,3 +154,43 @@ class TestCharEntropyProperties:
             assert r["n_bigrams"] == m
             assert r["distinct_bigrams"] == len(cnt)
             assert abs(r["mean_bits"] - mean) < 1e-9
+
+
+class TestLargestRemainderProperties:
+    """q230's Hamilton apportionment: for ANY positive token masses the
+    integer quotas must (a) sum exactly to the budget, (b) stay within
+    1 of the real-valued proportional share (the quota property), and
+    (c) never go below the floored share."""
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=1, max_value=10_000),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def test_quota_property(self, spark, tmp_path_factory, masses):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q230_largest_remainder_quota,
+        )
+
+        d = str(tmp_path_factory.mktemp("lrq"))
+        rows = [
+            (i, " ".join(["w"] * m), f"s{i:02d}")
+            for i, m in enumerate(masses)
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet"))
+        got = {r["source"]: r["quota"] for r in
+               q230_largest_remainder_quota(spark, d).collect()}
+        total = sum(masses)
+        assert sum(got.values()) == 1000
+        for i, m in enumerate(masses):
+            exact = 1000 * m / total
+            q = got[f"s{i:02d}"]
+            assert int(exact) <= q <= int(exact) + 1

@@ -14400,12 +14400,13 @@ _order = _head + sorted(
     (k for k in _names if k not in _head), key=lambda k: (_staleness(k), _qnum(k))
 )
 # The guard the driver's 50-entry window depends on: exact coverage
-# and no duplicates. The never-graded set now exceeds one 50-slot
-# window (round 8 added q137-q186); _head keeps ascending q-number
-# order so the OLDEST never-graded rows grade first and the newest
-# additions roll to the next round's window — every one of them is
-# green in the builder's own all-registry sweep both scales
-# (CORRECTNESS_LOCAL_ALL.txt) at the closing commit.
+# and no duplicates. The never-graded set now spans multiple 50-slot
+# windows (round 8 added q137-q248); _head keeps ascending q-number
+# order so the OLDEST never-graded rows grade first (q137-q186 this
+# round) and the newest additions roll to later rounds' windows —
+# every one of them is green in the builder's own all-registry sweep
+# at BOTH scales (CORRECTNESS_LOCAL_ALL.txt / _SF01.txt) at the
+# closing commit.
 assert len(_order) == len(set(_order)) == len(_names), "duplicate keys"
 _overflow = [k for k in _head if k not in _order[:50]]
 assert _overflow == _head[50:], "window must drop newest additions only"

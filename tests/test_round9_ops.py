@@ -4091,3 +4091,93 @@ class TestSimpsonFlip:
         assert r["aggregate_slope_micro"] > 0
         assert r["n_opposite_sign"] == 2
         assert r["simpson_suspected"] is True
+
+
+class TestDepthConversion:
+    def test_rates_per_bucket(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q249_depth_conversion,
+        )
+
+        t0 = dt.datetime(2024, 12, 1, 9)
+        m = dt.timedelta(minutes=1)
+        rows = []
+        eid = 0
+        # two 1-event sessions (bucket 0): one converts
+        rows.append((eid, t0, 1, "purchase")); eid += 1
+        rows.append((eid, t0, 2, "view")); eid += 1
+        # one 3-event session (bucket 1): converts
+        for i, et in enumerate(("view", "click", "purchase")):
+            rows.append((eid, t0 + i * m, 3, et)); eid += 1
+        # one 4-event session (bucket 2): no purchase
+        for i in range(4):
+            rows.append((eid, t0 + i * m, 4, "view")); eid += 1
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "events.parquet"))
+        got = {r["depth_log2"]: r for r in
+               q249_depth_conversion(spark, str(tmp_path)).collect()}
+        assert (got[0]["n_sessions"], got[0]["n_converted"]) == (2, 1)
+        assert got[0]["conversion_ppm"] == 500_000
+        assert (got[1]["n_sessions"], got[1]["n_converted"]) == (1, 1)
+        assert (got[2]["n_sessions"], got[2]["n_converted"]) == (1, 0)
+
+
+class TestSharedPrefixFamilies:
+    def test_same_opening_different_bodies(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q250_shared_prefix_families,
+        )
+
+        opening = ("welcome to the example site this is boilerplate"
+                   " navigation text here")  # > 64 normalized chars
+        rows = [
+            (1, opening + " body one entirely different content"),
+            (2, opening + " body two other words and more stuff"),
+            (3, "a totally different document opening and body"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        got = {r["family_size_log2"]: r for r in
+               q250_shared_prefix_families(spark, str(tmp_path)).collect()}
+        # bucket 1 (size 2): the shared-opening family; bucket 0: the
+        # singleton
+        assert got[1]["n_families"] == 1 and got[1]["n_docs"] == 2
+        assert got[0]["n_families"] == 1 and got[0]["n_docs"] == 1
+
+
+class TestDedupQualityShift:
+    def test_removed_mean_differs(self, spark, tmp_path):
+        import os
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            q251_dedup_quality_shift,
+        )
+
+        clean = "hello world this is a fine sentence"
+        noisy = "Hello!!! world??? this,,, is... a; fine: sentence!!!"
+        rows = [
+            # same fingerprint; the clean (higher-quality) copy has
+            # the LOWER id -> kept; the noisy copy is removed
+            (1, clean), (2, noisy),
+            (5, "an unrelated unique document body"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "documents.parquet"))
+        got = {r["kept"]: r for r in
+               q251_dedup_quality_shift(spark, str(tmp_path)).collect()}
+        assert got[1]["n_docs"] == 2
+        assert got[0]["n_docs"] == 1
+        # the removed copy is the noisy one -> lower mean quality
+        assert got[0]["mean_quality_u"] < got[1]["mean_quality_u"]

@@ -166,43 +166,30 @@ class TestRegistrySweep:
     # the data: q53 windows one row per month; q104 windows the
     # log-histogram BUCKETS (<= (64 - sub_bits) * 2^sub_bits rows by
     # construction, whatever the corpus size).
-    # q159: the global cumulative window runs over per-dimension VALUE
-    # HISTOGRAMS of the user table (distinct recency-days / frequency /
-    # purchase-count values) — bounded by the signal domain, not the
-    # corpus.
     # q197: the cumulative window orders exactly 10 post-aggregation
     # decile rows (fixed cardinality by construction).
-    # q204: the exclusive bucket-prefix window orders <= 32 bucket-
-    # total rows (fixed by the boundary count); the value-level
-    # cumulative is partitioned by bucket.
+    # q159/q204/q226/q231/q237 are NOT listed: their value-histogram
+    # cumulatives run as the two-level bucketed prefix scan
+    # (operators/prefix.py) whose cross-bucket offsets come from a
+    # <=32-row broadcast triangular join — no global window in the
+    # plan at all, so the sweep passes them without an exemption.
     # q212: the top-down cumulative orders exactly 10 post-aggregation
     # decile rows (q197's shape).
     # q217: the global-reference cumulative orders the fixed 10-row
     # decile spine; class windows are partitioned.
     # q219: the grand-total window spans the 25 nation rows (fixed
     # geography dims).
-    # q226: the cumulative-token window orders the DISTINCT doc-length
-    # histogram (the q104/q167 value-histogram class).
     # q230: the remainder rank + base sum windows span source-dim rows.
-    # q231: the exclusive prefix-max orders the DISTINCT price
-    # histogram (value-histogram class).
-    # q237: the descending cumulative orders the DISTINCT customer-
-    # revenue histogram (value-histogram class).
     # q244: the adjacent-month lag window orders calendar-bounded
     # month rows (q53's class).
     GLOBAL_WINDOW_OK = {
         "q53_monthly_trend",
         "q104_quantile_sketch_accuracy",
-        "q159_rfm_segments",
         "q197_dedup_saturation",
-        "q204_ks_test",
         "q212_quality_yield_curve",
         "q217_t_closeness",
         "q219_share_of_parent",
-        "q226_token_weighted_lengths",
         "q230_largest_remainder_quota",
-        "q231_pareto_skyline",
-        "q237_pareto_customer_mass",
         "q244_revenue_bridge",
     }
 

@@ -1,0 +1,117 @@
+"""operators/prefix.py — the two-level bucketed prefix scan must be
+value-identical to the naive single-task global window it replaces,
+for every (combine, direction, inclusivity) combination the registry
+uses, including histograms smaller than the bucket count and heavy
+value ties collapsing into few histogram rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ursa_major_choir_etl_spark.operators.prefix import (
+    bucketed_cumsum,
+    bucketed_prefix,
+)
+
+
+def _hist(spark, n_values: int):
+    """Value histogram with deterministic, deliberately non-uniform
+    counts and a second measure column."""
+    rows = [
+        (v * 7 % 1000, (v % 5) + 1, (v * 13) % 97)
+        for v in range(n_values)
+    ]
+    return spark.createDataFrame(rows, "v long, cnt long, size int")
+
+
+def _naive(df, order_col, expr, combine, desc, inclusive):
+    key = F.col(order_col).desc() if desc else F.col(order_col).asc()
+    w = Window.orderBy(key).rowsBetween(
+        Window.unboundedPreceding, 0 if inclusive else -1
+    )
+    agg = F.sum(expr) if combine == "sum" else F.max(expr)
+    out = agg.over(w)
+    if combine == "sum" and not inclusive:
+        out = F.coalesce(out, F.lit(0))
+    return df.withColumn("_expect", out)
+
+
+@pytest.mark.parametrize("combine", ["sum", "max"])
+@pytest.mark.parametrize("desc", [False, True])
+@pytest.mark.parametrize("inclusive", [True, False])
+@pytest.mark.parametrize("n_values", [3, 500])
+def test_matches_global_window(spark, combine, desc, inclusive, n_values):
+    h = _hist(spark, n_values)
+    expr = F.col("cnt") if combine == "sum" else F.col("size")
+    got = bucketed_prefix(
+        h,
+        "v",
+        {"_got": expr},
+        combine=combine,
+        desc=desc,
+        inclusive=inclusive,
+    ).select("v", "_got")
+    want = _naive(h, "v", expr, combine, desc, inclusive).select(
+        "v", "_expect"
+    )
+    joined = got.join(want, "v", "full").collect()
+    assert len(joined) == h.count()
+    for r in joined:
+        assert r["_got"] == r["_expect"], (r, combine, desc, inclusive)
+
+
+def test_multi_measure_and_decimal(spark):
+    """Two measures in one call, one of them a DECIMAL(38,0) product —
+    the q204/q237 shape; the typed-zero coalesce must not degrade the
+    decimal type to something lossy."""
+    h = _hist(spark, 200)
+    got = bucketed_cumsum(
+        h,
+        "v",
+        {
+            "cum_mass": F.expr("CAST(v AS DECIMAL(38,0)) * cnt"),
+            "cum_n": F.col("cnt"),
+        },
+        desc=True,
+    )
+    w = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = h.withColumn(
+        "e_mass", F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * cnt")).over(w)
+    ).withColumn("e_n", F.sum("cnt").over(w))
+    rows = got.join(want.select("v", "e_mass", "e_n"), "v").collect()
+    assert len(rows) == h.count()
+    for r in rows:
+        assert int(r["cum_mass"]) == int(r["e_mass"])
+        assert r["cum_n"] == r["e_n"]
+
+
+def test_exclusive_max_null_sentinel(spark):
+    """Exclusive prefix max: exactly one NULL, at the global first row
+    in scan direction — the skyline 'no previous value' sentinel."""
+    h = _hist(spark, 100)
+    got = bucketed_prefix(
+        h,
+        "v",
+        {"prev": F.col("size")},
+        combine="max",
+        inclusive=False,
+    ).collect()
+    nulls = [r["v"] for r in got if r["prev"] is None]
+    assert nulls == [min(r["v"] for r in got)]
+
+
+def test_no_global_window_in_plan(spark):
+    """The point of the operator: no single-partition exchange feeding
+    a Window anywhere in the physical plan."""
+    h = _hist(spark, 500)
+    df = bucketed_prefix(h, "v", {"c": F.col("cnt")})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            above = " ".join(lines[max(0, i - 4):i])
+            assert "Window" not in above, plan

@@ -315,17 +315,21 @@ def rfm_segments(
     )
 
     def with_quartile(df: DataFrame, col: str, out: str) -> DataFrame:
+        from ursa_major_choir_etl_spark.operators.prefix import (
+            bucketed_cumsum,
+        )
+
         h = df.groupBy(F.col(col).alias("_v")).agg(
             F.count(F.lit(1)).alias("_cnt")
         )
-        w = (
-            Window.orderBy("_v")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
+        # frequency / purchase-count histograms grow with the heaviest
+        # user, so even the histogram cumulative runs as the two-level
+        # bucketed prefix sum — no global window over growth-coupled
+        # rows (round-8 verdict's allowlist audit).
         n = h.agg(F.sum("_cnt").alias("_n"))
-        hc = h.withColumn("_cum", F.sum("_cnt").over(w)).crossJoin(
-            F.broadcast(n)
-        )
+        hc = bucketed_cumsum(
+            h, "_v", {"_cum": F.col("_cnt")}
+        ).crossJoin(F.broadcast(n))
         q = hc.select(
             F.col("_v").alias(col),
             (

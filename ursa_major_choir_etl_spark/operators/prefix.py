@@ -1,0 +1,162 @@
+"""Distributed prefix aggregation over value histograms.
+
+A handful of reports need a GLOBAL running aggregate over the rows of
+a value histogram (distinct doc lengths, distinct per-user event
+counts, distinct revenue cents): CDFs, weighted quantiles, Pareto
+mass curves, skylines, tie-aware quartiles. The naive form is a
+global window — ``Window.orderBy(v)`` with no partition — which
+funnels the whole histogram through ONE task. At sf0.01 the
+histogram is thousands of rows and nobody notices; at 100 TB a value
+histogram of a growth table (revenue cents, event counts) is itself
+millions of rows and the single-task window is the
+bottleneck-by-construction this repo's plan sweep bans.
+
+:func:`bucketed_prefix` is the scale-safe replacement — the classic
+two-level (blocked) parallel prefix scan, expressed in DataFrame ops:
+
+1. one ``percentile`` row over the histogram picks ``n_buckets - 1``
+   split values (boundaries only need to be *deterministic and
+   monotone*, not semantically meaningful — any split yields the
+   exact same prefix, so histogram-percentile spreading is purely a
+   load-balancing choice);
+2. per-bucket totals get their exclusive cross-bucket offsets via a
+   broadcast triangular self-join over ``<= n_buckets`` rows (no
+   global window anywhere — a ``b.bkt < a.bkt`` nested loop over a
+   32-row frame is ~1k pairs, cheaper than the single-partition
+   exchange a window would force);
+3. the within-bucket running aggregate is partitioned BY bucket —
+   every task handles ~1/n_buckets of the histogram;
+4. prefix = offset ⊕ within-bucket running value. Exact for any
+   associative ⊕; ``sum`` and ``max`` are provided (the two shapes
+   the registry uses: cumulative mass and skyline prefix-max).
+
+The bucket count scales with the cluster, not the data: 32 here
+(matching local[32]); a 1000-executor deployment would raise it and
+nothing else changes. DuckDB oracles keep the one-level
+``agg() OVER (ORDER BY v)`` form — single-node engines fit the whole
+histogram in one pass, and the two forms are value-identical, so the
+driver's hash compare certifies the decomposition every round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bucketed_prefix(
+    hist: DataFrame,
+    order_col: str,
+    measures: dict[str, Column],
+    *,
+    combine: str = "sum",
+    desc: bool = False,
+    inclusive: bool = True,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Return ``hist`` with one running-aggregate column per
+    ``measures`` entry (name -> per-row expression), ordered globally
+    by ``order_col`` (descending when ``desc``), computed as a
+    two-level bucketed prefix scan — no data-sized global window, no
+    global window at all.
+
+    ``combine`` is ``"sum"`` or ``"max"``. ``inclusive=False`` gives
+    the exclusive prefix: for ``sum`` the first global row gets 0,
+    for ``max`` it gets NULL (the "no previous value" sentinel a
+    skyline test wants).
+
+    ``hist`` should already be value-histogram-sized (one row per
+    distinct ``order_col``); it is staged here because the boundary
+    pass and the bucketed pass both read it.
+    """
+    if combine not in ("sum", "max"):
+        raise ValueError(f"unsupported combine {combine!r}")
+    from ursa_major_choir_etl_spark.caching import stage
+
+    hist = stage(hist)  # boundary pass + bucketed pass both read it
+    bounds = hist.agg(
+        F.percentile(
+            order_col,
+            F.lit([i / n_buckets for i in range(1, n_buckets)]),
+        ).alias("_bs")
+    ).select(
+        *[F.element_at("_bs", i).alias(f"_pb{i}") for i in range(1, n_buckets)]
+    )
+    bucket = sum(
+        (
+            (F.col(order_col) > F.col(f"_pb{i}")).cast("int")
+            for i in range(1, n_buckets)
+        ),
+        F.lit(0),
+    )
+    hb = hist.crossJoin(
+        F.broadcast(bounds)  # single percentile row: bounded by construction
+    ).withColumn("_bkt", bucket).drop(
+        *[f"_pb{i}" for i in range(1, n_buckets)]
+    )
+    fagg = F.sum if combine == "sum" else F.max
+    btot = hb.groupBy("_bkt").agg(
+        *[fagg(expr).alias(f"_t_{name}") for name, expr in measures.items()]
+    )
+    # Exclusive cross-bucket offsets: triangular broadcast self-join
+    # over <= n_buckets rows — strictly-preceding buckets in the
+    # requested direction. NULL offset == "no preceding bucket".
+    tgt = btot.select(F.col("_bkt").alias("_abkt"))
+    prev = F.col("_bkt") > F.col("_abkt") if desc else (
+        F.col("_bkt") < F.col("_abkt")
+    )
+    offs = (
+        tgt.join(F.broadcast(btot), prev, "left")
+        .groupBy("_abkt")
+        .agg(
+            *[
+                fagg(f"_t_{name}").alias(f"_off_{name}")
+                for name in measures
+            ]
+        )
+        .withColumnRenamed("_abkt", "_bkt")
+    )
+    ikey = F.col(order_col).desc() if desc else F.col(order_col).asc()
+    wi = (
+        Window.partitionBy("_bkt")
+        .orderBy(ikey)
+        .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    )
+    out = hb.join(
+        F.broadcast(offs), "_bkt"  # one row per bucket: <= n_buckets
+    )
+    for name, expr in measures.items():
+        within = fagg(expr).over(wi)
+        if combine == "sum":
+            # coalesce's common-type coercion promotes the 0 literal
+            # to the summed type (bigint / decimal(38,0))
+            merged = F.coalesce(F.col(f"_off_{name}"), F.lit(0)) + (
+                F.coalesce(within, F.lit(0))
+            )
+        else:
+            # greatest skips NULLs; NULL only when BOTH sides are
+            # empty — i.e. the global first row of an exclusive scan
+            merged = F.greatest(F.col(f"_off_{name}"), within)
+        out = out.withColumn(name, merged)
+    return out.drop("_bkt", *[f"_off_{name}" for name in measures])
+
+
+def bucketed_cumsum(
+    hist: DataFrame,
+    order_col: str,
+    measures: dict[str, Column],
+    *,
+    desc: bool = False,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Inclusive running sum — the common case of
+    :func:`bucketed_prefix`."""
+    return bucketed_prefix(
+        hist,
+        order_col,
+        measures,
+        combine="sum",
+        desc=desc,
+        inclusive=True,
+        n_buckets=n_buckets,
+    )

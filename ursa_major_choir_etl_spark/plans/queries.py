@@ -10561,14 +10561,15 @@ def q204_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The CDF needs a GLOBAL running sum over distinct order values —
     the one shape this registry otherwise bans — so it is computed as
-    a distributed two-level prefix sum: a 31-boundary percentile row
-    buckets the value histogram (q197's pattern), per-bucket totals
-    get their exclusive prefix offsets in a <=32-row window, and the
-    within-bucket cumulative runs partitioned BY bucket. No global
-    sort or global window ever materializes; the bucket count scales
-    with the cluster, not the data. All CDF terms are integer-floored
-    ppm (both engines floor identically); the argmax value reports
-    WHERE the distributions diverge most, ties to the smallest value."""
+    the two-level bucketed prefix sum (operators/prefix.py): a
+    31-boundary percentile row buckets the value histogram,
+    cross-bucket offsets come from a <=32-row broadcast triangular
+    join, and the within-bucket cumulative runs partitioned BY
+    bucket. No global sort or global window ever materializes; the
+    bucket count scales with the cluster, not the data. All CDF terms
+    are integer-floored ppm (both engines floor identically); the
+    argmax value reports WHERE the distributions diverge most, ties
+    to the smallest value."""
     orders = T(spark, sf_dir, "orders")
     cust = T(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
@@ -10584,52 +10585,15 @@ def q204_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("seg") == "MACHINERY").cast("int")).alias("n2"),
     )
     from ursa_major_choir_etl_spark.caching import stage
+    from ursa_major_choir_etl_spark.operators.prefix import bucketed_cumsum
 
-    hist = stage(hist)  # buckets, totals, and the cumsum all read it
-    n_buckets = 32
-    bounds = hist.agg(
-        F.percentile(
-            "cents", F.lit([i / n_buckets for i in range(1, n_buckets)])
-        ).alias("_bs")
-    ).select(
-        *[
-            F.element_at("_bs", i).alias(f"b{i}")
-            for i in range(1, n_buckets)
-        ]
+    cum = bucketed_cumsum(
+        hist, "cents", {"cum1": F.col("n1"), "cum2": F.col("n2")}
     )
-    bcast = bbound(bounds, "single 31-boundary percentile row")
-    bucket = sum(
-        (
-            (F.col("cents") > F.col(f"b{i}")).cast("int")
-            for i in range(1, n_buckets)
-        ),
-        F.lit(0),
-    )
-    hb = hist.crossJoin(bcast).select("cents", "n1", "n2", bucket.alias("bkt"))
-    btot = hb.groupBy("bkt").agg(
-        F.sum("n1").alias("t1"), F.sum("n2").alias("t2")
-    )
-    wb = (
-        Window.orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )  # <= 32 rows: exclusive bucket prefix
-    offs = btot.select(
-        "bkt",
-        F.coalesce(F.sum("t1").over(wb), F.lit(0)).alias("off1"),
-        F.coalesce(F.sum("t2").over(wb), F.lit(0)).alias("off2"),
-    )
-    wi = (
-        Window.partitionBy("bkt")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = (
-        hb.join(bbound(offs, "one row per bucket (<=32)"), "bkt")
-        .withColumn("cum1", F.col("off1") + F.sum("n1").over(wi))
-        .withColumn("cum2", F.col("off2") + F.sum("n2").over(wi))
-    )
-    tot = hist.agg(
-        F.sum("n1").alias("n1t"), F.sum("n2").alias("n2t")
+    cum = stage(cum)  # totals row + sup-norm scan both read it
+    # last prefix == per-segment total (ascending inclusive cumulative)
+    tot = cum.agg(
+        F.max("cum1").alias("n1t"), F.max("cum2").alias("n2t")
     )
     d = cum.crossJoin(bbound(tot, "single totals row")).select(
         F.expr(
@@ -12431,21 +12395,26 @@ def q226_token_weighted_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     window policy (q64/q147) need the token-weighted view.
 
     Weighted quantiles come from the LENGTH HISTOGRAM (distinct
-    doc-length rows, the q167 value-histogram class) with a
-    cumulative token window; each quantile is then a conditional min
-    — no per-doc sorting anywhere."""
+    doc-length rows) with a cumulative token prefix; each quantile is
+    then a conditional min — no per-doc sorting anywhere. The length
+    histogram grows (slowly) with the longest document, so the
+    cumulative runs as the q204 two-level bucketed prefix sum
+    (operators/prefix.py), not a global window."""
     docs = T(spark, sf_dir, "documents").select(
         text.token_count("text").alias("len")
     )
     hist = docs.groupBy("len").agg(F.count(F.lit(1)).alias("n_docs"))
-    w = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn(
-        "cum_toks",
-        F.sum(F.expr("CAST(len AS DECIMAL(38,0)) * n_docs")).over(w),
+    from ursa_major_choir_etl_spark.operators.prefix import bucketed_cumsum
+
+    cum = bucketed_cumsum(
+        hist,
+        "len",
+        {"cum_toks": F.expr("CAST(len AS DECIMAL(38,0)) * n_docs")},
     )
-    tot = hist.agg(
-        F.sum(F.expr("CAST(len AS DECIMAL(38,0)) * n_docs")).alias("_tt")
-    )
+    from ursa_major_choir_etl_spark.caching import stage
+
+    cum = stage(cum)  # the totals row and the quantile scan both read it
+    tot = cum.agg(F.max("cum_toks").alias("_tt"))  # last prefix == total
     j = cum.crossJoin(bbound(tot, "single total-tokens row"))
     sel = j.agg(
         *[
@@ -12838,9 +12807,15 @@ def q231_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     and plan-selection UIs. The distributed-skyline trick: reduce to
     the PRICE HISTOGRAM (max size per distinct price, one shuffle),
     then a point is on the frontier iff its size strictly exceeds the
-    running max over all cheaper prices — an exclusive-prefix window
-    over histogram rows (q167's value-histogram class), never a
-    pairwise dominance join."""
+    running max over all cheaper prices.
+
+    The exclusive prefix-MAX over the histogram runs as the two-level
+    bucketed prefix scan (operators/prefix.py — max is associative,
+    so it decomposes exactly like the sum): cross-bucket offsets via
+    a <=32-row broadcast triangular join, within-bucket exclusive max
+    partitioned BY bucket; _prev is NULL only at the global minimum
+    price. No global window anywhere — the histogram grows with the
+    part catalog, so even the histogram scan must stay partitioned."""
     part = T(spark, sf_dir, "part").select(
         F.round(F.col("p_retailprice") * 100, 0).cast("long").alias(
             "price_cents"
@@ -12848,10 +12823,15 @@ def q231_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("int").alias("size"),
     )
     hist = part.groupBy("price_cents").agg(F.max("size").alias("best_size"))
-    w = Window.orderBy("price_cents").rowsBetween(
-        Window.unboundedPreceding, -1
+    from ursa_major_choir_etl_spark.operators.prefix import bucketed_prefix
+
+    flagged = bucketed_prefix(
+        hist,
+        "price_cents",
+        {"_prev": F.col("best_size")},
+        combine="max",
+        inclusive=False,
     )
-    flagged = hist.withColumn("_prev", F.max("best_size").over(w))
     return flagged.filter(
         F.col("_prev").isNull() | (F.col("best_size") > F.col("_prev"))
     ).select("price_cents", "best_size")
@@ -13228,7 +13208,14 @@ def q237_pareto_customer_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers sharing the boundary revenue value are indivisible at
     histogram resolution, so all of them are counted in (exact-cent
     revenue totals rarely tie in practice; a per-customer resolution
-    would need a corpus-sized global rank)."""
+    would need a corpus-sized global rank).
+
+    The descending cumulative runs as the two-level bucketed prefix
+    sum (operators/prefix.py) — the revenue histogram grows with the
+    customer base, so even the histogram scan must stay partitioned:
+    cross-bucket offsets via a <=32-row broadcast triangular join,
+    within-bucket cumulative partitioned BY bucket (ordered cents
+    DESC)."""
     orders = T(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
@@ -13236,15 +13223,23 @@ def q237_pareto_customer_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     hist = per_cust.groupBy("cents").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("cents").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    from ursa_major_choir_etl_spark.operators.prefix import bucketed_cumsum
+
+    cum = bucketed_cumsum(
+        hist,
+        "cents",
+        {
+            "cum_rev": F.expr("CAST(cents AS DECIMAL(38,0)) * n"),
+            "cum_cust": F.col("n"),
+        },
+        desc=True,
     )
-    cum = hist.withColumn(
-        "cum_rev", F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * n")).over(w)
-    ).withColumn("cum_cust", F.sum("n").over(w))
-    tot = hist.agg(
-        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * n")).alias("_tr"),
-        F.sum("n").alias("_tc"),
+    from ursa_major_choir_etl_spark.caching import stage
+
+    cum = stage(cum)  # totals row + threshold scan both read it
+    # last prefix == grand total (descending inclusive cumulative)
+    tot = cum.agg(
+        F.max("cum_rev").alias("_tr"), F.max("cum_cust").alias("_tc")
     )
     j = cum.crossJoin(bbound(tot, "single totals row"))
     sel = j.agg(

@@ -575,6 +575,81 @@ def sign_lsh_topk(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str | None = None,
+    n_cells: int = 8,
+) -> DataFrame:
+    """IVF build, stage 1: the coarse cell assignment
+    ``(neighbor_id, cell, _cv)``.
+
+    If ``cluster_col`` is given it is the coarse assignment; otherwise
+    cells are built geometrically — the ``n_cells`` lowest-id vectors
+    seed the cells and every vector joins its max-cosine seed
+    (IVF-flat with deterministic seeds; production would run KMeans,
+    same shape). At 100 TB this table is the persisted, cell-
+    partitioned corpus layout every probe reads — see
+    plans/queries.ivf_index_tables for the materialize-once wiring."""
+    from pyspark.sql import Window
+
+    arr = F.col(vec_col).cast("array<double>")
+    if cluster_col is not None:
+        return corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(cluster_col).alias("cell"),
+            arr.alias("_cv"),
+        )
+    seeds = corpus.orderBy(id_col).limit(n_cells).select(
+        F.col(id_col).alias("cell"), arr.alias("_seed")
+    )
+    base = corpus.select(F.col(id_col).alias("neighbor_id"), arr.alias("_cv"))
+    w_seed = Window.partitionBy("neighbor_id").orderBy(
+        cosine(F.col("_cv"), F.col("_seed")).desc(), F.col("cell").asc()
+    )
+    return (
+        base.join(F.broadcast(seeds))
+        .withColumn("_srk", F.row_number().over(w_seed))
+        .filter(F.col("_srk") == 1)
+        .select("neighbor_id", "cell", "_cv")
+    )
+
+
+def ivf_centroids(cell: DataFrame, dims: int | None = None) -> DataFrame:
+    """IVF build, stage 2: per-cell mean centroids ``(cell,
+    _centroid)`` from an :func:`ivf_assign` table.
+
+    Coordinates are summed as micro-quantized int64 (CAST truncates
+    toward zero — same op as quantize_micro), NOT as floats: integer
+    sums are order-insensitive, so the centroid coordinate is
+    bit-identical across engines and shuffle orders, and the n_probe
+    cell ranking can never diverge from the SQL oracle on a near-tie
+    between two cells' query cosines (float sums would make the
+    tie-break summation-order-dependent). The ~1e-6 quantization is
+    far below the inter-centroid angular resolution. Pass ``dims`` to
+    keep the build single-job; the fallback probe is one limit(1)
+    action."""
+    if dims is None:
+        dims = len(cell.select("_cv").first()["_cv"])
+    sums = cell.groupBy("cell").agg(
+        F.array(
+            *[
+                F.sum((F.col("_cv")[i] * F.lit(1_000_000.0)).cast("long"))
+                for i in range(dims)
+            ]
+        ).alias("_isum"),
+        F.count("*").alias("_n"),
+    )
+    return sums.select(
+        "cell",
+        F.transform(
+            "_isum",
+            lambda x: x.cast("double") / F.lit(1_000_000.0) / F.col("_n"),
+        ).alias("_centroid"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -585,16 +660,18 @@ def ivf_topk(
     cluster_col: str | None = None,
     n_cells: int = 8,
     dims: int | None = None,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     coarse cells, search only the ``n_probe`` cells whose centroids are
     nearest the query.
 
-    Build phase: if ``cluster_col`` is given it is the coarse
-    assignment; otherwise cells are built geometrically — the
-    ``n_cells`` lowest-id vectors seed the cells and every vector joins
-    its max-cosine seed (IVF-flat with deterministic seeds; production
-    would run KMeans, same shape). Centroids are per-cell means.
+    ``index`` is an optional prebuilt ``(cell_assignments,
+    centroids)`` pair (the :func:`ivf_assign` / :func:`ivf_centroids`
+    outputs, e.g. read back from a materialized artifact) — the
+    production shape: the index is built once per corpus snapshot and
+    every search is probe-joins against the stored tables. Without it
+    the index is derived inline from ``corpus``.
 
     The cell scan is the same broadcast top-k as cosine_topk,
     restricted by an equi-join on cell id — at scale the corpus stays
@@ -608,54 +685,17 @@ def ivf_topk(
 
     arr = F.col(vec_col).cast("array<double>")
 
-    if cluster_col is not None:
-        cell = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(cluster_col).alias("cell"),
-            arr.alias("_cv"),
-        )
+    if index is not None:
+        cell, centroids = index
     else:
-        seeds = corpus.orderBy(id_col).limit(n_cells).select(
-            F.col(id_col).alias("cell"), arr.alias("_seed")
+        cell = ivf_assign(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            cluster_col=cluster_col,
+            n_cells=n_cells,
         )
-        base = corpus.select(F.col(id_col).alias("neighbor_id"), arr.alias("_cv"))
-        w_seed = Window.partitionBy("neighbor_id").orderBy(
-            cosine(F.col("_cv"), F.col("_seed")).desc(), F.col("cell").asc()
-        )
-        cell = (
-            base.join(F.broadcast(seeds))
-            .withColumn("_srk", F.row_number().over(w_seed))
-            .filter(F.col("_srk") == 1)
-            .select("neighbor_id", "cell", "_cv")
-        )
-    # centroid per cell: element-wise mean. Coordinates are summed as
-    # micro-quantized int64 (CAST truncates toward zero — same op as
-    # quantize_micro), NOT as floats: integer sums are order-
-    # insensitive, so the centroid coordinate is bit-identical across
-    # engines and shuffle orders, and the n_probe cell ranking can
-    # never diverge from the SQL oracle on a near-tie between two
-    # cells' query cosines (float sums would make the tie-break
-    # summation-order-dependent). The ~1e-6 quantization is far below
-    # the inter-centroid angular resolution. Pass ``dims`` to keep the
-    # build single-job; the fallback probe is one limit(1) action.
-    if dims is None:
-        dims = len(cell.select("_cv").first()["_cv"])
-    sums = cell.groupBy("cell").agg(
-        F.array(
-            *[
-                F.sum((F.col("_cv")[i] * F.lit(1_000_000.0)).cast("long"))
-                for i in range(dims)
-            ]
-        ).alias("_isum"),
-        F.count("*").alias("_n"),
-    )
-    centroids = sums.select(
-        "cell",
-        F.transform(
-            "_isum",
-            lambda x: x.cast("double") / F.lit(1_000_000.0) / F.col("_n"),
-        ).alias("_centroid"),
-    )
+        centroids = ivf_centroids(cell, dims=dims)
 
     q = queries.select(F.col(id_col).alias("query_id"), arr.alias("_qv"))
     # rank cells per query by centroid cosine; keep n_probe cells

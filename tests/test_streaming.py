@@ -351,6 +351,94 @@ class TestStreamingDecontamination:
         assert batch_counts == stream_counts
 
 
+class TestFunnelDecontaminationParity:
+    def test_funnel_drop_set_vs_streaming_bloom(
+        self, spark, tmp_path_factory
+    ):
+        """Batch-vs-streaming parity for the FUNNEL COMPOSITION's
+        decontamination stage (the streaming Bloom probe itself is
+        parity-tested above; this pins the composed pipeline): the
+        docs pretraining_funnel drops between fuzzy_dedup and
+        decontaminate are exactly the docs sharing an exact word
+        4-gram with the eval set, and the streaming Bloom probe run
+        over the same corpus flags a SUPERSET of them (a Bloom filter
+        admits false positives, never false negatives — so a
+        streaming pre-filter can gate ingestion without ever letting
+        a funnel-dropped doc through)."""
+        from ursa_major_choir_etl_spark.operators import curation
+
+        train_rows = [
+            # shares 'alpha beta gamma delta' (4-gram) with the eval set
+            (1, "web", "2024-01-01 10:00:00",
+             "alpha beta gamma delta epsilon zeta eta theta"),
+            # shares a different eval 4-gram
+            (2, "web", "2024-01-01 10:01:00",
+             "totally fresh opening then omega psi chi phi closing"),
+            # clean: overlaps eval by at most 3 consecutive words
+            (3, "books", "2024-01-01 10:02:00",
+             "alpha beta gamma DIFFERENT tail keeps this document"),
+            (4, "books", "2024-01-01 10:03:00",
+             "nothing in common with any benchmark text at all"),
+        ]
+        train = spark.createDataFrame(
+            train_rows, "doc_id long, source string, ts_s string, text string"
+        ).select(
+            "doc_id", "source", F.to_timestamp("ts_s").alias("ts"), "text"
+        )
+        eval_df = spark.createDataFrame(
+            [
+                (90, "alpha beta gamma delta unrelated ending"),
+                (91, "intro words omega psi chi phi and more"),
+            ],
+            "doc_id long, text string",
+        )
+        no_pairs = spark.createDataFrame([], "id_a long, id_b long")
+
+        funnel = {
+            r["stage"]: r["n_docs"]
+            for r in curation.pretraining_funnel(
+                train.drop("ts"),
+                eval_df,
+                no_pairs,
+                quality_threshold=0.0,  # isolate the decontamination stage
+                contam_n=4,
+                domain_cap=100,
+            ).collect()
+        }
+        # no quality/dedup attrition by construction; stage 5 drops
+        # exactly the two exact-4-gram-sharing docs
+        assert funnel["raw"] == 4
+        assert funnel["fuzzy_dedup"] == 4
+        assert funnel["decontaminate"] == 2
+
+        # the same corpus through the STREAMING Bloom probe
+        d = str(tmp_path_factory.mktemp("funnel_stream"))
+        train.select("doc_id", "ts", "text").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        stream = (
+            spark.readStream.schema("doc_id long, ts timestamp, text string")
+            .option("maxFilesPerTrigger", 10)
+            .parquet(d)
+        )
+        out = jobs.streaming_contaminated_grams(stream, eval_df, n=4)
+        flagged = {
+            r["doc_id"]
+            for r in _drain(
+                spark, out, "funnel_decontam_t", "append"
+            ).collect()
+        }
+        exact_dropped = {1, 2}
+        # no false negatives: every funnel-dropped doc is flagged
+        assert exact_dropped <= flagged
+        # and the clean docs are not exact-contaminated (they may
+        # appear in `flagged` only as Bloom false positives, which the
+        # downstream exact verifier would clear)
+        assert funnel["decontaminate"] == funnel["fuzzy_dedup"] - len(
+            exact_dropped
+        )
+
+
 class TestStreamingQuantileSketch:
     def test_store_merges_to_batch_sketch(self, spark, tmp_path_factory):
         """Per-micro-batch sketches in the store sum to EXACTLY the

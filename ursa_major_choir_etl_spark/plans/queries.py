@@ -8926,22 +8926,40 @@ def q184_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-depth histogram of l_extendedprice — per bucket the row
     count, distinct-value count, value range, and the depth deviation
     from the ideal N/8 in integer ppm (the number a cost model's
-    selectivity estimate inherits). Boundary pass is the q114 pattern
-    — ONE exact-percentile aggregate row broadcast back onto the
-    fact, then one 8-cell aggregate: no global sort, no data-sized
-    window. Boundaries rounded to 4dp on BOTH engines before the
-    comparison so float summation order can't flip boundary rows.
-    The 7 boundaries come from ONE array-percentile aggregate (seven
-    scalar percentile() calls each buffer the column independently —
-    the first cut paid 13s warm at sf0.1 for it; the array form runs
-    in ~1s)."""
+    selectivity estimate inherits). Boundaries rounded to 4dp on BOTH
+    engines before the comparison so float summation order can't flip
+    boundary rows.
+
+    Scale shape (round-8 verdict #3's fix): the raw-column
+    ``percentile`` aggregate buffers EVERY value in one task — fine
+    at sf0.1, an executor-OOM at 100 TB. Instead the query reduces to
+    the VALUE HISTOGRAM first (one shuffle, distinct prices + counts)
+    and computes the exact interpolated percentiles from the
+    histogram via ``percentile(value, p, frequency)`` — Spark's exact
+    weighted form, value-identical to the raw aggregate (each value
+    repeated `frequency` times) but buffering only histogram rows —
+    and the price histogram is DOMAIN-bounded (2dp prices on a finite
+    range: <= ~10M distinct cent values however many rows the fact
+    has), so the buffer stops growing with the data. Costs one extra
+    small shuffle at sf0.1 (~0.6s, where prices are near-unique);
+    buys survival at 800B rows. Every downstream stat (counts,
+    distincts, min/max, depth) is frequency-weighted off the same
+    histogram, so after the one histogram shuffle NOTHING rescans
+    the fact."""
     li = T(spark, sf_dir, "lineitem").select("l_extendedprice")
+    hist = li.groupBy("l_extendedprice").agg(
+        F.count(F.lit(1)).alias("_f")
+    )
+    from ursa_major_choir_etl_spark.caching import stage
+
+    hist = stage(hist)  # boundary pass + bucketed pass both read it
     pcts = F.percentile(
         "l_extendedprice",
         F.lit([i / 8.0 for i in range(1, 8)]),
+        F.col("_f"),
     )
-    bounds = li.agg(
-        pcts.alias("_bs"), F.count(F.lit(1)).alias("_n")
+    bounds = hist.agg(
+        pcts.alias("_bs"), F.sum("_f").alias("_n")
     ).select(
         *[
             F.round(F.element_at("_bs", i), 4).alias(f"b{i}")
@@ -8949,10 +8967,11 @@ def q184_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "_n",
     )
-    bucketed = li.crossJoin(
+    bucketed = hist.crossJoin(
         bbound(bounds, "single global boundary row (7 percentiles)")
     ).select(
         "l_extendedprice",
+        "_f",
         "_n",
         sum(
             (
@@ -8963,12 +8982,12 @@ def q184_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
     )
     return bucketed.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("l_extendedprice").alias("n_distinct"),
+        F.sum("_f").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
         F.round(F.min("l_extendedprice"), 2).alias("lo"),
         F.round(F.max("l_extendedprice"), 2).alias("hi"),
         F.expr(
-            "CAST(abs(CAST(count(1) AS DECIMAL(38,0)) * 8000000"
+            "CAST(abs(CAST(sum(_f) AS DECIMAL(38,0)) * 8000000"
             " DIV max(_n) - 1000000) AS BIGINT)"
         ).alias("depth_dev_ppm"),
     )

@@ -115,3 +115,28 @@ def test_no_global_window_in_plan(spark):
         if "Exchange SinglePartition" in ln:
             above = " ".join(lines[max(0, i - 4):i])
             assert "Window" not in above, plan
+
+
+@pytest.mark.parametrize("desc", [False, True])
+def test_grouped_matches_per_group_window(spark, desc):
+    """group_cols: one scan per group in the same pass — equal to the
+    per-group partitioned window on every row, groups with fewer rows
+    than buckets included."""
+    rows = [
+        (g, (v * 11 + ord(g)) % 500, (v % 4) + 1)
+        for g in ("a", "b", "c")
+        for v in range(120 if g != "c" else 2)
+    ]
+    h = spark.createDataFrame(rows, "g string, v long, cnt long")
+    got = bucketed_cumsum(
+        h, "v", {"c": F.col("cnt")}, desc=desc, group_cols=["g"]
+    )
+    key = F.col("v").desc() if desc else F.col("v").asc()
+    w = Window.partitionBy("g").orderBy(key).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = h.withColumn("_e", F.sum("cnt").over(w))
+    rows_ = got.join(want.select("g", "v", "_e"), ["g", "v"]).collect()
+    assert len(rows_) == h.count()
+    for r in rows_:
+        assert r["c"] == r["_e"], r

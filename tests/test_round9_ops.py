@@ -4181,3 +4181,72 @@ class TestDedupQualityShift:
         assert got[0]["n_docs"] == 1
         # the removed copy is the noisy one -> lower mean quality
         assert got[0]["mean_quality_u"] < got[1]["mean_quality_u"]
+
+
+class TestIndexArtifacts:
+    """Round-9 index artifacts: the materialized IVF index and ANN
+    ground-truth tables must be value-identical to a fresh build of
+    the same operators (the oracle certifies them against DuckDB each
+    round; this pins Spark-side build == Spark-side artifact)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_ivf_index_tables_match_fresh_build(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from ursa_major_choir_etl_spark import artifacts
+        from ursa_major_choir_etl_spark.operators import similarity
+        from ursa_major_choir_etl_spark.plans.queries import (
+            T,
+            ivf_index_tables,
+        )
+
+        monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path))
+        artifacts._VERIFIED.clear()
+        cells, cents = ivf_index_tables(spark, self.SF, n_cells=8)
+        emb = T(spark, self.SF, "embeddings")
+        fresh_cells = similarity.ivf_assign(emb, n_cells=8)
+        got_cells = {
+            (r["neighbor_id"], r["cell"]) for r in cells.collect()
+        }
+        want_cells = {
+            (r["neighbor_id"], r["cell"]) for r in fresh_cells.collect()
+        }
+        assert got_cells == want_cells and got_cells
+        fresh_cents = {
+            r["cell"]: r["_centroid"]
+            for r in similarity.ivf_centroids(fresh_cells).collect()
+        }
+        got_cents = {r["cell"]: r["_centroid"] for r in cents.collect()}
+        assert set(got_cents) == set(fresh_cents)
+        for c in got_cents:
+            assert got_cents[c] == fresh_cents[c]  # exact: integer-sum build
+
+    def test_ann_truth_table_matches_fresh_topk(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from pyspark.sql import functions as F
+
+        from ursa_major_choir_etl_spark import artifacts
+        from ursa_major_choir_etl_spark.operators import similarity
+        from ursa_major_choir_etl_spark.plans.queries import (
+            T,
+            ann_truth_table,
+        )
+
+        monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path))
+        artifacts._VERIFIED.clear()
+        emb = T(spark, self.SF, "embeddings")
+        fresh = similarity.cosine_topk(
+            emb, emb.filter(F.col("vec_id") < 10), k=5
+        )
+        key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+        want = {
+            key(r): (r["neighbor_id"], r["cosine_sim"])
+            for r in fresh.collect()
+        }
+        got = {
+            key(r): (r["neighbor_id"], r["cosine_sim"])
+            for r in ann_truth_table(spark, self.SF, k=5).collect()
+        }
+        assert got == want and len(got) == 50

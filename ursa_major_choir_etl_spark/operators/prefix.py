@@ -30,6 +30,12 @@ two-level (blocked) parallel prefix scan, expressed in DataFrame ops:
    associative ⊕; ``sum`` and ``max`` are provided (the two shapes
    the registry uses: cumulative mass and skyline prefix-max).
 
+``group_cols`` runs one independent scan per group in the SAME pass
+(per-group percentile boundaries, windows partitioned by
+(group, bucket)) — the "three RFM dimensions", "CDF per segment"
+case pays one histogram shuffle + one boundary pass total instead of
+one per group.
+
 The bucket count scales with the cluster, not the data: 32 here
 (matching local[32]); a 1000-executor deployment would raise it and
 nothing else changes. DuckDB oracles keep the one-level
@@ -39,6 +45,9 @@ driver's hash compare certifies the decomposition every round.
 """
 
 from __future__ import annotations
+
+import functools
+import operator
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -53,35 +62,36 @@ def bucketed_prefix(
     desc: bool = False,
     inclusive: bool = True,
     n_buckets: int = 32,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Return ``hist`` with one running-aggregate column per
-    ``measures`` entry (name -> per-row expression), ordered globally
-    by ``order_col`` (descending when ``desc``), computed as a
-    two-level bucketed prefix scan — no data-sized global window, no
-    global window at all.
+    ``measures`` entry (name -> per-row expression), ordered by
+    ``order_col`` (descending when ``desc``) independently within
+    each ``group_cols`` group (globally when no groups), computed as
+    a two-level bucketed prefix scan — no data-sized global window,
+    no global window at all.
 
     ``combine`` is ``"sum"`` or ``"max"``. ``inclusive=False`` gives
-    the exclusive prefix: for ``sum`` the first global row gets 0,
+    the exclusive prefix: for ``sum`` the first row of a scan gets 0,
     for ``max`` it gets NULL (the "no previous value" sentinel a
     skyline test wants).
 
     ``hist`` should already be value-histogram-sized (one row per
-    distinct ``order_col``); it is staged here because the boundary
-    pass and the bucketed pass both read it.
+    distinct (group, ``order_col``)); it is staged here because the
+    boundary pass and the bucketed pass both read it.
     """
     if combine not in ("sum", "max"):
         raise ValueError(f"unsupported combine {combine!r}")
     from ursa_major_choir_etl_spark.caching import stage
 
+    groups = list(group_cols or [])
     hist = stage(hist)  # boundary pass + bucketed pass both read it
-    bounds = hist.agg(
-        F.percentile(
-            order_col,
-            F.lit([i / n_buckets for i in range(1, n_buckets)]),
-        ).alias("_bs")
-    ).select(
-        *[F.element_at("_bs", i).alias(f"_pb{i}") for i in range(1, n_buckets)]
-    )
+    pct = F.percentile(
+        order_col, F.lit([i / n_buckets for i in range(1, n_buckets)])
+    ).alias("_bs")
+    bexprs = [
+        F.element_at("_bs", i).alias(f"_pb{i}") for i in range(1, n_buckets)
+    ]
     bucket = sum(
         (
             (F.col(order_col) > F.col(f"_pb{i}")).cast("int")
@@ -89,41 +99,58 @@ def bucketed_prefix(
         ),
         F.lit(0),
     )
-    hb = hist.crossJoin(
-        F.broadcast(bounds)  # single percentile row: bounded by construction
-    ).withColumn("_bkt", bucket).drop(
+    if groups:
+        bounds = hist.groupBy(*groups).agg(pct).select(*groups, *bexprs)
+        # one boundary row per group: group-cardinality-bounded
+        hb = hist.join(F.broadcast(bounds), groups)
+    else:
+        bounds = hist.agg(pct).select(*bexprs)
+        # single percentile row: bounded by construction
+        hb = hist.crossJoin(F.broadcast(bounds))
+    hb = hb.withColumn("_bkt", bucket).drop(
         *[f"_pb{i}" for i in range(1, n_buckets)]
     )
     fagg = F.sum if combine == "sum" else F.max
-    btot = hb.groupBy("_bkt").agg(
+    btot = hb.groupBy(*groups, "_bkt").agg(
         *[fagg(expr).alias(f"_t_{name}") for name, expr in measures.items()]
     )
     # Exclusive cross-bucket offsets: triangular broadcast self-join
-    # over <= n_buckets rows — strictly-preceding buckets in the
-    # requested direction. NULL offset == "no preceding bucket".
-    tgt = btot.select(F.col("_bkt").alias("_abkt"))
+    # over <= n_buckets rows per group — strictly-preceding buckets in
+    # the requested direction. NULL offset == "no preceding bucket".
+    tgt = btot.select(
+        *[F.col(g).alias(f"_a_{g}") for g in groups],
+        F.col("_bkt").alias("_abkt"),
+    )
     prev = F.col("_bkt") > F.col("_abkt") if desc else (
         F.col("_bkt") < F.col("_abkt")
     )
+    cond = functools.reduce(
+        operator.and_,
+        [F.col(g) == F.col(f"_a_{g}") for g in groups],
+        prev,
+    )
     offs = (
-        tgt.join(F.broadcast(btot), prev, "left")
-        .groupBy("_abkt")
+        tgt.join(F.broadcast(btot), cond, "left")
+        .groupBy(*[f"_a_{g}" for g in groups], "_abkt")
         .agg(
             *[
                 fagg(f"_t_{name}").alias(f"_off_{name}")
                 for name in measures
             ]
         )
-        .withColumnRenamed("_abkt", "_bkt")
     )
+    for g in groups:
+        offs = offs.withColumnRenamed(f"_a_{g}", g)
+    offs = offs.withColumnRenamed("_abkt", "_bkt")
     ikey = F.col(order_col).desc() if desc else F.col(order_col).asc()
     wi = (
-        Window.partitionBy("_bkt")
+        Window.partitionBy(*groups, "_bkt")
         .orderBy(ikey)
         .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
     )
     out = hb.join(
-        F.broadcast(offs), "_bkt"  # one row per bucket: <= n_buckets
+        F.broadcast(offs), [*groups, "_bkt"]
+        # one row per (group, bucket): groups x n_buckets
     )
     for name, expr in measures.items():
         within = fagg(expr).over(wi)
@@ -135,7 +162,7 @@ def bucketed_prefix(
             )
         else:
             # greatest skips NULLs; NULL only when BOTH sides are
-            # empty — i.e. the global first row of an exclusive scan
+            # empty — i.e. the first row of an exclusive scan
             merged = F.greatest(F.col(f"_off_{name}"), within)
         out = out.withColumn(name, merged)
     return out.drop("_bkt", *[f"_off_{name}" for name in measures])
@@ -148,6 +175,7 @@ def bucketed_cumsum(
     *,
     desc: bool = False,
     n_buckets: int = 32,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Inclusive running sum — the common case of
     :func:`bucketed_prefix`."""
@@ -159,4 +187,5 @@ def bucketed_cumsum(
         desc=desc,
         inclusive=True,
         n_buckets=n_buckets,
+        group_cols=group_cols,
     )

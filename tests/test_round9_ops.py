@@ -4250,3 +4250,32 @@ class TestIndexArtifacts:
             for r in ann_truth_table(spark, self.SF, k=5).collect()
         }
         assert got == want and len(got) == 50
+
+    def test_cc_labels_table_matches_fresh_closure(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The materialized CC label table must equal a live
+        min-label connected-components run over the same pair
+        artifact (same contract as the IVF artifact tests: Spark
+        build == Spark artifact; the driver oracle certifies both
+        against DuckDB's recursive CTE)."""
+        from ursa_major_choir_etl_spark import artifacts
+        from ursa_major_choir_etl_spark.operators import dedup
+        from ursa_major_choir_etl_spark.plans.queries import (
+            cc_labels_table,
+            jaccard_pairs_table,
+        )
+
+        monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path))
+        artifacts._VERIFIED.clear()
+        got = {
+            (r["node"], r["component"])
+            for r in cc_labels_table(spark, self.SF).collect()
+        }
+        fresh = dedup.connected_components(
+            jaccard_pairs_table(spark, self.SF)
+        )
+        want = {
+            (r["node"], r["component"]) for r in fresh.collect()
+        }
+        assert got == want and got

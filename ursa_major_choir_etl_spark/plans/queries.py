@@ -447,6 +447,36 @@ def simhash_pairs_table(
     )
 
 
+def cc_labels_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized q55 output: transitive near-dup cluster labels
+    (node, component) — min-label connected components over the q20
+    pair artifact. The closure is the second shared stage of every
+    fuzzy-dedup pipeline (after the pair build itself): representative
+    election (q122), transitive decontamination (q157), size spectrum
+    (q174), giant-component health (q211), source purity (q242) all
+    consume the SAME labels, and at 100 TB the label table is a
+    corpus-snapshot dataset produced by one CC run — nobody re-runs
+    the iterative loop per report. Versioned in lockstep with the
+    pair table (_PAIRS_VERSION): new pair semantics invalidate the
+    labels built from them. Oracles keep recomputing the closure via
+    recursive CTEs from raw text, certifying the artifact contents
+    every round (q77 deliberately stays a LIVE star-algorithm run —
+    its point is exercising the other algorithm on the same
+    contract)."""
+    from ursa_major_choir_etl_spark import artifacts
+
+    return artifacts.materialize_once(
+        spark,
+        "cc_labels_n3_t0.5",
+        sf_dir,
+        _PAIRS_VERSION,
+        [os.path.join(sf_dir, "documents.parquet")],
+        lambda: dedup.connected_components(
+            jaccard_pairs_table(spark, sf_dir)
+        ),
+    )
+
+
 _IVF_VERSION = 1  # bump when IVF build semantics change
 _ANN_TRUTH_VERSION = 1  # bump when the brute-force truth semantics change
 
@@ -2314,8 +2344,10 @@ def q55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components) over the q20 near-duplicate pairs — min-label
     propagation to fixpoint, lineage-checkpointed per round. The
     DuckDB oracle computes the same closure with a recursive CTE.
-    Edges come from the materialized q20 pair artifact."""
-    return dedup.connected_components(jaccard_pairs_table(spark, sf_dir))
+    Edges come from the materialized q20 pair artifact; this query IS
+    the producer of the materialized LABEL table every downstream
+    cluster report (q122/q157/q174/q211/q242) reads."""
+    return cc_labels_table(spark, sf_dir)
 
 
 def _pairs_oracle_ctes() -> str:
@@ -5469,7 +5501,7 @@ def q122_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ursa_major_choir_etl_spark.operators import curation
 
     docs = T(spark, sf_dir, "documents")
-    labels = dedup.connected_components(jaccard_pairs_table(spark, sf_dir))
+    labels = cc_labels_table(spark, sf_dir)
     return curation.cluster_representatives(labels, docs)
 
 
@@ -7359,9 +7391,9 @@ def q157_transitive_decontamination(spark: SparkSession, sf_dir: str) -> DataFra
         .select(F.col("train_id").alias("doc_id"))
         .distinct()
     )
-    labels = dedup.connected_components(
-        jaccard_pairs_table(spark, sf_dir)
-    ).withColumnRenamed("node", "doc_id")
+    labels = cc_labels_table(spark, sf_dir).withColumnRenamed(
+        "node", "doc_id"
+    )
     bad_comp = labels.join(direct, "doc_id").select("component").distinct()
     closure = labels.join(bad_comp, "component").select("doc_id").distinct()
     marked = (
@@ -8270,7 +8302,7 @@ def q174_cluster_size_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosions (a heavy 2^6+ bucket means one template owns the
     corpus). Thirteenth artifact consumer; everything after CC is
     cluster-cardinality work."""
-    labels = dedup.connected_components(jaccard_pairs_table(spark, sf_dir))
+    labels = cc_labels_table(spark, sf_dir)
     sizes = labels.groupBy("component").agg(
         F.count(F.lit(1)).alias("_sz")
     )
@@ -11236,7 +11268,7 @@ def q211_giant_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     soft-dedup cap defends against). Consumes the materialized q20
     pair artifact + the q55 connected-components operator; the report
     is three small aggregates over cluster labels."""
-    clusters = dedup.connected_components(jaccard_pairs_table(spark, sf_dir))
+    clusters = cc_labels_table(spark, sf_dir)
     sizes = clusters.groupBy("component").agg(
         F.count(F.lit(1)).alias("sz")
     )
@@ -13793,7 +13825,7 @@ def q242_cluster_source_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     span histogram so the answer stays one small table. Artifact
     consumers only: one doc-keyed source lookup + two bounded
     aggregates on cluster labels."""
-    clusters = dedup.connected_components(jaccard_pairs_table(spark, sf_dir))
+    clusters = cc_labels_table(spark, sf_dir)
     docs = T(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("node"), "source"
     )

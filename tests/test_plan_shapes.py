@@ -241,3 +241,28 @@ class TestRegistrySweep:
             bdim(cust, "customer")
         nation = T(spark, SF_DIR, "nation")
         bdim(nation, "nation")  # fixed-cardinality: allowed
+
+
+class TestArtifactConsumersPlanAsScans:
+    """The materialized-label consumers must plan as parquet scans of
+    the stored cc_labels table, not re-run the iterative closure. A
+    live connected-components run leaves lineage-checkpoint scans
+    ("Scan ExistingRDD") in the executed plan; the artifact consumer
+    references the artifact path in a FileScan instead. q77 is the
+    deliberate live-algorithm exception and is excluded."""
+
+    @pytest.mark.parametrize(
+        "qname",
+        [
+            "q55_dedup_clusters",
+            "q122_cluster_representatives",
+            "q157_transitive_decontamination",
+            "q174_cluster_size_spectrum",
+            "q211_giant_component",
+            "q242_cluster_source_purity",
+        ],
+    )
+    def test_cc_consumers_scan_label_artifact(self, spark, registry, qname):
+        plan = plan_of(registry[qname](spark, SF_DIR))
+        assert "cc_labels" in plan, qname
+        assert "ExistingRDD" not in plan, qname

@@ -13263,15 +13263,38 @@ def q235_contamination_n_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     n misses paraphrases; q78/q157 measure at a fixed n, q130 sweeps
     the fuzzy-dedup threshold the same way). Each setting is one
     distinct-gram equi-join; the eval side is 2% of the corpus by
-    construction."""
+    construction. The corpus is normalized+tokenized ONCE into a
+    staged token-array frame all six gram derivations (3 n-sizes x
+    2 sides) read — the sweep pays one text scan, not six (the q137
+    funnel's staged-projection pattern)."""
+    from ursa_major_choir_etl_spark.caching import stage
+
     docs = T(spark, sf_dir, "documents")
-    ev = docs.filter(F.col("doc_id") % 50 == 0)
-    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    toked = stage(
+        text.widen_if_narrow(docs).select(
+            "doc_id",
+            text.tokens(text.normalized_text("text")).alias("_toks"),
+        )
+    )
+    ev = toked.filter(F.col("doc_id") % 50 == 0)
+    tr = toked.filter(F.col("doc_id") % 50 != 0)
     n_eval = ev.agg(F.count(F.lit(1)).alias("n_eval"))
     out = None
     for n in (4, 8, 16):
-        tg = dedup.word_shingles(tr, n=n).select("shingle").distinct()
-        eg = dedup.word_shingles(ev, n=n)
+        tg = (
+            tr.select(
+                F.explode(
+                    dedup.shingle_array(F.col("_toks"), n)
+                ).alias("shingle")
+            )
+            .distinct()
+        )
+        eg = ev.select(
+            "doc_id",
+            F.explode(dedup.shingle_array(F.col("_toks"), n)).alias(
+                "shingle"
+            ),
+        ).distinct()
         hit = (
             eg.join(tg, "shingle", "left_semi")
             .select("doc_id")

@@ -7,10 +7,17 @@ the executor, batches flow through Arrow, output schemas are explicit
 StructTypes.
 
 The actual codec libraries (PIL/ffmpeg/torchaudio) are NOT in this
-container, so the decoder is a clearly-marked deterministic fake
-(metadata derived from the blob bytes). Swap ``_fake_decode_image``
-for a real decoder and nothing else changes — schema, partitioning,
-and batch shape are production-real.
+container, so the COMPRESSED-format decoder is a clearly-marked
+deterministic fake (metadata derived from the blob bytes). Swap
+``_fake_decode_image`` for a real decoder and nothing else changes —
+schema, partitioning, and batch shape are production-real.
+
+Formats with a fixed public byte layout need no codec library at
+all, and for those the decode is REAL: uncompressed BI_RGB BMP
+(``decode_bmp_stats``/``resize_bmp``) and RIFF/WAVE PCM
+(``decode_wav_features``) parse true pixels and samples with
+struct+numpy, verified against independently-built files in
+tests/test_multimodal_real.py.
 """
 
 from __future__ import annotations
@@ -219,3 +226,245 @@ def resize_image_stub(
             )
 
     return blobs.mapInPandas(resize, schema=schema)
+
+# ---------------------------------------------------------------------------
+# REAL decoders — formats parseable with stdlib struct + numpy alone.
+#
+# JPEG/PNG/MP3/MP4 genuinely need codec libraries this container does
+# not ship, so those stay behind the stubs above. Uncompressed BMP
+# (BITMAPINFOHEADER, BI_RGB 24/32bpp) and RIFF/WAVE PCM are public,
+# fixed-layout formats a few struct.unpack calls decode exactly —
+# so THESE decode paths are real, not fakes: real pixels, real PCM
+# samples, verified against independently-constructed files in tests.
+# The Spark shape is identical to the stubs (narrow Arrow-batched
+# mapInPandas, binary in -> typed columns out, no shuffle), which is
+# the point: swapping fake for real decode changes only the inner
+# kernel, exactly as the stub docstrings promise.
+# ---------------------------------------------------------------------------
+
+BMP_DECODE_SCHEMA = (
+    "doc_id long, valid boolean, width int, height int, bpp int,"
+    " n_pixels long, mean_b double, mean_g double, mean_r double"
+)
+
+
+def _decode_bmp_one(blob: bytes):
+    """Parse one uncompressed BI_RGB 24/32bpp BMP; returns the decoded
+    (width, height, bpp, HxWx3 BGR uint8 array) or None if the payload
+    is not a BMP this decoder supports (magic/compression/bpp check —
+    never a guess)."""
+    import struct
+
+    import numpy as np
+
+    if len(blob) < 54 or blob[:2] != b"BM":
+        return None
+    pix_off = struct.unpack_from("<I", blob, 10)[0]
+    hdr_size = struct.unpack_from("<I", blob, 14)[0]
+    if hdr_size < 40:  # BITMAPCOREHEADER etc. — out of scope
+        return None
+    width, height = struct.unpack_from("<ii", blob, 18)
+    planes, bpp = struct.unpack_from("<HH", blob, 26)
+    compression = struct.unpack_from("<I", blob, 30)[0]
+    if planes != 1 or compression != 0 or bpp not in (24, 32) or width <= 0:
+        return None
+    top_down = height < 0
+    height = abs(height)
+    nch = bpp // 8
+    row_size = ((bpp * width + 31) // 32) * 4  # rows pad to 4 bytes
+    need = pix_off + row_size * height
+    if height == 0 or len(blob) < need:
+        return None
+    rows = (
+        np.frombuffer(blob, dtype=np.uint8, count=row_size * height, offset=pix_off)
+        .reshape(height, row_size)[:, : width * nch]
+        .reshape(height, width, nch)
+    )
+    if not top_down:
+        rows = rows[::-1]  # BMP stores bottom-up by default
+    return width, height, bpp, rows[:, :, :3]  # BGR (alpha dropped)
+
+
+def decode_bmp_stats(
+    blobs: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """REAL image decode: per-payload BMP parse -> geometry + exact
+    per-channel means (doubles over the true pixel grid). Non-BMP or
+    malformed payloads yield valid=false with NULL stats — degrade,
+    never guess. One numpy reshape per row inside an Arrow batch."""
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    id_col,
+                    "valid",
+                    "width",
+                    "height",
+                    "bpp",
+                    "n_pixels",
+                    "mean_b",
+                    "mean_g",
+                    "mean_r",
+                )
+            }
+            for rid, blob in zip(pdf[id_col].values, pdf[blob_col].values):
+                dec = _decode_bmp_one(bytes(blob))
+                out[id_col].append(rid)
+                if dec is None:
+                    out["valid"].append(False)
+                    for k in ("width", "height", "bpp", "n_pixels"):
+                        out[k].append(None)
+                    for k in ("mean_b", "mean_g", "mean_r"):
+                        out[k].append(None)
+                    continue
+                w, h, bpp, px = dec
+                means = px.astype(np.float64).mean(axis=(0, 1))
+                out["valid"].append(True)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bpp"].append(bpp)
+                out["n_pixels"].append(w * h)
+                out["mean_b"].append(float(means[0]))
+                out["mean_g"].append(float(means[1]))
+                out["mean_r"].append(float(means[2]))
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(decode, schema=BMP_DECODE_SCHEMA)
+
+
+def resize_bmp(
+    blobs: DataFrame,
+    out_w: int = 32,
+    out_h: int = 32,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """REAL resize over decoded BMP pixels: nearest-neighbor to
+    (out_h x out_w x 3), emitting the resized BGR bytes — the same
+    contract as resize_image_stub but on true pixel grids. Invalid
+    payloads are dropped (the stats operator is the quarantine
+    surface)."""
+    import numpy as np
+
+    schema = f"{id_col} long, width int, height int, pixels binary"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pix = [], []
+            for rid, blob in zip(pdf[id_col].values, pdf[blob_col].values):
+                dec = _decode_bmp_one(bytes(blob))
+                if dec is None:
+                    continue
+                w, h, _, px = dec
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                ids.append(rid)
+                pix.append(px[np.ix_(yi, xi)].tobytes())
+            yield pd.DataFrame(
+                {id_col: ids, "width": out_w, "height": out_h, "pixels": pix}
+            )
+
+    return blobs.mapInPandas(resize, schema=schema)
+
+
+WAV_DECODE_SCHEMA = (
+    "doc_id long, valid boolean, sample_rate int, channels int,"
+    " bits_per_sample int, n_frames long, rms double, peak int"
+)
+
+
+def _decode_wav_one(blob: bytes):
+    """Parse one RIFF/WAVE PCM payload (fmt chunk walked properly, 8
+    or 16 bit) -> (sample_rate, channels, bits, frames int32 array
+    shaped [n_frames, channels]) or None when not decodable PCM."""
+    import struct
+
+    import numpy as np
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        csz = struct.unpack_from("<I", blob, pos + 4)[0]
+        body = blob[pos + 8 : pos + 8 + csz]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or channels < 1 or bits not in (8, 16):
+        return None
+    if bits == 16:
+        samples = np.frombuffer(
+            data, dtype="<i2", count=(len(data) // 2 // channels) * channels
+        ).astype(np.int32)
+    else:  # 8-bit WAV PCM is unsigned, centered at 128
+        samples = (
+            np.frombuffer(
+                data, dtype=np.uint8, count=(len(data) // channels) * channels
+            ).astype(np.int32)
+            - 128
+        )
+    if samples.size == 0:
+        return None
+    return rate, channels, bits, samples.reshape(-1, channels)
+
+
+def decode_wav_features(
+    blobs: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """REAL audio decode: RIFF/WAVE PCM parse -> format fields + exact
+    RMS / peak over the true samples (the audio_features_stub contract
+    on real PCM instead of raw payload bytes). Non-WAV payloads yield
+    valid=false rows."""
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {
+                k: []
+                for k in (
+                    id_col,
+                    "valid",
+                    "sample_rate",
+                    "channels",
+                    "bits_per_sample",
+                    "n_frames",
+                    "rms",
+                    "peak",
+                )
+            }
+            for rid, blob in zip(pdf[id_col].values, pdf[blob_col].values):
+                dec = _decode_wav_one(bytes(blob))
+                cols[id_col].append(rid)
+                if dec is None:
+                    cols["valid"].append(False)
+                    for k in (
+                        "sample_rate",
+                        "channels",
+                        "bits_per_sample",
+                        "n_frames",
+                        "rms",
+                        "peak",
+                    ):
+                        cols[k].append(None)
+                    continue
+                rate, ch, bits, frames = dec
+                f64 = frames.astype(np.float64)
+                cols["valid"].append(True)
+                cols["sample_rate"].append(rate)
+                cols["channels"].append(ch)
+                cols["bits_per_sample"].append(bits)
+                cols["n_frames"].append(frames.shape[0])
+                cols["rms"].append(float(np.sqrt(np.mean(f64 * f64))))
+                cols["peak"].append(int(np.max(np.abs(frames))))
+            yield pd.DataFrame(cols)
+
+    return blobs.mapInPandas(decode, schema=WAV_DECODE_SCHEMA)

@@ -1,0 +1,114 @@
+"""Incremental connected-components maintenance (merge_cc_labels):
+folding a batch of new pairs into a standing label table must equal a
+full closure over the union of old and new pairs — on hand-built
+merge shapes, on randomized graphs, and on the real near-dup pair
+table. The equivalence is the whole contract: an arriving shard must
+never produce labels a batch rebuild wouldn't."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges or [(None, None)], "id_a long, id_b long").filter(
+        F.col("id_a").isNotNull()
+    )
+
+
+def _labels_of(df):
+    return {(r["node"], r["component"]) for r in df.collect()}
+
+
+def _cc(spark, edges):
+    from ursa_major_choir_etl_spark.operators.dedup import connected_components
+
+    return connected_components(_pairs(spark, edges), max_iterations=50)
+
+
+def _merge(spark, labels, new_edges):
+    from ursa_major_choir_etl_spark.operators.dedup import merge_cc_labels
+
+    return merge_cc_labels(labels, _pairs(spark, new_edges), max_iterations=50)
+
+
+class TestMergeCcLabels:
+    def test_bridge_edge_merges_two_components(self, spark):
+        old = [(1, 2), (5, 6)]
+        new = [(2, 5)]
+        got = _labels_of(_merge(spark, _cc(spark, old), new))
+        want = _labels_of(_cc(spark, old + new))
+        assert got == want
+        assert {c for _, c in got} == {1}  # everything reaches min id 1
+
+    def test_new_nodes_and_untouched_components(self, spark):
+        old = [(1, 2), (10, 11)]
+        new = [(2, 3), (100, 101)]  # 3, 100, 101 are brand new
+        got = _labels_of(_merge(spark, _cc(spark, old), new))
+        want = _labels_of(_cc(spark, old + new))
+        assert got == want
+        comp = dict(got)
+        assert comp[3] == 1  # joined the existing min-1 cluster
+        assert comp[100] == comp[101] == 100  # fresh component
+        assert comp[10] == comp[11] == 10  # untouched component stable
+
+    def test_empty_batch_returns_standing_labels(self, spark):
+        old = [(1, 2), (2, 3), (7, 8)]
+        labels = _cc(spark, old)
+        got = _labels_of(_merge(spark, labels, []))
+        assert got == _labels_of(labels)
+
+    def test_chain_grown_across_many_batches(self, spark):
+        # a long chain delivered in three shards: the worst case for
+        # min propagation arrives piecewise, and every intermediate
+        # label state must match the batch rebuild of what has arrived
+        chain = [(i, i + 1) for i in range(18)]
+        arrived = chain[:6]
+        labels = _cc(spark, arrived)
+        for batch in (chain[6:12], chain[12:]):
+            labels = _merge(spark, labels, batch)
+            arrived = arrived + batch
+            assert _labels_of(labels) == _labels_of(_cc(spark, arrived))
+
+    def test_randomized_split_equals_full_rebuild(self, spark):
+        rng = random.Random(42)
+        for _ in range(5):
+            nodes = list(range(rng.randint(5, 16)))
+            edges = [
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.choice(nodes), rng.choice(nodes))
+                    for _ in range(rng.randint(3, 20))
+                )
+                if a != b
+            ]
+            if not edges:
+                continue
+            cut = rng.randint(0, len(edges))
+            old, new = edges[:cut], edges[cut:]
+            if not old:
+                old, new = new[:1], new[1:]
+            got = _labels_of(_merge(spark, _cc(spark, old), new))
+            assert got == _labels_of(_cc(spark, edges))
+
+    def test_real_pair_table_split_in_half(self, spark, tmp_path, monkeypatch):
+        from ursa_major_choir_etl_spark import artifacts
+        from ursa_major_choir_etl_spark.operators.dedup import (
+            connected_components,
+            merge_cc_labels,
+        )
+        from ursa_major_choir_etl_spark.plans.queries import jaccard_pairs_table
+
+        monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path))
+        artifacts._VERIFIED.clear()
+        pairs = jaccard_pairs_table(spark, "/root/testdata/sf0.001")
+        half0 = pairs.filter((F.col("id_a") + F.col("id_b")) % 2 == 0)
+        half1 = pairs.filter((F.col("id_a") + F.col("id_b")) % 2 == 1)
+        incremental = merge_cc_labels(
+            connected_components(half0), half1, max_iterations=50
+        )
+        full = connected_components(pairs, max_iterations=50)
+        assert _labels_of(incremental) == _labels_of(full)
+        assert incremental.count() > 0

@@ -475,6 +475,50 @@ def connected_components_star(
     return labels.unionByName(self_only)
 
 
+def merge_cc_labels(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Incremental connected-components maintenance: fold a batch of
+    NEW near-dup pairs into an existing (node, component) label table
+    without re-running the closure over the historical pair set — the
+    label-side counterpart of the incremental pair probe (an arriving
+    shard probes the postings index for its new pairs, then this
+    merges them into the standing cluster labels).
+
+    Reduction: an existing label row IS an edge (node -> its
+    component representative), and connectivity inside old components
+    is exactly preserved by those star edges. So
+    ``CC(label_edges UNION new_pairs)`` equals a full
+    ``CC(old_pairs UNION new_pairs)`` — including the component-id
+    contract, because each old representative is the min id of its
+    component and participates as an ordinary node, so min-reachable
+    ids come out identical. New nodes appearing only in ``new_pairs``
+    are labeled by the closure as usual; an empty batch returns the
+    standing labels unchanged.
+
+    Why this wins at 100 TB: the historical side enters as
+    diameter-2 stars with ONE edge per labeled node (the corpus pair
+    table has many pairs per node and arbitrary chain depth), so the
+    fixpoint runs over a smaller edge list and its round count is
+    bounded by the NEW batch's merge-graph diameter — a few rounds
+    per arriving shard instead of a corpus-scale re-closure."""
+    star_edges = labels.select(
+        F.col("node").alias(id_a), F.col("component").alias(id_b)
+    )
+    return connected_components(
+        star_edges.unionByName(
+            new_pairs.select(F.col(id_a), F.col(id_b))
+        ),
+        id_a=id_a,
+        id_b=id_b,
+        max_iterations=max_iterations,
+    )
+
+
 def _postings_candidate_stats(
     doc_arrays: DataFrame, sizes: DataFrame, id_col: str, hot_shingle_cap: int
 ):

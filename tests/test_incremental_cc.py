@@ -112,3 +112,79 @@ class TestMergeCcLabels:
         full = connected_components(pairs, max_iterations=50)
         assert _labels_of(incremental) == _labels_of(full)
         assert incremental.count() > 0
+
+
+class TestStreamingCcLabelSink:
+    def test_drained_store_equals_batch_closure(
+        self, spark, tmp_path_factory
+    ):
+        """Labels after draining a multi-batch pair stream equal the
+        one-shot batch closure over all pairs — arrival order and
+        batch boundaries must not show in the fixpoint."""
+        from ursa_major_choir_etl_spark.streaming import jobs
+
+        src = str(tmp_path_factory.mktemp("cc_stream"))
+        wh = str(tmp_path_factory.mktemp("cc_wh"))
+        ckpt = str(tmp_path_factory.mktemp("cc_ckpt"))
+
+        # chain + islands + a late bridge, shuffled across 4 files so
+        # micro-batches slice the graph arbitrarily
+        edges = (
+            [(i, i + 1) for i in range(12)]
+            + [(100, 101), (102, 101), (200, 201)]
+            + [(12, 100)]  # bridge: chain swallows the 100-island
+        )
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        df.repartition(4).write.mode("overwrite").parquet(src)
+
+        stream = (
+            spark.readStream.schema("id_a long, id_b long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = jobs.streaming_cc_label_sink(
+            stream, wh, "labels", checkpoint_dir=ckpt
+        )
+        q.awaitTermination(180)
+
+        got = {
+            (r["node"], r["component"])
+            for r in jobs.read_cc_label_store(spark, wh, "labels").collect()
+        }
+        want = _labels_of(_cc(spark, edges))
+        assert got == want and got
+
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path_factory):
+        """Re-running the drained stream from a FRESH checkpoint (the
+        harshest replay: every batch re-applied) leaves the store
+        byte-identical — merge idempotency plus generation overwrite."""
+        from ursa_major_choir_etl_spark.streaming import jobs
+
+        src = str(tmp_path_factory.mktemp("cc_replay_src"))
+        wh = str(tmp_path_factory.mktemp("cc_replay_wh"))
+
+        edges = [(1, 2), (2, 3), (10, 11), (3, 10)]
+        spark.createDataFrame(edges, "id_a long, id_b long").repartition(
+            2
+        ).write.mode("overwrite").parquet(src)
+
+        def drain():
+            stream = (
+                spark.readStream.schema("id_a long, id_b long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            # fresh checkpoint each call -> full replay of every batch
+            jobs.streaming_cc_label_sink(stream, wh, "labels").awaitTermination(
+                180
+            )
+            return {
+                (r["node"], r["component"])
+                for r in jobs.read_cc_label_store(
+                    spark, wh, "labels"
+                ).collect()
+            }
+
+        first = drain()
+        second = drain()
+        assert first == second == _labels_of(_cc(spark, edges))

@@ -941,3 +941,101 @@ def read_decayed_engagement(spark, warehouse: str, name: str) -> DataFrame:
             ),
         )
     )
+
+
+def streaming_cc_label_sink(
+    stream_pairs: DataFrame,
+    warehouse: str,
+    name: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    checkpoint_dir: str | None = None,
+):
+    """Streaming cluster-label maintenance: each micro-batch of newly
+    discovered near-dup pairs (e.g. the fuzzy probe sink's verdicts)
+    is folded into the persisted (node, component) label table via
+    ``dedup.merge_cc_labels`` — the closure never re-runs over
+    historical pairs, completing the continuous-ingest dedup chain
+    (exact fingerprint gate -> fuzzy pair probe -> live cluster
+    labels).
+
+    Store layout: one generation per micro-batch, parquet partitioned
+    by ``gen`` (= batch_id); readers take the max generation. Replay
+    safety is structural twice over: a replayed batch reads only
+    generations BELOW its own id (its own half-written output is
+    invisible to the merge) and dynamic-partition-overwrites its own
+    ``gen`` partition; and the merge itself is idempotent — pairs
+    already inside one component are no-ops, so even a double-applied
+    batch yields byte-identical labels.
+
+    At 100 TB each generation rewrites the compacted label table
+    (one row per ever-labeled node) — that is label COMPACTION, the
+    cost a production pipeline pays per ingest cycle (availableNow
+    per shard drop, not per-second triggers), in exchange for every
+    downstream report staying a single parquet scan. Superseded
+    generations are pruned after each successful publish."""
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os as _os
+
+        from ursa_major_choir_etl_spark.operators.dedup import merge_cc_labels
+
+        spark_l = batch_df.sparkSession
+        path = _os.path.join(warehouse, name)
+        prev = read_cc_label_store(
+            spark_l, warehouse, name, before_gen=int(batch_id)
+        )
+        merged = merge_cc_labels(
+            prev, batch_df.select(F.col(id_a), F.col(id_b))
+        )
+        (
+            merged.withColumn("gen", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("gen")
+            .parquet(path)
+        )
+        # prune superseded generations (best-effort — readers only
+        # ever look at max(gen), so a failed prune costs disk, never
+        # correctness)
+        import shutil as _shutil
+
+        try:
+            for entry in _os.listdir(path):
+                if entry.startswith("gen=") and entry != f"gen={int(batch_id)}":
+                    _shutil.rmtree(
+                        _os.path.join(path, entry), ignore_errors=True
+                    )
+        except OSError:
+            pass
+
+    writer = stream_pairs.writeStream.foreachBatch(merge_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def read_cc_label_store(
+    spark, warehouse: str, name: str, before_gen: int | None = None
+) -> DataFrame:
+    """Current cluster labels accumulated by streaming_cc_label_sink:
+    (node, component) rows of the newest generation (optionally the
+    newest BELOW ``before_gen`` — the replay-safe view a merging batch
+    reads). Missing/empty store -> empty frame with the label
+    schema."""
+    import os as _os
+
+    empty = spark.createDataFrame([], "node long, component long")
+    path = _os.path.join(warehouse, name)
+    try:
+        df = spark.read.parquet(path)
+    except Exception:  # store not created yet (first batch)
+        return empty
+    if before_gen is not None:
+        df = df.filter(F.col("gen") < before_gen)
+    mx = df.agg(F.max("gen")).first()[0]
+    if mx is None:
+        return empty
+    return df.filter(F.col("gen") == mx).select("node", "component")

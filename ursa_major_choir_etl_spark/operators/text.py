@@ -150,6 +150,62 @@ def redact_pii(text: Column | str, replacement: str = "[PII]") -> Column:
     return t
 
 
+def remove_repeated_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Intra-document repetition REMOVAL (the cleaning-transform
+    counterpart of with_repetition_stats' signal): split the text on
+    ``sep``, keep the FIRST occurrence of each paragraph — matching on
+    the lower(trim()) normalized form, emitting the original raw
+    form — and reassemble. The standard corpus-cleaning step for
+    scraped pages that repeat nav blocks, headers, or whole sections
+    inside ONE document (cross-document boilerplate is
+    boilerplate_ratio's job). Paragraphs whose trimmed length is
+    below ``min_chars`` are never dedup-eligible, so blank-line
+    structure survives; key equality implies equal trimmed length, so
+    eligibility needs checking only on the candidate, never the
+    earlier occurrence.
+
+    Scale shape: a PURE PROJECTION — the whole transform is one
+    higher-order array expression per row (split -> indexed filter
+    whose predicate runs exists() over the element's prefix ->
+    array_join), so the plan is a single codegen'd Project with ZERO
+    shuffles at any corpus size. The per-paragraph prefix scan is
+    O(paragraphs^2) WITHIN a document — bounded by document format,
+    not corpus size — and stays entirely JVM-side.
+
+    Output: (id, text cleaned, n_paragraphs, n_removed).
+    """
+    import re as _re
+
+    parts = F.split(F.col(text_col), _re.escape(sep))
+
+    def _key(p):
+        return F.lower(F.trim(p))
+
+    def _keep(p, i):
+        return (F.length(F.trim(p)) < min_chars) | ~F.exists(
+            F.slice(parts, F.lit(1), i), lambda q: _key(q) == _key(p)
+        )
+
+    kept = F.filter(parts, _keep)
+    # The cleaned text gets a TEMP alias: naming it ``text_col``
+    # directly would lateral-alias-shadow the input column for the
+    # stat expressions after it in the select list (Spark resolves
+    # later select items against earlier aliases first), silently
+    # computing the stats over the already-cleaned text.
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, sep).alias("__cleaned"),
+        F.size(parts).alias("n_paragraphs"),
+        (F.size(parts) - F.size(kept)).alias("n_removed"),
+    ).withColumnRenamed("__cleaned", text_col)
+
+
 def with_repetition_stats(
     df: DataFrame, text_col: str = "text", n: int = 3
 ) -> DataFrame:

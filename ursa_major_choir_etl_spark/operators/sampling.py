@@ -54,6 +54,52 @@ def split_train_eval(
     return train, ev
 
 
+def split_train_eval_cluster_pure(
+    df: DataFrame,
+    labels: DataFrame,
+    eval_fraction: float = 0.01,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Leakage-free train/eval split: membership is decided by the
+    doc's near-dup CLUSTER (the connected-component label table, e.g.
+    the materialized cc_labels artifact), not the doc id — so two
+    near-duplicates can never land on opposite sides of the split,
+    the contamination channel a doc-keyed split leaves open and the
+    split-leakage audit measures. Docs with no label row (never in
+    any near-dup pair) key on their own id, which IS their singleton
+    component.
+
+    Same hash discipline as split_train_eval's id path: xxhash64
+    bucket on the split key, stable across runs, repartitioning, and
+    corpus growth — with the cluster-level caveat stated honestly: if
+    a NEW pair later merges two clusters that hashed to different
+    sides, the merged cluster re-keys to its (min-id) component and
+    docs can migrate; re-splitting after label updates is the point,
+    since the old split was exactly the leaking one.
+
+    Plan shape: one equi-join against the label scan (broadcastable
+    when the label table is small, shuffle-hash under AQE when not)
+    and a column-local hash filter — no window, no global ordering.
+
+    Returns (train, eval).
+    """
+    key = F.coalesce(F.col("component"), F.col(id_col))
+    keyed = df.join(
+        labels.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn(
+        "_bucket",
+        F.pmod(F.xxhash64(key.cast("long"), F.lit(seed)), F.lit(1_000_000)),
+    )
+    thresh = int(eval_fraction * 1_000_000)
+    is_eval = F.col("_bucket") < thresh
+    drop = ["component", "_bucket"]
+    return (
+        keyed.filter(~is_eval).drop(*drop),
+        keyed.filter(is_eval).drop(*drop),
+    )
+
+
 def weighted_sample_sequential_poisson(
     df: DataFrame,
     weight: "F.Column",

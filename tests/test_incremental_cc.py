@@ -188,3 +188,76 @@ class TestStreamingCcLabelSink:
         first = drain()
         second = drain()
         assert first == second == _labels_of(_cc(spark, edges))
+
+
+class TestIncrementalIngestComposition:
+    def test_probe_merge_split_chain_equals_batch_rebuild(self, spark):
+        """The full incremental-ingest story composed end-to-end on
+        real data: a shard arrives -> the postings probe finds its
+        new-vs-corpus pairs and shard-internal pairs add new-vs-new
+        -> merge_cc_labels folds the delta into the standing labels
+        -> the cluster-pure split consumes the updated labels. The
+        merged labels must equal a from-scratch closure over the
+        whole grown corpus, and no component may straddle the split.
+        (Pair generation is monotone here — the hot-shingle cap is
+        far from binding at this scale — so the probe delta IS the
+        full pair delta.)"""
+        from ursa_major_choir_etl_spark.operators.dedup import (
+            connected_components,
+            incremental_jaccard_probe,
+            jaccard_pairs,
+            merge_cc_labels,
+            word_shingles,
+        )
+        from ursa_major_choir_etl_spark.operators.sampling import (
+            split_train_eval_cluster_pure,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        corpus = docs.filter("doc_id % 5 != 0")
+        shard = docs.filter("doc_id % 5 = 0")
+
+        labels0 = connected_components(
+            jaccard_pairs(word_shingles(corpus), threshold=0.5)
+        )
+        delta = (
+            incremental_jaccard_probe(shard, corpus, threshold=0.5)
+            .select(
+                F.col("new_id").alias("id_a"),
+                F.col("corpus_id").alias("id_b"),
+            )
+            .unionByName(
+                jaccard_pairs(word_shingles(shard), threshold=0.5).select(
+                    "id_a", "id_b"
+                )
+            )
+        )
+        labels1 = merge_cc_labels(labels0, delta, max_iterations=50)
+
+        full = connected_components(
+            jaccard_pairs(word_shingles(docs), threshold=0.5),
+            max_iterations=50,
+        )
+        assert _labels_of(labels1) == _labels_of(full)
+        assert _labels_of(labels1), "no pairs at sf0.001 — weak fixture"
+
+        train, ev = split_train_eval_cluster_pure(
+            docs, labels1, eval_fraction=0.3
+        )
+        assert train.count() + ev.count() == docs.count()
+        ev_nodes = ev.select(F.col("doc_id").alias("node"))
+        tr_nodes = train.select(F.col("doc_id").alias("node"))
+        straddling = (
+            labels1.join(ev_nodes, "node", "left_semi")
+            .select("component")
+            .distinct()
+            .join(
+                labels1.join(tr_nodes, "node", "left_semi")
+                .select("component")
+                .distinct(),
+                "component",
+            )
+        )
+        assert straddling.count() == 0

@@ -117,6 +117,43 @@ def test_no_global_window_in_plan(spark):
             assert "Window" not in above, plan
 
 
+def test_null_scan_key_raises(spark):
+    """NULL order_col must fail loud at execution — not silently drop
+    out of the bucket join (round-9 ADVICE) — in both the bucketed
+    and the collapsed single-bucket path."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    for n in (3, 600):  # below / above the bucket threshold
+        rows = [(float(v), 1) for v in range(n)] + [(None, 1)]
+        h = spark.createDataFrame(rows, "v double, cnt long")
+        with pytest.raises((Py4JJavaError, PySparkException)):
+            bucketed_cumsum(h, "v", {"c": F.col("cnt")}).collect()
+
+
+def test_small_histogram_collapses_to_single_bucket(spark):
+    """Below the per-bucket row target the boundary pass is skipped:
+    no percentile aggregate anywhere in the plan, values unchanged."""
+    h = _hist(spark, 10)
+    df = bucketed_cumsum(h, "v", {"c": F.col("cnt")})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "percentile" not in plan.lower(), plan
+    want = _naive(h, "v", F.col("cnt"), "sum", False, True)
+    for r in df.join(want.select("v", "_expect"), "v").collect():
+        assert r["c"] == r["_expect"], r
+
+
+def test_large_histogram_uses_approx_boundaries(spark):
+    """Above the threshold the boundary pass runs, and it is the
+    mergeable bounded-memory approx_percentile — never the exact
+    percentile whose final merge buffers the whole histogram."""
+    h = _hist(spark, 600)
+    df = bucketed_cumsum(h, "v", {"c": F.col("cnt")})
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "approx_percentile" in plan or "percentile_approx" in plan, plan
+    assert "percentile(" not in plan.replace("approx_percentile(", ""), plan
+
+
 @pytest.mark.parametrize("desc", [False, True])
 def test_grouped_matches_per_group_window(spark, desc):
     """group_cols: one scan per group in the same pass — equal to the

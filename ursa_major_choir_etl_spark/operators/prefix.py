@@ -14,11 +14,20 @@ bottleneck-by-construction this repo's plan sweep bans.
 :func:`bucketed_prefix` is the scale-safe replacement — the classic
 two-level (blocked) parallel prefix scan, expressed in DataFrame ops:
 
-1. one ``percentile`` row over the histogram picks ``n_buckets - 1``
-   split values (boundaries only need to be *deterministic and
-   monotone*, not semantically meaningful — any split yields the
-   exact same prefix, so histogram-percentile spreading is purely a
-   load-balancing choice);
+1. one ``approx_percentile`` row over the histogram picks
+   ``n_buckets - 1`` split values (boundaries only need to be
+   *monotone and consistent within the plan*, not semantically
+   meaningful — any split yields the exact same prefix, so
+   histogram-percentile spreading is purely a load-balancing
+   choice). Approximate is the point: Spark's EXACT ``percentile``
+   buffers the full value list and merges it in ONE final
+   aggregation buffer — re-introducing a histogram-sized single-task
+   funnel (in memory instead of time) into the operator built to
+   remove one. ``approx_percentile``'s quantile summaries are
+   mergeable and bounded-memory at any histogram size; because the
+   summary-merge result can depend on shuffle arrival order, the
+   boundary row is STAGED (persisted) so every branch of the plan
+   that buckets rows reads the one materialized copy;
 2. per-bucket totals get their exclusive cross-bucket offsets via a
    broadcast triangular self-join over ``<= n_buckets`` rows (no
    global window anywhere — a ``b.bkt < a.bkt`` nested loop over a
@@ -36,12 +45,25 @@ two-level (blocked) parallel prefix scan, expressed in DataFrame ops:
 case pays one histogram shuffle + one boundary pass total instead of
 one per group.
 
-The bucket count scales with the cluster, not the data: 32 here
-(matching local[32]); a 1000-executor deployment would raise it and
-nothing else changes. DuckDB oracles keep the one-level
-``agg() OVER (ORDER BY v)`` form — single-node engines fit the whole
-histogram in one pass, and the two forms are value-identical, so the
-driver's hash compare certifies the decomposition every round.
+The bucket count scales with the cluster AND the histogram, not the
+data: ``n_buckets`` is a CEILING (32 here, matching local[32]; a
+1000-executor deployment raises it and nothing else changes), and
+the effective count is derived from the staged histogram's row count
+(one cheap count over the already-persisted frame) so a 4-row
+skyline doesn't pay 32-bucket machinery — below ~2 buckets' worth of
+rows the boundary pass is skipped entirely and the scan runs as one
+bucket (still a PARTITIONED window: ``partitionBy(_bkt)`` with a
+constant key, which is exactly as single-task as the 4-row input
+is). DuckDB oracles keep the one-level ``agg() OVER (ORDER BY v)``
+form — single-node engines fit the whole histogram in one pass, and
+the two forms are value-identical, so the driver's hash compare
+certifies the decomposition every round.
+
+``order_col`` must be non-NULL: a NULL key has no defined position
+in the scan (the global-window form this replaces sorts NULLs first
+ascending and last descending — a semantics no registry consumer
+wants for a value histogram), so NULL keys raise at execution time
+instead of silently dropping out of the bucket join.
 """
 
 from __future__ import annotations
@@ -51,6 +73,12 @@ import operator
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: Rows of histogram one bucket should carry before another bucket is
+#: worth its fixed cost (an extra boundary value + offset row). Small
+#: enough that the sf0.1 bench histograms still fan out, large enough
+#: that a 4-row skyline runs bucket-free.
+_BUCKET_TARGET_ROWS = 128
 
 
 def bucketed_prefix(
@@ -86,30 +114,55 @@ def bucketed_prefix(
 
     groups = list(group_cols or [])
     hist = stage(hist)  # boundary pass + bucketed pass both read it
-    pct = F.percentile(
-        order_col, F.lit([i / n_buckets for i in range(1, n_buckets)])
-    ).alias("_bs")
-    bexprs = [
-        F.element_at("_bs", i).alias(f"_pb{i}") for i in range(1, n_buckets)
-    ]
-    bucket = sum(
-        (
-            (F.col(order_col) > F.col(f"_pb{i}")).cast("int")
-            for i in range(1, n_buckets)
-        ),
-        F.lit(0),
+    # Size the bucket count to the histogram (one count over the
+    # staged frame — it materializes the persist the scan needs
+    # anyway): ceiling n_buckets, floor 1, ~_BUCKET_TARGET_ROWS rows
+    # per bucket. Toy histograms collapse to a single bucket and skip
+    # the boundary machinery; 100 TB histograms hit the ceiling.
+    n_buckets = max(1, min(n_buckets, hist.count() // _BUCKET_TARGET_ROWS))
+    # NULL scan keys have no position in the prefix order — fail loud
+    # at execution (zero cost on the non-NULL path) instead of letting
+    # the bucket join silently drop the rows (round-9 ADVICE).
+    null_guard = F.when(
+        F.col(order_col).isNull(),
+        F.raise_error(
+            F.lit(f"bucketed_prefix: NULL {order_col!r} scan key")
+        ).cast("int"),
     )
-    if groups:
-        bounds = hist.groupBy(*groups).agg(pct).select(*groups, *bexprs)
-        # one boundary row per group: group-cardinality-bounded
-        hb = hist.join(F.broadcast(bounds), groups)
+    if n_buckets <= 1:
+        hb = hist.withColumn("_bkt", null_guard.otherwise(F.lit(0)))
     else:
-        bounds = hist.agg(pct).select(*bexprs)
-        # single percentile row: bounded by construction
-        hb = hist.crossJoin(F.broadcast(bounds))
-    hb = hb.withColumn("_bkt", bucket).drop(
-        *[f"_pb{i}" for i in range(1, n_buckets)]
-    )
+        pct = F.percentile_approx(
+            order_col,
+            F.lit([i / n_buckets for i in range(1, n_buckets)]),
+            F.lit(10_000),
+        ).alias("_bs")
+        bexprs = [
+            F.element_at("_bs", i).alias(f"_pb{i}")
+            for i in range(1, n_buckets)
+        ]
+        bucket = sum(
+            (
+                (F.col(order_col) > F.col(f"_pb{i}")).cast("int")
+                for i in range(1, n_buckets)
+            ),
+            F.lit(0),
+        )
+        if groups:
+            bounds = hist.groupBy(*groups).agg(pct).select(*groups, *bexprs)
+            # one boundary row per group: group-cardinality-bounded.
+            # Staged because approx-quantile merge order is not
+            # deterministic across re-evaluations — both consumers of
+            # the bucketed frame must see ONE materialized boundary set.
+            bounds = stage(bounds)
+            hb = hist.join(F.broadcast(bounds), groups)
+        else:
+            bounds = stage(hist.agg(pct).select(*bexprs))
+            # single boundary row: bounded by construction
+            hb = hist.crossJoin(F.broadcast(bounds))
+        hb = hb.withColumn("_bkt", null_guard.otherwise(bucket)).drop(
+            *[f"_pb{i}" for i in range(1, n_buckets)]
+        )
     fagg = F.sum if combine == "sum" else F.max
     btot = hb.groupBy(*groups, "_bkt").agg(
         *[fagg(expr).alias(f"_t_{name}") for name, expr in measures.items()]

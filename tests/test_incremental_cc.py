@@ -261,3 +261,79 @@ class TestIncrementalIngestComposition:
             )
         )
         assert straddling.count() == 0
+
+
+class TestStoreCrashSafety:
+    """Round-9 ADVICE hardening: the publish+prune pair must leave a
+    crashed-then-replayed batch able to re-read the generation it
+    consumed, and store read errors must never masquerade as 'store
+    not created yet'."""
+
+    def test_prune_keeps_the_consumed_generation(
+        self, spark, tmp_path_factory
+    ):
+        """After a multi-batch drain, the generation the FINAL batch
+        consumed must still be on disk: a crash between its parquet
+        publish and its checkpoint commit replays the batch, and the
+        replay-safe view (gens < batch_id) must resolve to the real
+        predecessor labels, not the empty frame."""
+        import os
+
+        from ursa_major_choir_etl_spark.streaming import jobs
+
+        src = str(tmp_path_factory.mktemp("cc_crash_src"))
+        wh = str(tmp_path_factory.mktemp("cc_crash_wh"))
+        ckpt = str(tmp_path_factory.mktemp("cc_crash_ckpt"))
+
+        edges = [(1, 2), (2, 3), (10, 11), (3, 10), (20, 21), (21, 22)]
+        spark.createDataFrame(edges, "id_a long, id_b long").repartition(
+            3
+        ).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("id_a long, id_b long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        jobs.streaming_cc_label_sink(
+            stream, wh, "labels", checkpoint_dir=ckpt
+        ).awaitTermination(180)
+
+        gens = sorted(
+            int(e[4:])
+            for e in os.listdir(os.path.join(wh, "labels"))
+            if e.startswith("gen=")
+        )
+        assert len(gens) >= 2, gens  # newest + the one it consumed
+        replay_view = jobs.read_cc_label_store(
+            spark, wh, "labels", before_gen=gens[-1]
+        )
+        assert replay_view.count() > 0  # predecessor survived the prune
+        # and re-merging is idempotent: predecessor + every edge ==
+        # the published closure (what the replayed batch would write)
+        from ursa_major_choir_etl_spark.operators.dedup import merge_cc_labels
+
+        rebuilt = merge_cc_labels(replay_view, _pairs(spark, edges))
+        assert _labels_of(rebuilt) == _labels_of(
+            jobs.read_cc_label_store(spark, wh, "labels")
+        )
+
+    def test_missing_store_reads_empty_but_corrupt_store_raises(
+        self, spark, tmp_path
+    ):
+        """Path-absent -> empty labels (first batch). Path present but
+        unreadable -> the error PROPAGATES: silently treating a read
+        failure as an empty store would erase history on the next
+        publish."""
+        import pytest
+
+        from ursa_major_choir_etl_spark.streaming import jobs
+
+        assert (
+            jobs.read_cc_label_store(spark, str(tmp_path), "labels").count()
+            == 0
+        )
+        bad = tmp_path / "labels" / "gen=0"
+        bad.mkdir(parents=True)
+        (bad / "part-00000.parquet").write_bytes(b"not a parquet footer")
+        with pytest.raises(Exception):
+            jobs.read_cc_label_store(spark, str(tmp_path), "labels").collect()

@@ -995,14 +995,32 @@ def streaming_cc_label_sink(
             .partitionBy("gen")
             .parquet(path)
         )
-        # prune superseded generations (best-effort — readers only
-        # ever look at max(gen), so a failed prune costs disk, never
-        # correctness)
+        # Prune superseded generations — EXCEPT the one this batch
+        # just consumed. If the job dies between this parquet publish
+        # and the streaming checkpoint commit, the replayed batch
+        # reads generations < batch_id again; deleting its input here
+        # would leave that view empty and the replay would silently
+        # rebuild labels from the current batch's pairs alone
+        # (round-9 ADVICE, high). Keeping the predecessor makes the
+        # publish+prune pair crash-safe at the cost of one extra
+        # compacted generation on disk; generations older than the
+        # predecessor are only readable by batches that have already
+        # committed, so they are safe to drop. Best-effort — readers
+        # only ever take max(gen), a failed prune costs disk, never
+        # correctness.
         import shutil as _shutil
 
+        prior = [
+            int(e[4:])
+            for e in _os.listdir(path)
+            if e.startswith("gen=") and int(e[4:]) < int(batch_id)
+        ]
+        keep = {int(batch_id)}
+        if prior:
+            keep.add(max(prior))  # the generation this batch consumed
         try:
             for entry in _os.listdir(path):
-                if entry.startswith("gen=") and entry != f"gen={int(batch_id)}":
+                if entry.startswith("gen=") and int(entry[4:]) not in keep:
                     _shutil.rmtree(
                         _os.path.join(path, entry), ignore_errors=True
                     )
@@ -1029,10 +1047,16 @@ def read_cc_label_store(
 
     empty = spark.createDataFrame([], "node long, component long")
     path = _os.path.join(warehouse, name)
-    try:
-        df = spark.read.parquet(path)
-    except Exception:  # store not created yet (first batch)
+    # "Store not created yet" is the ONLY state that may read as
+    # empty labels. A transient read failure (permissions, corrupt
+    # footer) must propagate and fail the batch — swallowing it here
+    # would let the merge proceed from empty labels and publish a new
+    # max generation that permanently erases history (round-9 ADVICE,
+    # medium). Existence is checked explicitly instead of catching
+    # AnalysisException, which also covers genuine read errors.
+    if not _os.path.exists(path):
         return empty
+    df = spark.read.parquet(path)
     if before_gen is not None:
         df = df.filter(F.col("gen") < before_gen)
     mx = df.agg(F.max("gen")).first()[0]

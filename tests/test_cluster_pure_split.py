@@ -99,3 +99,36 @@ class TestClusterPureSplit:
         assert {r["doc_id"] for r in ev1.collect()} == {
             r["doc_id"] for r in ev2.collect()
         }
+
+    def test_string_ids_split_both_ways(self, spark):
+        """Non-numeric ids (supported by connected_components) must
+        hash on their own value, not collapse into one NULL bucket
+        that drops every singleton on a single side (round-9 ADVICE:
+        the old long-cast nulled string keys)."""
+        from ursa_major_choir_etl_spark.operators.sampling import (
+            split_train_eval_cluster_pure,
+        )
+
+        docs = spark.createDataFrame(
+            [(f"doc-{i:04d}", i) for i in range(400)], "doc_id string, x int"
+        )
+        labels = spark.createDataFrame(
+            [], "node string, component string"
+        )  # all singletons
+        train, ev = split_train_eval_cluster_pure(
+            docs, labels, eval_fraction=0.5, id_col="doc_id"
+        )
+        n_train, n_ev = train.count(), ev.count()
+        assert n_train + n_ev == 400
+        # a 50% id-keyed hash split cannot put everything on one side
+        assert 100 < n_ev < 300, (n_train, n_ev)
+        # clustered string ids still move together
+        labels2 = spark.createDataFrame(
+            [(f"doc-{i:04d}", "doc-0000") for i in range(50)],
+            "node string, component string",
+        )
+        _, ev2 = split_train_eval_cluster_pure(
+            docs, labels2, eval_fraction=0.5, id_col="doc_id"
+        )
+        in_cluster = ev2.filter(F.col("doc_id") < "doc-0050").count()
+        assert in_cluster in (0, 50)  # never straddles

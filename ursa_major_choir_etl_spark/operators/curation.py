@@ -609,6 +609,7 @@ def holdout_construction_report(
     eval_pct: int = 10,
     gram_n: int = 8,
     seed: int = 0,
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Decontaminated-holdout construction: carve an id-pure ~
     ``eval_pct``% eval split (md5-nibble bucket — stable under
@@ -617,6 +618,15 @@ def holdout_construction_report(
     ``gram_n``-gram with the remaining train split, and report the
     clean-holdout yield per language — the hygiene pass before an
     internal eval set is trusted.
+
+    ``labels`` (optional, the (node, component) near-dup cluster
+    table — e.g. the materialized cc_labels artifact) upgrades the
+    split from id-pure to CLUSTER-pure: the bucket keys on
+    coalesce(component, id), so near-duplicates can never straddle
+    the split and the contamination the report then finds is the
+    sub-threshold overlap a dedup pass wouldn't catch — the leakage
+    channel the q205 audit measures and this closes at construction
+    time. One broadcastable left join; everything else unchanged.
 
     Shape: shingles are computed ONCE over the corpus (staged) and
     tagged train/eval by the bucket; contamination is a distinct-gram
@@ -634,10 +644,16 @@ def holdout_construction_report(
         word_shingles,
     )
 
-    pos = F.expr(
-        bloom_position_sql(seed, f"CAST({id_col} AS STRING)", 5)
-    )
-    tagged = df.withColumn("_is_eval", F.pmod(pos, F.lit(100)) < eval_pct)
+    if labels is not None:
+        df = df.join(
+            labels.withColumnRenamed("node", id_col), id_col, "left"
+        ).withColumn("_hk", F.coalesce(F.col("component"), F.col(id_col)))
+    else:
+        df = df.withColumn("_hk", F.col(id_col))
+    pos = F.expr(bloom_position_sql(seed, "CAST(_hk AS STRING)", 5))
+    tagged = df.withColumn(
+        "_is_eval", F.pmod(pos, F.lit(100)) < eval_pct
+    ).drop("_hk", "component")
     # word_shingles outputs only (id, shingle); the split flag comes
     # from the explicit join below.
     sh = stage(
@@ -690,6 +706,7 @@ def pretraining_funnel(
     contam_n: int = 4,
     domain_cap: int = 15,
     pack_budget: int = 2048,
+    clean_sep: str | None = None,
 ) -> DataFrame:
     """The canonical six-stage pretraining-corpus pipeline as ONE
     attrition funnel — the production sequence every large-scale
@@ -697,6 +714,17 @@ def pretraining_funnel(
 
     1. ``raw``           the training corpus as ingested;
     2. ``quality_gate``  quality_score >= ``quality_threshold``;
+    2b. ``intra_doc_dedup`` (only when ``clean_sep`` is set) —
+                         text.dedup_segments_text removes repeated
+                         segments INSIDE each survivor (scraped-page
+                         nav blocks / repeated sections); every
+                         downstream fingerprint, token count, and
+                         contamination gram is computed over the
+                         CLEANED text, while the quality gate judges
+                         the raw form (repetition is part of what it
+                         penalizes). Emitted as its own stage row
+                         (same doc count as stage 2, post-clean token
+                         mass), shifting later stage indexes by one;
     3. ``exact_dedup``   keep the min-id doc per normalized-text
                          fingerprint (md5), survivors of (2);
     4. ``fuzzy_dedup``   transitive near-dup clusters over ``pairs``
@@ -735,15 +763,26 @@ def pretraining_funnel(
     # the raw text: stage 5's shingling reuses it (the normalize+split
     # chain — the module's most expensive expression — runs once per
     # surviving row, not once per stage), and no staged frame holds
-    # the raw text column at all.
+    # the raw text column at all. With ``clean_sep`` the intra-doc
+    # dedup folds into this SAME projection (it is a pure column
+    # expression), so the cleaning stage costs zero extra passes:
+    # ``_t``/``_fp``/``_toks`` are over the cleaned text, ``_traw``
+    # keeps the pre-clean token mass for the stage-1/2 report rows,
+    # and ``_q`` stays a raw-text judgment.
+    body = (
+        F.col(text_col)
+        if clean_sep is None
+        else text.dedup_segments_text(F.col(text_col), sep=clean_sep)
+    )
     scored = _stage(
         train.select(
             F.col(id_col),
             F.col(domain_col).alias("domain"),
-            text.token_count(text_col).alias("_t"),
+            text.token_count(text_col).alias("_traw"),
+            text.token_count(body).alias("_t"),
             text.quality_score(text_col).alias("_q"),
-            F.md5(normalized_text(text_col)).alias("_fp"),
-            text.tokens(normalized_text(text_col)).alias("_toks"),
+            F.md5(normalized_text(body)).alias("_fp"),
+            text.tokens(normalized_text(body)).alias("_toks"),
         )
     )
     s2 = scored.filter(F.col("_q") >= quality_threshold)
@@ -790,9 +829,24 @@ def pretraining_funnel(
             F.array_distinct(_dedup.shingle_array(F.col("_toks"), contam_n))
         ).alias("shingle"),
     )
+    # Decontamination must normalize BOTH sides identically: with a
+    # cleaning stage active, the eval grams are computed over the
+    # same-cleaned eval text (raw-vs-cleaned gram comparison would
+    # systematically under-detect, since cleaning rewrites the very
+    # sequences being matched).
+    ev_src = (
+        evalset
+        if clean_sep is None
+        else evalset.select(
+            F.col(id_col),
+            text.dedup_segments_text(
+                F.col(text_col), sep=clean_sep
+            ).alias(text_col),
+        )
+    )
     ev_grams = (
         _dedup.word_shingles(
-            evalset, id_col=id_col, text_col=text_col, n=contam_n
+            ev_src, id_col=id_col, text_col=text_col, n=contam_n
         )
         .select("shingle")
         .distinct()
@@ -831,9 +885,9 @@ def pretraining_funnel(
         .agg(F.sum("_t").alias("_bt"))
     )
 
-    def rep(idx: int, name: str, d: DataFrame) -> DataFrame:
+    def rep(idx: int, name: str, d: DataFrame, tok: str = "_t") -> DataFrame:
         return d.agg(
-            F.count(F.lit(1)).alias("n_docs"), F.sum("_t").alias("n_tokens")
+            F.count(F.lit(1)).alias("n_docs"), F.sum(tok).alias("n_tokens")
         ).select(
             F.lit(idx).alias("stage_idx"),
             F.lit(name).alias("stage"),
@@ -841,22 +895,30 @@ def pretraining_funnel(
             "n_tokens",
         )
 
-    rep7 = packs.agg(
+    # Stages 1–2 report the PRE-clean token mass (with no clean_sep,
+    # _traw and _t are the same expression, so the 7-row contract is
+    # byte-identical to before); the optional cleaning row shifts the
+    # later indexes by one.
+    off = 0 if clean_sep is None else 1
+    rows = rep(1, "raw", scored, "_traw").unionByName(
+        rep(2, "quality_gate", s2, "_traw")
+    )
+    if clean_sep is not None:
+        rows = rows.unionByName(rep(3, "intra_doc_dedup", s2))
+    rep_pack = packs.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("_bt").alias("n_tokens")
     ).select(
-        F.lit(7).alias("stage_idx"),
+        F.lit(7 + off).alias("stage_idx"),
         F.lit("pack").alias("stage"),
         "n_docs",
         "n_tokens",
     )
     return (
-        rep(1, "raw", scored)
-        .unionByName(rep(2, "quality_gate", s2))
-        .unionByName(rep(3, "exact_dedup", s3))
-        .unionByName(rep(4, "fuzzy_dedup", s4))
-        .unionByName(rep(5, "decontaminate", s5))
-        .unionByName(rep(6, "domain_cap", s6))
-        .unionByName(rep7)
+        rows.unionByName(rep(3 + off, "exact_dedup", s3))
+        .unionByName(rep(4 + off, "fuzzy_dedup", s4))
+        .unionByName(rep(5 + off, "decontaminate", s5))
+        .unionByName(rep(6 + off, "domain_cap", s6))
+        .unionByName(rep_pack)
     )
 
 

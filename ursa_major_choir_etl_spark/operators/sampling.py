@@ -60,6 +60,7 @@ def split_train_eval_cluster_pure(
     eval_fraction: float = 0.01,
     id_col: str = "doc_id",
     seed: int = 42,
+    portable_hash: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Leakage-free train/eval split: membership is decided by the
     doc's near-dup CLUSTER (the connected-component label table, e.g.
@@ -84,14 +85,40 @@ def split_train_eval_cluster_pure(
 
     Returns (train, eval).
     """
+    # The split key is hashed UNCAST: xxhash64 is type-generic, and a
+    # component label always has the id's own type (it IS the cluster's
+    # min id), so coalesce needs no coercion. The earlier cast('long')
+    # NULLed non-numeric ids (connected_components explicitly supports
+    # string ids), collapsing every unlabeled such doc into the single
+    # NULL hash bucket — all singletons on one side (round-9 ADVICE).
+    # Uncast also keeps singleton membership bit-identical to
+    # split_train_eval's id path, which hashes the raw column.
     key = F.coalesce(F.col("component"), F.col(id_col))
-    keyed = df.join(
-        labels.withColumnRenamed("node", id_col), id_col, "left"
-    ).withColumn(
-        "_bucket",
-        F.pmod(F.xxhash64(key.cast("long"), F.lit(seed)), F.lit(1_000_000)),
-    )
-    thresh = int(eval_fraction * 1_000_000)
+    joined = df.join(labels.withColumnRenamed("node", id_col), id_col, "left")
+    if portable_hash:
+        # md5-nibble bucket (dedup.bloom_position_sql): the identical
+        # expression text runs in DuckDB, so a SQL oracle replays the
+        # membership bit-for-bit — the oracle-gated registry mode.
+        # xxhash64 stays the default: one JVM intrinsic vs an md5 per
+        # row, and membership only needs engine-portability when an
+        # oracle certifies it.
+        from ursa_major_choir_etl_spark.operators.dedup import (
+            bloom_position_sql,
+        )
+
+        modulus = 16**5
+        bucket = F.expr(
+            bloom_position_sql(seed, "CAST(_split_key AS STRING)", 5)
+        )
+        keyed = joined.withColumn("_split_key", key).withColumn(
+            "_bucket", bucket
+        ).drop("_split_key")
+    else:
+        modulus = 1_000_000
+        keyed = joined.withColumn(
+            "_bucket", F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(modulus))
+        )
+    thresh = int(eval_fraction * modulus)
     is_eval = F.col("_bucket") < thresh
     drop = ["component", "_bucket"]
     return (

@@ -180,19 +180,7 @@ def remove_repeated_paragraphs(
 
     Output: (id, text cleaned, n_paragraphs, n_removed).
     """
-    import re as _re
-
-    parts = F.split(F.col(text_col), _re.escape(sep))
-
-    def _key(p):
-        return F.lower(F.trim(p))
-
-    def _keep(p, i):
-        return (F.length(F.trim(p)) < min_chars) | ~F.exists(
-            F.slice(parts, F.lit(1), i), lambda q: _key(q) == _key(p)
-        )
-
-    kept = F.filter(parts, _keep)
+    parts, kept = _segments_kept(F.col(text_col), sep, min_chars)
     # The cleaned text gets a TEMP alias: naming it ``text_col``
     # directly would lateral-alias-shadow the input column for the
     # stat expressions after it in the select list (Spark resolves
@@ -204,6 +192,40 @@ def remove_repeated_paragraphs(
         F.size(parts).alias("n_paragraphs"),
         (F.size(parts) - F.size(kept)).alias("n_removed"),
     ).withColumnRenamed("__cleaned", text_col)
+
+
+def _segments_kept(text: Column, sep: str, min_chars: int):
+    """Shared kernel of the intra-document segment dedup: the
+    ``(all segments, first-occurrence-kept segments)`` array pair
+    over ``text`` split on ``sep``. Pure column expressions — callers
+    compose it into projections (the funnel's cleaning stage) or the
+    full (text, n_paragraphs, n_removed) report above."""
+    import re as _re
+
+    parts = F.split(text, _re.escape(sep))
+
+    def _key(p):
+        return F.lower(F.trim(p))
+
+    def _keep(p, i):
+        return (F.length(F.trim(p)) < min_chars) | ~F.exists(
+            F.slice(parts, F.lit(1), i), lambda q: _key(q) == _key(p)
+        )
+
+    return parts, F.filter(parts, _keep)
+
+
+def dedup_segments_text(
+    text: Column | str, sep: str = "\n", min_chars: int = 1
+) -> Column:
+    """Expression form of :func:`remove_repeated_paragraphs`: the
+    CLEANED text alone, as one composable column — the shape a
+    multi-stage pipeline wants when the cleaning is one projection
+    among many (pretraining_funnel's intra-doc stage) and the
+    removal counts aren't part of the report."""
+    t = F.col(text) if isinstance(text, str) else text
+    _, kept = _segments_kept(t, sep, min_chars)
+    return F.array_join(kept, sep)
 
 
 def with_repetition_stats(

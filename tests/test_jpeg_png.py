@@ -1,0 +1,149 @@
+"""Round-10 real compressed-image codecs: the pure-numpy baseline
+JPEG (ITU-T.81 sequential DCT) and stdlib-zlib PNG paths. JPEG is
+lossy: constant 8x8 tiles must roundtrip EXACTLY (the value-oracle
+class) and everything else within the quantization tolerance bound.
+PNG is lossless: bit-exact through every filter type, and CRC
+corruption must refuse to decode — never emit wrong pixels."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ursa_major_choir_etl_spark.operators import multimodal as m
+
+
+def _tiles(h_blocks, w_blocks, fn):
+    img = np.zeros((8 * h_blocks, 8 * w_blocks), np.uint8)
+    for by in range(h_blocks):
+        for bx in range(w_blocks):
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = fn(by, bx)
+    return img
+
+
+class TestJpegCodec:
+    def test_constant_tiles_roundtrip_exactly(self):
+        img = _tiles(3, 4, lambda by, bx: (by * 31 + bx * 57 + 5) % 256)
+        w, h, nc, px = m._decode_jpeg_one(m.encode_jpeg_baseline(img))
+        assert (w, h, nc) == (32, 24, 1)
+        assert (px == img).all()
+
+    @pytest.mark.parametrize("quant,tol", [(1, 1), (8, 6)])
+    def test_gradient_within_quant_tolerance(self, quant, tol):
+        grad = np.clip(
+            np.add.outer(np.arange(24) * 3, np.arange(32) * 2), 0, 255
+        ).astype(np.uint8)
+        _, _, _, px = m._decode_jpeg_one(
+            m.encode_jpeg_baseline(grad, quant=quant)
+        )
+        assert int(np.abs(px.astype(int) - grad.astype(int)).max()) <= tol
+
+    def test_color_444_and_420_and_restarts(self):
+        rgb = np.zeros((24, 24, 3), np.uint8)
+        rgb[:] = (10, 200, 30)
+        for kwargs in (
+            {},
+            {"subsample": True},
+            {"subsample": True, "restart_interval": 2},
+            {"restart_interval": 1},
+        ):
+            w, h, nc, px = m._decode_jpeg_one(
+                m.encode_jpeg_baseline(rgb, **kwargs)
+            )
+            assert (w, h, nc) == (24, 24, 3), kwargs
+            err = int(np.abs(px.astype(int) - rgb.astype(int)).max())
+            assert err <= 2, (kwargs, err)  # constant color: only the
+            # RGB<->YCbCr float rounding survives
+
+    def test_odd_dimensions_pad_and_crop(self):
+        odd = np.clip(
+            np.add.outer(np.arange(13) * 5, np.arange(11) * 7), 0, 255
+        ).astype(np.uint8)
+        w, h, nc, px = m._decode_jpeg_one(m.encode_jpeg_baseline(odd))
+        assert (w, h) == (11, 13)
+        assert int(np.abs(px.astype(int) - odd.astype(int)).max()) <= 1
+
+    def test_smooth_color_odd_dims_tolerance(self):
+        rng = np.random.default_rng(1)
+        rgb = (
+            rng.integers(0, 256, (17, 19, 3)).astype(np.float64) * 0.2 + 100
+        ).astype(np.uint8)
+        _, _, _, px = m._decode_jpeg_one(m.encode_jpeg_baseline(rgb))
+        assert int(np.abs(px.astype(int) - rgb.astype(int)).max()) <= 3
+
+    def test_invalid_payloads_decode_to_none(self):
+        assert m._decode_jpeg_one(b"not a jpeg") is None
+        assert m._decode_jpeg_one(b"\xff\xd8trunc") is None
+        # a valid prefix with a progressive SOF2 marker must refuse
+        good = m.encode_jpeg_baseline(np.zeros((8, 8), np.uint8))
+        prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        assert m._decode_jpeg_one(prog) is None
+
+
+class TestPngCodec:
+    @pytest.mark.parametrize("mode", ["none", "cycle"])
+    @pytest.mark.parametrize("shape", [(5, 9), (6, 4, 3), (3, 7, 4)])
+    def test_lossless_roundtrip_every_filter(self, mode, shape):
+        img = np.random.default_rng(7).integers(0, 256, shape).astype(
+            np.uint8
+        )
+        w, h, nch, px = m._decode_png_one(m.encode_png(img, mode))
+        want = img if img.ndim == 3 else img[:, :, None]
+        assert px.shape == want.shape and (px == want).all()
+
+    def test_crc_corruption_refuses(self):
+        img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        blob = bytearray(m.encode_png(img))
+        blob[len(blob) // 2] ^= 0x01
+        assert m._decode_png_one(bytes(blob)) is None
+
+    def test_invalid_payloads_decode_to_none(self):
+        assert m._decode_png_one(b"nope") is None
+        assert m._decode_png_one(b"\x89PNG\r\n\x1a\n") is None
+
+
+class TestSynthFixtureContracts:
+    def test_jpeg_synth_mean_is_closed_form(self):
+        for d in range(0, 40):
+            dec = m._decode_jpeg_one(m.synth_jpeg_blob(d))
+            if d % 10 == 6:
+                assert dec is None
+                continue
+            w, h, nc, px = dec
+            bw, bh = 1 + d % 3, 1 + d % 2
+            assert (w, h, nc) == (8 * bw, 8 * bh, 1)
+            want = sum(
+                (d * 7 + by * 11 + bx * 13) % 256
+                for by in range(bh)
+                for bx in range(bw)
+            ) / (bw * bh)
+            assert px.astype(np.float64).mean() == want, d
+
+    def test_png_synth_mean_is_closed_form(self):
+        for d in range(0, 40):
+            dec = m._decode_png_one(m.synth_png_blob(d))
+            if d % 10 == 2:
+                assert dec is None
+                continue
+            w, h, nch, px = dec
+            assert (w, h, nch) == (2 + d % 6, 2 + d % 4, (1, 3, 4)[d % 3])
+            want = sum(
+                (d * 5 + y * 17 + x * 29 + c * 43) % 256
+                for y in range(h)
+                for x in range(w)
+                for c in range(nch)
+            ) / (h * w * nch)
+            assert px.astype(np.float64).mean() == want, d
+
+
+class TestSparkDecodeOperators:
+    def test_jpeg_and_png_stats_degrade_paths(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+        jp = m.decode_jpeg_stats(m.with_synth_blob(df, "jpeg")).collect()
+        assert {r["doc_id"] % 10 for r in jp if not r["valid"]} == {6}
+        assert all(
+            r["mean_px"] is None for r in jp if not r["valid"]
+        ) and any(r["valid"] for r in jp)
+        pn = m.decode_png_stats(m.with_synth_blob(df, "png")).collect()
+        assert {r["doc_id"] % 10 for r in pn if not r["valid"]} == {2}
+        assert all(r["n_pixels"] == r["width"] * r["height"] for r in pn if r["valid"])

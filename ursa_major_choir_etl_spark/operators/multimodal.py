@@ -6,18 +6,23 @@ transforms — the real 100 TB shape: the binary payload never leaves
 the executor, batches flow through Arrow, output schemas are explicit
 StructTypes.
 
-The actual codec libraries (PIL/ffmpeg/torchaudio) are NOT in this
-container, so the COMPRESSED-format decoder is a clearly-marked
-deterministic fake (metadata derived from the blob bytes). Swap
-``_fake_decode_image`` for a real decoder and nothing else changes —
-schema, partitioning, and batch shape are production-real.
+Codec coverage is honest and explicit:
 
-Formats with a fixed public byte layout need no codec library at
-all, and for those the decode is REAL: uncompressed BI_RGB BMP
-(``decode_bmp_stats``/``resize_bmp``) and RIFF/WAVE PCM
-(``decode_wav_features``) parse true pixels and samples with
-struct+numpy, verified against independently-built files in
-tests/test_multimodal_real.py.
+- REAL, no codec library needed: uncompressed BI_RGB BMP
+  (``decode_bmp_stats``/``resize_bmp``), RIFF/WAVE PCM
+  (``decode_wav_features``), baseline-sequential JPEG
+  (``encode_jpeg_baseline``/``decode_jpeg_stats`` — full ITU-T.81
+  marker/Huffman/IDCT path in struct+numpy), and PNG
+  (``encode_png``/``decode_png_stats`` — stdlib zlib inflate +
+  scanline unfilter, CRC-verified). All verified against
+  independently-built files and closed-form pixel/sample functions
+  in tests and the q25x decode value gates.
+- STUBS, clearly marked (``_fake_decode_image`` etc.): formats whose
+  decode genuinely needs libraries this container does not ship
+  (progressive JPEG, MP3/AAC DSP, video codecs). The Spark plumbing
+  around them — schema, Arrow batching, 1->N fan-out — is
+  production-real and swapping the inner kernel changes nothing
+  else.
 """
 
 from __future__ import annotations
@@ -574,9 +579,15 @@ def with_synth_blob(
     df: DataFrame, kind: str, id_col: str = "doc_id"
 ) -> DataFrame:
     """(id) -> (id, blob) with the deterministic spec-built payload of
-    ``kind`` ('bmp' | 'wav') — Arrow-batched, one narrow projection,
+    ``kind`` ('bmp' | 'wav' | 'jpeg' | 'png') — Arrow-batched, one
+    narrow projection,
     no shuffle; the binary-ingest stage of the decode value oracles."""
-    builder = {"bmp": synth_bmp_blob, "wav": synth_wav_blob}[kind]
+    builder = {
+        "bmp": synth_bmp_blob,
+        "wav": synth_wav_blob,
+        "jpeg": synth_jpeg_blob,
+        "png": synth_png_blob,
+    }[kind]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -588,3 +599,818 @@ def with_synth_blob(
     return df.select(id_col).mapInPandas(
         gen, schema=f"{id_col} long, blob binary"
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL JPEG (baseline sequential DCT) — pure struct + numpy, no codec
+# library. The public ITU-T.81 bitstream layout: marker segments (DQT/
+# SOF0/DHT/DRI/SOS), canonical Huffman entropy coding with 0xFF byte
+# stuffing and RSTn restart markers, zigzag + dequant + 8x8 IDCT,
+# h/v-factor chroma upsampling, JFIF YCbCr->RGB. Progressive (SOF2),
+# arithmetic coding, and 12-bit precision are out of scope and decode
+# to None — degrade, never guess. A matching baseline ENCODER lives
+# here too: it is the fixture generator for the decode value gates
+# (constant 8x8 tiles survive quant-1 DCT EXACTLY, so a SQL oracle can
+# recompute decoded stats closed-form) and a real operator in its own
+# right (pixels -> .jpg payload for a multimodal sink).
+# ---------------------------------------------------------------------------
+
+#: zigzag index -> natural (row-major) index, ITU-T.81 Figure A.6
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+#: flat-length canonical Huffman specs (counts-by-length, symbols).
+#: DC: 12 categories at 4 bits (Kraft 12/16); AC: EOB + 160 run/size
+#: pairs + ZRL, all at 8 bits (Kraft 162/256). Neither assigns the
+#: all-ones code. Self-describing via DHT, so any spec-conformant
+#: decoder reads them; flat lengths keep encode/decode trivial.
+_JPEG_DC_SYMBOLS = tuple(range(12))
+_JPEG_AC_SYMBOLS = (
+    (0x00,)
+    + tuple((r << 4) | s for r in range(16) for s in range(1, 11))
+    + (0xF0,)
+)
+
+
+def _jpeg_dct_matrix():
+    """Orthonormal 8-point DCT-II matrix M (M @ s @ M.T == ITU FDCT:
+    row 0 scales by sqrt(1/8), the rest by 1/2 — S(0,0) = 8 * mean,
+    matching (1/4)C(0)C(0)*sum in the spec's normalization)."""
+    import numpy as np
+
+    n = np.arange(8)
+    m = 0.5 * np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    m[0, :] = 1.0 / (8**0.5)
+    return m
+
+
+def _huff_canonical(counts_by_symbol_lengths):
+    """(symbol, length) list -> {(length, code): symbol} via the
+    canonical assignment DHT implies (ITU-T.81 Annex C)."""
+    code, last_len = 0, 0
+    table = {}
+    for sym, ln in counts_by_symbol_lengths:
+        code <<= ln - last_len
+        table[(ln, code)] = sym
+        code += 1
+        last_len = ln
+    return table
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, nbits: int):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def pad_to_byte(self):
+        while self.nbits:
+            self.put(1, 1)  # pad with 1-bits per spec
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, nbits: int) -> int:
+        while self.nbits < nbits:
+            if self.pos >= len(self.data):
+                raise EOFError
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= nbits
+        v = (self.acc >> self.nbits) & ((1 << nbits) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _huff_decode(reader: _BitReader, table) -> int:
+    code, ln = 0, 0
+    while ln <= 16:
+        code = (code << 1) | reader.read(1)
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _jpeg_huff_specs():
+    """Shared (symbol, length) lists + DHT payloads for the flat
+    canonical tables used by the encoder (decoders read them from the
+    DHT segments, so the bitstream is self-describing)."""
+    dc = [(s, 4) for s in _JPEG_DC_SYMBOLS]
+    ac = [(s, 8) for s in _JPEG_AC_SYMBOLS]
+
+    def dht_payload(tc: int, th: int, pairs):
+        counts = [0] * 16
+        for _, ln in pairs:
+            counts[ln - 1] += 1
+        return bytes([tc << 4 | th]) + bytes(counts) + bytes(
+            s for s, _ in pairs
+        )
+
+    return dc, ac, dht_payload
+
+
+def encode_jpeg_baseline(
+    pixels,
+    quant: int = 1,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """REAL baseline-JPEG encoder (ITU-T.81 sequential DCT): grayscale
+    (HxW) or RGB (HxWx3) uint8 -> .jpg bytes. ``quant`` fills the
+    whole quantization table (1 = near-lossless: constant 8x8 tiles
+    roundtrip EXACTLY, which is what the decode value oracle leans
+    on); ``subsample`` emits 4:2:0 chroma; ``restart_interval`` > 0
+    emits DRI + RSTn markers. Quantized coefficients are clamped to
+    baseline's 10-bit category ceiling."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rgb = px.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [
+            (1, 1), (1, 1), (1, 1)
+        ]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-w // mcu_w)
+    mcus_y = -(-h // mcu_h)
+
+    def comp_plane(plane, sh, sv):
+        # pad to MCU grid by edge replication, then box-average down
+        # to the component's sampling resolution
+        ph, pw = mcus_y * mcu_h, mcus_x * mcu_w
+        p = np.pad(
+            plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+        fy, fx = vmax // sv, hmax // sh
+        if fy > 1 or fx > 1:
+            p = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        return p
+
+    comps = [comp_plane(p, s[0], s[1]) for p, s in zip(planes, samp)]
+    M = _jpeg_dct_matrix()
+    dc_pairs, ac_pairs, dht_payload = _jpeg_huff_specs()
+    dc_codes = {}
+    code, last = 0, 0
+    for s, ln in dc_pairs:
+        code <<= ln - last
+        dc_codes[s] = (code, ln)
+        code += 1
+        last = ln
+    ac_codes = {}
+    code, last = 0, 0
+    for s, ln in ac_pairs:
+        code <<= ln - last
+        ac_codes[s] = (code, ln)
+        code += 1
+        last = ln
+
+    def encode_block(wtr, block, pred):
+        coef = M @ (block - 128.0) @ M.T
+        q = np.rint(coef / quant).astype(np.int64)
+        q = np.clip(q, -1023, 1023)
+        zz = [int(q.flat[_JPEG_ZIGZAG[i]]) for i in range(64)]
+        diff = zz[0] - pred
+        s = _category(diff)
+        c, ln = dc_codes[s]
+        wtr.put(c, ln)
+        if s:
+            wtr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for i in range(1, last_nz + 1):
+            v = zz[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]
+                wtr.put(c, ln)
+                run -= 16
+            s = _category(v)
+            c, ln = ac_codes[(run << 4) | s]
+            wtr.put(c, ln)
+            wtr.put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            c, ln = ac_codes[0x00]
+            wtr.put(c, ln)
+        return zz[0]
+
+    wtr = _BitWriter()
+    preds = [0] * len(comps)
+    mcu_idx = 0
+    rst = 0
+    body = bytearray()
+
+    def flush_segment():
+        wtr.pad_to_byte()
+        body.extend(wtr.out)
+        wtr.out = bytearray()
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                flush_segment()
+                body.extend(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+                preds = [0] * len(comps)
+            for ci, (plane, (sh, sv)) in enumerate(zip(comps, samp)):
+                for v in range(sv):
+                    for u in range(sh):
+                        by = (my * sv + v) * 8
+                        bx = (mx * sh + u) * 8
+                        block = plane[by : by + 8, bx : bx + 8]
+                        preds[ci] = encode_block(wtr, block, preds[ci])
+            mcu_idx += 1
+    flush_segment()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    qtab = bytes([0]) + bytes(
+        min(255, quant) for _ in range(64)
+    )  # zigzag order, all equal so order is moot
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xDB, qtab)  # DQT, table 0
+    ncomp = 1 if gray else 3
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, samp[ci][0] << 4 | samp[ci][1], 0])
+    out += seg(0xC0, bytes(sof))  # SOF0
+    out += seg(0xC4, dht_payload(0, 0, dc_pairs))  # DC table 0
+    out += seg(0xC4, dht_payload(1, 0, ac_pairs))  # AC table 0
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])  # Ss, Se, Ah/Al (baseline fixed)
+    out += seg(0xDA, bytes(sos))
+    out += body
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _decode_jpeg_one(blob: bytes):
+    """Parse one baseline-sequential JPEG (SOF0, Huffman, 8-bit) ->
+    (width, height, n_components, HxW or HxWx3 uint8 array — grayscale
+    luma or RGB) or None when the payload is not a baseline JPEG this
+    decoder supports (progressive/arithmetic/12-bit -> None, never a
+    guess)."""
+    import struct
+
+    import numpy as np
+
+    if len(blob) < 4 or blob[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    scan = None
+    try:
+        while pos + 4 <= len(blob):
+            if blob[pos] != 0xFF:
+                return None
+            marker = blob[pos + 1]
+            if marker == 0xD9:  # EOI
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seglen,) = struct.unpack_from(">H", blob, pos + 2)
+            payload = blob[pos + 4 : pos + 2 + seglen]
+            pos += 2 + seglen
+            if marker == 0xDB:  # DQT (possibly several tables)
+                p = 0
+                while p < len(payload):
+                    pq, tq = payload[p] >> 4, payload[p] & 15
+                    p += 1
+                    if pq == 0:
+                        vals = np.frombuffer(
+                            payload[p : p + 64], dtype=np.uint8
+                        ).astype(np.int32)
+                        p += 64
+                    else:
+                        vals = np.frombuffer(
+                            payload[p : p + 128], dtype=">u2"
+                        ).astype(np.int32)
+                        p += 128
+                    nat = np.zeros(64, np.int32)
+                    nat[list(_JPEG_ZIGZAG)] = vals
+                    qtabs[tq] = nat
+            elif marker == 0xC4:  # DHT (possibly several tables)
+                p = 0
+                while p < len(payload):
+                    tc, th = payload[p] >> 4, payload[p] & 15
+                    counts = payload[p + 1 : p + 17]
+                    p += 17
+                    pairs = []
+                    for ln in range(1, 17):
+                        for _ in range(counts[ln - 1]):
+                            pairs.append((payload[p], ln))
+                            p += 1
+                    htabs[(tc, th)] = _huff_canonical(pairs)
+            elif marker == 0xC0:  # SOF0 baseline
+                prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+                if prec != 8 or nc not in (1, 3):
+                    return None
+                comps = []
+                for ci in range(nc):
+                    cid, hv, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                    comps.append((cid, hv >> 4, hv & 15, tq))
+                sof = (w, h, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline frame types: out of scope
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack_from(">H", payload, 0)
+            elif marker == 0xDA:  # SOS — entropy data follows
+                ns = payload[0]
+                stabs = {}
+                for si in range(ns):
+                    cid, tt = payload[1 + 2 * si], payload[2 + 2 * si]
+                    stabs[cid] = (tt >> 4, tt & 15)
+                # locate the end of the entropy-coded segment
+                end = pos
+                while end + 1 < len(blob):
+                    if blob[end] == 0xFF and blob[end + 1] not in (
+                        0x00,
+                        *range(0xD0, 0xD8),
+                    ):
+                        break
+                    end += 1
+                scan = (stabs, blob[pos:end])
+                pos = end
+            # other markers (APPn, COM): skipped via seglen
+        if sof is None or scan is None:
+            return None
+        w, h, comps = sof
+        if w == 0 or h == 0:
+            return None
+        stabs, data = scan
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        if not all(
+            hmax % c[1] == 0 and vmax % c[2] == 0 for c in comps
+        ):
+            return None
+        mcu_w, mcu_h = 8 * hmax, 8 * vmax
+        mcus_x, mcus_y = -(-w // mcu_w), -(-h // mcu_h)
+        planes = [
+            np.zeros((mcus_y * c[2] * 8, mcus_x * c[1] * 8), np.float64)
+            for c in comps
+        ]
+        for cid, _, _, tq in comps:
+            if tq not in qtabs or cid not in stabs:
+                return None
+            td, ta = stabs[cid]
+            if (0, td) not in htabs or (1, ta) not in htabs:
+                return None
+        M = _jpeg_dct_matrix()
+        # split the stream at restart markers; each segment is
+        # unstuffed independently and resets predictors
+        segments = []
+        seg_start = 0
+        i = 0
+        while i + 1 < len(data):
+            if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
+                segments.append(data[seg_start:i])
+                seg_start = i + 2
+                i += 2
+            else:
+                i += 1
+        segments.append(data[seg_start:])
+        readers = [
+            _BitReader(seg.replace(b"\xff\x00", b"\xff"))
+            for seg in segments
+        ]
+        seg_i = 0
+        reader = readers[0]
+        preds = [0] * len(comps)
+        mcu_idx = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if (
+                    restart_interval
+                    and mcu_idx
+                    and mcu_idx % restart_interval == 0
+                ):
+                    seg_i += 1
+                    if seg_i >= len(readers):
+                        return None
+                    reader = readers[seg_i]
+                    preds = [0] * len(comps)
+                for ci, (cid, sh, sv, tq) in enumerate(comps):
+                    td, ta = stabs[cid]
+                    dct, act = htabs[(0, td)], htabs[(1, ta)]
+                    q = qtabs[tq]
+                    for v in range(sv):
+                        for u in range(sh):
+                            zz = np.zeros(64, np.int64)
+                            s = _huff_decode(reader, dct)
+                            diff = _extend(reader.read(s), s) if s else 0
+                            preds[ci] += diff
+                            zz[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(reader, act)
+                                if rs == 0x00:
+                                    break
+                                if rs == 0xF0:
+                                    k += 16
+                                    continue
+                                k += rs >> 4
+                                if k > 63:
+                                    return None
+                                zz[k] = _extend(
+                                    reader.read(rs & 15), rs & 15
+                                )
+                                k += 1
+                            nat = np.zeros(64, np.float64)
+                            nat[list(_JPEG_ZIGZAG)] = zz
+                            coef = (nat * q).reshape(8, 8)
+                            block = M.T @ coef @ M + 128.0
+                            by = (my * sv + v) * 8
+                            bx = (mx * sh + u) * 8
+                            planes[ci][by : by + 8, bx : bx + 8] = block
+                mcu_idx += 1
+        full = []
+        for (cid, sh, sv, tq), plane in zip(comps, planes):
+            up = np.repeat(
+                np.repeat(plane, vmax // sv, axis=0), hmax // sh, axis=1
+            )
+            full.append(up[:h, :w])
+        if len(full) == 1:
+            out = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+            return w, h, 1, out
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=2)
+        return w, h, 3, np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    except (EOFError, ValueError, IndexError, struct.error):
+        return None
+
+
+JPEG_DECODE_SCHEMA = (
+    "doc_id long, valid boolean, width int, height int,"
+    " n_components int, n_pixels long, mean_px double"
+)
+
+
+def decode_jpeg_stats(
+    blobs: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """REAL JPEG decode: full baseline bitstream parse (Huffman,
+    dequant, IDCT, upsample, color transform) -> geometry + exact
+    mean over every decoded channel value. Non-JPEG / non-baseline
+    payloads yield valid=false with NULL stats."""
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {
+                k: []
+                for k in (
+                    id_col,
+                    "valid",
+                    "width",
+                    "height",
+                    "n_components",
+                    "n_pixels",
+                    "mean_px",
+                )
+            }
+            for rid, blob in zip(pdf[id_col].values, pdf[blob_col].values):
+                dec = _decode_jpeg_one(bytes(blob))
+                cols[id_col].append(rid)
+                if dec is None:
+                    cols["valid"].append(False)
+                    for k in ("width", "height", "n_components", "n_pixels"):
+                        cols[k].append(None)
+                    cols["mean_px"].append(None)
+                    continue
+                w, h, nc, px = dec
+                cols["valid"].append(True)
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["n_components"].append(nc)
+                cols["n_pixels"].append(w * h)
+                cols["mean_px"].append(float(px.astype(np.float64).mean()))
+            yield pd.DataFrame(cols)
+
+    return blobs.mapInPandas(decode, schema=JPEG_DECODE_SCHEMA)
+
+
+def synth_jpeg_blob(doc_id: int) -> bytes:
+    """Spec-built baseline JPEG for ``doc_id``: GRAYSCALE image of
+    constant 8x8 tiles — w = 8*(1+id%3), h = 8*(1+id%2), tile (by,bx)
+    = (id*7 + by*11 + bx*13) % 256 — encoded with quant=1, and with
+    restart markers every 2 MCUs when id%4==1. Constant tiles survive
+    the DCT+quant roundtrip EXACTLY (all AC are zero; the DC is an
+    exact integer), so a SQL oracle recomputes the decoded mean
+    closed-form. ids with id%10==6 get a non-JPEG payload."""
+    import numpy as np
+
+    d = int(doc_id)
+    if d % 10 == 6:
+        return b"\x89JNK" + bytes([(d + k) % 256 for k in range(12)])
+    bw, bh = 1 + d % 3, 1 + d % 2
+    img = np.zeros((8 * bh, 8 * bw), np.uint8)
+    for by in range(bh):
+        for bx in range(bw):
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                d * 7 + by * 11 + bx * 13
+            ) % 256
+    return encode_jpeg_baseline(
+        img, quant=1, restart_interval=2 if d % 4 == 1 else 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG — stdlib zlib + struct + numpy (DEFLATE ships with Python;
+# no codec library involved). Full chunk walk, CRC verification,
+# scanline unfiltering (None/Sub/Up/Average/Paeth), 8-bit gray / RGB /
+# RGBA, non-interlaced. PNG is LOSSLESS, so decode is bit-exact by
+# construction — the strongest value-oracle surface of the image
+# formats here. Interlaced (Adam7) and sub-8-bit depths decode to
+# None. The encoder is the fixture generator (it can cycle every
+# filter type so the decoder's unfilter paths are all exercised) and
+# a real pixels -> .png sink operator.
+# ---------------------------------------------------------------------------
+
+
+def encode_png(pixels, filter_mode: str = "none") -> bytes:
+    """REAL PNG encoder: grayscale (HxW), RGB (HxWx3) or RGBA (HxWx4)
+    uint8 -> .png bytes. ``filter_mode``: 'none' (filter 0 rows) or
+    'cycle' (row r uses filter r % 5 — exercises every unfilter path
+    in the decoder; identical pixels either way, PNG is lossless)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nch = px.shape
+    color_type = {1: 0, 3: 2, 4: 6}[nch]
+    bpp = nch  # bytes per pixel at bit depth 8
+    raw = bytearray()
+    prev = np.zeros((w, nch), np.int32)
+    for r in range(h):
+        row = px[r].astype(np.int32)
+        f = (r % 5) if filter_mode == "cycle" else 0
+        flat = row.reshape(-1)
+        if f == 0:
+            enc = flat
+        elif f == 1:  # Sub
+            left = np.vstack([np.zeros((1, nch), np.int32), row[:-1]])
+            enc = (row - left).reshape(-1) % 256
+        elif f == 2:  # Up
+            enc = (row - prev).reshape(-1) % 256
+        elif f == 3:  # Average
+            left = np.vstack([np.zeros((1, nch), np.int32), row[:-1]])
+            enc = (row - (left + prev) // 2).reshape(-1) % 256
+        else:  # Paeth
+            left = np.vstack([np.zeros((1, nch), np.int32), row[:-1]])
+            ul = np.vstack([np.zeros((1, nch), np.int32), prev[:-1]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            enc = (row - pred).reshape(-1) % 256
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png_one(blob: bytes):
+    """Parse one 8-bit non-interlaced PNG (gray / RGB / RGBA) ->
+    (width, height, n_channels, HxWxC uint8) or None when not a PNG
+    this decoder supports. Chunk CRCs are verified — corrupt data
+    degrades to None, never to silently wrong pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    if len(blob) < len(sig) + 12 or blob[: len(sig)] != sig:
+        return None
+    pos = len(sig)
+    ihdr = None
+    idat = bytearray()
+    try:
+        while pos + 12 <= len(blob):
+            (clen,) = struct.unpack_from(">I", blob, pos)
+            tag = blob[pos + 4 : pos + 8]
+            payload = blob[pos + 8 : pos + 8 + clen]
+            (crc,) = struct.unpack_from(">I", blob, pos + 8 + clen)
+            if zlib.crc32(tag + payload) != crc:
+                return None
+            pos += 12 + clen
+            if tag == b"IHDR":
+                w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", payload
+                )
+                if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                    return None
+                nch = {0: 1, 2: 3, 6: 4}.get(ctype)
+                if nch is None or w == 0 or h == 0:
+                    return None
+                ihdr = (w, h, nch)
+            elif tag == b"IDAT":
+                idat.extend(payload)
+            elif tag == b"IEND":
+                break
+        if ihdr is None or not idat:
+            return None
+        w, h, nch = ihdr
+        raw = zlib.decompress(bytes(idat))
+        stride = w * nch
+        if len(raw) != h * (stride + 1):
+            return None
+        out = np.zeros((h, w, nch), np.int32)
+        prev = np.zeros((w, nch), np.int32)
+        for r in range(h):
+            f = raw[r * (stride + 1)]
+            line = np.frombuffer(
+                raw, np.uint8, stride, r * (stride + 1) + 1
+            ).astype(np.int32).reshape(w, nch)
+            if f == 0:
+                row = line
+            elif f == 2:  # Up
+                row = (line + prev) % 256
+            elif f in (1, 3, 4):  # Sub / Average / Paeth: left-to-right
+                row = np.zeros((w, nch), np.int32)
+                left = np.zeros(nch, np.int32)
+                for x in range(w):
+                    up = prev[x]
+                    ul = prev[x - 1] if x else np.zeros(nch, np.int32)
+                    if f == 1:
+                        pred = left
+                    elif f == 3:
+                        pred = (left + up) // 2
+                    else:
+                        p = left + up - ul
+                        pa = np.abs(p - left)
+                        pb = np.abs(p - up)
+                        pc = np.abs(p - ul)
+                        pred = np.where(
+                            (pa <= pb) & (pa <= pc),
+                            left,
+                            np.where(pb <= pc, up, ul),
+                        )
+                    row[x] = (line[x] + pred) % 256
+                    left = row[x]
+            else:
+                return None
+            out[r] = row
+            prev = row
+        return w, h, nch, out.astype(np.uint8)
+    except (zlib.error, struct.error, IndexError, ValueError):
+        return None
+
+
+PNG_DECODE_SCHEMA = (
+    "doc_id long, valid boolean, width int, height int,"
+    " n_channels int, n_pixels long, mean_px double"
+)
+
+
+def decode_png_stats(
+    blobs: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """REAL PNG decode: zlib inflate + scanline unfilter -> geometry
+    + exact mean over every channel value. Non-PNG / interlaced /
+    CRC-corrupt payloads yield valid=false with NULL stats."""
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {
+                k: []
+                for k in (
+                    id_col,
+                    "valid",
+                    "width",
+                    "height",
+                    "n_channels",
+                    "n_pixels",
+                    "mean_px",
+                )
+            }
+            for rid, blob in zip(pdf[id_col].values, pdf[blob_col].values):
+                dec = _decode_png_one(bytes(blob))
+                cols[id_col].append(rid)
+                if dec is None:
+                    cols["valid"].append(False)
+                    for k in ("width", "height", "n_channels", "n_pixels"):
+                        cols[k].append(None)
+                    cols["mean_px"].append(None)
+                    continue
+                w, h, nch, px = dec
+                cols["valid"].append(True)
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["n_channels"].append(nch)
+                cols["n_pixels"].append(w * h)
+                cols["mean_px"].append(float(px.astype(np.float64).mean()))
+            yield pd.DataFrame(cols)
+
+    return blobs.mapInPandas(decode, schema=PNG_DECODE_SCHEMA)
+
+
+def synth_png_blob(doc_id: int) -> bytes:
+    """Spec-built PNG for ``doc_id``: channels = 1/3/4 by id%3, w =
+    2 + id%6, h = 2 + id%4, pixel (y, x) channel c = (id*5 + y*17 +
+    x*29 + c*43) % 256, filter types cycling 0-4 across rows (PNG is
+    lossless, so decoded pixels equal the closed form EXACTLY no
+    matter the filter). ids with id%10==2 get a CRC-corrupted
+    payload — the decoder must refuse it, not return wrong pixels."""
+    import numpy as np
+
+    d = int(doc_id)
+    nch = (1, 3, 4)[d % 3]
+    w, h = 2 + d % 6, 2 + d % 4
+    y, x, c = np.ogrid[0:h, 0:w, 0:nch]
+    px = ((d * 5 + y * 17 + x * 29 + c * 43) % 256).astype(np.uint8)
+    blob = encode_png(px.reshape(h, w, nch), filter_mode="cycle")
+    if d % 10 == 2:
+        b = bytearray(blob)
+        b[len(b) // 2] ^= 0x55  # flip one IDAT byte: CRC check must refuse
+        return bytes(b)
+    return blob

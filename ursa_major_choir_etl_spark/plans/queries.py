@@ -14769,6 +14769,98 @@ FROM base WHERE bad
 """
 
 
+def q257_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode under a full value hash: the round-10
+    pure-numpy ITU-T.81 decoder (multimodal.decode_jpeg_stats — marker
+    walk, canonical Huffman with byte unstuffing and RSTn restarts,
+    dequant, zigzag, 8x8 IDCT) over deterministic spec-built JPEGs
+    (multimodal.synth_jpeg_blob). The fixtures are constant-8x8-tile
+    grayscale images encoded at quant=1 — the one image class the
+    lossy DCT path reproduces EXACTLY (all AC zero, integer DC), so
+    the oracle recomputes decoded geometry and mean luma closed-form;
+    a quarter of the valid ids carry restart markers and an id slice
+    is non-JPEG (valid=false, NULL stats). Lossy-general correctness
+    (gradients, 4:2:0 color, odd dims) is pinned by tolerance
+    roundtrip tests in tests/test_jpeg_png.py."""
+    from ursa_major_choir_etl_spark.operators import multimodal
+
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.decode_jpeg_stats(
+        multimodal.with_synth_blob(docs, "jpeg")
+    )
+
+
+def _oracle_q257() -> str:
+    return """
+WITH base AS (
+  SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h,
+         (doc_id % 10 = 6) AS bad
+  FROM documents
+),
+bys AS (SELECT doc_id, w, h, unnest(range(0, h // 8)) AS by
+        FROM base WHERE NOT bad),
+bxs AS (SELECT doc_id, w, h, by, unnest(range(0, w // 8)) AS bx FROM bys),
+ok AS (
+  SELECT doc_id, TRUE AS valid,
+         CAST(any_value(w) AS INT) AS width,
+         CAST(any_value(h) AS INT) AS height,
+         CAST(1 AS INT) AS n_components,
+         CAST(any_value(w) * any_value(h) AS BIGINT) AS n_pixels,
+         avg((doc_id*7 + by*11 + bx*13) % 256) AS mean_px
+  FROM bxs GROUP BY doc_id
+)
+SELECT * FROM ok
+UNION ALL
+SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL FROM base WHERE bad
+"""
+
+
+def q258_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode under a full value hash: the round-10 stdlib
+    zlib decoder (multimodal.decode_png_stats — chunk walk with CRC
+    verification, inflate, all five scanline unfilters) over
+    deterministic spec-built PNGs (multimodal.synth_png_blob:
+    gray/RGB/RGBA, filter types cycling 0-4 across rows). PNG is
+    LOSSLESS, so the oracle recomputes decoded geometry and the exact
+    channel mean closed-form for every valid payload; an id slice
+    carries a flipped IDAT byte, which the CRC check must refuse
+    (valid=false) rather than decode into wrong pixels."""
+    from ursa_major_choir_etl_spark.operators import multimodal
+
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.decode_png_stats(
+        multimodal.with_synth_blob(docs, "png")
+    )
+
+
+def _oracle_q258() -> str:
+    return """
+WITH base AS (
+  SELECT doc_id, 2 + doc_id % 6 AS w, 2 + doc_id % 4 AS h,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+              AS INT) AS nch,
+         (doc_id % 10 = 2) AS bad
+  FROM documents
+),
+ys AS (SELECT doc_id, w, h, nch, unnest(range(0, h)) AS y
+       FROM base WHERE NOT bad),
+xs AS (SELECT doc_id, w, h, nch, y, unnest(range(0, w)) AS x FROM ys),
+cs AS (SELECT doc_id, w, h, nch, y, x, unnest(range(0, nch)) AS c FROM xs),
+ok AS (
+  SELECT doc_id, TRUE AS valid,
+         CAST(any_value(w) AS INT) AS width,
+         CAST(any_value(h) AS INT) AS height,
+         CAST(any_value(nch) AS INT) AS n_channels,
+         CAST(any_value(w) * any_value(h) AS BIGINT) AS n_pixels,
+         avg((doc_id*5 + y*17 + x*29 + c*43) % 256) AS mean_px
+  FROM cs GROUP BY doc_id
+)
+SELECT * FROM ok
+UNION ALL
+SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL FROM base WHERE bad
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -15026,6 +15118,8 @@ QUERIES = {
     "q254_cluster_pure_split": q254_cluster_pure_split,
     "q255_bmp_decode": q255_bmp_decode,
     "q256_wav_decode": q256_wav_decode,
+    "q257_jpeg_decode": q257_jpeg_decode,
+    "q258_png_decode": q258_png_decode,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -15035,8 +15129,8 @@ QUERIES = {
 # ask is to put them first. Round-10 priority order:
 #   1. the never-graded tail q187–q251 in ascending q-number order,
 #      followed by the five operators registered this round
-#      (q252–q256: incremental CC merge, intra-doc dedup,
-#      cluster-pure split, BMP/WAV decode value gates) — the first 50
+#      (q252–q258: incremental CC merge, intra-doc dedup,
+#      cluster-pure split, BMP/WAV/JPEG/PNG decode value gates) — the first 50
 #      of this head (q187–q236) is this round's window; the rest roll
 #      to round 11's;
 #   2. everything else by grading age (stalest first): the round-5-era
@@ -15053,7 +15147,7 @@ def _qnum(k: str) -> int:
 
 
 _names = sorted(QUERIES, key=_qnum)
-_head = [k for k in _names if 187 <= _qnum(k) <= 256]
+_head = [k for k in _names if 187 <= _qnum(k) <= 258]
 
 
 def _staleness(k: str) -> int:
@@ -15340,4 +15434,6 @@ ORACLES: dict[str, str | None] = {
     "q254_cluster_pure_split": _oracle_q254(),
     "q255_bmp_decode": _oracle_q255(),
     "q256_wav_decode": _oracle_q256(),
+    "q257_jpeg_decode": _oracle_q257(),
+    "q258_png_decode": _oracle_q258(),
 }

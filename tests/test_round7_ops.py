@@ -340,32 +340,26 @@ class TestConsensusPairs:
 
 
 class TestGradingWindowRotation:
-    def test_window_leads_with_changed_paths_then_stalest(self):
-        """The driver grades the first 50 registry entries. Round-8
-        policy (the round-7 verdict's rotation ask, amended once the
-        never-graded set outgrew one window): never-graded/changed
-        queries fill the window in ascending q-number order — oldest
-        claims grade first, the newest additions roll to the next
-        round — and nothing already freshly graded (q101-q136, green
-        in round 7) occupies a slot."""
-        from ursa_major_choir_etl_spark.plans.queries import (
-            _CHANGED_R8,
-            QUERIES,
-        )
+    def test_window_leads_with_never_graded_then_stalest(self):
+        """The driver grades the first 50 registry entries. Round-10
+        policy (the round-9 verdict's #1 ask): the never-driver-graded
+        band fills the window in ascending q-number order — q137-q186
+        went green in rounds 8 AND 9, so q187+ grades first and the
+        newest registrations roll to later rounds' windows."""
+        from ursa_major_choir_etl_spark.plans.queries import _head, QUERIES
 
         window = list(QUERIES)[:50]
         assert len(window) == 50
-        assert "q137_pretraining_pipeline" in window
-        # every window slot is a changed/never-graded query...
-        assert all(k.startswith(_CHANGED_R8) for k in window)
+        qnum = lambda k: int(k[1 : k.index("_")])  # noqa: E731
+        # every window slot is from the never-graded head...
+        assert all(k in _head for k in window)
+        assert qnum(window[0]) == 187 and window == sorted(window, key=qnum)
+        # ...freshly re-graded rows occupy no slot...
+        assert not any(137 <= qnum(k) <= 186 for k in window)
         # ...and the queue drains oldest-first: anything rolled over
-        # must be strictly newer than everything graded this round
-        rolled = [
-            k for k in QUERIES
-            if k.startswith(_CHANGED_R8) and k not in window
-        ]
+        # is strictly newer than everything graded this round
+        rolled = [k for k in _head if k not in window]
         if rolled:
-            qnum = lambda k: int(k[1 : k.index("_")])  # noqa: E731
             assert min(map(qnum, rolled)) > max(map(qnum, window))
 
 

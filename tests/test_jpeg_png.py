@@ -147,3 +147,92 @@ class TestSparkDecodeOperators:
         pn = m.decode_png_stats(m.with_synth_blob(df, "png")).collect()
         assert {r["doc_id"] % 10 for r in pn if not r["valid"]} == {2}
         assert all(r["n_pixels"] == r["width"] * r["height"] for r in pn if r["valid"])
+
+
+class TestDhashAndThumbnail:
+    def test_dhash_is_encoding_invariant(self, spark):
+        """The same image through PNG (lossless) and baseline JPEG
+        (quant-1, smooth content: exact) must produce the SAME
+        perceptual hash — the property that makes the dhash a
+        cross-encoding near-dup key."""
+        grad = np.clip(
+            np.add.outer(np.arange(16) * 9, np.arange(24) * 5), 0, 255
+        ).astype(np.uint8)
+        rgb = np.ascontiguousarray(np.stack([grad] * 3, axis=2))
+        df = spark.createDataFrame(
+            [(1, bytearray(m.encode_png(rgb))),
+             (2, bytearray(m.encode_jpeg_baseline(rgb))),
+             (3, b"junk")],
+            "doc_id long, blob binary",
+        )
+        rows = {r["doc_id"]: r for r in m.image_dhash(df).collect()}
+        assert rows[1]["valid"] and rows[2]["valid"] and not rows[3]["valid"]
+        assert rows[1]["dhash"] == rows[2]["dhash"]
+        assert rows[3]["dhash"] is None
+
+    def test_dhash_near_duplicate_hamming_distance(self, spark):
+        """A lightly perturbed image lands within a few Hamming bits;
+        an unrelated image lands far — the banding contract."""
+        rng = np.random.default_rng(3)
+        base = np.clip(
+            np.add.outer(np.arange(32) * 4, np.arange(32) * 3), 0, 255
+        ).astype(np.uint8)
+        near = base.copy()
+        near[:2, :2] = 255  # small local edit
+        far = rng.integers(0, 256, base.shape).astype(np.uint8)
+        df = spark.createDataFrame(
+            [(i, bytearray(m.encode_png(img)))
+             for i, img in ((1, base), (2, near), (3, far))],
+            "doc_id long, blob binary",
+        )
+        h = {r["doc_id"]: r["dhash"] for r in m.image_dhash(df).collect()}
+
+        def ham(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+        assert ham(h[1], h[2]) <= 8
+        assert ham(h[1], h[3]) > 8
+
+    def test_thumbnail_transcode_roundtrip(self, spark):
+        """JPEG in -> 8x8 PNG out: decoded thumbnail pixels equal the
+        nearest-neighbor source samples; undecodable inputs dropped."""
+        tiles = _tiles(2, 3, lambda by, bx: (by * 50 + bx * 30 + 10) % 256)
+        df = spark.createDataFrame(
+            [(1, bytearray(m.encode_jpeg_baseline(tiles))), (2, b"nope")],
+            "doc_id long, blob binary",
+        )
+        out = m.image_thumbnail_png(df, out_w=8, out_h=8).collect()
+        assert [r["doc_id"] for r in out] == [1]
+        w, h, nch, px = m._decode_png_one(bytes(out[0]["blob"]))
+        assert (w, h, nch) == (8, 8, 1)
+        yi = (np.arange(8) * tiles.shape[0]) // 8
+        xi = (np.arange(8) * tiles.shape[1]) // 8
+        want = tiles[np.ix_(yi, xi)][:, :, None]
+        assert (px == want).all()
+
+
+class TestDecoderFuzz:
+    def test_random_bytes_never_raise(self):
+        """Decoders must degrade to None on arbitrary garbage — a
+        corrupt corpus must never kill the executor."""
+        rng = np.random.default_rng(11)
+        prefixes = [b"", b"BM", b"\xff\xd8", b"\x89PNG\r\n\x1a\n", b"RIFF"]
+        for trial in range(200):
+            body = bytes(rng.integers(0, 256, rng.integers(0, 200)).astype(np.uint8))
+            blob = prefixes[trial % len(prefixes)] + body
+            for dec in (m._decode_bmp_one, m._decode_wav_one,
+                        m._decode_jpeg_one, m._decode_png_one):
+                out = dec(blob)  # must not raise
+                assert out is None or len(out) == 4
+
+    def test_truncated_valid_files_never_raise(self):
+        img = np.arange(192, dtype=np.uint8).reshape(8, 8, 3)
+        wav = m.synth_wav_blob(1)
+        goods = [m.encode_png(img), m.encode_jpeg_baseline(img),
+                 m.synth_bmp_blob(1), wav]
+        decs = [m._decode_png_one, m._decode_jpeg_one,
+                m._decode_bmp_one, m._decode_wav_one]
+        for good, dec in zip(goods, decs):
+            for cut in range(0, len(good), 7):
+                out = dec(good[:cut])  # must not raise
+                assert out is None or len(out) == 4

@@ -66,7 +66,7 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> list[str]:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    filters = sys.argv[2:]
 
     from ursa_major_choir_etl_spark.session import get_spark
 
@@ -75,6 +75,18 @@ def main() -> None:
     spark = get_spark(app_name="check-oracles")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+
+    # PREFIX-match filters ("q259" selects q259_image_dhash), and FAIL
+    # LOUD on a filter that selects nothing: exact-only matching once
+    # made every short-name invocation a vacuous "all queries match" —
+    # the worst possible failure mode for a correctness gate.
+    only: set[str] = set()
+    for f in filters:
+        hits = {n for n in qs if n == f or n.startswith(f)}
+        if not hits:
+            print(f"no registry query matches filter {f!r}")
+            sys.exit(2)
+        only |= hits
 
     con = duckdb.connect()
     for t in [

@@ -1414,3 +1414,106 @@ def synth_png_blob(doc_id: int) -> bytes:
         b[len(b) // 2] ^= 0x55  # flip one IDAT byte: CRC check must refuse
         return bytes(b)
     return blob
+
+
+def _sniff_decode(blob: bytes):
+    """Magic-sniffed decode to an HxWxC uint8 pixel array: BMP, PNG,
+    or baseline JPEG (grayscale promotes to C=1). None when no real
+    decoder accepts the payload."""
+    if blob[:2] == b"BM":
+        dec = _decode_bmp_one(blob)
+        if dec is None:
+            return None
+        _, _, _, px = dec
+        return px[:, :, ::-1]  # BGR storage order -> RGB
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        dec = _decode_png_one(blob)
+        if dec is None:
+            return None
+        return dec[3]
+    if blob[:2] == b"\xff\xd8":
+        dec = _decode_jpeg_one(blob)
+        if dec is None:
+            return None
+        px = dec[3]
+        return px[:, :, None] if px.ndim == 2 else px
+    return None
+
+
+def image_dhash(
+    blobs: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Perceptual difference-hash over REAL decoded pixels — the
+    image-side near-dup fingerprint (the dedup family's visual
+    sibling of text fingerprints): decode (BMP/PNG/baseline JPEG,
+    magic-sniffed) -> channel-mean luma -> 9x8 nearest-neighbor grid
+    -> 64 horizontal gradient signs packed into one BIGINT. Identical
+    images hash identically at any encoding; near-identical images
+    differ in few bits, so Hamming-banded grouping (the simhash
+    machinery) applies downstream unchanged. Undecodable payloads
+    yield valid=false, NULL hash."""
+    import numpy as np
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, valid, hs = [], [], []
+            for rid, blob in zip(pdf[id_col].values, pdf[blob_col].values):
+                px = _sniff_decode(bytes(blob))
+                ids.append(rid)
+                if px is None:
+                    valid.append(False)
+                    hs.append(None)
+                    continue
+                luma = px.astype(np.float64).mean(axis=2)
+                h, w = luma.shape
+                yi = (np.arange(8) * h) // 8
+                xi = (np.arange(9) * w) // 9
+                grid = luma[np.ix_(yi, xi)]
+                bits = (grid[:, 1:] > grid[:, :-1]).reshape(-1)
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                # store as signed 64-bit (Spark LongType)
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                valid.append(True)
+                hs.append(val)
+            yield pd.DataFrame(
+                {id_col: ids, "valid": valid, "dhash": pd.array(hs, dtype="Int64")}
+            )
+
+    return blobs.mapInPandas(
+        hashes, schema=f"{id_col} long, valid boolean, dhash long"
+    )
+
+
+def image_thumbnail_png(
+    blobs: DataFrame,
+    out_w: int = 8,
+    out_h: int = 8,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """The real thumbnail pipeline, end to end on real codecs: decode
+    (BMP/PNG/baseline JPEG) -> nearest-neighbor resize -> encode PNG.
+    Output (id, png binary); undecodable inputs are dropped (the
+    stats operators are the quarantine surface). PNG out because the
+    thumbnail must be LOSSLESS: downstream consumers (dhash, stats,
+    training tensors) read exactly the resampled pixels."""
+    import numpy as np
+
+    def thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pngs = [], []
+            for rid, blob in zip(pdf[id_col].values, pdf[blob_col].values):
+                px = _sniff_decode(bytes(blob))
+                if px is None:
+                    continue
+                h, w = px.shape[:2]
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                ids.append(rid)
+                pngs.append(encode_png(px[np.ix_(yi, xi)]))
+            yield pd.DataFrame({id_col: ids, "blob": pngs})
+
+    return blobs.mapInPandas(thumbs, schema=f"{id_col} long, blob binary")

@@ -14861,6 +14861,114 @@ SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL FROM base WHERE bad
 """
 
 
+def q259_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image fingerprint under a full value hash
+    (multimodal.image_dhash, round 10): REAL decode (magic-sniffed
+    BMP here) -> channel-mean luma -> 9x8 nearest-neighbor grid ->
+    64 horizontal gradient signs packed into one BIGINT — the
+    image-side near-dup key (identical images hash identically across
+    encodings; near-identical differ in few bits, feeding the
+    simhash Hamming-band machinery unchanged). The oracle recomputes
+    every bit closed-form from the spec-built pixel function —
+    channel-sum comparisons replace the operator's mean comparisons
+    (division by 3 is monotone), and the 64-bit pack is HUGEINT
+    arithmetic folded to the signed BIGINT Spark stores."""
+    from ursa_major_choir_etl_spark.operators import multimodal
+
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.image_dhash(multimodal.with_synth_blob(docs, "bmp"))
+
+
+def _oracle_q259() -> str:
+    # luma ~ mean over channels of (b + c*17) % 256 with
+    # b = id*7 + y*11 + x*13; compare SUMS (monotone under /3).
+    lum = (
+        "((bs) % 256 + (bs + 17) % 256 + (bs + 34) % 256)"
+    )
+
+    def at(y, x):
+        return lum.replace("bs", f"doc_id*7 + ({y})*11 + ({x})*13")
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h,
+         (doc_id % 10 = 3) AS bad
+  FROM documents
+),
+grid AS (
+  SELECT doc_id, w, h, r.r AS r, j.j AS j
+  FROM base, (SELECT unnest(range(0, 8)) AS r) r,
+       (SELECT unnest(range(0, 8)) AS j) j
+  WHERE NOT bad
+),
+bits AS (
+  SELECT doc_id, r, j,
+         CASE WHEN {at("(r * h) // 8", "((j + 1) * w) // 9")}
+            > {at("(r * h) // 8", "(j * w) // 9")}
+         THEN 1 ELSE 0 END AS bit
+  FROM grid
+),
+packed AS (
+  -- HUGEINT SHIFTS, not ^: DuckDB's power operator routes through
+  -- DOUBLE and silently zeroes the low bits of a 64-bit pack
+  SELECT doc_id,
+         sum(CAST(bit AS HUGEINT) << (63 - (r * 8 + j))) AS uval
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id, TRUE AS valid,
+       CAST(CASE WHEN uval >= CAST(1 AS HUGEINT) << 63
+                 THEN uval - (CAST(1 AS HUGEINT) << 64) ELSE uval END
+            AS BIGINT) AS dhash
+FROM packed
+UNION ALL
+SELECT doc_id, FALSE, NULL FROM base WHERE bad
+"""
+
+
+def q260_thumbnail_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full image-preprocessing pipeline on REAL codecs, end to
+    end (round 10): spec-built baseline JPEG -> full decode ->
+    nearest-neighbor 8x8 thumbnail -> lossless PNG encode -> PNG
+    decode -> stats (multimodal.image_thumbnail_png +
+    decode_png_stats). Four real codec passes in one plan, all
+    Arrow-batched and shuffle-free; undecodable inputs (the non-JPEG
+    id slice) are DROPPED by the thumbnail stage, so the output rows
+    are exactly the valid ids. The oracle recomputes the resampled
+    mean closed-form: constant-tile JPEGs survive quant-1 exactly,
+    and PNG is lossless, so every decoded thumbnail pixel is the
+    tile value at the nearest-neighbor source index."""
+    from ursa_major_choir_etl_spark.operators import multimodal
+
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    thumbs = multimodal.image_thumbnail_png(
+        multimodal.with_synth_blob(docs, "jpeg"), out_w=8, out_h=8
+    )
+    return multimodal.decode_png_stats(thumbs)
+
+
+def _oracle_q260() -> str:
+    # source tile of thumbnail pixel (i, j): yi = i*bh, xi = j*bw
+    # (h = 8*bh, w = 8*bw) -> tile (yi//8, xi//8) = ((i*bh)//8, (j*bw)//8)
+    return """
+WITH base AS (
+  SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+  FROM documents WHERE doc_id % 10 <> 6
+),
+px AS (
+  SELECT doc_id,
+         (doc_id*7 + ((i.i * bh) // 8) * 11 + ((j.j * bw) // 8) * 13) % 256
+           AS v
+  FROM base, (SELECT unnest(range(0, 8)) AS i) i,
+       (SELECT unnest(range(0, 8)) AS j) j
+)
+SELECT doc_id, TRUE AS valid,
+       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       CAST(1 AS INT) AS n_channels, CAST(64 AS BIGINT) AS n_pixels,
+       avg(v) AS mean_px
+FROM px GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -15120,6 +15228,8 @@ QUERIES = {
     "q256_wav_decode": q256_wav_decode,
     "q257_jpeg_decode": q257_jpeg_decode,
     "q258_png_decode": q258_png_decode,
+    "q259_image_dhash": q259_image_dhash,
+    "q260_thumbnail_transcode": q260_thumbnail_transcode,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -15147,7 +15257,7 @@ def _qnum(k: str) -> int:
 
 
 _names = sorted(QUERIES, key=_qnum)
-_head = [k for k in _names if 187 <= _qnum(k) <= 258]
+_head = [k for k in _names if 187 <= _qnum(k) <= 260]
 
 
 def _staleness(k: str) -> int:
@@ -15436,4 +15546,6 @@ ORACLES: dict[str, str | None] = {
     "q256_wav_decode": _oracle_q256(),
     "q257_jpeg_decode": _oracle_q257(),
     "q258_png_decode": _oracle_q258(),
+    "q259_image_dhash": _oracle_q259(),
+    "q260_thumbnail_transcode": _oracle_q260(),
 }

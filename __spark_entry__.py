@@ -4,16 +4,17 @@
 - ``queries()``: every implemented operator family from SURVEY.md §2
   plus the LLM-pipeline extensions, as (spark, sf_dir) -> DataFrame.
 - ``oracle_sql()``: DuckDB SQL recomputing each query bit-for-bit —
-  ALL 260 entries as of round 10, no omissions. The registry order
+  ALL 262 entries as of round 10, no omissions. The registry order
   leads with the never-driver-graded band (q187–q236 fills the
-  50-entry grading window this round; q237–q260 queue next). Round 10
+  50-entry grading window this round; q237–q262 queue next). Round 10
   registered the round-9 operator families as value-gated queries
   (q252 incremental CC merge vs the from-raw recursive closure, q253
   intra-doc segment dedup, q254 cluster-pure split membership on a
   portable md5-nibble bucket) and added REAL multimodal codecs with
   closed-form oracles (q255 BMP, q256 WAV PCM, q257 baseline JPEG,
   q258 PNG, q259 perceptual dhash, q260 the four-codec-pass thumbnail
-  transcode chain). Round 8 added q137, the end-to-end pretraining
+  transcode chain, q261 the audio energy fingerprint, q262 dhash-
+  banded image near-dup pairs). Round 8 added q137, the end-to-end pretraining
   funnel over the materialized candidate-pair artifact (see
   artifacts.py) — eight stages since round 10 (intra-doc cleaning
   composed in) — with a chained recursive-CTE oracle. Every query

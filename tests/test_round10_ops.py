@@ -112,11 +112,11 @@ class TestRound10Registry:
         from ursa_major_choir_etl_spark.plans.queries import ORACLES, QUERIES
 
         ks = list(QUERIES)
-        assert len(ks) == 260
+        assert len(ks) == 262
         # this round's window is exactly the never-graded band's head
         assert [k[:5] for k in ks[:3]] == ["q187_", "q188_", "q189_"]
         assert ks[49].startswith("q236_")
-        for q in ("q252_", "q253_", "q254_", "q255_", "q256_", "q257_", "q258_", "q259_", "q260_"):
+        for q in ("q252_", "q253_", "q254_", "q255_", "q256_", "q257_", "q258_", "q259_", "q260_", "q261_", "q262_"):
             key = next(k for k in ks if k.startswith(q))
             assert ORACLES[key]  # full value oracle, not rows-only
 

@@ -14969,6 +14969,134 @@ FROM px GROUP BY doc_id
 """
 
 
+def q261_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup fingerprint under a full value hash
+    (multimodal.audio_energy_fingerprint): REAL WAV decode -> 16
+    equal frame windows -> integer energy (sum of squared samples,
+    all channels) -> 15 rising-energy signs in one BIGINT — the audio
+    sibling of the q259 image dhash. Energy sums are exact integers,
+    so the oracle recomputes every window energy and every bit
+    closed-form from the spec-built sample function; undecodable
+    payloads surface valid=false under the same hash."""
+    from ursa_major_choir_etl_spark.operators import multimodal
+
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.audio_energy_fingerprint(
+        multimodal.with_synth_blob(docs, "wav")
+    )
+
+
+def _oracle_q261(n_windows: int = 16) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, 1 + doc_id % 2 AS ch,
+         CASE WHEN doc_id % 5 = 0 THEN 8 ELSE 16 END AS bits,
+         16 + doc_id % 16 AS nf,
+         (doc_id % 10 = 7) AS bad
+  FROM documents
+),
+ts AS (SELECT doc_id, ch, bits, nf, unnest(range(0, nf)) AS t
+       FROM base WHERE NOT bad),
+cs AS (SELECT doc_id, bits, nf, t, unnest(range(0, ch)) AS c FROM ts),
+sm AS (
+  SELECT doc_id, (t * {n_windows}) // nf AS w,
+         CASE WHEN bits = 16 THEN ((doc_id*31 + t*7 + c*3) % 2001) - 1000
+              ELSE ((doc_id*31 + t*7 + c*3) % 256) - 128 END AS s
+  FROM cs
+),
+en AS (SELECT doc_id, w, sum(s * s) AS e FROM sm GROUP BY 1, 2),
+eb AS (
+  SELECT a.doc_id, a.w AS i,
+         CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+),
+packed AS (
+  SELECT doc_id,
+         CAST(sum(CAST(bit AS BIGINT) << ({n_windows - 2} - i)) AS BIGINT)
+           AS fingerprint
+  FROM eb GROUP BY doc_id
+)
+SELECT doc_id, TRUE AS valid, fingerprint FROM packed
+UNION ALL
+SELECT doc_id, FALSE, NULL FROM base WHERE bad
+"""
+
+
+def q262_image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs end to end on real codecs
+    (multimodal.image_near_dup_pairs): dhash every payload, Manku
+    pigeonhole band join (4 x 16-bit bands — candidates agree on >= 1
+    band, an equi-join, never all-pairs), exact bit_count(xor)
+    verification at Hamming <= 8. Reported as the per-distance pair
+    spectrum (n_pairs + id-sum checksums — compact, but any change to
+    the pair SET moves a sum); the oracle rebuilds the dhashes
+    closed-form (q259's CTE chain), replays the same banding on the
+    unsigned pack, and recomputes the spectrum."""
+    from ursa_major_choir_etl_spark.operators import multimodal
+
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    pairs = multimodal.image_near_dup_pairs(
+        multimodal.with_synth_blob(docs, "bmp"), max_hamming=8
+    )
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("id_a").alias("sum_a"),
+        F.sum("id_b").alias("sum_b"),
+    )
+
+
+def _oracle_q262(max_hamming: int = 8) -> str:
+    lum = "((bs) % 256 + (bs + 17) % 256 + (bs + 34) % 256)"
+
+    def at(y, x):
+        return lum.replace("bs", f"doc_id*7 + ({y})*11 + ({x})*13")
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+  FROM documents WHERE doc_id % 10 <> 3
+),
+grid AS (
+  SELECT doc_id, w, h, r.r AS r, j.j AS j
+  FROM base, (SELECT unnest(range(0, 8)) AS r) r,
+       (SELECT unnest(range(0, 8)) AS j) j
+),
+bits AS (
+  SELECT doc_id, r, j,
+         CASE WHEN {at("(r * h) // 8", "((j + 1) * w) // 9")}
+            > {at("(r * h) // 8", "(j * w) // 9")}
+         THEN 1 ELSE 0 END AS bit
+  FROM grid
+),
+packed AS (
+  SELECT doc_id,
+         sum(CAST(bit AS HUGEINT) << (63 - (r * 8 + j))) AS uval
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, uval, b.b AS band_idx,
+         CAST((uval >> (16 * b.b)) % 65536 AS BIGINT) AS band_val
+  FROM packed, (SELECT unnest(range(0, 4)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         a.uval AS ua, b2.uval AS ub
+  FROM bands a
+  JOIN bands b2 ON a.band_idx = b2.band_idx
+               AND a.band_val = b2.band_val
+               AND a.doc_id < b2.doc_id
+),
+hx AS (
+  SELECT id_a, id_b, bit_count(xor(ua, ub)) AS hamming FROM cand
+)
+SELECT hamming, count(*) AS n_pairs,
+       CAST(sum(id_a) AS BIGINT) AS sum_a,
+       CAST(sum(id_b) AS BIGINT) AS sum_b
+FROM hx WHERE hamming <= {max_hamming}
+GROUP BY hamming
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -15230,6 +15358,8 @@ QUERIES = {
     "q258_png_decode": q258_png_decode,
     "q259_image_dhash": q259_image_dhash,
     "q260_thumbnail_transcode": q260_thumbnail_transcode,
+    "q261_audio_fingerprint": q261_audio_fingerprint,
+    "q262_image_near_dup_pairs": q262_image_near_dup_pairs,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -15257,7 +15387,7 @@ def _qnum(k: str) -> int:
 
 
 _names = sorted(QUERIES, key=_qnum)
-_head = [k for k in _names if 187 <= _qnum(k) <= 260]
+_head = [k for k in _names if 187 <= _qnum(k) <= 262]
 
 
 def _staleness(k: str) -> int:
@@ -15548,4 +15678,6 @@ ORACLES: dict[str, str | None] = {
     "q258_png_decode": _oracle_q258(),
     "q259_image_dhash": _oracle_q259(),
     "q260_thumbnail_transcode": _oracle_q260(),
+    "q261_audio_fingerprint": _oracle_q261(),
+    "q262_image_near_dup_pairs": _oracle_q262(),
 }

@@ -302,3 +302,39 @@ class TestAudioFingerprintAndImagePairs:
         assert not any(4 in p for p in pairs)
         # the perturbed copy lands near (same low Hamming from both)
         assert pairs.get((1, 3)) == pairs.get((2, 3))
+
+    def test_image_pairs_negative_dhash_band_join(self, spark):
+        """Regression for the band-0 sign bug (round-10 ADVICE, high):
+        `shiftrightunsigned(dhash, 0) % 65536` follows the dividend's
+        sign, so a NEGATIVE dhash banded as low16 - 65536 while a
+        non-negative hash with the same low 16 bits banded as low16 —
+        the pair never equi-joined and the 4x16-bit pigeonhole
+        guarantee broke. Construct the exact miss: two 8x9 images
+        (grid == pixels at that size) whose hashes differ in exactly
+        one bit per band 1/2/3 — including bit 63, so the signs
+        differ — and agree on band 0. Hamming = 3, so the pigeonhole
+        REQUIRES the pair at max_hamming=3, and band 0 is the only
+        band that can produce it."""
+        inc = list(range(0, 81, 10))  # 9 ascending values: all bits 1
+
+        def img(rows):
+            g = np.array(rows, dtype=np.uint8)
+            return np.ascontiguousarray(np.stack([g] * 3, axis=2))
+
+        flip0 = [20, 10] + inc[2:]  # comparison j=0 false, rest true
+        flip3 = inc[:4] + [25, 35, 45, 55, 65]  # j=3 false, rest true
+        a = img([inc] * 8)  # every comparison true -> dhash == -1
+        b = img([flip0, inc, flip3, inc, flip3, inc, inc, inc])
+        df = spark.createDataFrame(
+            [(1, bytearray(m.encode_png(a))), (2, bytearray(m.encode_png(b)))],
+            "doc_id long, blob binary",
+        )
+        h = {r["doc_id"]: r["dhash"] for r in m.image_dhash(df).collect()}
+        assert h[1] < 0 <= h[2]  # the fixture really exercises the sign path
+        assert (h[1] & 65535) == (h[2] & 65535)  # band 0 agrees
+        assert bin((h[1] ^ h[2]) & ((1 << 64) - 1)).count("1") == 3
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in m.image_near_dup_pairs(df, max_hamming=3).collect()
+        }
+        assert pairs == {(1, 2): 3}

@@ -1604,10 +1604,17 @@ def image_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        (
-                            F.shiftrightunsigned(F.col("dhash"), 16 * b)
-                            % 65536
-                        ).alias("band_val"),
+                        # bitwiseAND, NOT % 65536: Spark's % follows the
+                        # dividend's sign, and shiftrightunsigned(h, 0)
+                        # keeps a negative dhash negative — band 0 of a
+                        # negative hash would band as low16-65536 while
+                        # the same low bits of a non-negative hash band
+                        # as low16, so such pairs never equi-join and
+                        # the 4x16-bit pigeonhole guarantee breaks
+                        # (round-10 ADVICE, high). AND is sign-blind.
+                        F.shiftrightunsigned(F.col("dhash"), 16 * b)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("band_val"),
                     )
                     for b in range(4)
                 ]

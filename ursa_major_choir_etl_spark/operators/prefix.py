@@ -114,12 +114,24 @@ def bucketed_prefix(
 
     groups = list(group_cols or [])
     hist = stage(hist)  # boundary pass + bucketed pass both read it
-    # Size the bucket count to the histogram (one count over the
-    # staged frame — it materializes the persist the scan needs
-    # anyway): ceiling n_buckets, floor 1, ~_BUCKET_TARGET_ROWS rows
-    # per bucket. Toy histograms collapse to a single bucket and skip
-    # the boundary machinery; 100 TB histograms hit the ceiling.
-    n_buckets = max(1, min(n_buckets, hist.count() // _BUCKET_TARGET_ROWS))
+    # Size the bucket count to the histogram: ceiling n_buckets,
+    # floor 1, ~_BUCKET_TARGET_ROWS rows per bucket. Toy histograms
+    # collapse to a single bucket and skip the boundary machinery;
+    # 100 TB histograms hit the ceiling. When grouped, size from the
+    # LARGEST group, not the global row count — a frame of many tiny
+    # groups scans bucket-free instead of paying full boundary
+    # machinery per group (round-10 ADVICE). NOTE: this is an EAGER
+    # action at plan-construction time (it materializes the persist
+    # the scan needs anyway, so executing callers pay nothing extra,
+    # but build/explain-only callers do trigger one aggregate).
+    if groups:
+        sized = (
+            hist.groupBy(*groups).count().agg(F.max("count")).first()[0]
+            or 0
+        )
+    else:
+        sized = hist.count()
+    n_buckets = max(1, min(n_buckets, sized // _BUCKET_TARGET_ROWS))
     # NULL scan keys have no position in the prefix order — fail loud
     # at execution (zero cost on the non-NULL path) instead of letting
     # the bucket join silently drop the rows (round-9 ADVICE).

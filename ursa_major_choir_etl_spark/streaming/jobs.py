@@ -943,6 +943,19 @@ def read_decayed_engagement(spark, warehouse: str, name: str) -> DataFrame:
     )
 
 
+def _hadoop_path_exists(spark, path: str) -> bool:
+    """Existence check through the JVM Hadoop FileSystem resolved FOR
+    the path's own scheme (hdfs:/s3a:/file:/bare-local all work) —
+    the filesystem Spark itself would read through. Distinguishes
+    "store not created yet" (False — the only state a label reader
+    may treat as empty) from a real read problem, which spark.read
+    then surfaces on its own."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(hconf).exists(hpath)
+
+
 def streaming_cc_label_sink(
     stream_pairs: DataFrame,
     warehouse: str,
@@ -1010,17 +1023,30 @@ def streaming_cc_label_sink(
         # correctness.
         import shutil as _shutil
 
-        prior = [
-            int(e[4:])
-            for e in _os.listdir(path)
-            if e.startswith("gen=") and int(e[4:]) < int(batch_id)
-        ]
-        keep = {int(batch_id)}
-        if prior:
-            keep.add(max(prior))  # the generation this batch consumed
+        def _gen_of(entry: str) -> int | None:
+            # Skip anything that isn't literally gen=<int> (e.g. a
+            # Hive __HIVE_DEFAULT_PARTITION__ dir): pruning is
+            # best-effort and must never fail the batch AFTER a
+            # successful publish (round-10 ADVICE).
+            if not entry.startswith("gen="):
+                return None
+            try:
+                return int(entry[4:])
+            except ValueError:
+                return None
+
         try:
-            for entry in _os.listdir(path):
-                if entry.startswith("gen=") and int(entry[4:]) not in keep:
+            entries = {
+                e: g
+                for e in _os.listdir(path)
+                if (g := _gen_of(e)) is not None
+            }
+            prior = [g for g in entries.values() if g < int(batch_id)]
+            keep = {int(batch_id)}
+            if prior:
+                keep.add(max(prior))  # generation this batch consumed
+            for entry, g in entries.items():
+                if g not in keep:
                     _shutil.rmtree(
                         _os.path.join(path, entry), ignore_errors=True
                     )
@@ -1052,9 +1078,11 @@ def read_cc_label_store(
     # footer) must propagate and fail the batch — swallowing it here
     # would let the merge proceed from empty labels and publish a new
     # max generation that permanently erases history (round-9 ADVICE,
-    # medium). Existence is checked explicitly instead of catching
-    # AnalysisException, which also covers genuine read errors.
-    if not _os.path.exists(path):
+    # medium). Existence resolves through the Hadoop FileSystem API,
+    # not os.path — an hdfs:/s3a:/file: warehouse would make a local
+    # stat always-False and silently read the store as empty, the
+    # exact history-erasing mode this gate closes (round-10 ADVICE).
+    if not _hadoop_path_exists(spark, path):
         return empty
     df = spark.read.parquet(path)
     if before_gen is not None:

@@ -109,14 +109,23 @@ class TestSynthBlobs:
 
 class TestRound10Registry:
     def test_new_queries_registered_behind_the_window(self, spark):
+        """Round-11 ordering contract: q187-q236 were driver-graded in
+        round 10 (CORRECTNESS_r10.json), so the head is now the
+        never-graded q237+ band in ascending order, and the window's
+        tail reaches the stalest round-5-era rows."""
         from ursa_major_choir_etl_spark.plans.queries import ORACLES, QUERIES
 
         ks = list(QUERIES)
-        assert len(ks) == 262
-        # this round's window is exactly the never-graded band's head
-        assert [k[:5] for k in ks[:3]] == ["q187_", "q188_", "q189_"]
-        assert ks[49].startswith("q236_")
-        for q in ("q252_", "q253_", "q254_", "q255_", "q256_", "q257_", "q258_", "q259_", "q260_", "q261_", "q262_"):
+        assert len(ks) == 269
+        assert [k[:5] for k in ks[:3]] == ["q237_", "q238_", "q239_"]
+        # the whole never-graded band (q237-q269) precedes everything
+        head = [k for k in ks if int(k[1:k.index("_")]) >= 237]
+        assert ks[: len(head)] == sorted(
+            head, key=lambda k: int(k[1 : k.index("_")])
+        )
+        for q in ("q252_", "q253_", "q254_", "q255_", "q256_", "q257_",
+                  "q258_", "q259_", "q260_", "q261_", "q262_", "q263_",
+                  "q264_", "q265_", "q266_", "q267_", "q268_", "q269_"):
             key = next(k for k in ks if k.startswith(q))
             assert ORACLES[key]  # full value oracle, not rows-only
 

@@ -341,26 +341,28 @@ class TestConsensusPairs:
 
 class TestGradingWindowRotation:
     def test_window_leads_with_never_graded_then_stalest(self):
-        """The driver grades the first 50 registry entries. Round-10
-        policy (the round-9 verdict's #1 ask): the never-driver-graded
-        band fills the window in ascending q-number order — q137-q186
-        went green in rounds 8 AND 9, so q187+ grades first and the
-        newest registrations roll to later rounds' windows."""
-        from ursa_major_choir_etl_spark.plans.queries import _head, QUERIES
+        """The driver grades the first 50 registry entries. Round-11
+        policy: q187-q236 went green in round 10, so the
+        never-driver-graded head is q237+ in ascending q-number order;
+        it is SMALLER than the window, so the remaining slots drain the
+        stalest previously-graded rows (round-5-era first)."""
+        from ursa_major_choir_etl_spark.plans.queries import (
+            _head,
+            _staleness,
+            QUERIES,
+        )
 
         window = list(QUERIES)[:50]
         assert len(window) == 50
         qnum = lambda k: int(k[1 : k.index("_")])  # noqa: E731
-        # every window slot is from the never-graded head...
-        assert all(k in _head for k in window)
-        assert qnum(window[0]) == 187 and window == sorted(window, key=qnum)
-        # ...freshly re-graded rows occupy no slot...
-        assert not any(137 <= qnum(k) <= 186 for k in window)
-        # ...and the queue drains oldest-first: anything rolled over
-        # is strictly newer than everything graded this round
-        rolled = [k for k in _head if k not in window]
-        if rolled:
-            assert min(map(qnum, rolled)) > max(map(qnum, window))
+        # the whole never-graded head leads the window, in order...
+        assert window[: len(_head)] == sorted(_head, key=qnum)
+        assert qnum(window[0]) == 237
+        # ...freshly graded rows (r8-r10 bands) occupy no slot...
+        assert not any(137 <= qnum(k) <= 236 for k in window)
+        # ...and the filler slots are all from the stalest band
+        filler = window[len(_head):]
+        assert filler and all(_staleness(k) == 0 for k in filler)
 
 
 class TestRound7Properties:

@@ -1361,3 +1361,86 @@ def rrf_fusion_shortlist(
         "rrf_micro",
         "rank",
     )
+
+
+def bradley_terry_ratings(
+    duels: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    n_iters: int = 3,
+) -> DataFrame:
+    """Bradley-Terry skill ratings from pairwise outcomes via the MM
+    algorithm (Hunter 2004) — the estimator behind preference-data
+    curation (rank RLHF candidates / annotators / sources from duel
+    records without absolute scores):
+
+        s_i <- w_i / SUM_j n_ij / (s_i + s_j),  then mean-normalize.
+
+    A FIXED ``n_iters`` MM rounds, entirely in exact integer ppm
+    (each denominator term ``n_ij*1e12 DIV (s_i+s_j)``, the update
+    ``w_i*1e12 DIV D_i``, normalization ``s*K*1e6 DIV SUM s``) —
+    deterministic across engines and partitionings because every sum
+    is an integer sum. Entities with zero wins rate 0 (the MM fixed
+    point); a pair of zero-rated entities can never share a game (its
+    winner would have a win), so no denominator is ever zero.
+
+    Scale: the duel extraction and the win-matrix aggregation are the
+    only data-sized work (one groupBy shuffle over duels). The win
+    matrix itself is K²-bounded MODEL STATE (K = rated entities:
+    nations, sources, annotators, models — never corpus rows), so the
+    MM rounds run on the collected matrix like the q90 kmeans
+    centroid loop and the BPE argmax — the first all-DataFrame draft
+    spent 20s on twelve 25-row shuffle jobs for the same answer.
+    Output: (entity, n_games, n_wins, rating_ppm).
+    """
+    from ursa_major_choir_etl_spark.caching import stage
+
+    wij = stage(
+        duels.groupBy(
+            F.col(winner_col).alias("_i"), F.col(loser_col).alias("_j")
+        ).agg(F.count(F.lit(1)).alias("_n"))
+    )
+    # K²-bounded model state: the whole pairwise win matrix.
+    cells = [(r["_i"], r["_j"], r["_n"]) for r in wij.collect()]
+    games: dict = {}
+    wins: dict = {}
+    for i, j, n in cells:
+        games[(i, j)] = games.get((i, j), 0) + n
+        games[(j, i)] = games.get((j, i), 0) + n
+        wins[i] = wins.get(i, 0) + n
+    ents = sorted({e for pair in games for e in pair})
+    sp = {e: 1_000_000 for e in ents}
+    for _ in range(n_iters):
+        d = {e: 0 for e in ents}
+        for (i, j), n in games.items():
+            d[i] += n * 10**12 // (sp[i] + sp[j])
+        raw = {
+            e: (wins.get(e, 0) * 10**12 // d[e]) if d[e] else 0
+            for e in ents
+        }
+        tot = sum(raw.values())
+        sp = {e: raw[e] * len(ents) * 1_000_000 // tot for e in ents}
+    spark = duels.sparkSession
+    ent_type = wij.schema["_i"].dataType.simpleString()
+    rated = spark.createDataFrame(
+        [(e, sp[e]) for e in ents],
+        f"entity {ent_type}, rating_ppm bigint",
+    )
+    n_games = {e: 0 for e in ents}
+    for (i, _j), n in games.items():
+        n_games[i] += n
+    gt = (
+        wij.select(F.col("_i").alias("entity"), "_n")
+        .union(wij.select(F.col("_j").alias("entity"), "_n"))
+        .groupBy("entity")
+        .agg(F.sum("_n").alias("n_games"))
+    )
+    wt = wij.groupBy(F.col("_i").alias("entity")).agg(
+        F.sum("_n").alias("n_wins")
+    )
+    return (
+        gt.join(wt, "entity", "left")
+        .fillna(0, subset=["n_wins"])
+        .join(F.broadcast(rated), "entity")
+        .select("entity", "n_games", "n_wins", "rating_ppm")
+    )

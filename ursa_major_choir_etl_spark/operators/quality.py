@@ -622,3 +622,140 @@ def gini_concentration(
             ).alias("gini_ppm"),
         )
     )
+
+
+def fellegi_sunter_pattern_weights(
+    df: DataFrame,
+    fields: list[str],
+    m_ppm: dict[str, int],
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record-linkage weights (Fellegi &
+    Sunter 1969) computed WITHOUT materializing a single candidate
+    pair: the count of record pairs whose agreement pattern is
+    exactly S comes from inclusion–exclusion over "agree on at least
+    T ⊇ S" counts, and each of those is just Σ C(n,2) over the group
+    sizes of a GROUP BY T — all 2^k subsets in ONE cube pass. Pair
+    enumeration is quadratic in block size and is the reason naive
+    linkage dies at scale; this is the survey-methodology formulation
+    that never leaves aggregate land (pair counts through
+    DECIMAL(38,0), so 1e10-row inputs cannot overflow).
+
+    u-probabilities (chance agreement among ALL pairs) are estimated
+    from the data itself — u_i = A({i}) / A(∅), the value-frequency
+    estimator — while m-probabilities (agreement given a true match)
+    are the caller's model of the duplicate process, passed in ppm.
+    The FS agreement weight for pattern S is the likelihood ratio
+
+        W(S) = Π_{i∈S} m_i/u_i · Π_{i∉S} (1-m_i)/(1-u_i)
+
+    reported as exact-integer milli (numerator/denominator products
+    stay in DECIMAL(38,0); one floor division at the end).
+
+    Output: one row per agreement pattern — (pattern, n_agree,
+    n_pairs_exact, n_pairs_at_least, fs_weight_milli), ordered by
+    n_agree desc then pattern. 2^k rows total.
+    """
+    from ursa_major_choir_etl_spark.caching import stage
+
+    k = len(fields)
+    full = (1 << k) - 1
+    pairs = F.expr("CAST(_n AS DECIMAL(38,0)) * (_n - 1) DIV 2")
+    at_least = stage(
+        df.cube(*fields)
+        .agg(
+            F.grouping_id().alias("_gid"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select("_gid", pairs.alias("_p"))
+        .groupBy("_gid")
+        .agg(F.sum("_p").alias("_at"))
+    )
+    # Inclusion–exclusion over the subset lattice: gid bit=1 means
+    # the field is ROLLED UP (absent from S), so T ⊇ S as field sets
+    # ⇔ (gid_T & gid_S) == gid_T. 2^k x 2^k broadcast self-join.
+    s = at_least.select(F.col("_gid").alias("_gs"))
+    t = at_least.select(
+        F.col("_gid").alias("_gt"), F.col("_at").alias("_att")
+    )
+    sign = F.when(
+        F.pmod(F.bit_count("_gs") - F.bit_count("_gt"), F.lit(2)) == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    exact = (
+        s.join(
+            F.broadcast(t),
+            F.col("_gt").bitwiseAND(F.col("_gs")) == F.col("_gt"),
+        )
+        .groupBy("_gs")
+        .agg(F.sum(sign * F.col("_att")).alias("_ex"))
+    )
+    # One broadcast row of scalar model state: total pairs + the k
+    # single-field "at least" counts -> u_i in ppm.
+    urow = at_least.filter(F.col("_gid") == full).select(
+        F.col("_at").alias("_tot")
+    )
+    for i in range(k):
+        gi = full ^ (1 << (k - 1 - i))
+        urow = urow.crossJoin(
+            at_least.filter(F.col("_gid") == gi).select(
+                F.col("_at").alias(f"_a{i}")
+            )
+        )
+    urow = urow.select(
+        *[
+            F.expr(f"CAST(_a{i} * 1000000 DIV _tot AS BIGINT)").alias(
+                f"_u{i}"
+            )
+            for i in range(k)
+        ]
+    )
+    agree = [
+        (
+            F.shiftrightunsigned(F.col("_gs"), k - 1 - i)
+            .bitwiseAND(F.lit(1))
+            == 0
+        )
+        for i in range(k)
+    ]
+    num = F.lit(1).cast("decimal(38,0)")
+    den = F.lit(1).cast("decimal(38,0)")
+    for i, f in enumerate(fields):
+        m = int(m_ppm[f])
+        num = num * F.when(agree[i], F.lit(m)).otherwise(
+            F.lit(1_000_000 - m)
+        )
+        den = den * F.when(agree[i], F.col(f"_u{i}")).otherwise(
+            F.lit(1_000_000) - F.col(f"_u{i}")
+        )
+    pattern = F.concat_ws(
+        ",",
+        F.filter(
+            F.array(
+                *[
+                    F.when(agree[i], F.lit(f)).otherwise(F.lit(None))
+                    for i, f in enumerate(fields)
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    return (
+        exact.join(at_least, F.col("_gs") == F.col("_gid"))
+        .crossJoin(F.broadcast(urow))
+        .select(
+            pattern.alias("pattern"),
+            (F.lit(k) - F.bit_count("_gs")).alias("n_agree"),
+            F.expr("CAST(_ex AS BIGINT)").alias("n_pairs_exact"),
+            F.expr("CAST(_at AS BIGINT)").alias("n_pairs_at_least"),
+            (num * 1000).alias("_num"),
+            den.alias("_den"),
+        )
+        .withColumn(
+            "fs_weight_milli",
+            F.expr(
+                "CASE WHEN _den > 0 THEN CAST(_num DIV _den AS BIGINT) END"
+            ),
+        )
+        .drop("_num", "_den")
+        .orderBy(F.desc("n_agree"), "pattern")
+    )

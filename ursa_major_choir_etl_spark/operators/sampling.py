@@ -229,3 +229,78 @@ def grouped_weighted_sample(
         .withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") <= n_per_group)
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    cents_col: str,
+    n_sample: int = 10_000,
+) -> DataFrame:
+    """Neyman optimal allocation (Neyman 1934): split a stratified
+    sample budget proportionally to N_h·S_h — strata that are bigger
+    OR more variable get more of the budget; the allocation every
+    serious survey/eval sampler uses instead of proportional-to-size.
+
+    Exact integer throughout. Per stratum, the sum of squared
+    deviations scaled by n²:  ssd_h = n_h·Σx² − (Σx)²  (DECIMAL(38,0)
+    — 1e10 rows of 1e8-cent values cannot overflow), and N_h·σ_h =
+    isqrt(ssd_h) EXACTLY: seed s = floor(sqrt(double(ssd))), then two
+    integer corrections (±1) against the DECIMAL value — the double
+    seed is within 1 of the true root for ssd < ~4e30 (beyond that
+    the share drifts sub-ppm; documented bound), and the corrections
+    make the result independent of either engine's float rounding.
+
+    Output per stratum: (stratum, n_h, mean_cents, n_sigma_cents,
+    alloc_n = n_sample·w DIV Σw, share_ppm), ordered by stratum.
+    One corpus-sized groupBy; everything after is stratum-count rows.
+    """
+    agg = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(F.expr(f"CAST({cents_col} AS DECIMAL(38,0))")).alias("_s"),
+        F.sum(
+            F.expr(
+                f"CAST({cents_col} AS DECIMAL(38,0)) * {cents_col}"
+            )
+        ).alias("_sq"),
+    )
+    w = (
+        agg.withColumn("_ssd", F.expr("n_h * _sq - _s * _s"))
+        .withColumn(
+            "_s0",
+            F.expr("CAST(floor(sqrt(CAST(_ssd AS DOUBLE))) AS BIGINT)"),
+        )
+        .withColumn(
+            "_s1",
+            F.expr(
+                "_s0 + (CASE WHEN CAST(_s0 + 1 AS DECIMAL(38,0))"
+                " * (_s0 + 1) <= _ssd THEN 1 ELSE 0 END)"
+            ),
+        )
+        .withColumn(
+            "_w",
+            F.expr(
+                "_s1 - (CASE WHEN CAST(_s1 AS DECIMAL(38,0)) * _s1"
+                " > _ssd THEN 1 ELSE 0 END)"
+            ),
+        )
+    )
+    tot = w.agg(F.sum("_w").alias("_tw"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_h",
+            F.expr("CAST(_s DIV n_h AS BIGINT)").alias("mean_cents"),
+            F.col("_w").alias("n_sigma_cents"),
+            F.expr(
+                f"CAST({n_sample} * CAST(_w AS DECIMAL(38,0)) DIV _tw"
+                " AS BIGINT)"
+            ).alias("alloc_n"),
+            F.expr(
+                "CAST(CAST(_w AS DECIMAL(38,0)) * 1000000 DIV _tw"
+                " AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("stratum")
+    )

@@ -1412,3 +1412,95 @@ def embedding_dim_health(
             ).alias("is_dead"),
         )
     )
+
+
+def epsilon_neighborhood_spectrum(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    eps: float = 0.02,
+    min_pts: int = 3,
+) -> DataFrame:
+    """DBSCAN's expensive half — the epsilon-neighborhood counting —
+    as a GRID-BUCKETED pair join (the standard distributed spatial
+    pattern: hash points to floor(coord/eps) cells, candidates live
+    in the 3x3 neighbor block, exact distance verifies). Never
+    all-pairs: each true pair is produced by exactly ONE (cell,
+    offset) combination, so no dedup pass is needed. Dense-cell skew
+    is the known failure mode at scale — cells are eps-sized so a
+    dense region concentrates keys; AQE's skew-join split is the
+    mitigation, and the exact-distance filter keeps correctness
+    independent of it.
+
+    Floats are safe here BECAUSE no float is ever summed: coordinate
+    arithmetic ((x1-x2)² + (y1-y2)² <= eps², floor(x/eps)) is a fixed
+    IEEE expression per pair, bit-identical in any engine; every
+    aggregate is an integer count/sum.
+
+    Output: the neighbor-count spectrum — (n_neighbors, n_points,
+    sum_id, is_core) with is_core = n_neighbors >= ``min_pts``,
+    zero-neighbor points included — the report that tunes (eps,
+    min_pts) before a clustering run.
+    """
+    from ursa_major_choir_etl_spark.caching import stage
+
+    pts = stage(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(x_col).cast("double").alias("_x"),
+            F.col(y_col).cast("double").alias("_y"),
+        )
+        .withColumn(
+            "_cx", F.expr(f"CAST(floor(_x / {eps!r}) AS BIGINT)")
+        )
+        .withColumn(
+            "_cy", F.expr(f"CAST(floor(_y / {eps!r}) AS BIGINT)")
+        )
+    )
+    spark = df.sparkSession
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "_dx long, _dy long",
+    )
+    a = (
+        pts.crossJoin(F.broadcast(offs))
+        .select(
+            F.col("_id").alias("_ia"),
+            F.col("_x").alias("_ax"),
+            F.col("_y").alias("_ay"),
+            (F.col("_cx") + F.col("_dx")).alias("_kx"),
+            (F.col("_cy") + F.col("_dy")).alias("_ky"),
+        )
+    )
+    b = pts.select(
+        F.col("_id").alias("_ib"),
+        F.col("_x").alias("_bx"),
+        F.col("_y").alias("_by"),
+        F.col("_cx").alias("_kx"),
+        F.col("_cy").alias("_ky"),
+    )
+    dist2 = F.expr("(_ax - _bx) * (_ax - _bx) + (_ay - _by) * (_ay - _by)")
+    pairs = (
+        a.join(b, ["_kx", "_ky"])
+        .filter(F.col("_ia") < F.col("_ib"))
+        .filter(dist2 <= F.expr(f"{eps!r} * {eps!r}"))
+        .select("_ia", "_ib")
+    )
+    nbrs = (
+        pairs.select(F.col("_ia").alias("_id"))
+        .union(pairs.select(F.col("_ib").alias("_id")))
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("_nn"))
+    )
+    return (
+        pts.join(nbrs, "_id", "left")
+        .fillna(0, subset=["_nn"])
+        .groupBy(F.col("_nn").alias("n_neighbors"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("_id").alias("sum_id"),
+        )
+        .withColumn("is_core", F.col("n_neighbors") >= min_pts)
+        .orderBy("n_neighbors")
+    )

@@ -231,3 +231,150 @@ def cm_sketch_from_counts(
         .groupBy("d", "bucket")
         .agg(F.sum("_c").alias("cnt"))
     )
+
+
+#: alpha_256 = 0.7213/(1 + 1.079/256) in ppm — the HLL bias constant
+#: (Flajolet et al. 2007) for m=256 registers, frozen as an integer
+#: so both engines compute the identical estimate.
+HLL_ALPHA_PPM = 718_273
+
+#: alpha·m²·2^57 — the estimate numerator, exact integer.
+_HLL_EST_NUM = HLL_ALPHA_PPM * 65_536 * (1 << 57)
+
+
+def portable_hll_registers(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group PORTABLE HyperLogLog registers (m=256, md5-derived):
+    bucket = first md5 byte, rank = 1 + leading zero bits of the next
+    56 — unlike the DataSketches binary of :func:`distinct_sketches`,
+    these registers are a plain (group, bucket, r) table any engine
+    can rebuild bit-for-bit (the value-oracle requirement), and they
+    merge by MAX like any HLL. Sparse: absent buckets mean r=0.
+    One corpus-sized groupBy; output is groups x <=256 rows."""
+    h = F.md5(F.col(value_col).cast("string"))
+    rho = (
+        "4 * length(regexp_extract(_tail, '^0*', 0))"
+        " + (CASE substr(_tail,"
+        " length(regexp_extract(_tail, '^0*', 0)) + 1, 1)"
+        "   WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2"
+        "   WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1"
+        "   WHEN '7' THEN 1 ELSE 0 END) + 1"
+    )
+    return (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.expr(
+                f"CAST(conv(substr(md5(CAST({value_col} AS STRING)),"
+                " 1, 2), 16, 10) AS INT)"
+            ).alias("_bkt"),
+            F.substring(h, 3, 14).alias("_tail"),
+        )
+        .withColumn("_r", F.expr(rho))
+        .groupBy("_g", "_bkt")
+        .agg(F.max("_r").alias("_r"))
+    )
+
+
+def _hll_estimate_expr() -> str:
+    """Raw HLL estimate from a sparse (sum-of-terms, n-present) pair:
+    SUM 2^-r over all 256 registers, scaled 2^57 so every term is an
+    integer (r <= 57), absent buckets contributing 2^57 each. No
+    small/large-range correction — documented spec; the overlap
+    readout wants mergeable MONOTONE estimates, and both engines
+    apply the identical formula."""
+    return (
+        f"CAST({_HLL_EST_NUM} AS DECIMAL(38,0))"
+        " DIV ((_ssum + (256 - _nbk)"
+        f" * CAST({1 << 57} AS DECIMAL(38,0))) * 1000000)"
+    )
+
+
+def hll_overlap_matrix(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Distinct-value overlap between every pair of groups by HLL SET
+    ALGEBRA — |A∩B| ≈ E(A) + E(B) − E(A∪B) with the union estimated
+    from the MAX-merged registers, never from data: the way a 100 TB
+    pipeline compares source vocabularies without an exact distinct
+    (q154's exact overlap dies on the token-pair shuffle at scale;
+    this reads groups x 256 register rows). Estimates are the raw
+    integer HLL formula (see :func:`_hll_estimate_expr`), so the
+    intersection can floor below 0 on tiny/disjoint groups — reported
+    raw, clamped only inside jaccard_ppm.
+
+    Output per group pair (a < b): (source_a, source_b, est_a, est_b,
+    est_union, est_inter, jaccard_ppm)."""
+    from ursa_major_choir_etl_spark.caching import stage
+
+    regs = stage(portable_hll_registers(df, group_col, value_col))
+    term = F.expr("CAST(shiftleft(1L, 57 - _r) AS DECIMAL(38,0))")
+    est = F.expr(_hll_estimate_expr())
+    singles = (
+        regs.groupBy("_g")
+        .agg(
+            F.sum(term).alias("_ssum"),
+            F.count(F.lit(1)).alias("_nbk"),
+        )
+        .select("_g", F.expr(f"CAST({_hll_estimate_expr()} AS BIGINT)").alias("_est"))
+    )
+    singles = stage(singles)
+    srcs = regs.select("_g").distinct()
+    pairs = (
+        srcs.select(F.col("_g").alias("_ga"))
+        .crossJoin(srcs.select(F.col("_g").alias("_gb")))
+        .filter(F.col("_ga") < F.col("_gb"))
+    )
+    merged = (
+        regs.join(
+            F.broadcast(pairs),
+            (F.col("_g") == F.col("_ga")) | (F.col("_g") == F.col("_gb")),
+        )
+        .groupBy("_ga", "_gb", "_bkt")
+        .agg(F.max("_r").alias("_r"))
+    )
+    unions = (
+        merged.groupBy("_ga", "_gb")
+        .agg(
+            F.sum(term).alias("_ssum"),
+            F.count(F.lit(1)).alias("_nbk"),
+        )
+        .select(
+            "_ga",
+            "_gb",
+            F.expr(f"CAST({_hll_estimate_expr()} AS BIGINT)").alias(
+                "est_union"
+            ),
+        )
+    )
+    ea = singles.select(
+        F.col("_g").alias("_ga"), F.col("_est").alias("est_a")
+    )
+    eb = singles.select(
+        F.col("_g").alias("_gb"), F.col("_est").alias("est_b")
+    )
+    return (
+        unions.join(F.broadcast(ea), "_ga")
+        .join(F.broadcast(eb), "_gb")
+        .withColumn(
+            "est_inter", F.col("est_a") + F.col("est_b") - F.col("est_union")
+        )
+        .withColumn(
+            "jaccard_ppm",
+            F.expr(
+                "CASE WHEN est_union > 0 THEN"
+                " CAST(greatest(est_inter, 0L) * 1000000 DIV est_union"
+                " AS BIGINT) END"
+            ),
+        )
+        .select(
+            F.col("_ga").alias("source_a"),
+            F.col("_gb").alias("source_b"),
+            "est_a",
+            "est_b",
+            "est_union",
+            "est_inter",
+            "jaccard_ppm",
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -872,6 +872,84 @@ def bigram_improbability(
     )
 
 
+def kneser_ney_bigram_report(
+    df: DataFrame, text_col: str = "text", top_n: int = 20
+) -> DataFrame:
+    """Interpolated Kneser–Ney smoothed bigram LM built over the
+    corpus — the n-gram-LM estimator (Kneser & Ney 1995; Chen &
+    Goodman 1998 eq. 4.25) every perplexity-based quality filter
+    (CCNet-style) ultimately rests on. Reported for the ``top_n``
+    most frequent bigram types:
+
+        P_KN(w2|w1) = (c(w1,w2) - D) / c(w1·)
+                      + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+
+    with discount D = 3/4 so everything stays EXACT INTEGER
+    (house q115/q143 rule — no float sums, no libm):
+
+        p_kn_ppm = (4·c2 - 3)·1e6 DIV (4·c1)
+                 + 3·n_fwd · (n_bwd·1e6 DIV B) DIV (4·c1)
+
+    where c2 = bigram count, c1 = occurrences of w1 as a prefix,
+    n_fwd = |{w : c(w1,w) > 0}| (continuation fan-out of w1),
+    n_bwd = |{w : c(w,w2) > 0}| (KN continuation evidence for w2),
+    B = total distinct bigram types. The nested floor is part of the
+    spec and mirrored verbatim by the oracle.
+
+    Scale: ONE corpus scan explodes bigram structs, then every
+    aggregate/join is bigram-TYPE-sized (vocabulary-class state,
+    orders of magnitude below corpus size at any SF); the only global
+    sort is the top-n TakeOrdered. B is a type-count scalar anchor
+    (model-state-sized, the q143 vocab_size precedent)."""
+    toked = df.select(tokens(F.col(text_col)).alias("_t")).filter(
+        F.size("_t") >= 2
+    )
+    big = (
+        toked.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - 2),
+                    lambda i: F.struct(
+                        F.element_at("_t", (i + 1).cast("int")).alias("w1"),
+                        F.element_at("_t", (i + 2).cast("int")).alias("w2"),
+                    ),
+                )
+            ).alias("_b")
+        )
+        .select("_b.w1", "_b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    from ursa_major_choir_etl_spark.caching import stage
+
+    big = stage(big)  # three aggregates + the join all read it
+    c1 = big.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n_fwd")
+    )
+    bwd = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n_bwd"))
+    n_bigram_types = big.count()  # scalar anchor: model-state-sized
+    return (
+        big.join(c1, "w1")
+        .join(bwd, "w2")
+        .select(
+            "w1",
+            "w2",
+            "c2",
+            "c1",
+            "n_fwd",
+            "n_bwd",
+            F.expr(
+                "CAST((4 * c2 - 3) * 1000000L DIV (4 * c1)"
+                " + 3 * n_fwd"
+                f"   * (n_bwd * 1000000L DIV {n_bigram_types}L)"
+                "   DIV (4 * c1) AS BIGINT)"
+            ).alias("p_kn_ppm"),
+        )
+        .orderBy(F.desc("c2"), "w1", "w2")
+        .limit(top_n)
+    )
+
+
 #: Gopher rule-suite stopwords (Rae et al. 2021 §A1.1: "the, be, to,
 #: of, and, that, have, with" — the doc must contain >= 2 of them).
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]

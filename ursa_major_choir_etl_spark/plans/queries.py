@@ -242,6 +242,7 @@ from pyspark.sql import functions as F
 from ursa_major_choir_etl_spark.operators import (
     dedup,
     events,
+    graph,
     quality,
     similarity,
     sketches,
@@ -15097,6 +15098,490 @@ GROUP BY hamming
 """
 
 
+def q263_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney smoothed bigram LM over the corpus
+    (text.kneser_ney_bigram_report): the n-gram-LM estimator behind
+    every perplexity-based quality filter, with discount D=3/4 so the
+    whole probability is exact-integer ppm (no float sums, no libm).
+    Reported for the 20 most frequent bigram types with their count,
+    prefix mass, continuation fan-out/evidence, and P_KN in ppm.
+    Every aggregate is bigram-TYPE-sized — vocabulary-class state at
+    any corpus scale."""
+    return text.kneser_ney_bigram_report(
+        T(spark, sf_dir, "documents"), top_n=20
+    )
+
+
+def _oracle_q263(top_n: int = 20) -> str:
+    toks = osql.tokens_sql("text")
+    return f"""
+WITH toked AS (SELECT {toks} AS t FROM documents),
+pairs AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT t, unnest(range(1, len(t))) AS i
+        FROM toked WHERE len(t) >= 2)
+),
+big AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+c1s AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n_fwd
+        FROM big GROUP BY 1),
+bwd AS (SELECT w2, count(*) AS n_bwd FROM big GROUP BY 1),
+nb AS (SELECT count(*) AS b FROM big)
+SELECT w1, w2, c2, c1, n_fwd, n_bwd,
+       CAST((4 * c2 - 3) * 1000000 // (4 * c1)
+            + 3 * n_fwd * (n_bwd * 1000000 // b) // (4 * c1)
+            AS BIGINT) AS p_kn_ppm
+FROM big JOIN c1s USING (w1) JOIN bwd USING (w2), nb
+ORDER BY c2 DESC, w1, w2 LIMIT {top_n}
+"""
+
+
+def q264_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record-linkage agreement weights over customers
+    (quality.fellegi_sunter_pattern_weights): pair counts per
+    agreement pattern on (nation, segment, acctbal-band) WITHOUT
+    materializing a single pair — inclusion–exclusion over one cube
+    of group sizes, the formulation that survives quadratic blocking
+    blow-up at any scale. u-probabilities estimated from the data
+    (value-frequency), m-probabilities the documented duplicate-
+    process model; the FS likelihood-ratio weight per pattern is
+    exact-integer milli."""
+    qi = T(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").alias(
+            "bal_band"
+        ),
+    )
+    return quality.fellegi_sunter_pattern_weights(
+        qi,
+        ["nation", "segment", "bal_band"],
+        {"nation": 980_000, "segment": 920_000, "bal_band": 850_000},
+    )
+
+
+def _oracle_q264() -> str:
+    m = {0: 980_000, 1: 920_000, 2: 850_000}
+    num = " * ".join(
+        f"CAST(CASE WHEN (gs >> {2 - i}) & 1 = 0 THEN {m[i]}"
+        f" ELSE {1_000_000 - m[i]} END AS HUGEINT)"
+        for i in range(3)
+    )
+    den = " * ".join(
+        f"CAST(CASE WHEN (gs >> {2 - i}) & 1 = 0 THEN u{i}"
+        f" ELSE 1000000 - u{i} END AS HUGEINT)"
+        for i in range(3)
+    )
+    return f"""
+WITH qi AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+  FROM customer
+),
+cube_n AS (
+  SELECT GROUPING(nation, segment, bal_band) AS gid, count(*) AS n
+  FROM qi GROUP BY CUBE(nation, segment, bal_band)
+),
+at_least AS (
+  SELECT gid, sum(CAST(n AS HUGEINT) * (n - 1) // 2) AS at
+  FROM cube_n GROUP BY gid
+),
+ex AS (
+  SELECT s.gid AS gs, s.at AS at,
+         sum(CASE WHEN (bit_count(s.gid) - bit_count(t.gid)) % 2 = 0
+                  THEN t.at ELSE -t.at END) AS ex
+  FROM at_least s JOIN at_least t ON (t.gid & s.gid) = t.gid
+  GROUP BY 1, 2
+),
+u AS (
+  SELECT
+    (SELECT at FROM at_least WHERE gid = 3) * 1000000
+      // (SELECT at FROM at_least WHERE gid = 7) AS u0,
+    (SELECT at FROM at_least WHERE gid = 5) * 1000000
+      // (SELECT at FROM at_least WHERE gid = 7) AS u1,
+    (SELECT at FROM at_least WHERE gid = 6) * 1000000
+      // (SELECT at FROM at_least WHERE gid = 7) AS u2
+)
+SELECT concat_ws(',',
+         CASE WHEN (gs >> 2) & 1 = 0 THEN 'nation' END,
+         CASE WHEN (gs >> 1) & 1 = 0 THEN 'segment' END,
+         CASE WHEN gs & 1 = 0 THEN 'bal_band' END) AS pattern,
+       3 - bit_count(gs) AS n_agree,
+       CAST(ex AS BIGINT) AS n_pairs_exact,
+       CAST(at AS BIGINT) AS n_pairs_at_least,
+       CASE WHEN {den} > 0
+            THEN CAST(({num}) * 1000 // ({den}) AS BIGINT)
+       END AS fs_weight_milli
+FROM ex, u
+ORDER BY n_agree DESC, pattern
+"""
+
+
+def q266_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link prediction
+    (graph.resource_allocation_link_prediction) over the co-order
+    part graph: which part pairs that have NEVER shipped together
+    share the most (and rarest) co-purchase neighborhoods — the
+    log-free Adamic–Adar sibling (Zhou, Lü & Zhang 2009), exact
+    integer ppm. Edges require support >= 2 distinct co-orders (the
+    market-basket convention, q177) — one shared order is noise and
+    leaves the graph near-complete at small SF (min degree 42 with
+    a 32 cap would score nothing). Candidates from the q124 wedge
+    join, hub centers
+    excluded by the documented degree cap (their wedge fan-out is
+    deg² while their RA weight is the minimum possible), existing
+    edges anti-joined out."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o"))
+            & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("_n_co"))
+        .filter(F.col("_n_co") >= 2)
+        .select("src", "dst")
+    )
+    return graph.resource_allocation_link_prediction(
+        edges, "src", "dst", max_center_degree=32, top_n=20
+    )
+
+
+ORACLE_Q266 = """
+WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT a.p AS s, b.p AS d
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+adj AS (SELECT s AS z, d AS n FROM e UNION ALL SELECT d, s FROM e),
+deg AS (SELECT z, count(*) AS dg FROM adj GROUP BY 1),
+adjc AS (
+  SELECT a.z, a.n, deg.dg FROM adj a JOIN deg ON deg.z = a.z
+  WHERE dg <= 32
+),
+wed AS (
+  SELECT x.n AS id_a, y.n AS id_b, x.dg
+  FROM adjc x JOIN adjc y ON x.z = y.z AND x.n < y.n
+),
+sc AS (
+  SELECT id_a, id_b, count(*) AS n_common,
+         CAST(sum(1000000 // dg) AS BIGINT) AS score_ppm
+  FROM wed GROUP BY 1, 2
+)
+SELECT sc.id_a, sc.id_b, sc.n_common, sc.score_ppm
+FROM sc ANTI JOIN e ON e.s = sc.id_a AND e.d = sc.id_b
+ORDER BY score_ppm DESC, id_a, id_b LIMIT 20
+"""
+
+
+def q267_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry skill ratings (curation.bradley_terry_ratings)
+    over supplier nations: within each order, every pair of lines
+    from different nations is a duel won by the higher extended
+    price; three exact-integer MM rounds (Hunter 2004) turn the win
+    matrix into ratings — the estimator preference-data curation uses
+    to rank sources/annotators/models from pairwise outcomes. The
+    duel extraction is the only data-sized work (per-order line pairs
+    are bounded fan-out); the rating state is 25 nations."""
+    from ursa_major_choir_etl_spark.operators import curation
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_suppkey").alias("sk"),
+        F.col("l_extendedprice").alias("pr"),
+    )
+    sup = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    # supplier is growth-class: no hard broadcast; AQE picks the shape
+    lin = li.join(sup, F.col("sk") == F.col("s_suppkey")).select(
+        "o", "ln", "pr", F.col("s_nationkey").alias("nat")
+    )
+    a, b = lin.alias("a"), lin.alias("b")
+    duels = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.ln") < F.col("b.ln")),
+        )
+        .filter(
+            (F.col("a.pr") != F.col("b.pr"))
+            & (F.col("a.nat") != F.col("b.nat"))
+        )
+        .select(
+            F.when(F.col("a.pr") > F.col("b.pr"), F.col("a.nat"))
+            .otherwise(F.col("b.nat"))
+            .alias("winner"),
+            F.when(F.col("a.pr") > F.col("b.pr"), F.col("b.nat"))
+            .otherwise(F.col("a.nat"))
+            .alias("loser"),
+        )
+    )
+    rated = curation.bradley_terry_ratings(duels, n_iters=3)
+    nation = bdim(T(spark, sf_dir, "nation"), "nation")
+    return (
+        rated.join(nation, rated.entity == F.col("n_nationkey"))
+        .select("n_name", "n_games", "n_wins", "rating_ppm")
+        .orderBy(F.desc("rating_ppm"), "n_name")
+    )
+
+
+def _oracle_q267(n_iters: int = 3) -> str:
+    it = ""
+    prev = "r0"
+    for t in range(1, n_iters + 1):
+        it += f""",
+d{t} AS (
+  SELECT g.i, sum(g.n * CAST(1000000000000 AS HUGEINT)
+                 // (ri.sp + rj.sp)) AS dd
+  FROM games g JOIN {prev} ri ON ri.i = g.i
+               JOIN {prev} rj ON rj.i = g.j
+  GROUP BY 1
+),
+n{t} AS (
+  SELECT e.i,
+         coalesce(w.wins * CAST(1000000000000 AS HUGEINT) // d.dd,
+                  CAST(0 AS HUGEINT)) AS spr
+  FROM ents e LEFT JOIN wt w ON w.i = e.i
+              LEFT JOIN d{t} d ON d.i = e.i
+),
+r{t} AS (
+  SELECT i, spr * (SELECT count(*) FROM ents) * 1000000
+            // (SELECT sum(spr) FROM n{t}) AS sp
+  FROM n{t}
+)"""
+        prev = f"r{t}"
+    return f"""
+WITH lin AS MATERIALIZED (
+  SELECT l.l_orderkey AS o, l.l_linenumber AS ln,
+         l.l_extendedprice AS pr, s.s_nationkey AS nat
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+),
+duels AS MATERIALIZED (
+  SELECT CASE WHEN a.pr > b.pr THEN a.nat ELSE b.nat END AS w,
+         CASE WHEN a.pr > b.pr THEN b.nat ELSE a.nat END AS l
+  FROM lin a JOIN lin b ON a.o = b.o AND a.ln < b.ln
+  WHERE a.pr <> b.pr AND a.nat <> b.nat
+),
+-- MATERIALIZED: each MM iteration references its predecessor
+-- twice (the normalization scalar subqueries); inlined CTEs
+-- would re-evaluate the duel extraction 2^iters times.
+wij AS MATERIALIZED (SELECT w AS i, l AS j, count(*) AS n FROM duels GROUP BY 1, 2),
+games AS (
+  SELECT i, j, CAST(sum(n) AS BIGINT) AS n
+  FROM (SELECT i, j, n FROM wij UNION ALL SELECT j, i, n FROM wij)
+  GROUP BY 1, 2
+),
+wt AS (SELECT i, CAST(sum(n) AS BIGINT) AS wins FROM wij GROUP BY 1),
+gt AS (SELECT i, CAST(sum(n) AS BIGINT) AS n_games FROM games GROUP BY 1),
+ents AS (SELECT DISTINCT i FROM games),
+r0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS sp FROM ents){it}
+SELECT n.n_name, gt.n_games, coalesce(wt.wins, 0) AS n_wins,
+       CAST({prev}.sp AS BIGINT) AS rating_ppm
+FROM {prev} JOIN gt ON gt.i = {prev}.i
+            LEFT JOIN wt ON wt.i = {prev}.i
+            JOIN nation n ON n.n_nationkey = {prev}.i
+ORDER BY rating_ppm DESC, n_name
+"""
+
+
+def q268_dbscan_neighborhoods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed epsilon-neighborhood counting over the 2D
+    embedding projection (similarity.epsilon_neighborhood_spectrum) —
+    DBSCAN's expensive half as the standard distributed spatial
+    join: floor(coord/eps) cells, 3x3 neighbor-block candidates,
+    exact distance verify, never all-pairs. Reports the
+    neighbor-count spectrum with core-point flags (min_pts=3) —
+    the (eps, min_pts) tuning readout."""
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("CAST(element_at(embedding, 1) AS DOUBLE)").alias("x"),
+        F.expr("CAST(element_at(embedding, 2) AS DOUBLE)").alias("y"),
+    )
+    return similarity.epsilon_neighborhood_spectrum(
+        emb, "vec_id", "x", "y", eps=0.02, min_pts=3
+    )
+
+
+ORACLE_Q268 = """
+WITH p AS (
+  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings
+),
+g AS (
+  SELECT vec_id, x, y,
+         CAST(floor(x / 0.02) AS BIGINT) AS cx,
+         CAST(floor(y / 0.02) AS BIGINT) AS cy
+  FROM p
+),
+offs AS (
+  SELECT a.dx, b.dy
+  FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy)
+),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM g a JOIN offs o ON true
+  JOIN g b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+          AND a.vec_id < b.vec_id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= 0.02 * 0.02
+),
+nbrs AS (
+  SELECT id, count(*) AS nn
+  FROM (SELECT ia AS id FROM pairs UNION ALL SELECT ib FROM pairs)
+  GROUP BY 1
+)
+SELECT coalesce(n.nn, 0) AS n_neighbors, count(*) AS n_points,
+       CAST(sum(p.vec_id) AS BIGINT) AS sum_id,
+       coalesce(n.nn, 0) >= 3 AS is_core
+FROM p LEFT JOIN nbrs n ON n.id = p.vec_id
+GROUP BY 1, 4
+ORDER BY n_neighbors
+"""
+
+
+def q269_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal sample allocation (sampling.neyman_allocation)
+    over order-priority strata: a 10k-order audit sample split
+    proportionally to N_h·σ_h — exact integer, with the per-stratum
+    isqrt seeded by a double sqrt and corrected by two integer
+    comparisons so neither engine's float rounding can leak into the
+    result. Complements q72/q111 (who to sample) with how MUCH to
+    sample per stratum."""
+    from ursa_major_choir_etl_spark.operators import sampling
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+    )
+    return sampling.neyman_allocation(
+        orders, "o_orderpriority", "cents", n_sample=10_000
+    )
+
+
+ORACLE_Q269 = """
+WITH base AS (
+  SELECT o_orderpriority AS stratum,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+agg AS (
+  SELECT stratum, count(*) AS n_h,
+         sum(CAST(cents AS HUGEINT)) AS s,
+         sum(CAST(cents AS HUGEINT) * cents) AS sq
+  FROM base GROUP BY 1
+),
+w AS (
+  SELECT *,
+         n_h * sq - s * s AS ssd,
+         CAST(floor(sqrt(CAST(n_h * sq - s * s AS DOUBLE))) AS BIGINT)
+           AS s0
+  FROM agg
+),
+w1 AS (
+  SELECT *, s0 + (CASE WHEN CAST(s0 + 1 AS HUGEINT) * (s0 + 1) <= ssd
+                       THEN 1 ELSE 0 END) AS s1
+  FROM w
+),
+w2 AS (
+  SELECT *, s1 - (CASE WHEN CAST(s1 AS HUGEINT) * s1 > ssd
+                       THEN 1 ELSE 0 END) AS wgt
+  FROM w1
+),
+tot AS (SELECT sum(wgt) AS tw FROM w2)
+SELECT stratum, n_h,
+       CAST(s // n_h AS BIGINT) AS mean_cents,
+       CAST(wgt AS BIGINT) AS n_sigma_cents,
+       CAST(10000 * CAST(wgt AS HUGEINT) // tw AS BIGINT) AS alloc_n,
+       CAST(CAST(wgt AS HUGEINT) * 1000000 // tw AS BIGINT) AS share_ppm
+FROM w2, tot
+ORDER BY stratum
+"""
+
+
+def q265_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source distinct-token overlap by HLL set algebra
+    (sketches.hll_overlap_matrix): portable md5-derived 256-register
+    sketches per source, pairwise MAX-merged unions, intersections by
+    inclusion-exclusion — the way a 100 TB pipeline compares source
+    vocabularies without the exact token-pair shuffle q154 pays.
+    Registers are a plain (source, bucket, rank) table both engines
+    rebuild bit-for-bit; the estimate is the raw integer HLL formula
+    (alpha frozen in ppm, scaled 2^57 so no float ever appears)."""
+    toks = T(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(text.tokens(F.col("text"))).alias("token"),
+    )
+    return sketches.hll_overlap_matrix(toks, "source", "token")
+
+
+def _oracle_q265() -> str:
+    num = 718_273 * 65_536 * (1 << 57)
+    rho = (
+        "4 * length(regexp_extract(tail, '^0*'))"
+        " + (CASE substr(tail, length(regexp_extract(tail, '^0*')) + 1, 1)"
+        "    WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2"
+        "    WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1"
+        "    WHEN '7' THEN 1 ELSE 0 END) + 1"
+    )
+    sigma = (
+        "(sum((CAST(1 AS HUGEINT) << (57 - r)))"
+        " + (256 - count(*)) * (CAST(1 AS HUGEINT) << 57))"
+    )
+    toks = osql.tokens_sql("text")
+    return f"""
+WITH toks AS (
+  SELECT source, unnest({toks}) AS token FROM documents
+),
+parts AS (
+  SELECT source,
+         ('0x' || substr(md5(token), 1, 2))::BIGINT AS bkt,
+         substr(md5(token), 3, 14) AS tail
+  FROM toks
+),
+rr AS (SELECT source, bkt, {rho} AS r FROM parts),
+regs AS MATERIALIZED (
+  SELECT source, bkt, max(r) AS r FROM rr GROUP BY 1, 2
+),
+singles AS (
+  SELECT source,
+         CAST({num} AS HUGEINT) // ({sigma} * 1000000) AS est
+  FROM regs GROUP BY 1
+),
+srcs AS (SELECT DISTINCT source FROM regs),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+merged AS (
+  SELECT p.sa, p.sb, r.bkt, max(r.r) AS r
+  FROM pairs p JOIN regs r ON r.source = p.sa OR r.source = p.sb
+  GROUP BY 1, 2, 3
+),
+unions AS (
+  SELECT sa, sb,
+         CAST({num} AS HUGEINT) // ({sigma} * 1000000) AS est_u
+  FROM merged GROUP BY 1, 2
+)
+SELECT u.sa AS source_a, u.sb AS source_b,
+       CAST(a.est AS BIGINT) AS est_a, CAST(b.est AS BIGINT) AS est_b,
+       CAST(u.est_u AS BIGINT) AS est_union,
+       CAST(a.est + b.est - u.est_u AS BIGINT) AS est_inter,
+       CASE WHEN u.est_u > 0 THEN
+         CAST(greatest(a.est + b.est - u.est_u, 0) * 1000000 // u.est_u
+              AS BIGINT) END AS jaccard_ppm
+FROM unions u JOIN singles a ON a.source = u.sa
+              JOIN singles b ON b.source = u.sb
+ORDER BY source_a, source_b
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -15360,23 +15845,27 @@ QUERIES = {
     "q260_thumbnail_transcode": q260_thumbnail_transcode,
     "q261_audio_fingerprint": q261_audio_fingerprint,
     "q262_image_near_dup_pairs": q262_image_near_dup_pairs,
+    "q263_kneser_ney_lm": q263_kneser_ney_lm,
+    "q264_fellegi_sunter": q264_fellegi_sunter,
+    "q265_hll_source_overlap": q265_hll_source_overlap,
+    "q266_link_prediction": q266_link_prediction,
+    "q267_bradley_terry": q267_bradley_terry,
+    "q268_dbscan_neighborhoods": q268_dbscan_neighborhoods,
+    "q269_neyman_allocation": q269_neyman_allocation,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
-# round). Coverage ledger entering round 10: rounds 8 AND 9 both
-# graded the identical q137–q186 window (green twice), so q187–q251
-# remain the only rows NEVER driver-graded — the round-9 verdict's #1
-# ask is to put them first. Round-10 priority order:
-#   1. the never-graded tail q187–q251 in ascending q-number order,
-#      followed by the five operators registered this round
-#      (q252–q258: incremental CC merge, intra-doc dedup,
-#      cluster-pure split, BMP/WAV/JPEG/PNG decode value gates) — the first 50
-#      of this head (q187–q236) is this round's window; the rest roll
-#      to round 11's;
-#   2. everything else by grading age (stalest first): the round-5-era
-#      block, the round-6-era block, the round-7-graded rows
-#      (q01–q09 core among them), and finally the r8+r9-graded
-#      q137–q186.
+# round). Coverage ledger entering round 11: round 10 graded
+# q187–q236 (50/50 green, CORRECTNESS_r10.json), so the only rows
+# NEVER driver-graded are q237–q262 plus this round's registrations
+# (q263+). Round-11 priority order:
+#   1. the never-graded head q237+ in ascending q-number order
+#      (26 rows entering the round — fewer than the window, so the
+#      window reaches into bucket 2);
+#   2. everything else by grading age (stalest first): the
+#      round-5-era block (q10–q48 core, last graded 6 rounds ago),
+#      then round-6, round-7 (q01–q09 among them), r8+r9-graded
+#      q137–q186, and finally the r10-graded q187–q236.
 # tools/check_oracles.py remains the all-registry local sweep
 # (CORRECTNESS_LOCAL_ALL.txt / _SF01.txt) — re-run at the closing
 # tree, so every row outside the window has same-tree local evidence.
@@ -15387,7 +15876,7 @@ def _qnum(k: str) -> int:
 
 
 _names = sorted(QUERIES, key=_qnum)
-_head = [k for k in _names if 187 <= _qnum(k) <= 262]
+_head = [k for k in _names if _qnum(k) >= 237]
 
 
 def _staleness(k: str) -> int:
@@ -15399,7 +15888,9 @@ def _staleness(k: str) -> int:
         return 1  # last graded round 6
     if n <= 136:
         return 2  # graded round 7 (q01–q09, q19/q20/q88/q90/q100, q101+)
-    return 3  # q137–q186: graded rounds 8 AND 9 — freshest
+    if n <= 186:
+        return 3  # q137–q186: graded rounds 8 AND 9
+    return 4  # q187–q236: graded round 10 — freshest
 
 
 _order = _head + sorted(
@@ -15408,10 +15899,10 @@ _order = _head + sorted(
 )
 # The guard the driver's 50-entry window depends on: exact coverage
 # and no duplicates, and ascending q-number order inside the head so
-# the OLDEST never-graded rows grade first (q187–q236 this round) and
-# the newest registrations (q252–q256) roll to round 11's window —
-# every one of them is green in the builder's own all-registry sweep
-# at BOTH scales at the closing commit.
+# the never-graded rows (q237+ entering round 11) grade first and the
+# rest of the window reaches the stalest round-5-era rows — every one
+# of them is green in the builder's own all-registry sweep at BOTH
+# scales at the closing commit.
 assert len(_order) == len(set(_order)) == len(_names), "duplicate keys"
 _overflow = [k for k in _head if k not in _order[:50]]
 assert _overflow == _head[50:], "window must drop newest additions only"
@@ -15680,4 +16171,11 @@ ORACLES: dict[str, str | None] = {
     "q260_thumbnail_transcode": _oracle_q260(),
     "q261_audio_fingerprint": _oracle_q261(),
     "q262_image_near_dup_pairs": _oracle_q262(),
+    "q263_kneser_ney_lm": _oracle_q263(),
+    "q264_fellegi_sunter": _oracle_q264(),
+    "q265_hll_source_overlap": _oracle_q265(),
+    "q266_link_prediction": ORACLE_Q266,
+    "q267_bradley_terry": _oracle_q267(),
+    "q268_dbscan_neighborhoods": ORACLE_Q268,
+    "q269_neyman_allocation": ORACLE_Q269,
 }

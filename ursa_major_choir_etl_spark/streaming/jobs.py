@@ -956,6 +956,51 @@ def _hadoop_path_exists(spark, path: str) -> bool:
     return hpath.getFileSystem(hconf).exists(hpath)
 
 
+def _prune_generations(path: str, batch_id: int) -> None:
+    """Drop superseded generation partitions of a gen-partitioned
+    store — EXCEPT the one this batch just consumed. If the job dies
+    between the parquet publish and the streaming checkpoint commit,
+    the replayed batch reads generations < batch_id again; deleting
+    its input here would leave that view empty and the replay would
+    silently rebuild state from the current batch alone (round-9
+    ADVICE, high). Keeping the predecessor makes the publish+prune
+    pair crash-safe at the cost of one extra compacted generation on
+    disk; older generations are only readable by batches that already
+    committed, so they are safe to drop. Best-effort — readers only
+    ever take max(gen), a failed prune costs disk, never correctness.
+    Skips anything that is not literally gen=<int> (e.g. a Hive
+    default-partition dir) so a stray entry can never fail a batch
+    AFTER a successful publish (round-10 ADVICE)."""
+    import os as _os
+    import shutil as _shutil
+
+    def _gen_of(entry: str) -> int | None:
+        if not entry.startswith("gen="):
+            return None
+        try:
+            return int(entry[4:])
+        except ValueError:
+            return None
+
+    try:
+        entries = {
+            e: g
+            for e in _os.listdir(path)
+            if (g := _gen_of(e)) is not None
+        }
+        prior = [g for g in entries.values() if g < batch_id]
+        keep = {batch_id}
+        if prior:
+            keep.add(max(prior))  # generation this batch consumed
+        for entry, g in entries.items():
+            if g not in keep:
+                _shutil.rmtree(
+                    _os.path.join(path, entry), ignore_errors=True
+                )
+    except OSError:
+        pass
+
+
 def streaming_cc_label_sink(
     stream_pairs: DataFrame,
     warehouse: str,
@@ -1009,49 +1054,8 @@ def streaming_cc_label_sink(
             .parquet(path)
         )
         # Prune superseded generations — EXCEPT the one this batch
-        # just consumed. If the job dies between this parquet publish
-        # and the streaming checkpoint commit, the replayed batch
-        # reads generations < batch_id again; deleting its input here
-        # would leave that view empty and the replay would silently
-        # rebuild labels from the current batch's pairs alone
-        # (round-9 ADVICE, high). Keeping the predecessor makes the
-        # publish+prune pair crash-safe at the cost of one extra
-        # compacted generation on disk; generations older than the
-        # predecessor are only readable by batches that have already
-        # committed, so they are safe to drop. Best-effort — readers
-        # only ever take max(gen), a failed prune costs disk, never
-        # correctness.
-        import shutil as _shutil
-
-        def _gen_of(entry: str) -> int | None:
-            # Skip anything that isn't literally gen=<int> (e.g. a
-            # Hive __HIVE_DEFAULT_PARTITION__ dir): pruning is
-            # best-effort and must never fail the batch AFTER a
-            # successful publish (round-10 ADVICE).
-            if not entry.startswith("gen="):
-                return None
-            try:
-                return int(entry[4:])
-            except ValueError:
-                return None
-
-        try:
-            entries = {
-                e: g
-                for e in _os.listdir(path)
-                if (g := _gen_of(e)) is not None
-            }
-            prior = [g for g in entries.values() if g < int(batch_id)]
-            keep = {int(batch_id)}
-            if prior:
-                keep.add(max(prior))  # generation this batch consumed
-            for entry, g in entries.items():
-                if g not in keep:
-                    _shutil.rmtree(
-                        _os.path.join(path, entry), ignore_errors=True
-                    )
-        except OSError:
-            pass
+        # just consumed — see _prune_generations.
+        _prune_generations(path, int(batch_id))
 
     writer = stream_pairs.writeStream.foreachBatch(merge_batch).trigger(
         availableNow=True
@@ -1091,3 +1095,113 @@ def read_cc_label_store(
     if mx is None:
         return empty
     return df.filter(F.col("gen") == mx).select("node", "component")
+
+
+def streaming_hll_register_sink(
+    stream: DataFrame,
+    warehouse: str,
+    name: str,
+    group_col: str = "source",
+    value_col: str = "token",
+    checkpoint_dir: str | None = None,
+):
+    """Streaming distinct-cardinality maintenance with the PORTABLE
+    HLL sketch (operators.sketches.portable_hll_registers): each
+    micro-batch's (group, value) rows become md5 registers that
+    MAX-merge into the persisted register store — the whole point of
+    an HLL is that this merge is lossless and order-free, so the
+    store after any replay/reorder of batches is byte-identical to a
+    batch rebuild (the property the parity test pins). The live store
+    answers per-group distinct estimates and the q265 overlap matrix
+    without ever re-reading history.
+
+    Store layout mirrors the CC label store: one generation per
+    micro-batch partitioned by ``gen``; readers take max(gen); a
+    replayed batch reads only generations BELOW its own id and
+    overwrites its own partition, and MAX-merge makes double-apply a
+    no-op. Each generation rewrites groups x <=256 rows — register
+    compaction, constant in corpus size."""
+    from ursa_major_choir_etl_spark.operators.sketches import (
+        portable_hll_registers,
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os as _os
+
+        spark_l = batch_df.sparkSession
+        path = _os.path.join(warehouse, name)
+        prev = read_hll_register_store(
+            spark_l, warehouse, name, before_gen=int(batch_id)
+        )
+        fresh = portable_hll_registers(
+            batch_df, group_col, value_col
+        ).select(
+            F.col("_g").alias("grp"),
+            F.col("_bkt").alias("bkt"),
+            F.col("_r").alias("r"),
+        )
+        merged = (
+            prev.unionByName(fresh)
+            .groupBy("grp", "bkt")
+            .agg(F.max("r").alias("r"))
+        )
+        (
+            merged.withColumn("gen", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("gen")
+            .parquet(path)
+        )
+        _prune_generations(path, int(batch_id))
+
+    writer = stream.writeStream.foreachBatch(merge_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def read_hll_register_store(
+    spark, warehouse: str, name: str, before_gen: int | None = None
+) -> DataFrame:
+    """Current (grp, bkt, r) registers accumulated by
+    streaming_hll_register_sink — newest generation, optionally the
+    newest BELOW ``before_gen`` (the replay-safe merge view). Missing
+    store -> empty registers; real read failures propagate (the
+    history-erasure rule the CC label reader documents)."""
+    import os as _os
+
+    empty = spark.createDataFrame([], "grp string, bkt int, r int")
+    path = _os.path.join(warehouse, name)
+    if not _hadoop_path_exists(spark, path):
+        return empty
+    df = spark.read.parquet(path)
+    if before_gen is not None:
+        df = df.filter(F.col("gen") < before_gen)
+    mx = df.agg(F.max("gen")).first()[0]
+    if mx is None:
+        return empty
+    return df.filter(F.col("gen") == mx).select("grp", "bkt", "r")
+
+
+def hll_store_estimates(regs: DataFrame) -> DataFrame:
+    """Per-group distinct estimates from a (grp, bkt, r) register
+    store — the integer HLL formula shared with the q265 overlap
+    matrix. Output: (grp, est_distinct)."""
+    from ursa_major_choir_etl_spark.operators.sketches import (
+        _hll_estimate_expr,
+    )
+
+    term = F.expr("CAST(shiftleft(1L, 57 - r) AS DECIMAL(38,0))")
+    return (
+        regs.withColumn("_t", term)
+        .groupBy("grp")
+        .agg(F.sum("_t").alias("_ssum"), F.count(F.lit(1)).alias("_nbk"))
+        .select(
+            "grp",
+            F.expr(
+                f"CAST({_hll_estimate_expr()} AS BIGINT)"
+            ).alias("est_distinct"),
+        )
+    )

@@ -1446,3 +1446,63 @@ def near_dup_divergence_profile(
             " AS BIGINT)"
         ).alias("pairs_ppm"),
     )
+
+
+def capture_recapture_estimate(
+    catch_a: DataFrame,
+    catch_b: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Chapman capture–recapture estimate of the TRUE near-duplicate
+    population from two independent dedup methods' catches — the
+    coverage readout a curation team needs when no ground truth
+    exists: method A caught n_a pairs, method B caught n_b, they
+    agree on m, so the bias-corrected Lincoln–Petersen (Chapman 1951)
+    population estimate is
+
+        est = (n_a + 1)(n_b + 1) DIV (m + 1) - 1
+
+    and each method's recall proxy is n/est. Integer-exact end to
+    end. Caveat (documented, inherent to the method): the estimator
+    assumes the two catches are INDEPENDENT samples; correlated
+    detectors (two hash families over the same shingles) bias est
+    low, so it reads as a LOWER bound on the missed-duplicate mass.
+
+    Shape: two count aggregates plus one equi-join count on the pair
+    key — runs on the materialized pair artifacts, so the marginal
+    cost is pair-table-sized, never corpus-sized. Output single row:
+    (n_pairs_a, n_pairs_b, n_both, est_total_pairs,
+    coverage_a_ppm, coverage_b_ppm).
+    """
+    a = catch_a.select(*key_cols)
+    b = catch_b.select(*key_cols)
+    na = a.agg(F.count(F.lit(1)).alias("n_pairs_a"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_pairs_b"))
+    m = a.join(b, key_cols).agg(F.count(F.lit(1)).alias("n_both"))
+    est = (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(m))
+        .withColumn(
+            "est_total_pairs",
+            F.expr(
+                "CAST((CAST(n_pairs_a AS DECIMAL(38,0)) + 1)"
+                " * (n_pairs_b + 1) DIV (n_both + 1) - 1 AS BIGINT)"
+            ),
+        )
+    )
+    return est.select(
+        "n_pairs_a",
+        "n_pairs_b",
+        "n_both",
+        "est_total_pairs",
+        F.expr(
+            "CASE WHEN est_total_pairs > 0 THEN"
+            " CAST(CAST(n_pairs_a AS DECIMAL(38,0)) * 1000000"
+            " DIV est_total_pairs AS BIGINT) END"
+        ).alias("coverage_a_ppm"),
+        F.expr(
+            "CASE WHEN est_total_pairs > 0 THEN"
+            " CAST(CAST(n_pairs_b AS DECIMAL(38,0)) * 1000000"
+            " DIV est_total_pairs AS BIGINT) END"
+        ).alias("coverage_b_ppm"),
+    )

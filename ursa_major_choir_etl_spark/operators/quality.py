@@ -759,3 +759,438 @@ def fellegi_sunter_pattern_weights(
         .drop("_num", "_den")
         .orderBy(F.desc("n_agree"), "pattern")
     )
+
+
+def eb_shrunk_rates(
+    outcomes: DataFrame,
+    group_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-group event
+    rates — the small-sample correction every rate leaderboard needs
+    (a supplier with 2/3 returns must not outrank one with 200/400):
+    each group's raw rate is pulled toward the global mean with
+    strength proportional to the method-of-moments prior, so
+    low-volume groups shrink hard and high-volume groups barely move.
+
+    Quantized method of moments, all integer (both engines floor
+    identically so the output value-hashes):
+
+        p_i     = x_i * 1e6 DIV n_i                  (raw rate, ppm)
+        m       = sum(p_i) DIV G                     (prior mean, ppm)
+        v       = sum((p_i - m)^2) DIV G             (rate variance, ppm^2)
+        K_u     = m * (1e6 - m) * 1e6 DIV v - 1e6    (prior strength
+                                                      alpha+beta, micro)
+        alpha_u = m * K_u DIV 1e6
+        shrunk  = (x_i * 1e6 + alpha_u) * 1e6 DIV (n_i * 1e6 + K_u)
+
+    Degenerate guards: v == 0 (all groups share one rate) shrinks
+    fully to m; K_u <= 0 (between-group variance at or above the
+    binomial ceiling — the prior carries no information) leaves the
+    raw rate untouched.
+
+    100 TB shape: ONE data-sized shuffle (the group aggregate); the
+    prior is two tiny passes over the group-cardinality frame, each
+    reduced to a single broadcast row. Output: one row per group
+    (group, n_obs, n_events, raw_ppm, shrunk_ppm).
+    """
+    from ursa_major_choir_etl_spark.caching import stage
+
+    ev = F.col(event_col).cast("long")
+    g = stage(
+        outcomes.groupBy(F.col(group_col).alias("group_key")).agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(ev).alias("n_events"),
+        )
+        .withColumn(
+            "raw_ppm",
+            F.expr(
+                "CAST(CAST(n_events AS DECIMAL(38,0)) * 1000000"
+                " DIV n_obs AS BIGINT)"
+            ),
+        )
+    )
+    s1 = g.agg(
+        F.sum("raw_ppm").alias("_sp"), F.count(F.lit(1)).alias("_g")
+    ).withColumn("_m", F.expr("_sp DIV _g"))
+    g2 = g.crossJoin(F.broadcast(s1))
+    s2 = g2.agg(
+        F.sum(
+            F.expr(
+                "CAST(raw_ppm - _m AS DECIMAL(38,0)) * (raw_ppm - _m)"
+            )
+        ).alias("_ssd"),
+        F.max("_g").alias("_g2"),
+    ).withColumn("_v", F.expr("CAST(_ssd DIV _g2 AS DECIMAL(38,0))"))
+    out = g2.crossJoin(F.broadcast(s2)).withColumn(
+        "_ku",
+        F.expr(
+            "CASE WHEN _v > 0 THEN"
+            " CAST(_m AS DECIMAL(38,0)) * (1000000 - _m) * 1000000"
+            "   DIV _v - 1000000"
+            " END"
+        ),
+    )
+    return out.select(
+        F.col("group_key").alias(group_col),
+        "n_obs",
+        "n_events",
+        "raw_ppm",
+        F.expr(
+            "CASE"
+            " WHEN _v = 0 THEN _m"
+            " WHEN _ku <= 0 THEN raw_ppm"
+            " ELSE CAST("
+            "   (CAST(n_events AS DECIMAL(38,0)) * 1000000"
+            "      + _m * _ku DIV 1000000) * 1000000"
+            "   DIV (CAST(n_obs AS DECIMAL(38,0)) * 1000000 + _ku)"
+            " AS BIGINT) END"
+        ).alias("shrunk_ppm"),
+    )
+
+
+def isotonic_calibration(
+    labeled: DataFrame,
+    bin_col: str,
+    label_col: str,
+    n_bins: int,
+    *,
+    increasing: bool = True,
+) -> DataFrame:
+    """Monotone (isotonic/antitonic) calibration of a binned score
+    against a binary label via the closed-form minimax (pool-adjacent-
+    violators) solution — the PAVA fit a ranking team applies before a
+    score threshold becomes a probability gate.
+
+    ``bin_col`` must already be an integer bin in [0, n_bins); the
+    weighted least-squares isotonic fit over bin means is
+
+        iso_i = max_{a<=i} min_{b>=i} rate(a..b)
+
+    (Robertson–Wright minimax characterization). Because floor is
+    monotone and max/min over a finite set commute with monotone
+    functions, quantizing every interval rate to floor-ppm FIRST
+    yields exactly floor(1e6 * iso_i) — so the fit value-hashes across
+    engines with no float ever computed. ``increasing=False`` fits a
+    non-increasing curve by reflecting the bin index.
+
+    100 TB shape: one data-sized histogram aggregate (n_bins rows);
+    the interval grid is n_bins^2 rows and the (i, a, b) enumeration
+    n_bins^3 — fixed by the bin count, independent of the corpus, and
+    assembled from broadcast self-joins of the bounded histogram.
+    Output: one row per bin (bin, n_obs, n_events, raw_ppm, iso_ppm).
+    """
+    lab = F.col(label_col).cast("long")
+    b = F.col(bin_col).cast("int")
+    order = b if increasing else (F.lit(n_bins - 1) - b)
+    hist = labeled.groupBy(order.alias("_ob")).agg(
+        F.max(b).alias("bin"),  # reflection-invariant original bin id
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(lab).alias("n_events"),
+    )
+    from ursa_major_choir_etl_spark.caching import stage
+
+    hist = stage(hist)
+    a = hist.select(
+        F.col("_ob").alias("_a"),
+        F.col("n_obs").alias("_na"),
+        F.col("n_events").alias("_xa"),
+    )
+    # interval sums over [a..b]: join the bounded histogram to the
+    # bounded (a, b) grid — every frame here is <= n_bins^2 rows.
+    grid = (
+        a.crossJoin(
+            F.broadcast(hist.select(F.col("_ob").alias("_b")))
+        ).filter(F.col("_a") <= F.col("_b"))
+    )
+    terms = grid.join(
+        F.broadcast(
+            hist.select(
+                F.col("_ob").alias("_t"),
+                F.col("n_obs").alias("_nt"),
+                F.col("n_events").alias("_xt"),
+            )
+        ),
+        (F.col("_t") >= F.col("_a")) & (F.col("_t") <= F.col("_b")),
+    )
+    rates = terms.groupBy("_a", "_b").agg(
+        F.expr(
+            "CAST(CAST(sum(_xt) AS DECIMAL(38,0)) * 1000000"
+            " DIV sum(_nt) AS BIGINT)"
+        ).alias("_rate")
+    )
+    spine = hist.select(
+        F.col("_ob").alias("_i"),
+        "bin",
+        "n_obs",
+        "n_events",
+        F.expr(
+            "CAST(CAST(n_events AS DECIMAL(38,0)) * 1000000"
+            " DIV n_obs AS BIGINT)"
+        ).alias("raw_ppm"),
+    )
+    # iso_i = max over a<=i of (min over b>=i of rate(a,b))
+    inner = (
+        spine.join(
+            F.broadcast(rates),
+            (F.col("_a") <= F.col("_i")) & (F.col("_b") >= F.col("_i")),
+        )
+        .groupBy("_i", "bin", "n_obs", "n_events", "raw_ppm", "_a")
+        .agg(F.min("_rate").alias("_mn"))
+    )
+    return (
+        inner.groupBy("_i", "bin", "n_obs", "n_events", "raw_ppm")
+        .agg(F.max("_mn").alias("iso_ppm"))
+        .select("bin", "n_obs", "n_events", "raw_ppm", "iso_ppm")
+    )
+
+
+def theil_sen_trend(
+    series: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    slope_scale: int = 1000,
+) -> DataFrame:
+    """Theil–Sen robust trend per group: the median of all pairwise
+    slopes (y_b - y_a) / (x_b - x_a), a <= 29.3% outlier-breakdown
+    estimator that one corrupted month cannot swing the way OLS's
+    single leverage point can (q59's regr_slope is the fragile
+    counterpart).
+
+    Integer contract: ``x_col``/``y_col`` are integers; each pairwise
+    slope is quantized to floor-toward-zero ``dy * slope_scale DIV
+    dx`` (both engines truncate integer division toward zero, verified
+    for negative dy), and the reported slope is the LOWER MEDIAN —
+    the element at row (n_pairs + 1) DIV 2 in slope order — so no
+    half-valued float average of an even-count middle ever appears.
+
+    Scale: intended for CALENDAR-BOUNDED series (monthly rollups —
+    the pair blow-up is months^2 per group, fixed by the window, not
+    the corpus). The pair join is a per-group equi-join, the median
+    window is partitioned by group; neither is ever global.
+    """
+    pa = series.select(
+        F.col(group_col).alias("_g"),
+        F.col(x_col).alias("_xa"),
+        F.col(y_col).alias("_ya"),
+    )
+    pb = series.select(
+        F.col(group_col).alias("_g"),
+        F.col(x_col).alias("_xb"),
+        F.col(y_col).alias("_yb"),
+    )
+    pairs = pa.join(pb, "_g").filter(F.col("_xa") < F.col("_xb"))
+    slopes = pairs.withColumn(
+        "_s",
+        F.expr(
+            f"CAST(CAST(_yb - _ya AS DECIMAL(38,0)) * {slope_scale}"
+            " DIV (_xb - _xa) AS BIGINT)"
+        ),
+    )
+    w = Window.partitionBy("_g").orderBy(F.col("_s").asc())
+    ranked = slopes.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_np", F.count(F.lit(1)).over(Window.partitionBy("_g"))
+    )
+    picked = ranked.filter(F.col("_rn") == F.expr("(_np + 1) DIV 2"))
+    n_x = series.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+    return picked.join(n_x, "_g").select(
+        F.col("_g").alias(group_col),
+        "n_points",
+        F.col("_np").alias("n_pairs"),
+        F.col("_s").alias("slope_scaled"),
+    )
+
+
+def kendall_tau_b(
+    binned: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Tie-corrected Kendall rank correlation (tau-b) per group over
+    PRE-BINNED integer signals — the concordance-probability
+    companion to :func:`rank_agreement_report`'s Spearman rho (rho
+    asks "are the rank LISTS linearly related", tau asks "if I take
+    two random docs, how often do the two signals order them the same
+    way" — the quantity a judge-agreement or ranker-vs-ranker readout
+    actually wants).
+
+    Binning is part of the contract: the pair counts come from the
+    (x, y) CONTINGENCY CELLS, so work after the one histogram shuffle
+    is |cells|² per group — bins² is fixed by the caller, independent
+    of the corpus (the exact merge-sort tau needs a global sequential
+    pass that doesn't distribute).
+
+        C - D     = sum over cell pairs (a <x b) of n_a·n_b·sign
+        tau-b     = (C - D) / sqrt((n0 - Tx)(n0 - Ty)),
+        n0, Tx, Ty in DOUBLED form (n(n-1)) to stay integer
+
+    The denominator isqrt uses the float-seeded two-correction
+    pattern (q269): exact while (n0_2-Tx_2)(n0_2-Ty_2) < ~4e30, i.e.
+    groups beyond ~5e7 rows drift sub-ppm — documented bound.
+    Output: (group, n_rows, n_concordant, n_discordant, tau_b_ppm).
+    """
+    cells = binned.groupBy(
+        F.col(group_col).alias("_g"),
+        F.col(x_col).alias("_x"),
+        F.col(y_col).alias("_y"),
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    from ursa_major_choir_etl_spark.caching import stage
+
+    cells = stage(cells)
+    tots = cells.groupBy("_g").agg(
+        F.sum("_n").alias("_nt"),
+        F.sum(F.expr("CAST(_n AS DECIMAL(38,0)) * _n")).alias("_sn2"),
+    )
+    mx = cells.groupBy("_g", "_x").agg(F.sum("_n").alias("_nx"))
+    tx = mx.groupBy("_g").agg(
+        F.sum(F.expr("CAST(_nx AS DECIMAL(38,0)) * (_nx - 1)")).alias(
+            "_tx2"
+        )
+    )
+    my = cells.groupBy("_g", "_y").agg(F.sum("_n").alias("_ny"))
+    ty = my.groupBy("_g").agg(
+        F.sum(F.expr("CAST(_ny AS DECIMAL(38,0)) * (_ny - 1)")).alias(
+            "_ty2"
+        )
+    )
+    a = cells.select("_g", F.col("_x").alias("_xa"), F.col("_y").alias("_ya"), F.col("_n").alias("_na"))
+    b = cells.select("_g", F.col("_x").alias("_xb"), F.col("_y").alias("_yb"), F.col("_n").alias("_nb"))
+    cd = (
+        a.join(b, "_g")
+        .filter(F.col("_xa") < F.col("_xb"))
+        .groupBy("_g")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN _ya < _yb THEN"
+                    " CAST(_na AS DECIMAL(38,0)) * _nb ELSE 0 END"
+                )
+            ).alias("_c"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN _ya > _yb THEN"
+                    " CAST(_na AS DECIMAL(38,0)) * _nb ELSE 0 END"
+                )
+            ).alias("_d"),
+        )
+    )
+    j = (
+        tots.join(tx, "_g")
+        .join(ty, "_g")
+        .join(cd, "_g", "left")
+        .withColumn("_c", F.coalesce("_c", F.lit(0)))
+        .withColumn("_d", F.coalesce("_d", F.lit(0)))
+        .withColumn(
+            "_prod",
+            F.expr(
+                "(CAST(_nt AS DECIMAL(38,0)) * (_nt - 1) - _tx2)"
+                " * (CAST(_nt AS DECIMAL(38,0)) * (_nt - 1) - _ty2)"
+            ),
+        )
+        .withColumn(
+            "_s0",
+            F.expr("CAST(floor(sqrt(CAST(_prod AS DOUBLE))) AS DECIMAL(38,0))"),
+        )
+        .withColumn(
+            "_s1",
+            F.expr(
+                "_s0 + (CASE WHEN (_s0 + 1) * (_s0 + 1) <= _prod"
+                " THEN 1 ELSE 0 END)"
+            ),
+        )
+        .withColumn(
+            "_rt",
+            F.expr("_s1 - (CASE WHEN _s1 * _s1 > _prod THEN 1 ELSE 0 END)"),
+        )
+    )
+    return j.select(
+        F.col("_g").alias(group_col),
+        F.col("_nt").alias("n_rows"),
+        F.expr("CAST(_c AS BIGINT)").alias("n_concordant"),
+        F.expr("CAST(_d AS BIGINT)").alias("n_discordant"),
+        F.expr(
+            "CASE WHEN _rt > 0 THEN"
+            " CAST((_c - _d) * 2000000 DIV _rt AS BIGINT) END"
+        ).alias("tau_b_ppm"),
+    )
+
+
+def krippendorff_alpha_nominal(
+    ratings: DataFrame,
+    unit_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) — inter-rater reliability
+    that, unlike q218's two-rater Cohen kappa, handles ANY number of
+    raters per unit INCLUDING missing ratings (a rater that abstains
+    simply lowers that unit's m_u). ``ratings`` holds one row per
+    (unit, rated value) occurrence; rater identity is irrelevant to
+    alpha by construction.
+
+    Quantized counting form (units with m_u >= 2 only):
+
+        U_u  = m_u² - Σ_c n_uc²             (ordered disagreeing pairs)
+        q_u  = U_u · 1e6 DIV (m_u - 1)      (per-unit micro term)
+        S    = Σ_u q_u,  E = N² - Σ_c n_c²  (N = total ratings kept)
+        alpha_ppm = 1e6 - S · (N - 1) DIV E
+
+    The only non-exact step is the per-unit floor in q_u (sub-ppm per
+    unit, identical in both engines — the Nelson–Aalen quantization
+    rule). Shape: one (unit, value) aggregate, one unit aggregate,
+    one value-marginal aggregate — all map-side-combinable; output is
+    a single row (n_units, n_ratings, alpha_ppm).
+    """
+    uc = ratings.groupBy(
+        F.col(unit_col).alias("_u"), F.col(value_col).alias("_v")
+    ).agg(F.count(F.lit(1)).alias("_nuc"))
+    from ursa_major_choir_etl_spark.caching import stage
+
+    uc = stage(uc)
+    per_u = (
+        uc.groupBy("_u")
+        .agg(
+            F.sum("_nuc").alias("_mu"),
+            F.sum(F.expr("CAST(_nuc AS DECIMAL(38,0)) * _nuc")).alias(
+                "_sn2"
+            ),
+        )
+        .filter(F.col("_mu") >= 2)
+    )
+    s = per_u.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("_mu").alias("_n"),
+        F.sum(
+            F.expr(
+                "(CAST(_mu AS DECIMAL(38,0)) * _mu - _sn2) * 1000000"
+                " DIV (_mu - 1)"
+            )
+        ).alias("_s"),
+    )
+    # value marginals over the SAME kept units
+    nc = (
+        uc.join(per_u.select("_u"), "_u")
+        .groupBy("_v")
+        .agg(F.sum("_nuc").alias("_nc"))
+    )
+    e = nc.agg(
+        F.sum(F.expr("CAST(_nc AS DECIMAL(38,0)) * _nc")).alias("_se2")
+    )
+    return (
+        s.crossJoin(F.broadcast(e))
+        .withColumn(
+            "_e", F.expr("CAST(_n AS DECIMAL(38,0)) * _n - _se2")
+        )
+        .select(
+            "n_units",
+            F.col("_n").alias("n_ratings"),
+            F.expr(
+                "CASE WHEN _e > 0 THEN"
+                " CAST(1000000 - _s * (_n - 1) DIV _e AS BIGINT) END"
+            ).alias("alpha_ppm"),
+        )
+    )

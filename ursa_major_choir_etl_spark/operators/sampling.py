@@ -304,3 +304,64 @@ def neyman_allocation(
         )
         .orderBy("stratum")
     )
+
+
+def systematic_pps_sample(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling (Madow
+    1949): lay the integer weights end-to-end in ``order_col`` order,
+    then take the k items whose weight interval contains one of the k
+    equally-spaced picks  off, off+step, ..., off+(k-1)·step  with
+    step = W DIV k and off = step DIV 2. Zero randomness — the
+    deterministic-fixture counterpart of the sequential-Poisson
+    samplers above: same inclusion probabilities ~ w_i, but
+    single-pass and value-hash oracle-checkable, since there is no
+    RNG to replay.
+
+    An item with w_i > step can be picked multiple times; ``n_picks``
+    reports the multiplicity. sum(n_picks) is exactly k whenever
+    off >= W mod k (always true once W >= ~2k^2 — the regime PPS
+    sampling exists for) and k+1 in the tiny-W corner.
+
+    100 TB shape: the running weight offset is the two-level bucketed
+    prefix scan (operators/prefix.py) — no global window/sort at any
+    size; everything else is a per-row integer formula. Intervals are
+    shifted by +step before the floor divisions so no operand is ever
+    negative (integer division truncates toward zero in both engines;
+    keeping operands non-negative makes truncation == floor).
+
+    Output: the selected rows only —
+    (order_col, weight_col, cum_weight, n_picks).
+    """
+    from ursa_major_choir_etl_spark.caching import stage
+    from ursa_major_choir_etl_spark.operators.prefix import bucketed_cumsum
+
+    base = df.select(order_col, weight_col).filter(
+        F.col(weight_col) > 0
+    )
+    cum = stage(
+        bucketed_cumsum(
+            base, order_col, {"cum_weight": F.col(weight_col)}
+        )
+    )
+    tot = cum.agg(F.max("cum_weight").alias("_w_total"))
+    sel = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("_step", F.expr(f"greatest(_w_total DIV {k}, 1)"))
+        .withColumn("_off", F.expr("_step DIV 2"))
+        .withColumn(
+            "n_picks",
+            F.expr(
+                "CAST((cum_weight + _step - 1 - _off) DIV _step"
+                f" - (cum_weight - {weight_col} + _step - 1 - _off)"
+                " DIV _step AS INT)"
+            ),
+        )
+    )
+    return sel.filter(F.col("n_picks") > 0).select(
+        order_col, weight_col, "cum_weight", "n_picks"
+    )

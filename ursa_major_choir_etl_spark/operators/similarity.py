@@ -1504,3 +1504,97 @@ def epsilon_neighborhood_spectrum(
         .withColumn("is_core", F.col("n_neighbors") >= min_pts)
         .orderBy("n_neighbors")
     )
+
+
+def map_at_k_report(
+    shortlist: DataFrame,
+    query_labels: DataFrame,
+    neighbor_labels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Mean average precision @ k of a ranked retrieval shortlist,
+    with same-label membership as graded relevance — recall@k
+    (:func:`ann_recall_report`) says the right items were found, MRR
+    (:func:`mrr_report`) prices the FIRST hit; MAP grades the WHOLE
+    ordering, penalizing every relevant item pushed below an
+    irrelevant one. The triple completes the standard IR-eval suite
+    for an embedding index.
+
+    Integer quantization (registry value-hash contract):
+
+        ap_u   = sum over relevant ranks r<=k of
+                 (relcnt@r * 1e6 DIV r)        (P@r in floor-ppm)
+        ap_ppm = ap_u DIV min(R_total, k)      (R_total = same-label
+                                                corpus mates)
+        map    = sum(ap_ppm) DIV n_queries     (per label)
+
+    Both engines floor identically at each of the three steps, so the
+    metric value-hashes; it differs from true MAP by < 1e-6 per term.
+
+    Shape: the shortlist is query-cardinality x k; relevance counts
+    are a per-query window over <= k rows (partitioned, never
+    global); R_total comes from the label histogram — evaluation
+    never touches the corpus beyond the one label-histogram
+    aggregate. Output per label:
+    (label, n_queries, n_relevant_total, map_ppm).
+    """
+    from pyspark.sql import Window
+
+    ql = query_labels.select(
+        F.col(query_col), F.col("label").alias("_qlabel")
+    )
+    nl = neighbor_labels.select(
+        F.col(neighbor_col), F.col("label").alias("_nlabel")
+    )
+    sl = (
+        shortlist.filter(F.col(rank_col) <= k)
+        .join(nl, neighbor_col)
+        .join(F.broadcast(ql), query_col)
+        .withColumn(
+            "_rel", (F.col("_nlabel") == F.col("_qlabel")).cast("long")
+        )
+    )
+    w = (
+        Window.partitionBy(query_col)
+        .orderBy(F.col(rank_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    terms = sl.withColumn("_relcnt", F.sum("_rel").over(w)).withColumn(
+        "_term",
+        F.expr(f"CASE WHEN _rel = 1 THEN _relcnt * 1000000 DIV {rank_col}"
+               " ELSE 0 END"),
+    )
+    ap_u = terms.groupBy(query_col).agg(F.sum("_term").alias("_ap_u"))
+    # R_total per label: same-label corpus mates of a query = count-1
+    lh = neighbor_labels.groupBy(F.col("label").alias("_qlabel")).agg(
+        F.count(F.lit(1)).alias("_lc")
+    )
+    # every query scores, even those whose shortlist came back empty
+    ap = (
+        ql.join(ap_u, query_col, "left")
+        .join(F.broadcast(lh), "_qlabel")
+        .withColumn(
+            "_r10", F.least(F.col("_lc") - 1, F.lit(k)).cast("long")
+        )
+        .withColumn(
+            "_ap_ppm",
+            F.expr(
+                "CASE WHEN _r10 > 0 THEN"
+                " coalesce(_ap_u, 0) DIV _r10 ELSE 0 END"
+            ),
+        )
+    )
+    return (
+        ap.groupBy(F.col("_qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.max(F.expr("_lc - 1")).alias("n_relevant_total"),
+            F.expr("CAST(sum(_ap_ppm) DIV count(1) AS BIGINT)").alias(
+                "map_ppm"
+            ),
+        )
+        .select("label", "n_queries", "n_relevant_total", "map_ppm")
+    )

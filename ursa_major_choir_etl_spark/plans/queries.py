@@ -15582,6 +15582,773 @@ ORDER BY source_a, source_b
 """
 
 
+def q270_nelson_aalen_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-censored time-to-repeat-order survival
+    (survival.nelson_aalen_risk_table): per customer, weeks from the
+    first order to the second; customers with a single order are
+    CENSORED at the corpus end-date instead of being dropped (q172's
+    raw latency buckets) or counted as never-converting. One row per
+    duration week with the at-risk count, events, censorings, and the
+    quantized Nelson-Aalen cumulative hazard. Both cumulatives run as
+    the two-level bucketed prefix scan — no global window at any
+    scale."""
+    from ursa_major_choir_etl_spark.operators import survival
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        "o_orderkey",
+    )
+    fs = survival.first_second_event(o, "o_custkey", "d", "o_orderkey")
+    mx = o.agg(F.max("d").alias("_md"))
+    subj = fs.crossJoin(
+        bbound(mx, "single corpus end-date row")
+    ).select(
+        F.expr(
+            "datediff(coalesce(second_ts, _md), first_ts) DIV 7"
+        ).alias("dur_weeks"),
+        F.col("second_ts").isNotNull().cast("int").alias("ev"),
+    )
+    return survival.nelson_aalen_risk_table(subj, "dur_weeks", "ev")
+
+
+ORACLE_Q270 = """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+  FROM orders
+),
+r AS (
+  SELECT o_custkey, d,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY d, o_orderkey) AS rn
+  FROM o
+),
+p AS (
+  SELECT o_custkey,
+         min(CASE WHEN rn = 1 THEN d END) AS d1,
+         min(CASE WHEN rn = 2 THEN d END) AS d2
+  FROM r WHERE rn <= 2 GROUP BY 1
+),
+mx AS (SELECT max(d) AS md FROM o),
+subj AS (
+  SELECT CASE WHEN d2 IS NOT NULL THEN datediff('day', d1, d2)
+              ELSE datediff('day', d1, md) END // 7 AS duration,
+         CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM p CROSS JOIN mx
+),
+hist AS (
+  SELECT duration, sum(ev) AS n_events, sum(1 - ev) AS n_censored,
+         count(*) AS n_total
+  FROM subj GROUP BY 1
+),
+tot AS (SELECT sum(n_total) AS n FROM hist),
+cum AS (
+  SELECT *, sum(n_total) OVER (ORDER BY duration) AS ct FROM hist
+),
+rt AS (
+  SELECT duration, n - (ct - n_total) AS n_risk, n_events, n_censored,
+         CAST(n_events AS HUGEINT) * 1000000
+           // (n - (ct - n_total)) AS hazard_ppm
+  FROM cum CROSS JOIN tot
+)
+SELECT CAST(duration AS INT) AS duration,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_censored AS BIGINT) AS n_censored,
+       CAST(hazard_ppm AS BIGINT) AS hazard_ppm,
+       CAST(sum(hazard_ppm) OVER (ORDER BY duration) AS BIGINT)
+         AS cum_hazard_ppm
+FROM rt ORDER BY duration
+"""
+
+
+def q271_eb_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-supplier return
+    rates (quality.eb_shrunk_rates): the small-sample correction that
+    keeps a 2-of-3-returns supplier from topping the leaderboard over
+    a 200-of-400 one. Quantized method-of-moments prior — every step
+    integer floor, so the full (raw, shrunk) table value-hashes."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_returnflag") == "R").cast("int").alias("ret"),
+    )
+    return quality.eb_shrunk_rates(li, "l_suppkey", "ret")
+
+
+ORACLE_Q271 = """
+WITH g AS (
+  SELECT l_suppkey, count(*) AS n_obs,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_events
+  FROM lineitem GROUP BY 1
+),
+r AS (
+  SELECT *, CAST(n_events AS HUGEINT) * 1000000 // n_obs AS raw_ppm
+  FROM g
+),
+s1 AS (SELECT sum(raw_ppm) AS sp, count(*) AS gc FROM r),
+m AS (SELECT sp // gc AS m FROM s1),
+s2 AS (
+  SELECT sum((raw_ppm - m.m) * (raw_ppm - m.m)) AS ssd,
+         count(*) AS gc2
+  FROM r CROSS JOIN m
+),
+v AS (SELECT ssd // gc2 AS v FROM s2),
+k AS (
+  SELECT m.m, v.v,
+         CASE WHEN v > 0 THEN
+           CAST(m AS HUGEINT) * (1000000 - m) * 1000000 // v - 1000000
+         END AS ku
+  FROM m CROSS JOIN v
+)
+SELECT l_suppkey,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(raw_ppm AS BIGINT) AS raw_ppm,
+       CAST(CASE WHEN v = 0 THEN m
+                 WHEN ku <= 0 THEN raw_ppm
+                 ELSE (CAST(n_events AS HUGEINT) * 1000000
+                         + m * ku // 1000000) * 1000000
+                      // (CAST(n_obs AS HUGEINT) * 1000000 + ku)
+            END AS BIGINT) AS shrunk_ppm
+FROM r CROSS JOIN k
+ORDER BY l_suppkey
+"""
+
+
+def q272_map_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean average precision @10 of the q24 sign-LSH index against
+    same-label relevance (similarity.map_at_k_report) — recall@k
+    (q127) checks the truth was found, MRR (q158) prices the first
+    hit; MAP grades the ENTIRE ordering. 100-query fixed eval panel
+    (bounded by construction), per-label report."""
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 100)
+    short = similarity.sign_lsh_topk(
+        emb, q, k=10, planes_per_band=4, n_bands=16
+    )
+    ql = q.select(F.col("vec_id").alias("query_id"), "label")
+    nl = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    return similarity.map_at_k_report(short, ql, nl, k=10)
+
+
+def _oracle_q272() -> str:
+    keys = osql.sign_lsh_keys_cte_sql(
+        planes_per_band=4, n_bands=16, seed=42, dims=_EMB_DIMS
+    )
+    return f"""
+WITH {keys},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM lsh_keys q
+  JOIN lsh_keys c ON q.band = c.band AND q.bkey = c.bkey
+  WHERE q.vec_id < 100 AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS_AB} AS cs
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.query_id
+  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+),
+rk AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cs DESC, neighbor_id ASC) AS rank
+  FROM scored
+),
+sl AS (
+  SELECT p.query_id, p.rank,
+         CASE WHEN bq.label = bn.label THEN 1 ELSE 0 END AS rel
+  FROM rk p
+  JOIN embeddings bq ON bq.vec_id = p.query_id
+  JOIN embeddings bn ON bn.vec_id = p.neighbor_id
+  WHERE p.rank <= 10
+),
+terms AS (
+  SELECT query_id, rank, rel,
+         sum(rel) OVER (PARTITION BY query_id ORDER BY rank) AS relcnt
+  FROM sl
+),
+apu AS (
+  SELECT query_id,
+         sum(CASE WHEN rel = 1 THEN relcnt * 1000000 // rank
+                  ELSE 0 END) AS ap_u
+  FROM terms GROUP BY 1
+),
+lh AS (SELECT label, count(*) AS lc FROM embeddings GROUP BY 1),
+qq AS (
+  SELECT vec_id AS query_id, label FROM embeddings WHERE vec_id < 100
+),
+ap AS (
+  SELECT qq.label,
+         CASE WHEN least(lh.lc - 1, 10) > 0
+              THEN coalesce(apu.ap_u, 0) // least(lh.lc - 1, 10)
+              ELSE 0 END AS ap_ppm,
+         lh.lc
+  FROM qq JOIN lh USING (label)
+  LEFT JOIN apu ON apu.query_id = qq.query_id
+)
+SELECT label, count(*) AS n_queries,
+       CAST(max(lc - 1) AS BIGINT) AS n_relevant_total,
+       CAST(sum(ap_ppm) // count(*) AS BIGINT) AS map_ppm
+FROM ap GROUP BY 1
+"""
+
+
+def q273_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone calibration of the heuristic quality score against the
+    exact-duplicate label (quality.isotonic_calibration): the
+    closed-form minimax PAVA fit over 16 score bins, antitonic
+    (higher quality => not-higher dup rate). q198 rates the score as
+    a RANKER (AUC); this turns it into a monotone PROBABILITY, the
+    step before a threshold ships. Floor-ppm commutes with max/min,
+    so the fit is integer-exact in both engines."""
+    docs = T(spark, sf_dir, "documents").select(
+        text.fingerprint("text").alias("fp"),
+        F.round(text.quality_score("text") * 1000000, 0)
+        .cast("bigint")
+        .alias("score_u"),
+    )
+    fpc = docs.groupBy("fp").agg(F.count(F.lit(1)).alias("_g"))
+    lab = docs.join(fpc, "fp").select(
+        F.least(F.expr("score_u DIV 62500"), F.lit(15))
+        .cast("int")
+        .alias("bin"),
+        (F.col("_g") > 1).cast("int").alias("dup"),
+    )
+    return quality.isotonic_calibration(
+        lab, "bin", "dup", 16, increasing=False
+    )
+
+
+def _oracle_q273() -> str:
+    fp = osql.fingerprint_sql("text")
+    qs = osql.quality_score_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT {fp} AS fp,
+         CAST(round(({qs}) * 1000000, 0) AS BIGINT) AS score_u
+  FROM documents
+),
+fpc AS (SELECT fp, count(*) AS g FROM docs GROUP BY 1),
+lab AS (
+  SELECT CAST(least(score_u // 62500, 15) AS INT) AS bin,
+         CASE WHEN g > 1 THEN 1 ELSE 0 END AS dup
+  FROM docs JOIN fpc USING (fp)
+),
+hist AS (
+  SELECT 15 - bin AS ob, bin, count(*) AS n_obs, sum(dup) AS n_events
+  FROM lab GROUP BY 1, 2
+),
+iv AS (
+  SELECT a.ob AS a, b.ob AS b,
+         CAST(sum(t.n_events) AS HUGEINT) * 1000000
+           // sum(t.n_obs) AS rate
+  FROM hist a
+  JOIN hist b ON a.ob <= b.ob
+  JOIN hist t ON t.ob BETWEEN a.ob AND b.ob
+  GROUP BY 1, 2
+),
+im AS (
+  SELECT h.ob AS i, iv.a, min(iv.rate) AS mn
+  FROM hist h JOIN iv ON iv.a <= h.ob AND iv.b >= h.ob
+  GROUP BY 1, 2
+)
+SELECT h.bin,
+       CAST(h.n_obs AS BIGINT) AS n_obs,
+       CAST(h.n_events AS BIGINT) AS n_events,
+       CAST(CAST(h.n_events AS HUGEINT) * 1000000 // h.n_obs
+            AS BIGINT) AS raw_ppm,
+       CAST(max(im.mn) AS BIGINT) AS iso_ppm
+FROM hist h JOIN im ON im.i = h.ob
+GROUP BY 1, 2, 3, 4
+ORDER BY bin
+"""
+
+
+def q274_activity_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-presence bitmap algebra (operators/bitmaps.py): each
+    (user, event_type)'s active days packed into ONE BIGINT with
+    bit_or, then cross-type behavioral overlap answered entirely with
+    AND/OR + popcount on the packed table — 8 bytes per entity
+    instead of a row per entity-day, the cheapest co-activity
+    representation at 100 TB. Output: per event-type pair, micro and
+    macro Jaccard of active-day sets (integer ppm, no floats
+    anywhere)."""
+    from ursa_major_choir_etl_spark.operators import bitmaps
+
+    ev = T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.datediff(
+            F.to_date("ts"), F.to_date(F.lit("2024-01-01"))
+        ).alias("day_idx"),
+    )
+    bm = bitmaps.presence_bitmaps(ev, ["user_id", "event_type"], "day_idx")
+    return bitmaps.bitmap_pair_overlap(bm, "user_id", "event_type")
+
+
+ORACLE_Q274 = """
+WITH e AS (
+  SELECT user_id, event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx
+  FROM events
+),
+bm AS (
+  SELECT user_id, event_type,
+         bit_or(CAST(1 AS BIGINT) << day_idx) AS bitmap
+  FROM e WHERE day_idx BETWEEN 0 AND 62
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT a.event_type AS side_a, b.event_type AS side_b,
+         bit_count(a.bitmap & b.bitmap) AS inter,
+         bit_count(a.bitmap | b.bitmap) AS un
+  FROM bm a
+  JOIN bm b ON a.user_id = b.user_id AND a.event_type < b.event_type
+)
+SELECT side_a, side_b, count(*) AS n_entities_both,
+       CAST(sum(inter) AS BIGINT) AS sum_inter,
+       CAST(sum(un) AS BIGINT) AS sum_union,
+       CASE WHEN sum(un) > 0 THEN
+         CAST(sum(inter) * 1000000 // sum(un) AS BIGINT)
+       END AS micro_jaccard_ppm,
+       CAST(sum(CAST(inter AS BIGINT) * 1000000 // un) // count(*)
+            AS BIGINT) AS macro_jaccard_ppm
+FROM p GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q275_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size corpus sample
+    (sampling.systematic_pps_sample): 200 picks laid equally-spaced
+    along the cumulative byte-length axis — the zero-RNG, exactly-k,
+    single-pass counterpart of q103's sequential-Poisson draw, and
+    the only PPS design whose full output value-hashes against SQL.
+    The running offset is the bucketed prefix scan, never a global
+    window."""
+    from ursa_major_choir_etl_spark.operators import sampling
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("weight")
+    )
+    return sampling.systematic_pps_sample(docs, "doc_id", "weight", k=200)
+
+
+ORACLE_Q275 = """
+WITH base AS (
+  SELECT doc_id, n_chars AS weight FROM documents WHERE n_chars > 0
+),
+cum AS (
+  SELECT doc_id, weight,
+         sum(weight) OVER (ORDER BY doc_id) AS cum_weight
+  FROM base
+),
+tot AS (SELECT max(cum_weight) AS w FROM cum),
+sel AS (
+  SELECT doc_id, weight, cum_weight, greatest(w // 200, 1) AS step
+  FROM cum CROSS JOIN tot
+),
+picks AS (
+  SELECT doc_id, weight, cum_weight,
+         (cum_weight + step - 1 - step // 2) // step
+           - (cum_weight - weight + step - 1 - step // 2) // step
+           AS n_picks
+  FROM sel
+)
+SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+       CAST(cum_weight AS BIGINT) AS cum_weight,
+       CAST(n_picks AS INT) AS n_picks
+FROM picks WHERE n_picks > 0
+ORDER BY doc_id
+"""
+
+
+def q276_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust revenue trend per nation
+    (quality.theil_sen_trend): the median of all pairwise
+    month-over-month slopes — a 29% breakdown-point estimator one
+    corrupted month cannot swing, where q59's regr_slope follows a
+    single leverage point. Monthly rollup first (calendar-bounded
+    series), so the pairwise blow-up is months^2 per nation — fixed
+    by the window, not the corpus. Lower-median pick keeps the
+    statistic integer-exact."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(bdim(n, "nation"), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).alias("m_idx"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+                )
+            ).alias("rev_cents")
+        )
+    )
+    ts = quality.theil_sen_trend(
+        rev, "n_name", "m_idx", "rev_cents", slope_scale=1000
+    )
+    return ts.select(
+        "n_name",
+        F.col("n_points").alias("n_months"),
+        "n_pairs",
+        F.col("slope_scaled").alias("sen_slope_milli"),
+    )
+
+
+ORACLE_Q276 = """
+WITH rev AS (
+  SELECT n_name,
+         year(o_orderdate) * 12 + month(o_orderdate) AS m_idx,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.n_name,
+         CAST(b.rev_cents - a.rev_cents AS HUGEINT) * 1000
+           // (b.m_idx - a.m_idx) AS s
+  FROM rev a JOIN rev b ON a.n_name = b.n_name AND a.m_idx < b.m_idx
+),
+ranked AS (
+  SELECT n_name, s,
+         row_number() OVER (PARTITION BY n_name ORDER BY s) AS rn,
+         count(*) OVER (PARTITION BY n_name) AS np
+  FROM pairs
+),
+nx AS (SELECT n_name, count(*) AS n_months FROM rev GROUP BY 1)
+SELECT r.n_name,
+       CAST(nx.n_months AS BIGINT) AS n_months,
+       CAST(r.np AS BIGINT) AS n_pairs,
+       CAST(r.s AS BIGINT) AS sen_slope_milli
+FROM ranked r JOIN nx USING (n_name)
+WHERE rn = (np + 1) // 2
+ORDER BY n_name
+"""
+
+
+
+def q277_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing of monthly revenue per region
+    (forecast.holt_linear_smoothing): level+trend state with exact
+    integer alpha=0.2 / beta=0.1 steps, the forecasting layer above
+    q161's seasonal baseline and q243's AR(1) persistence. The rollup
+    is the only data-sized work; the inherently sequential recurrence
+    runs on the collected calendar-bounded series as driver model
+    state (the q90/q267 rule), replayed bit-for-bit by a recursive
+    CTE in the oracle. Truncating division throughout — trend goes
+    negative, where Python floor would diverge from both engines."""
+    from ursa_major_choir_etl_spark.operators import forecast
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(bdim(n, "nation"), c.c_nationkey == n.n_nationkey)
+        .join(bdim(r, "region"), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            "r_name",
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).alias("m_idx"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+                )
+            ).alias("rev_cents")
+        )
+    )
+    return forecast.holt_linear_smoothing(
+        spark, rev, "r_name", "m_idx", "rev_cents",
+        alpha_tenths=2, beta_tenths=1,
+    )
+
+
+ORACLE_Q277 = """
+WITH RECURSIVE rev AS (
+  SELECT r_name,
+         year(o_orderdate) * 12 + month(o_orderdate) AS m_idx,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT r_name, m_idx, y,
+         row_number() OVER (PARTITION BY r_name ORDER BY m_idx) AS rn,
+         lead(y) OVER (PARTITION BY r_name ORDER BY m_idx) AS y_next
+  FROM rev
+),
+rec AS (
+  SELECT r_name, rn, m_idx, y, y AS l,
+         coalesce(y_next - y, 0) AS b,
+         CAST(NULL AS BIGINT) AS f,
+         CAST(NULL AS BIGINT) AS resid
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT m.r_name, m.rn, m.m_idx, m.y,
+         (2 * m.y + 8 * (r.l + r.b)) // 10,
+         ((2 * m.y + 8 * (r.l + r.b)) // 10 - r.l + 9 * r.b) // 10,
+         r.l + r.b,
+         m.y - (r.l + r.b)
+  FROM rec r JOIN s m ON m.r_name = r.r_name AND m.rn = r.rn + 1
+)
+SELECT r_name, CAST(m_idx AS BIGINT) AS m_idx,
+       CAST(y AS BIGINT) AS rev_cents,
+       CAST(l AS BIGINT) AS level, CAST(b AS BIGINT) AS trend,
+       CAST(f AS BIGINT) AS fitted, CAST(resid AS BIGINT) AS resid
+FROM rec ORDER BY r_name, m_idx
+"""
+
+
+def q278_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Kendall tau-b between binned doc length and
+    lexical diversity per source (quality.kendall_tau_b) — the
+    concordance-probability view of the q150 Spearman signal pair:
+    "pick two docs; how often do the two signals order them the same
+    way". Contingency-cell pair counting (bins are part of the
+    semantics) keeps post-histogram work bins^2 per source; the
+    denominator isqrt is the float-seeded two-correction exact
+    pattern."""
+    docs = T(spark, sf_dir, "documents")
+    toked = docs.select(
+        "source",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias(
+            "_t"
+        ),
+    ).filter(F.size("_t") > 0)
+    sig = toked.select(
+        "source",
+        F.expr("CAST(least(size(_t) DIV 50, 19) AS INT)").alias("xb"),
+        F.expr(
+            "CAST(least(size(array_distinct(_t)) DIV 20, 19) AS INT)"
+        ).alias("yb"),
+    )
+    return quality.kendall_tau_b(sig, "source", "xb", "yb")
+
+
+ORACLE_Q278 = """
+WITH sig AS (
+  SELECT source AS g,
+         least(len(t) // 50, 19) AS x,
+         least(len(list_distinct(t)) // 20, 19) AS y
+  FROM (SELECT source,
+               regexp_extract_all(lower(text), '[a-z]+') AS t
+        FROM documents)
+  WHERE len(t) > 0
+),
+cells AS (SELECT g, x, y, count(*) AS n FROM sig GROUP BY 1, 2, 3),
+tots AS (SELECT g, sum(n) AS nt FROM cells GROUP BY 1),
+txm AS (
+  SELECT g, sum(CAST(nx AS HUGEINT) * (nx - 1)) AS tx2
+  FROM (SELECT g, x, sum(n) AS nx FROM cells GROUP BY 1, 2)
+  GROUP BY 1
+),
+tym AS (
+  SELECT g, sum(CAST(ny AS HUGEINT) * (ny - 1)) AS ty2
+  FROM (SELECT g, y, sum(n) AS ny FROM cells GROUP BY 1, 2)
+  GROUP BY 1
+),
+cd AS (
+  SELECT a.g,
+         sum(CASE WHEN a.y < b.y THEN CAST(a.n AS HUGEINT) * b.n
+                  ELSE 0 END) AS c,
+         sum(CASE WHEN a.y > b.y THEN CAST(a.n AS HUGEINT) * b.n
+                  ELSE 0 END) AS d
+  FROM cells a JOIN cells b ON a.g = b.g AND a.x < b.x
+  GROUP BY 1
+),
+j AS (
+  SELECT t.g, t.nt, coalesce(cd.c, 0) AS c, coalesce(cd.d, 0) AS d,
+         (CAST(t.nt AS HUGEINT) * (t.nt - 1) - tx2)
+           * (CAST(t.nt AS HUGEINT) * (t.nt - 1) - ty2) AS prod
+  FROM tots t
+  JOIN txm USING (g) JOIN tym USING (g) LEFT JOIN cd USING (g)
+),
+w AS (
+  SELECT *, CAST(floor(sqrt(CAST(prod AS DOUBLE))) AS HUGEINT) AS s0
+  FROM j
+),
+w1 AS (
+  SELECT *, s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= prod
+                       THEN 1 ELSE 0 END) AS s1
+  FROM w
+),
+w2 AS (
+  SELECT *, s1 - (CASE WHEN s1 * s1 > prod THEN 1 ELSE 0 END) AS rt
+  FROM w1
+)
+SELECT g AS source, CAST(nt AS BIGINT) AS n_rows,
+       CAST(c AS BIGINT) AS n_concordant,
+       CAST(d AS BIGINT) AS n_discordant,
+       CASE WHEN rt > 0 THEN
+         CAST((c - d) * 2000000 // rt AS BIGINT)
+       END AS tau_b_ppm
+FROM w2 ORDER BY source
+"""
+
+
+def q279_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha over three heuristic quality raters
+    (quality.krippendorff_alpha_nominal): the composite-score gate,
+    the bare length gate, and a diversity gate that ABSTAINS on short
+    docs — the multi-rater, missing-data generalization of q218's
+    two-rater Cohen kappa, the reliability number an annotation-ops
+    team quotes before trusting a label set. Single-row output, all
+    aggregates map-side combinable."""
+    docs = T(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.when(text.quality_score("text") >= 0.30, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("ra"),
+        F.when(text.token_count("text") >= 50, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("rb"),
+        F.when(
+            F.col("n_chars") >= 200,
+            F.when(
+                F.expr(
+                    "size(array_distinct(regexp_extract_all(lower(text),"
+                    " '[a-z]+', 0))) * 2 >="
+                    " size(regexp_extract_all(lower(text), '[a-z]+', 0))"
+                ),
+                F.lit("keep"),
+            ).otherwise(F.lit("drop")),
+        ).alias("rc"),
+    )
+    ratings = base.select(
+        "doc_id",
+        F.explode(F.array("ra", "rb", "rc")).alias("val"),
+    ).filter(F.col("val").isNotNull())
+    return quality.krippendorff_alpha_nominal(ratings, "doc_id", "val")
+
+
+def _oracle_q279() -> str:
+    qs = osql.quality_score_sql("text")
+    tc = osql.token_count_sql("text")
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN ({qs}) >= 0.30 THEN 'keep' ELSE 'drop' END AS ra,
+         CASE WHEN ({tc}) >= 50 THEN 'keep' ELSE 'drop' END AS rb,
+         CASE WHEN n_chars >= 200 THEN
+           CASE WHEN len(list_distinct(
+                        regexp_extract_all(lower(text), '[a-z]+'))) * 2
+                     >= len(regexp_extract_all(lower(text), '[a-z]+'))
+                THEN 'keep' ELSE 'drop' END
+         END AS rc
+  FROM documents
+),
+ratings AS (
+  SELECT doc_id, val FROM (
+    SELECT doc_id, unnest([ra, rb, rc]) AS val FROM base
+  ) WHERE val IS NOT NULL
+),
+uc AS (
+  SELECT doc_id AS u, val AS v, count(*) AS nuc
+  FROM ratings GROUP BY 1, 2
+),
+per_u AS (
+  SELECT u, sum(nuc) AS mu,
+         sum(CAST(nuc AS HUGEINT) * nuc) AS sn2
+  FROM uc GROUP BY 1 HAVING sum(nuc) >= 2
+),
+s AS (
+  SELECT count(*) AS n_units, sum(mu) AS n,
+         sum((CAST(mu AS HUGEINT) * mu - sn2) * 1000000 // (mu - 1))
+           AS sq
+  FROM per_u
+),
+nc AS (
+  SELECT uc.v, sum(uc.nuc) AS nct
+  FROM uc JOIN per_u ON per_u.u = uc.u
+  GROUP BY 1
+),
+e AS (SELECT sum(CAST(nct AS HUGEINT) * nct) AS se2 FROM nc)
+SELECT CAST(n_units AS BIGINT) AS n_units,
+       CAST(n AS BIGINT) AS n_ratings,
+       CASE WHEN CAST(n AS HUGEINT) * n - se2 > 0 THEN
+         CAST(1000000 - sq * (n - 1)
+              // (CAST(n AS HUGEINT) * n - se2) AS BIGINT)
+       END AS alpha_ppm
+FROM s CROSS JOIN e
+"""
+
+
+
+def q280_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture coverage estimate
+    (dedup.capture_recapture_estimate): the q20 Jaccard catch and the
+    q108 SimHash catch as two independent samples of the unknown true
+    near-dup pair population — the only way to put a number on "how
+    many duplicates are we MISSING" when no ground truth exists
+    (correlated detectors bias the estimate low; it reads as a lower
+    bound). Runs entirely on the two materialized pair artifacts, so
+    the marginal cost is pair-table-sized."""
+    lsh = jaccard_pairs_table(spark, sf_dir, threshold=0.5)
+    sim = simhash_pairs_table(spark, sf_dir, max_hamming=3, bands=4)
+    est = dedup.capture_recapture_estimate(
+        lsh, sim, ["id_a", "id_b"]
+    )
+    return est.select(
+        F.col("n_pairs_a").alias("n_jaccard_pairs"),
+        F.col("n_pairs_b").alias("n_simhash_pairs"),
+        "n_both",
+        "est_total_pairs",
+        F.col("coverage_a_ppm").alias("jaccard_coverage_ppm"),
+        F.col("coverage_b_ppm").alias("simhash_coverage_ppm"),
+    )
+
+
+def _oracle_q280() -> str:
+    return f"""
+WITH lsh AS (SELECT id_a, id_b FROM ({_oracle_q20()}) t1),
+sim AS (SELECT id_a, id_b FROM ({_oracle_q108()}) t2),
+counts AS (
+  SELECT (SELECT count(*) FROM lsh) AS n_a,
+         (SELECT count(*) FROM sim) AS n_b,
+         (SELECT count(*) FROM lsh JOIN sim USING (id_a, id_b))
+           AS n_both
+),
+est AS (
+  SELECT *,
+         (CAST(n_a AS HUGEINT) + 1) * (n_b + 1) // (n_both + 1) - 1
+           AS est_total
+  FROM counts
+)
+SELECT CAST(n_a AS BIGINT) AS n_jaccard_pairs,
+       CAST(n_b AS BIGINT) AS n_simhash_pairs,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(est_total AS BIGINT) AS est_total_pairs,
+       CASE WHEN est_total > 0 THEN
+         CAST(CAST(n_a AS HUGEINT) * 1000000 // est_total AS BIGINT)
+       END AS jaccard_coverage_ppm,
+       CASE WHEN est_total > 0 THEN
+         CAST(CAST(n_b AS HUGEINT) * 1000000 // est_total AS BIGINT)
+       END AS simhash_coverage_ppm
+FROM est
+"""
+
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -15852,6 +16619,17 @@ QUERIES = {
     "q267_bradley_terry": q267_bradley_terry,
     "q268_dbscan_neighborhoods": q268_dbscan_neighborhoods,
     "q269_neyman_allocation": q269_neyman_allocation,
+    "q270_nelson_aalen_repeat": q270_nelson_aalen_repeat,
+    "q271_eb_return_rates": q271_eb_return_rates,
+    "q272_map_at_10": q272_map_at_10,
+    "q273_isotonic_calibration": q273_isotonic_calibration,
+    "q274_activity_bitmaps": q274_activity_bitmaps,
+    "q275_systematic_pps": q275_systematic_pps,
+    "q276_theil_sen_trend": q276_theil_sen_trend,
+    "q277_holt_linear": q277_holt_linear,
+    "q278_kendall_tau": q278_kendall_tau,
+    "q279_krippendorff_alpha": q279_krippendorff_alpha,
+    "q280_capture_recapture": q280_capture_recapture,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -16178,4 +16956,15 @@ ORACLES: dict[str, str | None] = {
     "q267_bradley_terry": _oracle_q267(),
     "q268_dbscan_neighborhoods": ORACLE_Q268,
     "q269_neyman_allocation": ORACLE_Q269,
+    "q270_nelson_aalen_repeat": ORACLE_Q270,
+    "q271_eb_return_rates": ORACLE_Q271,
+    "q272_map_at_10": _oracle_q272(),
+    "q273_isotonic_calibration": _oracle_q273(),
+    "q274_activity_bitmaps": ORACLE_Q274,
+    "q275_systematic_pps": ORACLE_Q275,
+    "q276_theil_sen_trend": ORACLE_Q276,
+    "q277_holt_linear": ORACLE_Q277,
+    "q278_kendall_tau": ORACLE_Q278,
+    "q279_krippendorff_alpha": _oracle_q279(),
+    "q280_capture_recapture": _oracle_q280(),
 }

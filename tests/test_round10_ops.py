@@ -116,16 +116,18 @@ class TestRound10Registry:
         from ursa_major_choir_etl_spark.plans.queries import ORACLES, QUERIES
 
         ks = list(QUERIES)
-        assert len(ks) == 269
+        assert len(ks) == 280
         assert [k[:5] for k in ks[:3]] == ["q237_", "q238_", "q239_"]
-        # the whole never-graded band (q237-q269) precedes everything
+        # the whole never-graded band (q237-q280) precedes everything
         head = [k for k in ks if int(k[1:k.index("_")]) >= 237]
         assert ks[: len(head)] == sorted(
             head, key=lambda k: int(k[1 : k.index("_")])
         )
         for q in ("q252_", "q253_", "q254_", "q255_", "q256_", "q257_",
                   "q258_", "q259_", "q260_", "q261_", "q262_", "q263_",
-                  "q264_", "q265_", "q266_", "q267_", "q268_", "q269_"):
+                  "q264_", "q265_", "q266_", "q267_", "q268_", "q269_",
+                  "q270_", "q271_", "q272_", "q273_", "q274_", "q275_",
+                  "q276_", "q277_", "q278_", "q279_", "q280_"):
             key = next(k for k in ks if k.startswith(q))
             assert ORACLES[key]  # full value oracle, not rows-only
 

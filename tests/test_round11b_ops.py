@@ -686,3 +686,82 @@ class TestCaptureRecapture:
         r = capture_recapture_estimate(a, b, ["id_a", "id_b"]).collect()[0]
         assert r["est_total_pairs"] == 0
         assert r["coverage_a_ppm"] is None
+
+
+class TestStreamingBitmapStore:
+    def _write_src(self, spark, tmp, rows):
+        spark.createDataFrame(rows, "k string, pos int").repartition(
+            3
+        ).write.mode("overwrite").parquet(tmp)
+
+    def test_drained_store_equals_batch_pack(self, spark, tmp_path_factory):
+        """After draining multi-batch input, the bitmap store equals a
+        one-shot batch pack — the lossless OR-merge property."""
+        from ursa_major_choir_etl_spark.operators.bitmaps import (
+            presence_bitmaps,
+        )
+        from ursa_major_choir_etl_spark.streaming import jobs
+
+        src = str(tmp_path_factory.mktemp("bm_src"))
+        wh = str(tmp_path_factory.mktemp("bm_wh"))
+        rows = [(f"u{i % 7}", (i * 11) % 70 - 3) for i in range(400)]
+        self._write_src(spark, src, rows)
+        stream = (
+            spark.readStream.schema("k string, pos int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        jobs.streaming_presence_bitmap_sink(
+            stream, wh, "bm", key_col="k", position_col="pos"
+        ).awaitTermination(180)
+        got = {
+            (r["k"], r["bitmap"])
+            for r in jobs.read_presence_bitmap_store(spark, wh, "bm").collect()
+        }
+        df = spark.createDataFrame(rows, "k string, pos int")
+        want = {
+            (r["k"], r["bitmap"])
+            for r in presence_bitmaps(df, ["k"], "pos").collect()
+        }
+        assert got == want and got
+
+    def test_replayed_batch_is_noop(self, spark, tmp_path_factory):
+        """Draining the SAME source into the same store twice (a full
+        replay) leaves the bitmaps unchanged — OR idempotence plus the
+        generation layout."""
+        from ursa_major_choir_etl_spark.streaming import jobs
+
+        src = str(tmp_path_factory.mktemp("bm_src2"))
+        wh = str(tmp_path_factory.mktemp("bm_wh2"))
+        rows = [("a", 1), ("a", 5), ("b", 62), ("b", 0)]
+        self._write_src(spark, src, rows)
+
+        def drain():
+            stream = (
+                spark.readStream.schema("k string, pos int")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            jobs.streaming_presence_bitmap_sink(
+                stream, wh, "bm", key_col="k", position_col="pos"
+            ).awaitTermination(180)
+
+        drain()
+        first = sorted(
+            (r["k"], r["bitmap"])
+            for r in jobs.read_presence_bitmap_store(spark, wh, "bm").collect()
+        )
+        drain()
+        second = sorted(
+            (r["k"], r["bitmap"])
+            for r in jobs.read_presence_bitmap_store(spark, wh, "bm").collect()
+        )
+        assert first == second == [("a", 34), ("b", (1 << 62) | 1)]
+
+    def test_missing_store_reads_empty(self, spark, tmp_path_factory):
+        from ursa_major_choir_etl_spark.streaming import jobs
+
+        wh = str(tmp_path_factory.mktemp("bm_wh3"))
+        assert (
+            jobs.read_presence_bitmap_store(spark, wh, "nope").count() == 0
+        )

@@ -16633,17 +16633,17 @@ QUERIES = {
 }
 
 # The driver grades a prefix window of this registry (50 entries per
-# round). Coverage ledger entering round 11: round 10 graded
-# q187–q236 (50/50 green, CORRECTNESS_r10.json), so the only rows
-# NEVER driver-graded are q237–q262 plus this round's registrations
-# (q263+). Round-11 priority order:
-#   1. the never-graded head q237+ in ascending q-number order
-#      (26 rows entering the round — fewer than the window, so the
-#      window reaches into bucket 2);
+# round). Coverage ledger entering round 12: round 10 graded
+# q187–q236 (50/50 green, CORRECTNESS_r10.json); rows NEVER
+# driver-graded are q237–q280 (round-10/11 registrations — 44 rows).
+# Round-12 priority order:
+#   1. the never-graded tail q237–q280 in ascending q-number order
+#      (44 rows — fewer than the window, so the window reaches into
+#      bucket 2);
 #   2. everything else by grading age (stalest first): the
-#      round-5-era block (q10–q48 core, last graded 6 rounds ago),
-#      then round-6, round-7 (q01–q09 among them), r8+r9-graded
-#      q137–q186, and finally the r10-graded q187–q236.
+#      round-5-era block (q10–q48 core), then round-6, round-7
+#      (q01–q09 among them), r8+r9-graded q137–q186, and finally
+#      the r10-graded q187–q236.
 # tools/check_oracles.py remains the all-registry local sweep
 # (CORRECTNESS_LOCAL_ALL.txt / _SF01.txt) — re-run at the closing
 # tree, so every row outside the window has same-tree local evidence.

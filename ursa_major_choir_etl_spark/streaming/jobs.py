@@ -1205,3 +1205,92 @@ def hll_store_estimates(regs: DataFrame) -> DataFrame:
             ).alias("est_distinct"),
         )
     )
+
+
+def streaming_presence_bitmap_sink(
+    stream: DataFrame,
+    warehouse: str,
+    name: str,
+    key_col: str = "k",
+    position_col: str = "pos",
+    checkpoint_dir: str | None = None,
+):
+    """Streaming maintenance of presence bitmaps
+    (operators/bitmaps.py): each micro-batch's (key, position) rows
+    pack into per-key BIGINT day-set words that OR-merge into the
+    persisted store. Like the HLL register store above, the merge is
+    lossless and order-free (OR is idempotent, commutative,
+    associative), so the store after any replay or reorder of batches
+    is byte-identical to a one-shot batch pack — the parity the test
+    pins — and double-applying a replayed batch is a no-op.
+
+    Store layout: the generation-per-micro-batch scheme shared with
+    the CC-label and HLL stores (readers take max(gen); a replayed
+    batch merges only generations BELOW its own id and overwrites its
+    own partition). Each generation rewrites one row per ACTIVE key —
+    entity-cardinality, constant in event volume. Positions outside
+    [0, 62] are excluded (the bitmaps module's signed-word domain
+    cap)."""
+    from ursa_major_choir_etl_spark.operators.bitmaps import MAX_POSITION
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os as _os
+
+        spark_l = batch_df.sparkSession
+        path = _os.path.join(warehouse, name)
+        prev = read_presence_bitmap_store(
+            spark_l, warehouse, name, before_gen=int(batch_id)
+        )
+        pos = F.col(position_col)
+        fresh = (
+            batch_df.filter((pos >= 0) & (pos <= MAX_POSITION))
+            .groupBy(F.col(key_col).alias("k"))
+            .agg(
+                F.expr(
+                    f"bit_or(shiftleft(CAST(1 AS BIGINT), {position_col}))"
+                ).alias("bitmap")
+            )
+        )
+        merged = (
+            prev.unionByName(fresh)
+            .groupBy("k")
+            .agg(F.expr("bit_or(bitmap)").alias("bitmap"))
+        )
+        (
+            merged.withColumn("gen", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("gen")
+            .parquet(path)
+        )
+        _prune_generations(path, int(batch_id))
+
+    writer = stream.writeStream.foreachBatch(merge_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def read_presence_bitmap_store(
+    spark, warehouse: str, name: str, before_gen: int | None = None
+) -> DataFrame:
+    """Current (k, bitmap) rows accumulated by
+    streaming_presence_bitmap_sink — newest generation, optionally
+    the newest BELOW ``before_gen`` (the replay-safe merge view).
+    Missing store -> empty; real read failures propagate (the
+    history-erasure rule the CC label reader documents)."""
+    import os as _os
+
+    empty = spark.createDataFrame([], "k string, bitmap long")
+    path = _os.path.join(warehouse, name)
+    if not _hadoop_path_exists(spark, path):
+        return empty
+    df = spark.read.parquet(path)
+    if before_gen is not None:
+        df = df.filter(F.col("gen") < before_gen)
+    mx = df.agg(F.max("gen")).first()[0]
+    if mx is None:
+        return empty
+    return df.filter(F.col("gen") == mx).select("k", "bitmap")

@@ -266,3 +266,21 @@ class TestArtifactConsumersPlanAsScans:
         plan = plan_of(registry[qname](spark, SF_DIR))
         assert "cc_labels" in plan, qname
         assert "ExistingRDD" not in plan, qname
+
+    @pytest.mark.parametrize(
+        "qname",
+        [
+            "q24_lsh_ann",
+            "q127_ann_recall",
+            "q158_ann_mrr",
+            "q272_map_at_10",
+        ],
+    )
+    def test_lsh_consumers_scan_signature_artifact(
+        self, spark, registry, qname
+    ):
+        """Every consumer of the sign-LSH index probes the SAME
+        materialized signature artifact (corpus side is a parquet
+        scan), instead of re-keying the corpus per query panel."""
+        plan = plan_of(registry[qname](spark, SF_DIR))
+        assert "lsh_sigs" in plan, qname

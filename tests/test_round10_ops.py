@@ -116,7 +116,7 @@ class TestRound10Registry:
         from ursa_major_choir_etl_spark.plans.queries import ORACLES, QUERIES
 
         ks = list(QUERIES)
-        assert len(ks) == 280
+        assert len(ks) == 282
         assert [k[:5] for k in ks[:3]] == ["q237_", "q238_", "q239_"]
         # the whole never-graded band (q237-q280) precedes everything
         head = [k for k in ks if int(k[1:k.index("_")]) >= 237]
@@ -127,7 +127,8 @@ class TestRound10Registry:
                   "q258_", "q259_", "q260_", "q261_", "q262_", "q263_",
                   "q264_", "q265_", "q266_", "q267_", "q268_", "q269_",
                   "q270_", "q271_", "q272_", "q273_", "q274_", "q275_",
-                  "q276_", "q277_", "q278_", "q279_", "q280_"):
+                  "q276_", "q277_", "q278_", "q279_", "q280_",
+                  "q281_", "q282_"):
             key = next(k for k in ks if k.startswith(q))
             assert ORACLES[key]  # full value oracle, not rows-only
 

@@ -765,3 +765,139 @@ class TestStreamingBitmapStore:
         assert (
             jobs.read_presence_bitmap_store(spark, wh, "nope").count() == 0
         )
+
+
+class TestRboTopk:
+    @staticmethod
+    def _reference(list_a, list_b, k=10, p_tenths=9):
+        """Truncated quantized RBO of two ranked item lists."""
+        total = 0
+        n_common = 0
+        for d in range(1, k + 1):
+            ov = len(set(list_a[:d]) & set(list_b[:d]))
+            if d == k:
+                n_common = ov
+            total += ov * 1_000_000 * (10 - p_tenths) * p_tenths ** (
+                d - 1
+            ) // (10 ** d * d)
+        return n_common, total
+
+    def _ranks_df(self, spark, list_a, list_b):
+        items = sorted(set(list_a) | set(list_b))
+        rows = []
+        for it in items:
+            ra = list_a.index(it) + 1 if it in list_a else None
+            rb = list_b.index(it) + 1 if it in list_b else None
+            rows.append(("g", it, ra, rb))
+        return spark.createDataFrame(
+            rows, "g string, item int, ra int, rb int"
+        )
+
+    def test_matches_pure_python(self, spark):
+        from ursa_major_choir_etl_spark.operators.quality import rbo_topk
+
+        la = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+        lb = [2, 1, 3, 11, 5, 12, 7, 13, 9, 14]
+        df = self._ranks_df(spark, la, lb)
+        r = rbo_topk(df, "g", "item", "ra", "rb").collect()[0]
+        n_common, want = self._reference(la, lb)
+        assert r["rbo_ppm"] == want
+        assert r["n_common"] == n_common
+
+    def test_identical_lists_near_one(self, spark):
+        from ursa_major_choir_etl_spark.operators.quality import rbo_topk
+
+        la = list(range(1, 11))
+        df = self._ranks_df(spark, la, la)
+        r = rbo_topk(df, "g", "item", "ra", "rb").collect()[0]
+        _, want = self._reference(la, la)
+        assert r["rbo_ppm"] == want
+        # truncated-at-10 RBO of identical lists: 1 - p^10 - tail quantization
+        assert 600_000 < r["rbo_ppm"] <= 1_000_000
+        assert r["n_common"] == 10
+
+    def test_disjoint_lists_zero(self, spark):
+        from ursa_major_choir_etl_spark.operators.quality import rbo_topk
+
+        df = self._ranks_df(spark, list(range(1, 11)), list(range(11, 21)))
+        r = rbo_topk(df, "g", "item", "ra", "rb").collect()[0]
+        assert r["rbo_ppm"] == 0 and r["n_common"] == 0
+
+    def test_head_swap_beats_tail_swap(self, spark):
+        """The defining property vs tau: disagreement at the head
+        costs more than the same disagreement at the tail."""
+        from ursa_major_choir_etl_spark.operators.quality import rbo_topk
+
+        base = list(range(1, 11))
+        head_swapped = [2, 1] + base[2:]
+        tail_swapped = base[:8] + [10, 9]
+        rh = rbo_topk(
+            self._ranks_df(spark, base, head_swapped), "g", "item", "ra", "rb"
+        ).collect()[0]["rbo_ppm"]
+        rt = rbo_topk(
+            self._ranks_df(spark, base, tail_swapped), "g", "item", "ra", "rb"
+        ).collect()[0]["rbo_ppm"]
+        assert rh < rt
+
+
+class TestDegreeAssortativity:
+    @staticmethod
+    def _reference(edges):
+        from collections import Counter
+
+        deg = Counter()
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        m2 = 2 * len(edges)
+        sjk = sum(2 * deg[a] * deg[b] for a, b in edges)
+        sj = sum(deg[a] + deg[b] for a, b in edges)
+        sj2 = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in edges)
+        num = m2 * sjk - sj * sj
+        den = m2 * sj2 - sj * sj
+        if den <= 0:
+            return len(deg), len(edges), None
+        q = abs(num) * 1_000_000 // den
+        return len(deg), len(edges), q if num >= 0 else -q
+
+    def test_matches_pure_python_star_graph(self, spark):
+        """A star is maximally disassortative: hub degree n, leaves 1."""
+        from ursa_major_choir_etl_spark.operators.graph import (
+            degree_assortativity,
+        )
+
+        edges = [(0, i) for i in range(1, 7)] + [(1, 2)]
+        df = spark.createDataFrame(edges, "id_a int, id_b int")
+        r = degree_assortativity(df).collect()[0]
+        nn, ne, want = self._reference(edges)
+        assert (r["n_nodes"], r["n_edges"]) == (nn, ne)
+        assert r["assortativity_ppm"] == want
+        assert r["assortativity_ppm"] < 0  # hub-and-spoke
+
+    def test_two_cliques_positive(self, spark):
+        """Two disjoint cliques of different sizes: degree correlates
+        with neighbor degree -> assortative."""
+        from itertools import combinations
+
+        from ursa_major_choir_etl_spark.operators.graph import (
+            degree_assortativity,
+        )
+
+        edges = list(combinations(range(5), 2)) + list(
+            combinations(range(10, 13), 2)
+        )
+        df = spark.createDataFrame(edges, "id_a int, id_b int")
+        r = degree_assortativity(df).collect()[0]
+        _, _, want = self._reference(edges)
+        assert r["assortativity_ppm"] == want
+        assert r["assortativity_ppm"] == 1_000_000  # exactly regular within components
+
+    def test_perfect_matching_degenerate(self, spark):
+        from ursa_major_choir_etl_spark.operators.graph import (
+            degree_assortativity,
+        )
+
+        edges = [(1, 2), (3, 4), (5, 6)]
+        df = spark.createDataFrame(edges, "id_a int, id_b int")
+        r = degree_assortativity(df).collect()[0]
+        assert r["assortativity_ppm"] is None  # all degrees equal

@@ -302,3 +302,81 @@ def resource_allocation_link_prediction(
         .orderBy(F.desc("score_ppm"), "id_a", "id_b")
         .limit(top_n)
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over all edges — POSITIVE when
+    high-degree nodes attach to each other (a template-cluster corpus
+    in the near-dup graph: dup-heavy docs link among themselves),
+    NEGATIVE for hub-and-spoke shapes (one boilerplate page linked by
+    everything). The one-number shape diagnostic to read next to the
+    q174 cluster-size spectrum.
+
+    ``edges`` holds each undirected edge ONCE (id_a < id_b, the pair
+    artifacts' contract); the statistic is computed over both ordered
+    directions, which by symmetry reduces to three integer sums over
+    the once-stored edges:
+
+        S_jk = sum(d_a * d_b),  S_j = sum(d_a + d_b),
+        S_j2 = sum(d_a^2 + d_b^2),  over M2 = 2M ordered pairs
+        r = (M2 * 2*S_jk - S_j^2) / (M2 * S_j2 - S_j^2)
+
+    — the Pearson square root disappears: both ordered directions are
+    counted, so the source- and target-degree variances COINCIDE and
+    sqrt(v*v) == v, making the statistic fully integer (floor-ppm at
+    the single final division), all in DECIMAL(38,0). Shape:
+    one degree aggregate (edge-cardinality), one broadcast join back,
+    one global aggregate. Output single row:
+    (n_nodes, n_edges, assortativity_ppm) — NULL when degenerate
+    (all degrees equal: zero variance, e.g. a perfect matching).
+    """
+    both = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    )
+    deg = (
+        both.select(F.col("u").alias("n"))
+        .unionAll(both.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    from ursa_major_choir_etl_spark.caching import stage
+
+    deg = stage(deg)
+    da = deg.select(F.col("n").alias("u"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("v"), F.col("d").alias("db"))
+    j = both.join(da, "u").join(db, "v")
+    sums = j.agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.sum(F.expr("CAST(da AS DECIMAL(38,0)) * db")).alias("_sjk"),
+        F.sum(F.expr("CAST(da AS DECIMAL(38,0)) + db")).alias("_sj"),
+        F.sum(
+            F.expr(
+                "CAST(da AS DECIMAL(38,0)) * da"
+                " + CAST(db AS DECIMAL(38,0)) * db"
+            )
+        ).alias("_sj2"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    out = (
+        sums.crossJoin(F.broadcast(nn))
+        .withColumn("_m2", F.expr("CAST(2 AS DECIMAL(38,0)) * _m"))
+        .withColumn("_num", F.expr("_m2 * 2 * _sjk - _sj * _sj"))
+        .withColumn("_den2", F.expr("_m2 * _sj2 - _sj * _sj"))
+    )
+    # By symmetry (each edge counted in both directions) the two
+    # degree-variance factors under the square root coincide, so
+    # sqrt((M2*Sj2 - Sj^2)^2) == _den2 EXACTLY — no isqrt needed at
+    # all, which is why this statistic can be fully integer.
+    return out.select(
+        "n_nodes",
+        F.col("_m").alias("n_edges"),
+        F.expr(
+            "CASE WHEN _den2 > 0 THEN"
+            " CAST(_num * 1000000 DIV _den2 AS BIGINT) END"
+        ).alias("assortativity_ppm"),
+    )

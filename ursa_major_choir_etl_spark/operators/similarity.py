@@ -513,6 +513,7 @@ def sign_lsh_topk(
     planes_per_band: int = 4,
     n_bands: int = 16,
     seed: int = 42,
+    corpus_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via deterministic sign-LSH: candidates are
     corpus vectors sharing >= 1 band signature with the query; exact
@@ -530,13 +531,25 @@ def sign_lsh_topk(
     keyed by (band, key); only ids travel through the candidate join,
     vectors are re-attached once per distinct candidate. The query
     side is broadcast (a query batch is small by definition).
+    ``corpus_keys`` (columns vec_id/band/bkey) skips the corpus
+    signature pass entirely — pass the materialized signature
+    artifact so every consumer of one index probes the SAME built
+    index instead of re-keying the corpus per query set (the IVF
+    artifact rule).
     Output: (query_id, neighbor_id, cosine_sim, rank).
     """
     from pyspark.sql import Window
 
-    c_keys = banded_signatures(
-        corpus, id_col, vec_col, planes_per_band, n_bands, seed
-    ).select(F.col("_id").alias("neighbor_id"), "_band", "_key")
+    if corpus_keys is not None:
+        c_keys = corpus_keys.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("band").alias("_band"),
+            F.col("bkey").alias("_key"),
+        )
+    else:
+        c_keys = banded_signatures(
+            corpus, id_col, vec_col, planes_per_band, n_bands, seed
+        ).select(F.col("_id").alias("neighbor_id"), "_band", "_key")
     q_keys = banded_signatures(
         queries, id_col, vec_col, planes_per_band, n_bands, seed
     ).select(F.col("_id").alias("query_id"), "_band", "_key")

@@ -901,3 +901,49 @@ class TestDegreeAssortativity:
         df = spark.createDataFrame(edges, "id_a int, id_b int")
         r = degree_assortativity(df).collect()[0]
         assert r["assortativity_ppm"] is None  # all degrees equal
+
+
+class TestLshSignatureArtifact:
+    def test_artifact_equals_direct_signatures(self, spark):
+        """The materialized (vec_id, band, bkey) table is row-identical
+        to a direct banded_signatures pass — the artifact never drifts
+        from the operator that defines it."""
+        from ursa_major_choir_etl_spark.operators.similarity import (
+            banded_signatures,
+        )
+        from ursa_major_choir_etl_spark.plans import queries as Q
+
+        sf = "/root/testdata/sf0.001"
+        art = {
+            (r["vec_id"], r["band"], r["bkey"])
+            for r in Q.lsh_signatures_table(spark, sf).collect()
+        }
+        direct = {
+            (r["_id"], r["_band"], r["_key"])
+            for r in banded_signatures(
+                Q.T(spark, sf, "embeddings"),
+                "vec_id", "embedding", 4, 16, seed=42,
+            ).select("_id", "_band", "_key").collect()
+        }
+        assert art == direct and art
+
+    def test_topk_with_artifact_equals_without(self, spark):
+        """sign_lsh_topk(corpus_keys=artifact) returns exactly the
+        rows of the self-keying path — the artifact is a pure
+        evaluation shortcut, never a semantic change."""
+        from ursa_major_choir_etl_spark.operators.similarity import (
+            sign_lsh_topk,
+        )
+        from ursa_major_choir_etl_spark.plans import queries as Q
+
+        sf = "/root/testdata/sf0.001"
+        emb = Q.T(spark, sf, "embeddings")
+        q = emb.filter(F.col("vec_id") < 5)
+        with_art = sign_lsh_topk(
+            emb, q, k=5, planes_per_band=4, n_bands=16,
+            corpus_keys=Q.lsh_signatures_table(spark, sf),
+        )
+        without = sign_lsh_topk(emb, q, k=5, planes_per_band=4, n_bands=16)
+        ka = sorted(map(tuple, with_art.collect()))
+        kb = sorted(map(tuple, without.collect()))
+        assert ka == kb and ka

@@ -284,3 +284,41 @@ class TestArtifactConsumersPlanAsScans:
         scan), instead of re-keying the corpus per query panel."""
         plan = plan_of(registry[qname](spark, SF_DIR))
         assert "lsh_sigs" in plan, qname
+
+    @pytest.mark.parametrize(
+        "qname",
+        [
+            "q60_tfidf_top_terms",
+            "q115_unigram_surprisal",
+            "q118_bpe_merges",
+            "q128_bpe_compression",
+            "q129_vocab_drift",
+            "q140_zipf_slope",
+            "q145_dsir_importance",
+            "q149_pmi_collocations",
+            "q150_rank_agreement",
+            "q154_source_vocab_overlap",
+            "q163_rrf_shortlist",
+            "q164_dup_divergence",
+            "q165_template_profile",
+            "q175_burstiness",
+            "q188_source_tv_distance",
+            "q278_kendall_tau",
+        ],
+    )
+    def test_token_consumers_scan_token_corpus_artifact(
+        self, spark, registry, qname
+    ):
+        """Every vocabulary/statistics consumer probes the SAME
+        materialized word-token corpus (plans.queries.tokens_table)
+        instead of re-running the [a-z]+ regex over raw documents —
+        tokenize once per corpus snapshot, the only sane 100 TB
+        layout. The regex must not appear anywhere in the consumer's
+        plan: its one home is the artifact build. q118's RETURNED
+        frame is the collected merge list (literal rows — the
+        learning loop's scans live in its per-iteration jobs), so
+        only the no-retokenize half applies to it."""
+        plan = plan_of(registry[qname](spark, SF_DIR))
+        if qname != "q118_bpe_merges":
+            assert "word_tokens" in plan, qname
+        assert "regexp_extract_all" not in plan, qname

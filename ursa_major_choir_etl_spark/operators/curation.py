@@ -1031,6 +1031,7 @@ def dsir_importance(
     id_col: str = "doc_id",
     domain_col: str = "source",
     n_buckets: int = 1024,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): score every
@@ -1067,7 +1068,7 @@ def dsir_importance(
     toked = df.select(
         F.col(id_col),
         (F.col(domain_col) == target_source).cast("int").alias("is_target"),
-        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)").alias("_t"),
+        text.word_tokens(text_col, tokens_col).alias("_t"),
     ).filter(F.size("_t") >= 2)
     doc_bucket = stage(
         toked.select(

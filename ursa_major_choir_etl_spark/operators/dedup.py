@@ -29,6 +29,7 @@ from ursa_major_choir_etl_spark.operators.text import (
     normalized_text,
     tokens,
     widen_if_narrow,
+    word_tokens,
 )
 
 
@@ -1383,6 +1384,7 @@ def near_dup_divergence_profile(
     pairs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """How near are the near-duplicates? For every candidate pair,
     the symmetric difference of the two docs' distinct-token sets,
@@ -1402,9 +1404,7 @@ def near_dup_divergence_profile(
     """
     toks = docs.select(
         F.col(id_col).alias("_tid"),
-        F.array_distinct(
-            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
-        ).alias("_ts"),
+        F.array_distinct(word_tokens(text_col, tokens_col)).alias("_ts"),
     )
     sided = (
         pairs.select("id_a", "id_b")

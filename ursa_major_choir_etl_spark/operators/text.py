@@ -57,6 +57,22 @@ def tokens(text: Column | str) -> Column:
     )
 
 
+def word_tokens(
+    text_col: str = "text", tokens_col: str | None = None
+) -> Column:
+    """The canonical lowercase ``[a-z]+`` word-token array shared by
+    the whole vocabulary/statistics family (surprisal, drift, Zipf,
+    PMI, burstiness, DSIR, BPE...). When the caller holds the
+    materialized token corpus (plans.queries.tokens_table — the
+    tokenize-once-per-snapshot layout), pass ``tokens_col`` to probe
+    the precomputed array instead of re-running the regex over raw
+    text; both forms are byte-identical by construction, so oracles
+    recomputing from raw text keep certifying artifact contents."""
+    if tokens_col:
+        return F.col(tokens_col)
+    return F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+
+
 def token_count(text: Column | str) -> Column:
     """Whitespace token count — regexp_count(\\S+), which equals
     size(split) without materializing the token array."""
@@ -496,6 +512,7 @@ def unigram_surprisal_scores(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """CCNet-style language-model quality scoring with a self-trained
     unigram LM: every token's surprisal under the corpus's own token
@@ -534,7 +551,7 @@ def unigram_surprisal_scores(
         .select(
             F.col(id_col),
             F.explode(
-                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+                word_tokens(text_col, tokens_col)
             ).alias("term"),
         )
         .groupBy(id_col, "term")
@@ -651,6 +668,7 @@ def vocab_drift_report(
     domain_col: str = "source",
     text_col: str = "text",
     k: int = 50,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-source vocabulary drift: how much of each source's top-k
     token list overlaps the corpus-wide top-k — the cheap
@@ -679,7 +697,7 @@ def vocab_drift_report(
         .select(
             F.col(domain_col).alias("domain"),
             F.explode(
-                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+                word_tokens(text_col, tokens_col)
             ).alias("term"),
         )
         .groupBy("domain", "term")
@@ -733,6 +751,7 @@ def zipf_slope_report(
     domain_col: str = "source",
     text_col: str = "text",
     k: int = 100,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-source Zipf-law fit: the least-squares slope of
     ln(count) against ln(rank) over each source's top-``k`` tokens —
@@ -763,7 +782,7 @@ def zipf_slope_report(
         .select(
             F.col(domain_col).alias("domain"),
             F.explode(
-                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+                word_tokens(text_col, tokens_col)
             ).alias("term"),
         )
         .groupBy("domain", "term")
@@ -1039,6 +1058,7 @@ def pmi_collocations(
     group_col: str = "source",
     min_count: int = 5,
     k: int = 20,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Collocation mining: the top-``k`` adjacent word pairs per group
     ranked by pointwise mutual information — the phrases ("new york",
@@ -1070,7 +1090,7 @@ def pmi_collocations(
 
     toked = df.select(
         F.col(group_col).alias("grp"),
-        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)").alias(
+        word_tokens(text_col, tokens_col).alias(
             "_t"
         ),
     ).filter(F.size("_t") >= 2)
@@ -1138,6 +1158,7 @@ def source_vocab_overlap(
     df: DataFrame,
     text_col: str = "text",
     group_col: str = "source",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Source-similarity matrix by vocabulary overlap: for every pair
     of sources, the exact Jaccard of their distinct alpha-token
@@ -1162,7 +1183,7 @@ def source_vocab_overlap(
         df.select(
             F.col(group_col).alias("grp"),
             F.explode(
-                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+                word_tokens(text_col, tokens_col)
             ).alias("tok"),
         )
         .distinct()
@@ -1200,6 +1221,7 @@ def positional_template_profile(
     text_col: str = "text",
     group_col: str = "source",
     n_positions: int = 10,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Template-lead detector: for each of the first ``n_positions``
     token slots per group, the modal token and its share — a source
@@ -1219,7 +1241,7 @@ def positional_template_profile(
     toked = df.select(
         F.col(group_col).alias("grp"),
         F.slice(
-            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"),
+            word_tokens(text_col, tokens_col),
             1,
             n_positions,
         ).alias("_t"),
@@ -1259,6 +1281,7 @@ def burstiness_profile(
     group_col: str = "source",
     min_df: int = 5,
     k: int = 20,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Church-Gale burstiness: for each group's top-``k`` tokens by
     collection frequency, the mean occurrences per CONTAINING doc
@@ -1284,7 +1307,7 @@ def burstiness_profile(
             F.col(group_col).alias("grp"),
             F.col(id_col).alias("_rid"),
             F.explode(
-                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+                word_tokens(text_col, tokens_col)
             ).alias("tok"),
         )
         .groupBy("grp", "_rid", "tok")

@@ -26,22 +26,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ursa_major_choir_etl_spark.caching import stage
-from ursa_major_choir_etl_spark.operators.text import widen_if_narrow
+from ursa_major_choir_etl_spark.operators.text import (
+    widen_if_narrow,
+    word_tokens,
+)
 
 
 def word_vocabulary(
-    df: DataFrame, text_col: str = "text"
+    df: DataFrame, text_col: str = "text", tokens_col: str | None = None
 ) -> DataFrame:
     """(word, cnt) over lowercase ``[a-z]+`` runs — the one
     corpus-sized aggregation in BPE training; everything after runs
     on vocabulary-sized data."""
     return (
         widen_if_narrow(df)
-        .select(
-            F.explode(
-                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
-            ).alias("word")
-        )
+        .select(F.explode(word_tokens(text_col, tokens_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -75,14 +74,17 @@ def _adjacent_pairs(words: DataFrame, sym_col: str = "sym") -> DataFrame:
 
 
 def _learn_merges(
-    df: DataFrame, text_col: str, n_merges: int
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    tokens_col: str | None = None,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Shared learning loop: returns (merge list, vocabulary with the
     merges applied). Per iteration: one vocabulary-sized aggregation
     (adjacent-pair weights), one 1-row collect (the argmax pair), one
     column-level ``replace`` on the staged vocabulary."""
     words = stage(
-        word_vocabulary(df, text_col).withColumn(
+        word_vocabulary(df, text_col, tokens_col).withColumn(
             "sym",
             F.concat(
                 F.lit("|"), F.regexp_replace(F.col("word"), "(.)", "$1|")
@@ -119,6 +121,7 @@ def bpe_merge_table(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 3,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges from a corpus.
 
@@ -130,7 +133,7 @@ def bpe_merge_table(
     per learned merge, rank 1 = first/most frequent.
     """
     spark: SparkSession = df.sparkSession
-    merges, _ = _learn_merges(df, text_col, n_merges)
+    merges, _ = _learn_merges(df, text_col, n_merges, tokens_col)
     return spark.createDataFrame(
         merges,
         schema="merge_rank int, left_sym string, right_sym string, pair_count bigint",
@@ -141,6 +144,7 @@ def bpe_compression_report(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 3,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges, APPLY them to the vocabulary,
     and report the corpus-level tokenization economics — the number a
@@ -156,7 +160,7 @@ def bpe_compression_report(
     total_chars / total_symbols rounded 6dp; with 0 merges it is
     exactly 1.0 and grows as merges land.
     """
-    n_applied, words = _learn_merges(df, text_col, n_merges)
+    n_applied, words = _learn_merges(df, text_col, n_merges, tokens_col)
     syms = F.filter(F.split(F.col("sym"), r"\|"), lambda x: x != "")
     per_word = words.select(
         "cnt",

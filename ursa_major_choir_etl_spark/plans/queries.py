@@ -407,6 +407,49 @@ def bbound(df: DataFrame, reason: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _PAIRS_VERSION = 1  # bump when pair-operator semantics change
+_TOKENS_VERSION = 1  # bump when word tokenization semantics change
+_LSH_SIGS_VERSION = 2  # v2: geometry stamped in vec_id column metadata
+
+
+def tokens_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized normalized-token corpus: (doc_id, lang, source,
+    n_chars, toks array<string>) with toks = the canonical lowercase
+    ``[a-z]+`` word tokenization (text.word_tokens).
+
+    Tokenization is the one stage EVERY vocabulary/statistics query
+    repeats verbatim — surprisal (q115), BPE (q118/q128), drift
+    (q129), Zipf (q140), DSIR (q145), PMI (q149), Spearman/Kendall
+    signals (q150/q278), vocab overlap (q154), RRF (q163),
+    divergence (q164), templates (q165), burstiness (q175), TV
+    distance (q188), TF-IDF (q60). At 100 TB "tokenize once per
+    corpus snapshot, store the array column next to the metadata"
+    is the only sane layout (the regex pass over raw text dominates
+    every one of these jobs); locally it converts ~16 regex scans of
+    documents.parquet into one build + 16 column-pruned parquet
+    scans. Raw ``text`` is deliberately NOT carried: consumers that
+    need other text-derived signals (quality score, char stats) keep
+    scanning the raw table, so the artifact stays a projection, not
+    a second copy of the corpus. Oracles keep recomputing tokens
+    from raw text, so the driver's value-hash compare certifies the
+    artifact contents every round."""
+    from ursa_major_choir_etl_spark import artifacts
+
+    return artifacts.materialize_once(
+        spark,
+        "word_tokens",
+        sf_dir,
+        _TOKENS_VERSION,
+        [os.path.join(sf_dir, "documents.parquet")],
+        lambda: text.widen_if_narrow(
+            T(spark, sf_dir, "documents")
+        ).select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            text.word_tokens("text").alias("toks"),
+        ),
+    )
 
 
 def jaccard_pairs_table(
@@ -469,7 +512,7 @@ def lsh_signatures_table(
         spark,
         f"lsh_sigs_p{planes_per_band}_b{n_bands}",
         sf_dir,
-        _PAIRS_VERSION,
+        _LSH_SIGS_VERSION,
         [os.path.join(sf_dir, "embeddings.parquet")],
         lambda: similarity.banded_signatures(
             T(spark, sf_dir, "embeddings"),
@@ -479,7 +522,18 @@ def lsh_signatures_table(
             n_bands,
             seed=42,
         ).select(
-            F.col("_id").alias("vec_id"),
+            # Build geometry stamped into column metadata (survives
+            # the parquet round-trip): sign_lsh_topk validates it
+            # against the query-side keying, so a mismatched artifact
+            # fails loudly instead of silently losing recall.
+            F.col("_id").alias(
+                "vec_id",
+                metadata={
+                    "planes_per_band": planes_per_band,
+                    "n_bands": n_bands,
+                    "seed": 42,
+                },
+            ),
             F.col("_band").alias("band"),
             F.col("_key").alias("bkey"),
         ),
@@ -2624,13 +2678,8 @@ def q60_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     flipped by cross-engine float-summation epsilons. The df side is
     vocabulary-sized -> broadcast join, no shuffle of the token fact.
     """
-    docs = T(spark, sf_dir, "documents")
-    tokens = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-        ).alias("term"),
+    tokens = tokens_table(spark, sf_dir).select(
+        "doc_id", "lang", F.explode("toks").alias("term")
     )
     tf = tokens.groupBy("doc_id", "lang", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -5209,7 +5258,9 @@ def q115_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape. Surprisal is integer floor(log2(N/count)) via
     length(bin(x))-1, so the score is bit-exact in SQL (no libm ln
     in the comparison path)."""
-    return text.unigram_surprisal_scores(T(spark, sf_dir, "documents"))
+    return text.unigram_surprisal_scores(
+        tokens_table(spark, sf_dir), tokens_col="toks"
+    )
 
 
 def _oracle_q115() -> str:
@@ -5338,7 +5389,9 @@ def q118_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs."""
     from ursa_major_choir_etl_spark.operators import vocab
 
-    return vocab.bpe_merge_table(T(spark, sf_dir, "documents"), n_merges=3)
+    return vocab.bpe_merge_table(
+        tokens_table(spark, sf_dir), n_merges=3, tokens_col="toks"
+    )
 
 
 def _bpe_oracle_ctes(n_merges: int = 3) -> str:
@@ -5793,7 +5846,7 @@ def q128_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ursa_major_choir_etl_spark.operators import vocab
 
     return vocab.bpe_compression_report(
-        T(spark, sf_dir, "documents"), n_merges=3
+        tokens_table(spark, sf_dir), n_merges=3, tokens_col="toks"
     )
 
 
@@ -5827,7 +5880,9 @@ def q129_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch. Global top-k is a k-row TakeOrdered; per-source top-k uses
     the bounded two-phase selection; the oracle replays both with
     naive windows."""
-    return text.vocab_drift_report(T(spark, sf_dir, "documents"), k=50)
+    return text.vocab_drift_report(
+        tokens_table(spark, sf_dir), k=50, tokens_col="toks"
+    )
 
 
 def _oracle_q129(k: int = 50) -> str:
@@ -6561,7 +6616,9 @@ def q140_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     (natural text near -1, templated floods flatten toward 0). Ranks
     exist only on bounded top-k rows via the salted two-phase
     selection; the oracle uses the naive single-window ranking."""
-    return text.zipf_slope_report(T(spark, sf_dir, "documents"), k=100)
+    return text.zipf_slope_report(
+        tokens_table(spark, sf_dir), k=100, tokens_col="toks"
+    )
 
 
 def _oracle_q140(k: int = 100) -> str:
@@ -6871,7 +6928,9 @@ def q145_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode, two aggregates, one bucket-model probe join."""
     from ursa_major_choir_etl_spark.operators import curation
 
-    return curation.dsir_importance(T(spark, sf_dir, "documents"))
+    return curation.dsir_importance(
+        tokens_table(spark, sf_dir), tokens_col="toks"
+    )
 
 
 def _oracle_q145(target_source: str = "src0", n_buckets: int = 1024) -> str:
@@ -7093,7 +7152,7 @@ def q149_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; marginals derive from the distinct-bigram table; the
     selection runs the salted bounded top-N."""
     return text.pmi_collocations(
-        T(spark, sf_dir, "documents"), min_count=5, k=20
+        tokens_table(spark, sf_dir), min_count=5, k=20, tokens_col="toks"
     )
 
 
@@ -7138,11 +7197,11 @@ def q150_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     over histogram rows, never corpus-sized partitions); centered
     integer double-ranks keep every sum exact in DECIMAL(38,0); the
     only float op is the final IEEE sqrt."""
-    docs = T(spark, sf_dir, "documents")
-    toked = docs.select(
-        "source",
-        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("_t"),
-    ).filter(F.size("_t") > 0)
+    toked = (
+        tokens_table(spark, sf_dir)
+        .select("source", F.col("toks").alias("_t"))
+        .filter(F.size("_t") > 0)
+    )
     sig = toked.select(
         "source",
         F.size("_t").alias("x"),
@@ -7332,7 +7391,9 @@ def q154_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     syndication screen run before doc-level fuzzy dedup. One corpus
     explode+distinct; the pair fan-out is bounded by n_sources^2 per
     token, never corpus-sized."""
-    return text.source_vocab_overlap(T(spark, sf_dir, "documents"))
+    return text.source_vocab_overlap(
+        tokens_table(spark, sf_dir), tokens_col="toks"
+    )
 
 
 ORACLE_Q154 = """
@@ -7838,12 +7899,11 @@ def q163_rrf_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     2e6 DIV (120 + double-rank), bit-identical cross-engine."""
     from ursa_major_choir_etl_spark.operators import curation
 
-    docs = T(spark, sf_dir, "documents")
-    sig = docs.select(
+    sig = tokens_table(spark, sf_dir).select(
         "doc_id",
         "source",
         "n_chars",
-        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("_t"),
+        F.col("toks").alias("_t"),
     ).select(
         "doc_id",
         "source",
@@ -7910,7 +7970,9 @@ def q164_dup_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Twelfth consumer of the materialized q20 pair artifact;
     pair-cardinality work only."""
     return dedup.near_dup_divergence_profile(
-        T(spark, sf_dir, "documents"), jaccard_pairs_table(spark, sf_dir)
+        tokens_table(spark, sf_dir),
+        jaccard_pairs_table(spark, sf_dir),
+        tokens_col="toks",
     )
 
 
@@ -7949,7 +8011,9 @@ def q165_template_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc dedup misses. One bounded explode + count shuffle, a
     (source x 10)-cardinality aggregate, deterministic struct-max
     mode."""
-    return text.positional_template_profile(T(spark, sf_dir, "documents"))
+    return text.positional_template_profile(
+        tokens_table(spark, sf_dir), tokens_col="toks"
+    )
 
 
 ORACLE_Q165 = """
@@ -8442,7 +8506,9 @@ def q175_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm — topical vocabulary bursts within containing docs, glue
     words spread thin. One tokenize pass feeds both cf and df;
     salted bounded top-N selection."""
-    return text.burstiness_profile(T(spark, sf_dir, "documents"))
+    return text.burstiness_profile(
+        tokens_table(spark, sf_dir), tokens_col="toks"
+    )
 
 
 ORACLE_Q175 = """
@@ -9399,11 +9465,8 @@ def q188_source_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-runs the corpus explode (5.6s -> ~1.5s warm at sf0.1)."""
     from ursa_major_choir_etl_spark.caching import stage
 
-    toks = T(spark, sf_dir, "documents").select(
-        "source",
-        F.explode(
-            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-        ).alias("term"),
+    toks = tokens_table(spark, sf_dir).select(
+        "source", F.explode("toks").alias("term")
     )
     counts = stage(
         toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
@@ -16169,13 +16232,11 @@ def q278_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics) keeps post-histogram work bins^2 per source; the
     denominator isqrt is the float-seeded two-correction exact
     pattern."""
-    docs = T(spark, sf_dir, "documents")
-    toked = docs.select(
-        "source",
-        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias(
-            "_t"
-        ),
-    ).filter(F.size("_t") > 0)
+    toked = (
+        tokens_table(spark, sf_dir)
+        .select("source", F.col("toks").alias("_t"))
+        .filter(F.size("_t") > 0)
+    )
     sig = toked.select(
         "source",
         F.expr("CAST(least(size(_t) DIV 50, 19) AS INT)").alias("xb"),
@@ -16818,17 +16879,15 @@ QUERIES = {
 }
 
 # The driver grades a prefix window of this registry (50 entries per
-# round). Coverage ledger entering round 12: round 10 graded
-# q187–q236 (50/50 green, CORRECTNESS_r10.json); rows NEVER
-# driver-graded are q237–q282 (round-10/11 registrations — 46 rows).
+# round). Coverage ledger entering round 12: round 11 graded
+# q237–q282 plus the wrap q10–q13 (50/50 green, CORRECTNESS_r11.json);
+# round 10 graded q187–q236; q137–q186 carry round-8/9 rows. The
+# stalest band is now q14–q136 (last driver rows rounds 5–7).
 # Round-12 priority order:
-#   1. the never-graded tail q237–q282 in ascending q-number order
-#      (46 rows — fewer than the window, so the window reaches into
-#      bucket 2);
-#   2. everything else by grading age (stalest first): the
-#      round-5-era block (q10–q48 core), then round-6, round-7
-#      (q01–q09 among them), r8+r9-graded q137–q186, and finally
-#      the r10-graded q187–q236.
+#   1. q14–q63 in ascending q-number order — exactly the 50-entry
+#      window, and exactly the stalest rows (round-5/6-era gradings);
+#   2. everything else by grading age (stalest first), so round 13's
+#      window naturally lands on q64–q113.
 # tools/check_oracles.py remains the all-registry local sweep
 # (CORRECTNESS_LOCAL_ALL.txt / _SF01.txt) — re-run at the closing
 # tree, so every row outside the window has same-tree local evidence.
@@ -16839,21 +16898,23 @@ def _qnum(k: str) -> int:
 
 
 _names = sorted(QUERIES, key=_qnum)
-_head = [k for k in _names if _qnum(k) >= 237]
+_head = [k for k in _names if 14 <= _qnum(k) <= 63]
 
 
 def _staleness(k: str) -> int:
     """Rounds since last driver grading (0 = stalest)."""
     n = _qnum(k)
-    if (10 <= n <= 48 and n not in (19, 31)) or n in (76, 85):
+    if (14 <= n <= 48 and n not in (19, 31)) or n in (76, 85):
         return 0  # last graded round 5 (q19 was re-graded round 7)
     if n == 31 or (49 <= n <= 100 and n not in (77, 88, 90, 100)):
         return 1  # last graded round 6
-    if n <= 136:
+    if n <= 9 or (14 <= n <= 136):
         return 2  # graded round 7 (q01–q09, q19/q20/q88/q90/q100, q101+)
-    if n <= 186:
+    if 137 <= n <= 186:
         return 3  # q137–q186: graded rounds 8 AND 9
-    return 4  # q187–q236: graded round 10 — freshest
+    if 187 <= n <= 236:
+        return 4  # q187–q236: graded round 10
+    return 5  # q237–q282 and the q10–q13 wrap: graded round 11 — freshest
 
 
 _order = _head + sorted(
@@ -16862,13 +16923,13 @@ _order = _head + sorted(
 )
 # The guard the driver's 50-entry window depends on: exact coverage
 # and no duplicates, and ascending q-number order inside the head so
-# the never-graded rows (q237+ entering round 11) grade first and the
-# rest of the window reaches the stalest round-5-era rows — every one
-# of them is green in the builder's own all-registry sweep at BOTH
-# scales at the closing commit.
+# the stalest band (q14–q63, no driver row since rounds 5/6) fills the
+# round-12 grading window exactly — every one of them is green in the
+# builder's own all-registry sweep at BOTH scales at the closing
+# commit.
 assert len(_order) == len(set(_order)) == len(_names), "duplicate keys"
-_overflow = [k for k in _head if k not in _order[:50]]
-assert _overflow == _head[50:], "window must drop newest additions only"
+assert len(_head) == 50, "q14-q63 head must fill the window exactly"
+assert _order[:50] == _head, "window must be exactly the stalest band"
 QUERIES = {k: QUERIES[k] for k in _order}
 
 ORACLES: dict[str, str | None] = {

@@ -317,6 +317,32 @@ class TestStoreCrashSafety:
             jobs.read_cc_label_store(spark, wh, "labels")
         )
 
+    def test_prune_works_through_a_file_uri_warehouse(
+        self, spark, tmp_path
+    ):
+        """Round-11 ADVICE: the prune must route through the Hadoop
+        FileSystem for the store path's own scheme, not os.listdir —
+        the local-FS version silently skipped every non-local
+        warehouse. A ``file:`` URI store is the smallest non-bare
+        scheme the sandbox can exercise: listing, gen= parsing, the
+        keep-the-consumed-generation rule, and the recursive delete
+        all run through the JVM filesystem handle."""
+        store = tmp_path / "labels"
+        for g in range(4):
+            d = store / f"gen={g}"
+            d.mkdir(parents=True)
+            (d / "part-0.parquet").write_bytes(b"x")
+        stray = store / "not-a-generation"
+        stray.mkdir()
+
+        from ursa_major_choir_etl_spark.streaming import jobs
+
+        jobs._prune_generations(spark, f"file:{store}", 3)
+        left = sorted(e.name for e in store.iterdir())
+        # keeps gen=3 (this batch) + gen=2 (the one it consumed) +
+        # the non-generation entry; drops gen=0/gen=1
+        assert left == ["gen=2", "gen=3", "not-a-generation"]
+
     def test_missing_store_reads_empty_but_corrupt_store_raises(
         self, spark, tmp_path
     ):

@@ -766,6 +766,44 @@ class TestStreamingBitmapStore:
             jobs.read_presence_bitmap_store(spark, wh, "nope").count() == 0
         )
 
+    def test_integer_keyed_store_keeps_key_type(
+        self, spark, tmp_path_factory
+    ):
+        """Round-11 ADVICE: a non-string key column must survive the
+        store round-trip with its own type. The first batch unions
+        the fresh pack against the missing-store empty frame — if
+        that frame hardcoded 'k string', every later generation would
+        carry silently stringified keys and batch parity would break
+        for integer keys."""
+        from ursa_major_choir_etl_spark.operators.bitmaps import (
+            presence_bitmaps,
+        )
+        from ursa_major_choir_etl_spark.streaming import jobs
+
+        src = str(tmp_path_factory.mktemp("bm_src4"))
+        wh = str(tmp_path_factory.mktemp("bm_wh4"))
+        rows = [(i % 5, (i * 13) % 63) for i in range(200)]
+        spark.createDataFrame(rows, "k bigint, pos int").repartition(
+            3
+        ).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("k bigint, pos int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        jobs.streaming_presence_bitmap_sink(
+            stream, wh, "bm", key_col="k", position_col="pos"
+        ).awaitTermination(180)
+        store = jobs.read_presence_bitmap_store(spark, wh, "bm")
+        assert store.schema["k"].dataType.simpleString() == "bigint"
+        got = {(r["k"], r["bitmap"]) for r in store.collect()}
+        df = spark.createDataFrame(rows, "k bigint, pos int")
+        want = {
+            (r["k"], r["bitmap"])
+            for r in presence_bitmaps(df, ["k"], "pos").collect()
+        }
+        assert got == want and got
+
 
 class TestRboTopk:
     @staticmethod
@@ -947,3 +985,33 @@ class TestLshSignatureArtifact:
         ka = sorted(map(tuple, with_art.collect()))
         kb = sorted(map(tuple, without.collect()))
         assert ka == kb and ka
+
+    def test_mismatched_artifact_geometry_rejected(self, spark):
+        """Round-11 ADVICE: probing a signature artifact with a
+        different band geometry or seed silently loses recall, so
+        sign_lsh_topk must reject the mismatch via the geometry
+        stamped in the artifact's column metadata."""
+        import pytest
+
+        from ursa_major_choir_etl_spark.operators.similarity import (
+            sign_lsh_topk,
+        )
+        from ursa_major_choir_etl_spark.plans import queries as Q
+
+        sf = "/root/testdata/sf0.001"
+        emb = Q.T(spark, sf, "embeddings")
+        q = emb.filter(F.col("vec_id") < 3)
+        art = Q.lsh_signatures_table(spark, sf)  # built p=4, b=16, s=42
+        assert art.schema["vec_id"].metadata["planes_per_band"] == 4
+        for bad in (
+            dict(planes_per_band=8, n_bands=16, seed=42),
+            dict(planes_per_band=4, n_bands=8, seed=42),
+            dict(planes_per_band=4, n_bands=16, seed=7),
+        ):
+            with pytest.raises(ValueError, match="geometry"):
+                sign_lsh_topk(emb, q, k=5, corpus_keys=art, **bad)
+        # matching geometry still accepted
+        assert sign_lsh_topk(
+            emb, q, k=5, planes_per_band=4, n_bands=16, seed=42,
+            corpus_keys=art,
+        ).count() >= 0

@@ -1042,10 +1042,7 @@ def kendall_tau_b(
     from ursa_major_choir_etl_spark.caching import stage
 
     cells = stage(cells)
-    tots = cells.groupBy("_g").agg(
-        F.sum("_n").alias("_nt"),
-        F.sum(F.expr("CAST(_n AS DECIMAL(38,0)) * _n")).alias("_sn2"),
-    )
+    tots = cells.groupBy("_g").agg(F.sum("_n").alias("_nt"))
     mx = cells.groupBy("_g", "_x").agg(F.sum("_n").alias("_nx"))
     tx = mx.groupBy("_g").agg(
         F.sum(F.expr("CAST(_nx AS DECIMAL(38,0)) * (_nx - 1)")).alias(
@@ -1242,13 +1239,18 @@ def rbo_topk(
         .groupBy("_g", "_m")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
-    depths = spark.range(1, k + 1).select(
-        F.col("id").cast("int").alias("_d"),
-        F.expr(
-            f"CAST(1000000 AS BIGINT) * {(10 - q)}"
-            f" * CAST(pow({q}, id - 1) AS BIGINT)"
-        ).alias("_num"),
-        F.expr(f"CAST(pow(10, id) AS BIGINT) * id").alias("_den"),
+    # The k-row depth spine is computed as EXACT Python integers and
+    # shipped as literals: pow() is a float op, and a 1-ulp-low result
+    # truncating on the BIGINT cast would silently break the
+    # integer-exact contract for larger k / other p (round-11 ADVICE).
+    # Python exponentiation is arbitrary-precision; createDataFrame
+    # raises on a long overflow instead of truncating.
+    depths = spark.createDataFrame(
+        [
+            (d, 1000000 * (10 - q) * q ** (d - 1), 10**d * d)
+            for d in range(1, k + 1)
+        ],
+        "_d int, _num long, _den long",
     )
     terms = (
         m.join(F.broadcast(depths), F.col("_m") <= F.col("_d"))

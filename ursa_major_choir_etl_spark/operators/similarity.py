@@ -541,6 +541,27 @@ def sign_lsh_topk(
     from pyspark.sql import Window
 
     if corpus_keys is not None:
+        # A prebuilt index is only valid for the geometry it was keyed
+        # with — probing it with different planes/bands/seed silently
+        # degrades candidate recall instead of failing (round-11
+        # ADVICE). The signature artifact stamps its build geometry
+        # into the vec_id column metadata (survives the parquet
+        # round-trip); when present it must match the call.
+        meta = corpus_keys.schema["vec_id"].metadata
+        if "planes_per_band" in meta:
+            built = (
+                meta["planes_per_band"],
+                meta["n_bands"],
+                meta["seed"],
+            )
+            if built != (planes_per_band, n_bands, seed):
+                raise ValueError(
+                    "corpus_keys artifact was built with (planes_per_"
+                    f"band, n_bands, seed)={built}, but the query is "
+                    f"keyed with {(planes_per_band, n_bands, seed)} — "
+                    "mismatched geometry yields near-zero candidate "
+                    "recall, not an error, so it is rejected here"
+                )
         c_keys = corpus_keys.select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("band").alias("_band"),

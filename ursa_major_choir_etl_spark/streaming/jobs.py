@@ -956,7 +956,7 @@ def _hadoop_path_exists(spark, path: str) -> bool:
     return hpath.getFileSystem(hconf).exists(hpath)
 
 
-def _prune_generations(path: str, batch_id: int) -> None:
+def _prune_generations(spark, path: str, batch_id: int) -> None:
     """Drop superseded generation partitions of a gen-partitioned
     store — EXCEPT the one this batch just consumed. If the job dies
     between the parquet publish and the streaming checkpoint commit,
@@ -970,9 +970,13 @@ def _prune_generations(path: str, batch_id: int) -> None:
     ever take max(gen), a failed prune costs disk, never correctness.
     Skips anything that is not literally gen=<int> (e.g. a Hive
     default-partition dir) so a stray entry can never fail a batch
-    AFTER a successful publish (round-10 ADVICE)."""
-    import os as _os
-    import shutil as _shutil
+    AFTER a successful publish (round-10 ADVICE).
+
+    Listing and deletion route through the Hadoop FileSystem resolved
+    for the store path's own scheme — the same handle the existence
+    probe uses (round-11 ADVICE: the os.listdir/shutil version
+    silently skipped pruning on every non-local warehouse, so remote
+    stores accumulated generations until an external janitor ran)."""
 
     def _gen_of(entry: str) -> int | None:
         if not entry.startswith("gen="):
@@ -983,21 +987,23 @@ def _prune_generations(path: str, batch_id: int) -> None:
             return None
 
     try:
-        entries = {
-            e: g
-            for e in _os.listdir(path)
-            if (g := _gen_of(e)) is not None
-        }
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(hconf)
+        entries = {}
+        for st in fs.listStatus(hpath):
+            g = _gen_of(st.getPath().getName())
+            if g is not None:
+                entries[st.getPath()] = g
         prior = [g for g in entries.values() if g < batch_id]
         keep = {batch_id}
         if prior:
             keep.add(max(prior))  # generation this batch consumed
-        for entry, g in entries.items():
+        for jpath, g in entries.items():
             if g not in keep:
-                _shutil.rmtree(
-                    _os.path.join(path, entry), ignore_errors=True
-                )
-    except OSError:
+                fs.delete(jpath, True)  # recursive
+    except Exception:  # noqa: BLE001 — best-effort by contract
         pass
 
 
@@ -1055,7 +1061,7 @@ def streaming_cc_label_sink(
         )
         # Prune superseded generations — EXCEPT the one this batch
         # just consumed — see _prune_generations.
-        _prune_generations(path, int(batch_id))
+        _prune_generations(spark_l, path, int(batch_id))
 
     writer = stream_pairs.writeStream.foreachBatch(merge_batch).trigger(
         availableNow=True
@@ -1152,7 +1158,7 @@ def streaming_hll_register_sink(
             .partitionBy("gen")
             .parquet(path)
         )
-        _prune_generations(path, int(batch_id))
+        _prune_generations(spark_l, path, int(batch_id))
 
     writer = stream.writeStream.foreachBatch(merge_batch).trigger(
         availableNow=True
@@ -1239,7 +1245,11 @@ def streaming_presence_bitmap_sink(
         spark_l = batch_df.sparkSession
         path = _os.path.join(warehouse, name)
         prev = read_presence_bitmap_store(
-            spark_l, warehouse, name, before_gen=int(batch_id)
+            spark_l,
+            warehouse,
+            name,
+            before_gen=int(batch_id),
+            key_type=batch_df.schema[key_col].dataType.simpleString(),
         )
         pos = F.col(position_col)
         fresh = (
@@ -1263,7 +1273,7 @@ def streaming_presence_bitmap_sink(
             .partitionBy("gen")
             .parquet(path)
         )
-        _prune_generations(path, int(batch_id))
+        _prune_generations(spark_l, path, int(batch_id))
 
     writer = stream.writeStream.foreachBatch(merge_batch).trigger(
         availableNow=True
@@ -1274,16 +1284,28 @@ def streaming_presence_bitmap_sink(
 
 
 def read_presence_bitmap_store(
-    spark, warehouse: str, name: str, before_gen: int | None = None
+    spark,
+    warehouse: str,
+    name: str,
+    before_gen: int | None = None,
+    key_type: str = "string",
 ) -> DataFrame:
     """Current (k, bitmap) rows accumulated by
     streaming_presence_bitmap_sink — newest generation, optionally
     the newest BELOW ``before_gen`` (the replay-safe merge view).
     Missing store -> empty; real read failures propagate (the
-    history-erasure rule the CC label reader documents)."""
+    history-erasure rule the CC label reader documents).
+
+    ``key_type`` sets the key column type of the empty frame a
+    missing store resolves to. The sink passes the stream's own key
+    type here, so a non-string-keyed store's FIRST batch unions
+    against a matching empty frame instead of silently coercing its
+    keys to string (round-11 ADVICE) — batch-pack parity then holds
+    for any key type. An existing store reads with its stored key
+    type regardless."""
     import os as _os
 
-    empty = spark.createDataFrame([], "k string, bitmap long")
+    empty = spark.createDataFrame([], f"k {key_type}, bitmap long")
     path = _os.path.join(warehouse, name)
     if not _hadoop_path_exists(spark, path):
         return empty

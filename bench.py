@@ -155,6 +155,15 @@ def main() -> None:
     base100 = round(
         sum(v for k, v in warm.items() if int(k[1 : k.index("_")]) <= 100), 3
     )
+    # Per-query warm budget at the official scale: no registry query
+    # should cost >5s warm at sf0.1 (the round-11 top-5 all sit at
+    # 2.8-4.2s). A violation here is the loud early signal that a
+    # plan regressed (the q112-class slow drifts) — it lands in both
+    # the detail record and the driver-facing compact line, and
+    # tests/test_bench_budget.py fails the suite on the hard bound.
+    over_budget = sorted(
+        k for k, v in warm.items() if sf == 0.1 and v > 5.0
+    )
     detail = {
         "metric": "warm wall-clock over all registry queries",
         "value": round(sum(warm.values()), 3),
@@ -165,6 +174,7 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 3),
         "remeasured": remeasured,
         "errors": errors,
+        "over_budget": over_budget,
         "sf": sf,
     }
     with open(detail_path, "w") as f:
@@ -183,6 +193,8 @@ def main() -> None:
     }
     if remeasured:
         compact["n_remeasured"] = len(remeasured)
+    if over_budget:
+        compact["over_budget"] = [k.split("_", 1)[0] for k in over_budget]
     if errors:
         compact["errors"] = {
             k.split("_", 1)[0]: v.split(":", 1)[0] for k, v in errors.items()

@@ -16592,6 +16592,106 @@ FROM s CROSS JOIN nn
 """
 
 
+_PRESENCE_STORE_VERSION = 1  # bump when the drain semantics change
+
+
+def presence_store_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drained streaming presence-bitmap store as a materialized
+    artifact: the events table is replayed as a MULTI-BATCH file
+    stream (maxFilesPerTrigger over an 8-file copy) through
+    streaming_presence_bitmap_sink — the generation-store OR-merge
+    path, checkpoint and all — and the resulting store is published
+    once per corpus snapshot. This is the production layout for
+    continuously-maintained activity state: the stream keeps the
+    store current per micro-batch; batch reports scan the store.
+    Because OR-merge is lossless and order-free, the drained store is
+    byte-equal to a one-shot batch pack — which is exactly what the
+    DuckDB oracle computes from raw events, so the driver's value
+    hash certifies the whole streaming maintenance path (sink merge,
+    generation layout, reader) every round, not just unit parity."""
+    import tempfile
+
+    from ursa_major_choir_etl_spark import artifacts
+    from ursa_major_choir_etl_spark.streaming import jobs
+
+    def build() -> DataFrame:
+        base = tempfile.mkdtemp(prefix="presence_drain_")
+        src = os.path.join(base, "src")
+        wh = os.path.join(base, "wh")
+        ckpt = os.path.join(base, "ckpt")
+        T(spark, sf_dir, "events").select(
+            F.col("user_id").alias("k"),
+            F.datediff(
+                F.to_date("ts"), F.to_date(F.lit("2024-01-01"))
+            ).cast("int").alias("pos"),
+        ).repartition(8).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("k bigint, pos int")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        jobs.streaming_presence_bitmap_sink(
+            stream, wh, "presence", checkpoint_dir=ckpt
+        ).awaitTermination(300)
+        return jobs.read_presence_bitmap_store(
+            spark, wh, "presence", key_type="bigint"
+        )
+
+    return artifacts.materialize_once(
+        spark,
+        "presence_store",
+        sf_dir,
+        _PRESENCE_STORE_VERSION,
+        [os.path.join(sf_dir, "events.parquet")],
+        build,
+    )
+
+
+def q283_streaming_presence_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user activity report read from the STREAMING-maintained
+    presence-bitmap store (presence_store_table): active-day count,
+    first and last active day — each derived purely from the packed
+    BIGINT word (popcount and the two log2 bit positions via the
+    house length(bin()) integer log), so the report never revisits
+    raw events. The oracle recomputes the pack from raw events in
+    SQL; a value match certifies the streaming sink's OR-merge ==
+    batch pack END TO END — closing the one streaming family that
+    was previously parity-tested only."""
+    store = presence_store_table(spark, sf_dir)
+    # first active day = log2(lowest set bit) = position of (b & -b);
+    # last = log2(highest set bit) = length(bin(b)) - 1. Both exact
+    # integer/string ops shared with the q115 surprisal pattern.
+    return store.select(
+        F.col("k").alias("user_id"),
+        F.col("bitmap"),
+        F.bit_count("bitmap").alias("n_active_days"),
+        (
+            F.length(F.bin(F.expr("bitmap & -bitmap"))) - 1
+        ).alias("first_day"),
+        (F.length(F.bin(F.col("bitmap"))) - 1).alias("last_day"),
+    )
+
+
+ORACLE_Q283 = """
+WITH e AS (
+  SELECT user_id,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+),
+bm AS (
+  SELECT user_id, bit_or(CAST(1 AS BIGINT) << d) AS bitmap
+  FROM e WHERE d BETWEEN 0 AND 62
+  GROUP BY 1
+)
+SELECT user_id, bitmap,
+       CAST(bit_count(bitmap) AS INT) AS n_active_days,
+       CAST(length(bin(bitmap & -bitmap)) - 1 AS INT) AS first_day,
+       CAST(length(bin(bitmap)) - 1 AS INT) AS last_day
+FROM bm
+"""
+
 
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
@@ -16876,6 +16976,7 @@ QUERIES = {
     "q280_capture_recapture": q280_capture_recapture,
     "q281_rbo_headlists": q281_rbo_headlists,
     "q282_dup_graph_assortativity": q282_dup_graph_assortativity,
+    "q283_streaming_presence_store": q283_streaming_presence_store,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -17215,4 +17316,5 @@ ORACLES: dict[str, str | None] = {
     "q280_capture_recapture": _oracle_q280(),
     "q281_rbo_headlists": _oracle_q281(),
     "q282_dup_graph_assortativity": _oracle_q282(),
+    "q283_streaming_presence_store": ORACLE_Q283,
 }

@@ -85,6 +85,86 @@ def pagerank_integer(
     return pr.select(F.col("node").alias("doc_id"), F.col("deg").alias("degree"), "pr")
 
 
+def hits_integer(
+    edges: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> tuple[DataFrame, DataFrame]:
+    """Integer HITS (Kleinberg 1999) over a DIRECTED edge list:
+    authority(dst) = sum of its sources' hub scores, hub(src) = sum
+    of its targets' authority scores. Normalization is per FULL
+    iteration on the hub side (hubs rescaled to max 1e6 with
+    truncating DIV; authorities flow through raw and are rescaled
+    once on output) — half the sync barriers of half-step
+    normalization for the same fixed point direction, and still
+    overflow-safe by construction: with hubs <= 1e6 entering a
+    round, authority inflow <= in_degree * 1e6 and hub inflow <=
+    out_degree * in_degree * 1e12 — DECIMAL(38,0)-exact to degree
+    products of 1e26, far past any real graph. Every intermediate is
+    a reproducible integer (the pagerank_integer discipline on the
+    bipartite eigenpair). Returns (authorities(dst, a), hubs(src,
+    h)), both max-normalized to 1e6.
+
+    Scale: ``edges`` is staged (every half-step joins it); each
+    iteration is two key-partitioned aggregate+joins; the hub inflow
+    (two consumers: the max normalizer and the rescale) and the
+    final authority inflow are staged before their branches. The max
+    normalizer is a 1-ROW driver collect on the staged inflow (the
+    k-means/BPE bounded model-state contract; a broadcast-crossJoin
+    variant scheduled one broadcast-exchange job per half-step over
+    the unmaterialized persist chain — measured 3x slower for
+    identical results). O(iters) small shuffles; rank state is one
+    bigint per node."""
+    from ursa_major_choir_etl_spark.caching import stage
+
+    # One staged copy of the edge list feeds all 2*iters scatter
+    # joins. (A per-join-key co-partitioned pair of copies — the
+    # bucketed layout a production deployment bakes into storage —
+    # was tried here and measured SLOWER locally: with AQE re-
+    # planning each query stage, the cached partitioning is not
+    # reused and the second materialization is pure overhead.)
+    edges = stage(
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+    )
+    h = (
+        edges.select("src")
+        .distinct()
+        .withColumn("h", F.lit(1_000_000).cast("long"))
+    )
+    a_raw = None
+    for i in range(iters):
+        a_raw = (
+            edges.join(h, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("h").cast("decimal(38,0)")).alias("ar"))
+        )
+        if i == iters - 1:
+            a_raw = stage(a_raw)  # feeds the hub step AND the output
+        h_raw = stage(
+            edges.join(a_raw, "dst")
+            .groupBy("src")
+            .agg(F.sum("ar").alias("hr"))
+        )
+        hm = h_raw.agg(F.max("hr")).first()[0]
+        h = h_raw.select(
+            "src",
+            F.expr(
+                f"CAST(hr * 1000000 DIV {int(hm)} AS BIGINT)"
+            ).alias("h"),
+        )
+    am = a_raw.agg(F.max("ar")).first()[0]
+    a = a_raw.select(
+        "dst",
+        F.expr(f"CAST(ar * 1000000 DIV {int(am)} AS BIGINT)").alias(
+            "a"
+        ),
+    )
+    return a, h
+
+
 def triangle_counts(
     pairs: DataFrame,
     a_col: str = "id_a",

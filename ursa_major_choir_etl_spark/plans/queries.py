@@ -16693,6 +16693,314 @@ FROM bm
 """
 
 
+def q284_bm25_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the materialized token corpus: a
+    deterministic 10-query panel (the top-20 df terms paired in df
+    order — the stress case where idf is LOW and the tf-saturation
+    term decides the ranking) scored with the exact-integer BM25
+    (k1 = 1.2, b = 0.75):
+
+        s = idf_micro * tf * 22 * TT  DIV
+            (10*tf*TT + 3*TT + 9*dl*DD)
+
+    — the k1/b fractions cleared to one integer floor per (doc,
+    term), with idf_micro = 1e6 DIV df (the q60 monotone surrogate:
+    no libm ln in the comparison path) and TT/DD the corpus token
+    and doc totals (avgdl = TT/DD enters exactly, never as a rounded
+    float). Every term is DECIMAL(38,0)-exact cross-engine — exact
+    while idf*tf*22*TT < 1e38, i.e. corpora to ~1e27 tokens.
+
+    Scale shape: tf is ONE explode+count over the token-corpus
+    artifact (staged: the panel selection and the scoring join both
+    read it); the panel is a 20-row bounded collect (the audited
+    model-state pattern: kmeans centroids, BPE argmax, ANN query
+    panels); candidate scoring is a broadcast panel join; the top-3
+    per query runs the salted bounded top-N, so no query's candidate
+    set ever lands in one task. Output: (query_id, rank, doc_id,
+    n_terms_hit, score)."""
+    from ursa_major_choir_etl_spark.caching import stage
+    from ursa_major_choir_etl_spark.operators.curation import (
+        bounded_topn_per_key,
+    )
+
+    t = tokens_table(spark, sf_dir).select("doc_id", "toks")
+    tf = stage(
+        t.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    top = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+        .collect()
+    )
+    panel = spark.createDataFrame(
+        [(i // 2 + 1, r["term"], r["df"]) for i, r in enumerate(top)],
+        "query_id int, term string, df long",
+    )
+    totals = (
+        t.select(F.size("toks").alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(
+            F.sum("dl").alias("tok_total"),
+            F.count(F.lit(1)).alias("doc_total"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(panel), "term")
+        .crossJoin(bbound(totals, "single corpus-totals row"))
+        .withColumn(
+            "_s",
+            F.expr(
+                "CAST(CAST(1000000 DIV df AS DECIMAL(38,0)) * tf * 22"
+                " * tok_total DIV"
+                " (10 * CAST(tf AS DECIMAL(38,0)) * tok_total"
+                "  + 3 * CAST(tok_total AS DECIMAL(38,0))"
+                "  + 9 * CAST(dl AS DECIMAL(38,0)) * doc_total)"
+                " AS BIGINT)"
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("_s").alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return bounded_topn_per_key(
+        scored,
+        ["query_id"],
+        [F.col("score").desc(), F.col("doc_id").asc()],
+        cap=3,
+        salt_on=F.col("doc_id"),
+    ).select("query_id", "rank", "doc_id", "n_terms_hit", "score")
+
+
+ORACLE_Q284 = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+  FROM documents
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, max(dl) AS dl, term, count(*) AS tf
+  FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+panel AS (
+  SELECT term, df,
+         CAST((row_number() OVER (ORDER BY df DESC, term ASC) + 1) // 2
+              AS INT) AS query_id
+  FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+  ORDER BY df DESC, term ASC LIMIT 20
+),
+tot AS (
+  SELECT CAST(sum(dl) AS BIGINT) AS tok_total,
+         count(*) AS doc_total
+  FROM (SELECT doc_id, max(dl) AS dl FROM tf GROUP BY 1
+        HAVING max(dl) > 0)
+),
+scored AS (
+  SELECT p.query_id, f.doc_id,
+         sum(CAST(1000000 // p.df AS HUGEINT) * f.tf * 22 * t.tok_total
+             // (10 * CAST(f.tf AS HUGEINT) * t.tok_total
+                 + 3 * CAST(t.tok_total AS HUGEINT)
+                 + 9 * CAST(f.dl AS HUGEINT) * t.doc_total)) AS score,
+         count(*) AS n_terms_hit
+  FROM tf f JOIN panel p USING (term) CROSS JOIN tot t
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, n_terms_hit, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+       CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
+       CAST(score AS BIGINT) AS score
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q285_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence for the lang x source
+    contingency table — the pre-training mixture monitor that says
+    whether language composition differs BY SOURCE (a skewed cell
+    here means one feed is silently monolingual). Per-cell
+    contribution in exact integer micro units:
+
+        contrib = (o*N - r*c)^2 * 1e6  DIV  (r*c*N)
+
+    (the (O-E)^2/E identity cleared of the E fraction), summed over
+    the FULL r x c grid including zero cells (their contribution is
+    r*c*1e6 DIV N' terms the sparse table would silently drop).
+    DECIMAL(38,0) exact while (o*N - r*c)^2 * 1e6 < 1e38 — corpora
+    to ~1e12 docs; beyond that the cell counts themselves need
+    sketching first. Shape: one (lang, source) count shuffle; the
+    grid is the CROSS JOIN of the two marginal DIMENSIONS (5 x 20
+    rows — bounded domains, not data), observed cells LEFT-joined
+    in. Single-row output: all aggregates map-side combinable."""
+    from ursa_major_choir_etl_spark.caching import stage
+
+    cells = stage(
+        T(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rt = cells.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("source").agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").alias("n"))
+    full = (
+        bbound(rt, "one row per language: fixed domain")
+        .crossJoin(bbound(ct, "one row per source: fixed domain"))
+        .join(cells, ["lang", "source"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+        .crossJoin(bbound(n, "single grand-total row"))
+        .withColumn(
+            "_d", F.expr("CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c")
+        )
+        .withColumn(
+            "_contrib",
+            F.expr(
+                "CAST(_d * _d * 1000000"
+                " DIV (CAST(r AS DECIMAL(38,0)) * c * n) AS BIGINT)"
+            ),
+        )
+    )
+    return full.agg(
+        F.max("n").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        (
+            (F.countDistinct("lang") - 1)
+            * (F.countDistinct("source") - 1)
+        ).alias("dof"),
+        F.sum("_contrib").alias("chi2_micro"),
+    )
+
+
+ORACLE_Q285 = """
+WITH cells AS MATERIALIZED (
+  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+),
+rt AS (SELECT lang, sum(o) AS r FROM cells GROUP BY 1),
+ct AS (SELECT source, sum(o) AS c FROM cells GROUP BY 1),
+n AS (SELECT sum(o) AS n FROM cells),
+grid AS (
+  SELECT rt.lang, ct.source, rt.r, ct.c, n.n,
+         coalesce(cells.o, 0) AS o
+  FROM rt CROSS JOIN ct CROSS JOIN n
+  LEFT JOIN cells ON cells.lang = rt.lang AND cells.source = ct.source
+),
+contrib AS (
+  SELECT n, lang, source,
+         (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+         * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+         * 1000000 // (CAST(r AS HUGEINT) * c * n) AS ct
+  FROM grid
+)
+SELECT CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+            AS BIGINT) AS dof,
+       CAST(sum(ct) AS BIGINT) AS chi2_micro
+FROM contrib
+"""
+
+
+def q286_hits_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities on the directed customer->part
+    purchase graph (graph.hits_integer, Kleinberg 1999): 3 exact-
+    integer mutual-reinforcement iterations — authority(part) = sum
+    of its buyers' hub scores, hub(customer) = sum of their parts'
+    authorities — each half-step max-normalized to 1e6 with
+    truncating DIV, so every intermediate is a reproducible BIGINT
+    (the q93 integer-PageRank discipline applied to the bipartite
+    eigenpair). Output: the top-10 authorities (parts that strong
+    buyers concentrate on) and top-10 hubs (buyers whose baskets
+    concentrate on strong parts), ties broken by node id.
+
+    Shape: the distinct edge extraction is the only data-sized
+    shuffle; each half-step is a key-partitioned aggregate+join over
+    the staged edge list with its raw inflow staged before the
+    normalizer branch (see hits_integer's lineage note); the max
+    normalizer is a single-row broadcast, never a collect; the final
+    top-10s are TakeOrdered limits. The oracle replays all three
+    iterations as chained MATERIALIZED CTEs."""
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            F.col("l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    a, h = graph.hits_integer(edges, iters=3)
+    top_a = (
+        a.orderBy(F.col("a").desc(), F.col("dst").asc())
+        .limit(10)
+        .select(
+            F.lit("authority").alias("side"),
+            F.col("dst").alias("node_id"),
+            F.col("a").alias("score"),
+        )
+    )
+    top_h = (
+        h.orderBy(F.col("h").desc(), F.col("src").asc())
+        .limit(10)
+        .select(
+            F.lit("hub").alias("side"),
+            F.col("src").alias("node_id"),
+            F.col("h").alias("score"),
+        )
+    )
+    return top_a.unionByName(top_h)
+
+
+ORACLE_Q286 = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+h0 AS (SELECT DISTINCT cust, CAST(1000000 AS HUGEINT) AS h FROM e),
+a1 AS MATERIALIZED (
+  SELECT part, sum(h) AS ar FROM e JOIN h0 USING (cust) GROUP BY 1),
+h1r AS MATERIALIZED (
+  SELECT cust, sum(ar) AS hr FROM e JOIN a1 USING (part) GROUP BY 1),
+h1 AS MATERIALIZED (
+  SELECT cust, hr * 1000000 // (SELECT max(hr) FROM h1r) AS h FROM h1r),
+a2 AS MATERIALIZED (
+  SELECT part, sum(h) AS ar FROM e JOIN h1 USING (cust) GROUP BY 1),
+h2r AS MATERIALIZED (
+  SELECT cust, sum(ar) AS hr FROM e JOIN a2 USING (part) GROUP BY 1),
+h2 AS MATERIALIZED (
+  SELECT cust, hr * 1000000 // (SELECT max(hr) FROM h2r) AS h FROM h2r),
+a3 AS MATERIALIZED (
+  SELECT part, sum(h) AS ar FROM e JOIN h2 USING (cust) GROUP BY 1),
+h3r AS MATERIALIZED (
+  SELECT cust, sum(ar) AS hr FROM e JOIN a3 USING (part) GROUP BY 1),
+h3 AS MATERIALIZED (
+  SELECT cust, hr * 1000000 // (SELECT max(hr) FROM h3r) AS h FROM h3r),
+af AS MATERIALIZED (
+  SELECT part, ar * 1000000 // (SELECT max(ar) FROM a3) AS a FROM a3)
+SELECT side, node_id, score FROM (
+  (SELECT 'authority' AS side, part AS node_id, CAST(a AS BIGINT) AS score
+   FROM af ORDER BY a DESC, part ASC LIMIT 10)
+  UNION ALL
+  (SELECT 'hub' AS side, cust AS node_id, CAST(h AS BIGINT) AS score
+   FROM h3 ORDER BY h DESC, cust ASC LIMIT 10)
+)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -16977,6 +17285,9 @@ QUERIES = {
     "q281_rbo_headlists": q281_rbo_headlists,
     "q282_dup_graph_assortativity": q282_dup_graph_assortativity,
     "q283_streaming_presence_store": q283_streaming_presence_store,
+    "q284_bm25_panel": q284_bm25_panel,
+    "q285_chi2_independence": q285_chi2_independence,
+    "q286_hits_purchase_graph": q286_hits_purchase_graph,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -17317,4 +17628,7 @@ ORACLES: dict[str, str | None] = {
     "q281_rbo_headlists": _oracle_q281(),
     "q282_dup_graph_assortativity": _oracle_q282(),
     "q283_streaming_presence_store": ORACLE_Q283,
+    "q284_bm25_panel": ORACLE_Q284,
+    "q285_chi2_independence": ORACLE_Q285,
+    "q286_hits_purchase_graph": ORACLE_Q286,
 }

@@ -17001,6 +17001,31 @@ SELECT side, node_id, score FROM (
 """
 
 
+def q287_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode under a full value hash: spec-
+    built FLAC streams (multimodal.synth_flac_blob — STREAMINFO with
+    true audio MD5, CRC-8/CRC-16-guarded frames, VERBATIM and
+    FIXED(1)/FIXED(2) subframes with Rice-coded residuals, 8/16-bit,
+    mono/stereo, a truncated slice) through the round-12 stdlib
+    decoder (multimodal.decode_flac_features), which VERIFIES both
+    CRCs and the STREAMINFO MD5 against the reconstructed audio —
+    corrupt streams degrade to valid=false, never to wrong samples.
+    The decoded sample function is byte-identical to the WAV
+    fixtures', so the oracle is the q256 closed form: the value hash
+    certifies lossless reconstruction through the whole compressed
+    path (bit-packing, Rice coding, fixed-predictor recursion)."""
+    from ursa_major_choir_etl_spark.operators import multimodal
+
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.decode_flac_features(
+        multimodal.with_synth_blob(docs, "flac")
+    )
+
+
+def _oracle_q287() -> str:
+    return _oracle_q256()
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -17288,6 +17313,7 @@ QUERIES = {
     "q284_bm25_panel": q284_bm25_panel,
     "q285_chi2_independence": q285_chi2_independence,
     "q286_hits_purchase_graph": q286_hits_purchase_graph,
+    "q287_flac_decode": q287_flac_decode,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -17631,4 +17657,5 @@ ORACLES: dict[str, str | None] = {
     "q284_bm25_panel": ORACLE_Q284,
     "q285_chi2_independence": ORACLE_Q285,
     "q286_hits_purchase_graph": ORACLE_Q286,
+    "q287_flac_decode": _oracle_q287(),
 }

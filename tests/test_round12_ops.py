@@ -175,6 +175,71 @@ class TestQ286Hits:
         assert max(tops["hub"]) == 1_000_000
 
 
+class TestQ288Salsa:
+    def test_matches_pure_python_salsa(self, spark):
+        from ursa_major_choir_etl_spark.plans.queries import QUERIES
+
+        edges = set(
+            duckdb.sql(
+                f"""SELECT DISTINCT o_custkey, l_partkey
+                FROM read_parquet('{SF}/lineitem.parquet') l
+                JOIN read_parquet('{SF}/orders.parquet') o
+                  ON l.l_orderkey = o.o_orderkey"""
+            ).fetchall()
+        )
+        dc: dict[int, int] = {}
+        dp: dict[int, int] = {}
+        for cu, p in edges:
+            dc[cu] = dc.get(cu, 0) + 1
+            dp[p] = dp.get(p, 0) + 1
+        h = {cu: 1_000_000 for cu in dc}
+        a: dict[int, int] = {}
+        for _ in range(3):
+            a = {}
+            for cu, p in edges:
+                a[p] = a.get(p, 0) + h[cu] // dc[cu]
+            h = {}
+            for cu, p in edges:
+                h[cu] = h.get(cu, 0) + a[p] // dp[p]
+        want = set()
+        for node, score in sorted(
+            a.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:10]:
+            want.add(("authority", node, score))
+        for node, score in sorted(
+            h.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:10]:
+            want.add(("hub", node, score))
+        got = {
+            (r["side"], r["node_id"], r["score"])
+            for r in QUERIES["q288_salsa_purchase_graph"](
+                spark, SF
+            ).collect()
+        }
+        assert got == want and len(got) == 20
+
+    def test_mass_is_conserved_within_truncation_dust(self, spark):
+        """SALSA's defining property (and why it needs no global
+        barrier): each half-step only redistributes score, so the
+        total never grows and shrinks only by the per-edge DIV
+        truncation dust (< 1 per edge per half-step)."""
+        from ursa_major_choir_etl_spark.operators.graph import (
+            salsa_integer,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 10), (1, 11), (2, 10), (3, 12), (3, 10), (3, 11)],
+            "src int, dst int",
+        )
+        a, h = salsa_integer(edges, iters=2)
+        mass0 = 3 * 1_000_000
+        mass_a = sum(r["a"] for r in a.collect())
+        mass_h = sum(r["h"] for r in h.collect())
+        for m in (mass_a, mass_h):
+            assert m <= mass0
+            assert m >= mass0 - 4 * 6 * 1  # half-steps x edges dust
+
+
 class TestQ283PresenceStoreQuery:
     def test_report_fields_derive_from_bitmap(self, spark):
         from ursa_major_choir_etl_spark.plans.queries import QUERIES

@@ -165,6 +165,53 @@ def hits_integer(
     return a, h
 
 
+def salsa_integer(
+    edges: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> tuple[DataFrame, DataFrame]:
+    """Integer SALSA (Lempel & Moran 2000) over a DIRECTED edge list —
+    the random-walk sibling of :func:`hits_integer`: each half-step
+    divides a node's score equally over its edges (truncating DIV by
+    the node's own degree) instead of summing raw and renormalizing,
+    so total mass is conserved (minus truncation dust) and NO global
+    max barrier is needed — the whole ``iters``-round computation is
+    ONE lazy chain of key-partitioned joins and aggregates with zero
+    driver synchronization, the property that makes SALSA the
+    preferred formulation at cluster scale (hits_integer pays one
+    1-row sync per half-step; this pays none). Magnitudes are bounded
+    by the initial total mass (n_src * 1e6), so plain BIGINT holds to
+    1e12 sources. Returns (authorities(dst, a), hubs(src, h)).
+
+    Scale: degrees are computed once and hung on the edge list (the
+    staged ``ee`` adjacency feeds all 2*iters scatter joins); each
+    iteration is two aggregate+joins; no collects, no normalization
+    barriers, no windows."""
+    from ursa_major_choir_etl_spark.caching import stage
+
+    base = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    od = base.groupBy("src").agg(F.count(F.lit(1)).alias("dc"))
+    idg = base.groupBy("dst").agg(F.count(F.lit(1)).alias("dp"))
+    ee = stage(base.join(od, "src").join(idg, "dst"))
+    h = od.select("src", F.lit(1_000_000).cast("long").alias("h"))
+    a = None
+    for _ in range(iters):
+        a = (
+            ee.join(h, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("h DIV dc")).alias("a"))
+        )
+        h = (
+            ee.join(a, "dst")
+            .groupBy("src")
+            .agg(F.sum(F.expr("a DIV dp")).alias("h"))
+        )
+    return a, h
+
+
 def triangle_counts(
     pairs: DataFrame,
     a_col: str = "id_a",

@@ -17026,6 +17026,86 @@ def _oracle_q287() -> str:
     return _oracle_q256()
 
 
+def q288_salsa_purchase_graph(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SALSA hubs-and-authorities on the customer->part purchase
+    graph (graph.salsa_integer, Lempel & Moran 2000) — the random-
+    walk counterpart of q286's HITS: each half-step spreads a node's
+    score equally over its edges with truncating integer DIV by its
+    own degree, conserving total mass, so NO global normalization
+    barrier exists anywhere — all 3 iterations compile into one lazy
+    chain of key-partitioned joins/aggregates with zero driver
+    synchronization (q286 pays a 1-row sync per half-step; this is
+    the formulation a 1000-executor deployment prefers). Scores stay
+    within the initial mass (n_customers * 1e6): plain BIGINT.
+    Output: top-10 authorities and top-10 hubs, ties by node id."""
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            F.col("l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    a, h = graph.salsa_integer(edges, iters=3)
+    top_a = (
+        a.orderBy(F.col("a").desc(), F.col("dst").asc())
+        .limit(10)
+        .select(
+            F.lit("authority").alias("side"),
+            F.col("dst").alias("node_id"),
+            F.col("a").alias("score"),
+        )
+    )
+    top_h = (
+        h.orderBy(F.col("h").desc(), F.col("src").asc())
+        .limit(10)
+        .select(
+            F.lit("hub").alias("side"),
+            F.col("src").alias("node_id"),
+            F.col("h").alias("score"),
+        )
+    )
+    return top_a.unionByName(top_h)
+
+
+ORACLE_Q288 = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+od AS MATERIALIZED (SELECT cust, count(*) AS dc FROM e GROUP BY 1),
+idg AS MATERIALIZED (SELECT part, count(*) AS dp FROM e GROUP BY 1),
+ee AS MATERIALIZED (
+  SELECT e.cust, e.part, od.dc, idg.dp
+  FROM e JOIN od USING (cust) JOIN idg USING (part)
+),
+h0 AS (SELECT cust, CAST(1000000 AS BIGINT) AS h FROM od),
+a1 AS MATERIALIZED (
+  SELECT part, sum(h // dc) AS a FROM ee JOIN h0 USING (cust) GROUP BY 1),
+h1 AS MATERIALIZED (
+  SELECT cust, sum(a // dp) AS h FROM ee JOIN a1 USING (part) GROUP BY 1),
+a2 AS MATERIALIZED (
+  SELECT part, sum(h // dc) AS a FROM ee JOIN h1 USING (cust) GROUP BY 1),
+h2 AS MATERIALIZED (
+  SELECT cust, sum(a // dp) AS h FROM ee JOIN a2 USING (part) GROUP BY 1),
+a3 AS MATERIALIZED (
+  SELECT part, sum(h // dc) AS a FROM ee JOIN h2 USING (cust) GROUP BY 1),
+h3 AS MATERIALIZED (
+  SELECT cust, sum(a // dp) AS h FROM ee JOIN a3 USING (part) GROUP BY 1)
+SELECT side, node_id, score FROM (
+  (SELECT 'authority' AS side, part AS node_id, CAST(a AS BIGINT) AS score
+   FROM a3 ORDER BY a DESC, part ASC LIMIT 10)
+  UNION ALL
+  (SELECT 'hub' AS side, cust AS node_id, CAST(h AS BIGINT) AS score
+   FROM h3 ORDER BY h DESC, cust ASC LIMIT 10)
+)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -17314,6 +17394,7 @@ QUERIES = {
     "q285_chi2_independence": q285_chi2_independence,
     "q286_hits_purchase_graph": q286_hits_purchase_graph,
     "q287_flac_decode": q287_flac_decode,
+    "q288_salsa_purchase_graph": q288_salsa_purchase_graph,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -17658,4 +17739,5 @@ ORACLES: dict[str, str | None] = {
     "q285_chi2_independence": ORACLE_Q285,
     "q286_hits_purchase_graph": ORACLE_Q286,
     "q287_flac_decode": _oracle_q287(),
+    "q288_salsa_purchase_graph": ORACLE_Q288,
 }

@@ -16753,7 +16753,7 @@ def q284_bm25_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        tf.join(F.broadcast(panel), "term")
+        tf.join(bbound(panel, "20-row literal query panel"), "term")
         .crossJoin(bbound(totals, "single corpus-totals row"))
         .withColumn(
             "_s",

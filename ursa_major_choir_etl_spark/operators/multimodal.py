@@ -1666,7 +1666,7 @@ def image_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
-class _BitWriter:
+class _FlacBitWriter:
     """MSB-first bit packer (FLAC is big-endian at the bit level)."""
 
     def __init__(self) -> None:
@@ -1693,7 +1693,7 @@ class _BitWriter:
             self.write(0, 8 - self._n)
 
 
-class _BitReader:
+class _FlacBitReader:
     """MSB-first bit reader over bytes; raises IndexError past end."""
 
     def __init__(self, data: bytes, pos_bytes: int = 0) -> None:
@@ -1792,7 +1792,7 @@ def synth_flac_blob(doc_id: int) -> bytes:
     ]
 
     # ---- STREAMINFO ----
-    si = _BitWriter()
+    si = _FlacBitWriter()
     si.write(nf, 16)  # min blocksize
     si.write(nf, 16)  # max blocksize
     si.write(0, 24)  # min framesize unknown
@@ -1805,7 +1805,7 @@ def synth_flac_blob(doc_id: int) -> bytes:
     assert len(streaminfo) == 34
 
     # ---- frame header ----
-    hw = _BitWriter()
+    hw = _FlacBitWriter()
     hw.write(0b11111111111110, 14)  # sync
     hw.write(0, 1)  # reserved
     hw.write(0, 1)  # fixed-blocksize stream
@@ -1820,7 +1820,7 @@ def synth_flac_blob(doc_id: int) -> bytes:
     header += bytes([_crc8_flac(header)])
 
     # ---- subframes ----
-    bw = _BitWriter()
+    bw = _FlacBitWriter()
     for c in range(ch):
         xs = [frames[t][c] for t in range(nf)]
         kind = (d + c) % 3  # 0 verbatim, 1 fixed(1), 2 fixed(2)
@@ -1913,7 +1913,7 @@ def _decode_flac_one(blob: bytes):
                 break
         if streaminfo is None or len(streaminfo) != 34:
             return None
-        sr = _BitReader(streaminfo)
+        sr = _FlacBitReader(streaminfo)
         sr.read(16)  # min blocksize
         sr.read(16)  # max blocksize
         sr.read(24)
@@ -1929,7 +1929,7 @@ def _decode_flac_one(blob: bytes):
         frames = []
         while len(frames) < total:
             fstart = pos
-            br = _BitReader(blob, pos)
+            br = _FlacBitReader(blob, pos)
             if br.read(14) != 0b11111111111110 or br.read(1) != 0:
                 return None
             br.read(1)  # blocking strategy

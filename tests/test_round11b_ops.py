@@ -711,9 +711,9 @@ class TestStreamingBitmapStore:
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        jobs.streaming_presence_bitmap_sink(
+        assert jobs.streaming_presence_bitmap_sink(
             stream, wh, "bm", key_col="k", position_col="pos"
-        ).awaitTermination(180)
+        ).awaitTermination(300)
         got = {
             (r["k"], r["bitmap"])
             for r in jobs.read_presence_bitmap_store(spark, wh, "bm").collect()
@@ -742,9 +742,9 @@ class TestStreamingBitmapStore:
                 .option("maxFilesPerTrigger", 1)
                 .parquet(src)
             )
-            jobs.streaming_presence_bitmap_sink(
+            assert jobs.streaming_presence_bitmap_sink(
                 stream, wh, "bm", key_col="k", position_col="pos"
-            ).awaitTermination(180)
+            ).awaitTermination(300)
 
         drain()
         first = sorted(
@@ -765,6 +765,57 @@ class TestStreamingBitmapStore:
         assert (
             jobs.read_presence_bitmap_store(spark, wh, "nope").count() == 0
         )
+
+    def test_empty_first_batch_leaves_readable_store(
+        self, spark, tmp_path_factory
+    ):
+        """An all-filtered micro-batch publishes an EMPTY merged
+        frame — dynamic partition overwrite then writes no partition
+        directory at all, leaving a bare store dir with zero files.
+        The next batch's reader must resolve that to 'no generations
+        yet' (with the gen column present for its before_gen filter),
+        not die on schema inference — the root cause of a flaky
+        full-suite failure in round 12, pinned here with the file
+        order forced."""
+        import time
+
+        from ursa_major_choir_etl_spark.operators.bitmaps import (
+            presence_bitmaps,
+        )
+        from ursa_major_choir_etl_spark.streaming import jobs
+
+        src = str(tmp_path_factory.mktemp("bm_src5"))
+        wh = str(tmp_path_factory.mktemp("bm_wh5"))
+        # file A (older): only out-of-domain positions -> empty batch
+        spark.createDataFrame(
+            [("x", -1), ("y", 99)], "k string, pos int"
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # ensure distinct mtimes: A drains first
+        good = [("a", 3), ("b", 7), ("a", 60)]
+        spark.createDataFrame(good, "k string, pos int").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("k string, pos int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        assert jobs.streaming_presence_bitmap_sink(
+            stream, wh, "bm", key_col="k", position_col="pos"
+        ).awaitTermination(300)
+        got = {
+            (r["k"], r["bitmap"])
+            for r in jobs.read_presence_bitmap_store(spark, wh, "bm").collect()
+        }
+        want = {
+            (r["k"], r["bitmap"])
+            for r in presence_bitmaps(
+                spark.createDataFrame(good, "k string, pos int"),
+                ["k"],
+                "pos",
+            ).collect()
+        }
+        assert got == want and got
 
     def test_integer_keyed_store_keeps_key_type(
         self, spark, tmp_path_factory
@@ -791,9 +842,9 @@ class TestStreamingBitmapStore:
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        jobs.streaming_presence_bitmap_sink(
+        assert jobs.streaming_presence_bitmap_sink(
             stream, wh, "bm", key_col="k", position_col="pos"
-        ).awaitTermination(180)
+        ).awaitTermination(300)
         store = jobs.read_presence_bitmap_store(spark, wh, "bm")
         assert store.schema["k"].dataType.simpleString() == "bigint"
         got = {(r["k"], r["bitmap"]) for r in store.collect()}

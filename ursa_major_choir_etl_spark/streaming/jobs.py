@@ -956,6 +956,28 @@ def _hadoop_path_exists(spark, path: str) -> bool:
     return hpath.getFileSystem(hconf).exists(hpath)
 
 
+def _read_store_parquet(spark, path: str, row_schema: str) -> DataFrame:
+    """spark.read.parquet for a generation store, with ONE narrowed
+    degradation: a store directory that exists but holds ZERO data
+    files raises UNABLE_TO_INFER_SCHEMA — and that state arises
+    legitimately: a micro-batch whose merged output is empty (e.g.
+    an all-filtered first batch) dynamic-partition-writes no
+    partition directories at all, leaving just the bare store dir.
+    That is "no generations yet", the same as path-absent, so it
+    resolves to an empty frame carrying ``row_schema`` PLUS the gen
+    partition column (downstream before_gen filters and max(gen)
+    must still analyze). Any other analysis/read error (corrupt
+    files included) PROPAGATES — the history-erasure rule stands."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        if "UNABLE_TO_INFER_SCHEMA" in str(exc):
+            return spark.createDataFrame([], f"{row_schema}, gen long")
+        raise
+
+
 def _prune_generations(spark, path: str, batch_id: int) -> None:
     """Drop superseded generation partitions of a gen-partitioned
     store — EXCEPT the one this batch just consumed. If the job dies
@@ -1081,7 +1103,8 @@ def read_cc_label_store(
     schema."""
     import os as _os
 
-    empty = spark.createDataFrame([], "node long, component long")
+    row_schema = "node long, component long"
+    empty = spark.createDataFrame([], row_schema)
     path = _os.path.join(warehouse, name)
     # "Store not created yet" is the ONLY state that may read as
     # empty labels. A transient read failure (permissions, corrupt
@@ -1094,7 +1117,7 @@ def read_cc_label_store(
     # exact history-erasing mode this gate closes (round-10 ADVICE).
     if not _hadoop_path_exists(spark, path):
         return empty
-    df = spark.read.parquet(path)
+    df = _read_store_parquet(spark, path, row_schema)
     if before_gen is not None:
         df = df.filter(F.col("gen") < before_gen)
     mx = df.agg(F.max("gen")).first()[0]
@@ -1178,11 +1201,12 @@ def read_hll_register_store(
     history-erasure rule the CC label reader documents)."""
     import os as _os
 
-    empty = spark.createDataFrame([], "grp string, bkt int, r int")
+    row_schema = "grp string, bkt int, r int"
+    empty = spark.createDataFrame([], row_schema)
     path = _os.path.join(warehouse, name)
     if not _hadoop_path_exists(spark, path):
         return empty
-    df = spark.read.parquet(path)
+    df = _read_store_parquet(spark, path, row_schema)
     if before_gen is not None:
         df = df.filter(F.col("gen") < before_gen)
     mx = df.agg(F.max("gen")).first()[0]
@@ -1305,11 +1329,12 @@ def read_presence_bitmap_store(
     type regardless."""
     import os as _os
 
-    empty = spark.createDataFrame([], f"k {key_type}, bitmap long")
+    row_schema = f"k {key_type}, bitmap long"
+    empty = spark.createDataFrame([], row_schema)
     path = _os.path.join(warehouse, name)
     if not _hadoop_path_exists(spark, path):
         return empty
-    df = spark.read.parquet(path)
+    df = _read_store_parquet(spark, path, row_schema)
     if before_gen is not None:
         df = df.filter(F.col("gen") < before_gen)
     mx = df.agg(F.max("gen")).first()[0]

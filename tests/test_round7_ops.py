@@ -341,11 +341,11 @@ class TestConsensusPairs:
 
 class TestGradingWindowRotation:
     def test_window_leads_with_never_graded_then_stalest(self):
-        """The driver grades the first 50 registry entries. Round-11
-        policy: q187-q236 went green in round 10, so the
-        never-driver-graded head is q237+ in ascending q-number order;
-        it is SMALLER than the window, so the remaining slots drain the
-        stalest previously-graded rows (round-5-era first)."""
+        """The driver grades the first 50 registry entries. Round-12
+        policy: every band has now been driver-graded (q237-q282 and
+        the q10-q13 wrap went green in round 11), so the window IS the
+        stalest band — q14-q63, last graded rounds 5/6 — in ascending
+        q-number order, filling all 50 slots exactly."""
         from ursa_major_choir_etl_spark.plans.queries import (
             _head,
             _staleness,
@@ -355,14 +355,13 @@ class TestGradingWindowRotation:
         window = list(QUERIES)[:50]
         assert len(window) == 50
         qnum = lambda k: int(k[1 : k.index("_")])  # noqa: E731
-        # the whole never-graded head leads the window, in order...
-        assert window[: len(_head)] == sorted(_head, key=qnum)
-        assert qnum(window[0]) == 237
-        # ...freshly graded rows (r8-r10 bands) occupy no slot...
-        assert not any(137 <= qnum(k) <= 236 for k in window)
-        # ...and the filler slots are all from the stalest band
-        filler = window[len(_head):]
-        assert filler and all(_staleness(k) == 0 for k in filler)
+        assert window == sorted(_head, key=qnum)
+        assert [qnum(window[0]), qnum(window[-1])] == [14, 63]
+        # freshly graded rows (r8-r11 bands) occupy no slot...
+        assert not any(137 <= qnum(k) <= 288 for k in window)
+        # ...and every window row is from the stale r5-r7 bands
+        # (q19/q20 inside q14-q63 were re-graded in round 7)
+        assert all(_staleness(k) <= 2 for k in window)
 
 
 class TestRound7Properties:

@@ -138,10 +138,16 @@ def bucketed_prefix(
         # scan bucket-free while big groups fan out — strictly finer
         # than the round-10 largest-group heuristic, and nothing runs
         # until an action does.
+        # Boundary accuracy 500 (not the 10k default): boundaries only
+        # LOAD-BALANCE — any monotone consistent split yields the exact
+        # same prefix — and the quantile-summary memory/merge cost
+        # scales with accuracy. 500 still bounds per-bucket imbalance
+        # at ~0.2% of the histogram, far finer than the 32-way split
+        # needs.
         pct = F.percentile_approx(
             order_col,
             F.lit([i / n_buckets for i in range(1, n_buckets)]),
-            F.lit(10_000),
+            F.lit(500),
         ).alias("_bs")
         cnt = F.count(F.lit(1)).alias("_hn")
         bexprs = [

@@ -40,6 +40,7 @@ def nelson_aalen_risk_table(
     subjects: DataFrame,
     duration_col: str,
     event_col: str,
+    n_buckets: int = 1,
 ) -> DataFrame:
     """Discrete-time risk table + Nelson–Aalen cumulative hazard.
 
@@ -67,7 +68,19 @@ def nelson_aalen_risk_table(
         F.sum(F.lit(1) - ev).alias("n_censored"),
         F.count(F.lit(1)).alias("n_total"),
     )
-    cum = bucketed_cumsum(hist, "duration", {"cum_total": F.col("n_total")})
+    # n_buckets defaults to 1 (the zero-extra-stage single-bucket
+    # scan): DURATION domains at calendar granularity are bounded by
+    # the dataset's time span — a few thousand distinct day values
+    # however many subjects exist — so the two cumulative scans here
+    # don't need (or want) the boundary machinery. Callers with
+    # genuinely data-sized duration domains (sub-second timestamps)
+    # pass the 32-bucket ceiling instead.
+    cum = bucketed_cumsum(
+        hist,
+        "duration",
+        {"cum_total": F.col("n_total")},
+        n_buckets=n_buckets,
+    )
     # N (grand total) = the largest inclusive prefix — histogram-sized
     # aggregate, broadcast back as a single row.
     from ursa_major_choir_etl_spark.caching import stage
@@ -91,6 +104,7 @@ def nelson_aalen_risk_table(
         ),
         "duration",
         {"cum_hazard_ppm": F.col("hazard_ppm")},
+        n_buckets=n_buckets,
     )
     return out.select(
         "duration",

@@ -198,12 +198,18 @@ def salsa_integer(
     ee = stage(base.join(od, "src").join(idg, "dst"))
     h = od.select("src", F.lit(1_000_000).cast("long").alias("h"))
     a = None
-    for _ in range(iters):
+    for i in range(iters):
         a = (
             ee.join(h, "src")
             .groupBy("dst")
             .agg(F.sum(F.expr("h DIV dc")).alias("a"))
         )
+        if i == iters - 1:
+            # the final authority table has TWO consumers (the last
+            # hub half-step and the returned frame) — stage it or a
+            # caller reading both outputs re-evaluates the whole
+            # iteration chain once per output (measured ~2x warm).
+            a = stage(a)
         h = (
             ee.join(a, "dst")
             .groupBy("src")

@@ -4,9 +4,16 @@
 - ``queries()``: every implemented operator family from SURVEY.md §2
   plus the LLM-pipeline extensions, as (spark, sf_dir) -> DataFrame.
 - ``oracle_sql()``: DuckDB SQL recomputing each query bit-for-bit —
-  ALL 262 entries as of round 10, no omissions. The registry order
-  leads with the never-driver-graded band (q187–q236 fills the
-  50-entry grading window this round; q237–q262 queue next). Round 10
+  ALL 288 entries as of round 12, no omissions. The registry order
+  leads with the stalest driver-graded band (q14–q63 fills the
+  50-entry grading window this round; q64–q113 queue next). Round 12
+  added the streaming presence-store report (q283 — the OR-merge
+  generation store under a full value hash), BM25 panel retrieval
+  over the materialized token corpus (q284), chi-square independence
+  (q285), integer HITS and barrier-free SALSA (q286/q288), and REAL
+  FLAC decode with CRC-8/CRC-16/MD5-verified reconstruction (q287);
+  round 11 added the survival/calibration/agreement/rank-statistics
+  families (q263–q282). Round 10
   registered the round-9 operator families as value-gated queries
   (q252 incremental CC merge vs the from-raw recursive closure, q253
   intra-doc segment dedup, q254 cluster-pure split membership on a

@@ -109,20 +109,20 @@ class TestSynthBlobs:
 
 class TestRound10Registry:
     def test_new_queries_registered_behind_the_window(self, spark):
-        """Round-12 ordering contract: q237-q282 (and the q10-q13 wrap)
-        were driver-graded in round 11 (CORRECTNESS_r11.json), so the
-        head is now the stalest band q14-q63 — exactly the driver's
-        50-entry grading window — in ascending q-number order."""
+        """Round-13 ordering contract: q14-q63 were driver-graded in
+        round 12 (CORRECTNESS_r12.json), so the head is now the
+        stalest band q64-q113 — exactly the driver's 50-entry grading
+        window — in ascending q-number order."""
         from ursa_major_choir_etl_spark.plans.queries import ORACLES, QUERIES
 
         ks = list(QUERIES)
         assert len(ks) >= 282
-        head = [k for k in ks if 14 <= int(k[1 : k.index("_")]) <= 63]
+        head = [k for k in ks if 64 <= int(k[1 : k.index("_")]) <= 113]
         assert len(head) == 50
         assert ks[:50] == sorted(
             head, key=lambda k: int(k[1 : k.index("_")])
         )
-        assert [k[:4] for k in ks[:3]] == ["q14_", "q15_", "q16_"]
+        assert [k[:4] for k in ks[:3]] == ["q64_", "q65_", "q66_"]
         for q in ("q252_", "q253_", "q254_", "q255_", "q256_", "q257_",
                   "q258_", "q259_", "q260_", "q261_", "q262_", "q263_",
                   "q264_", "q265_", "q266_", "q267_", "q268_", "q269_",

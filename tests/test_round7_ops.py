@@ -341,11 +341,11 @@ class TestConsensusPairs:
 
 class TestGradingWindowRotation:
     def test_window_leads_with_never_graded_then_stalest(self):
-        """The driver grades the first 50 registry entries. Round-12
-        policy: every band has now been driver-graded (q237-q282 and
-        the q10-q13 wrap went green in round 11), so the window IS the
-        stalest band — q14-q63, last graded rounds 5/6 — in ascending
-        q-number order, filling all 50 slots exactly."""
+        """The driver grades the first 50 registry entries. Round-13
+        policy: q14-q63 went green in round 12 (CORRECTNESS_r12.json),
+        so the window rotates to the now-stalest band — q64-q113,
+        anchored on the q64-q100 rows last graded rounds 5/6 — in
+        ascending q-number order, filling all 50 slots exactly."""
         from ursa_major_choir_etl_spark.plans.queries import (
             _head,
             _staleness,
@@ -356,12 +356,28 @@ class TestGradingWindowRotation:
         assert len(window) == 50
         qnum = lambda k: int(k[1 : k.index("_")])  # noqa: E731
         assert window == sorted(_head, key=qnum)
-        assert [qnum(window[0]), qnum(window[-1])] == [14, 63]
-        # freshly graded rows (r8-r11 bands) occupy no slot...
-        assert not any(137 <= qnum(k) <= 288 for k in window)
+        assert [qnum(window[0]), qnum(window[-1])] == [64, 113]
+        # freshly graded rows (r8-r12 bands) occupy no slot...
+        assert not any(137 <= qnum(k) <= 282 for k in window)
+        assert not any(14 <= qnum(k) <= 63 for k in window)
         # ...and every window row is from the stale r5-r7 bands
-        # (q19/q20 inside q14-q63 were re-graded in round 7)
         assert all(_staleness(k) <= 2 for k in window)
+
+    def test_head_is_the_stalest_contiguous_block(self):
+        """Round-12 verdict #6: the rotation has two moving parts
+        (_head and _staleness) plus two test pins; if a future round
+        moves one without the other, this must fail loudly. The head
+        must minimize total staleness over all contiguous 50-blocks
+        of the ascending registry."""
+        from ursa_major_choir_etl_spark.plans.queries import (
+            _head,
+            _names,
+            _staleness,
+        )
+
+        blocks = [_names[i : i + 50] for i in range(len(_names) - 49)]
+        best = min(sum(_staleness(k) for k in b) for b in blocks)
+        assert sum(_staleness(k) for k in _head) == best
 
 
 class TestRound7Properties:

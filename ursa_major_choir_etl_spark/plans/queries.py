@@ -17398,15 +17398,19 @@ QUERIES = {
 }
 
 # The driver grades a prefix window of this registry (50 entries per
-# round). Coverage ledger entering round 12: round 11 graded
-# q237–q282 plus the wrap q10–q13 (50/50 green, CORRECTNESS_r11.json);
-# round 10 graded q187–q236; q137–q186 carry round-8/9 rows. The
-# stalest band is now q14–q136 (last driver rows rounds 5–7).
-# Round-12 priority order:
-#   1. q14–q63 in ascending q-number order — exactly the 50-entry
-#      window, and exactly the stalest rows (round-5/6-era gradings);
-#   2. everything else by grading age (stalest first), so round 13's
-#      window naturally lands on q64–q113.
+# round). Coverage ledger entering round 13: round 12 graded q14–q63
+# (50/50 green, CORRECTNESS_r12.json); round 11 graded q237–q282 plus
+# the wrap q10–q13; round 10 graded q187–q236; q137–q186 carry
+# round-8/9 rows; q01–q09 and q101–q136 carry round-7 rows; q64–q100
+# carry the OLDEST rows (rounds 5–6). q283–q290 (added rounds 12–13)
+# have no driver row yet — they carry same-tree local-sweep evidence
+# and sort immediately behind the round-5/7 bands in the tail.
+# Round-13 priority order:
+#   1. q64–q113 in ascending q-number order — exactly the 50-entry
+#      window, anchored on the stalest rows (round-5/6-era gradings);
+#   2. everything else by grading age (stalest first, never-graded
+#      newcomers between the r5/6 and r7 bands), so round 14's window
+#      naturally lands on q283–q290 + q01–q09 + q114–q136.
 # tools/check_oracles.py remains the all-registry local sweep
 # (CORRECTNESS_LOCAL_ALL.txt / _SF01.txt) — re-run at the closing
 # tree, so every row outside the window has same-tree local evidence.
@@ -17417,23 +17421,25 @@ def _qnum(k: str) -> int:
 
 
 _names = sorted(QUERIES, key=_qnum)
-_head = [k for k in _names if 14 <= _qnum(k) <= 63]
+_head = [k for k in _names if 64 <= _qnum(k) <= 113]
 
 
 def _staleness(k: str) -> int:
     """Rounds since last driver grading (0 = stalest)."""
     n = _qnum(k)
-    if (14 <= n <= 48 and n not in (19, 31)) or n in (76, 85):
-        return 0  # last graded round 5 (q19 was re-graded round 7)
-    if n == 31 or (49 <= n <= 100 and n not in (77, 88, 90, 100)):
-        return 1  # last graded round 6
-    if n <= 9 or (14 <= n <= 136):
-        return 2  # graded round 7 (q01–q09, q19/q20/q88/q90/q100, q101+)
+    if 64 <= n <= 100:
+        return 0  # last graded rounds 5-6 — the oldest driver rows
+    if n >= 283:
+        return 1  # never driver-graded (added rounds 12-13)
+    if n <= 9 or (101 <= n <= 136):
+        return 2  # graded round 7
     if 137 <= n <= 186:
         return 3  # q137–q186: graded rounds 8 AND 9
     if 187 <= n <= 236:
         return 4  # q187–q236: graded round 10
-    return 5  # q237–q282 and the q10–q13 wrap: graded round 11 — freshest
+    if 10 <= n <= 13 or 237 <= n <= 282:
+        return 5  # q10–q13 wrap and q237–q282: graded round 11
+    return 6  # q14–q63: graded round 12 — freshest
 
 
 _order = _head + sorted(
@@ -17442,13 +17448,22 @@ _order = _head + sorted(
 )
 # The guard the driver's 50-entry window depends on: exact coverage
 # and no duplicates, and ascending q-number order inside the head so
-# the stalest band (q14–q63, no driver row since rounds 5/6) fills the
-# round-12 grading window exactly — every one of them is green in the
-# builder's own all-registry sweep at BOTH scales at the closing
-# commit.
+# the stalest band (q64–q113, anchored on the q64–q100 rows that have
+# no driver grading since rounds 5/6) fills the round-13 grading
+# window exactly — every one of them is green in the builder's own
+# all-registry sweep at BOTH scales at the closing commit.
 assert len(_order) == len(set(_order)) == len(_names), "duplicate keys"
-assert len(_head) == 50, "q14-q63 head must fill the window exactly"
+assert len(_head) == 50, "q64-q113 head must fill the window exactly"
 assert _order[:50] == _head, "window must be exactly the stalest band"
+# Round-12 verdict item #6: a half-done rotation (head moved but
+# _staleness not, or vice versa) must fail loudly. The head must be
+# THE stalest contiguous 50-block of the ascending registry under the
+# very _staleness table shipped with it (ties broken leftward).
+_blocks = [_names[i : i + 50] for i in range(len(_names) - 49)]
+_best = min(_blocks, key=lambda b: sum(_staleness(k) for k in b))
+assert sum(_staleness(k) for k in _head) == sum(
+    _staleness(k) for k in _best
+), "head is not the stalest contiguous 50-block — rotation half-done?"
 QUERIES = {k: QUERIES[k] for k in _order}
 
 ORACLES: dict[str, str | None] = {

@@ -165,3 +165,60 @@ class TestSparkPath:
             assert r["peak"] == max(abs(s) for s in ss)
             want_rms = (sum(s * s for s in ss) / len(ss)) ** 0.5
             assert abs(r["rms"] - want_rms) < 1e-9
+
+
+class TestAdversarialRobustness:
+    """Round-13 hardening (ADVICE r12): a corrupt stream must DEGRADE
+    to None, never crash the mapInPandas task. The specific reported
+    crash: a single subframe-header bit flip that pushes wasted-bits
+    to >= the bit depth drove read_signed into a negative shift
+    (ValueError) before the CRC-16 could reject; FIXED reconstruction
+    could also overflow struct.pack('<h') in the MD5 check."""
+
+    def test_every_single_bit_flip_decodes_or_degrades(self):
+        # EXHAUSTIVE single-bit flips over a few small blobs: each
+        # result is either None or the exact true samples. No
+        # exception may escape (the bug class ADVICE r12 reported).
+        # d=95 pins the reported crash: flipping bit 0 of byte 50
+        # (the wasted-bits flag of a subframe header) made the old
+        # decoder call read_signed with eff <= 0 -> ValueError
+        # ('negative shift count') before the CRC-16 could reject.
+        for d in (0, 2, 13, 95):
+            blob = bytearray(synth_flac_blob(d))
+            bits = 8 if d % 5 == 0 else 16
+            want = [
+                [_flac_sample(d, t, c, bits) for c in range(1 + d % 2)]
+                for t in range(16 + d % 16)
+            ]
+            for byte in range(len(blob)):
+                for bit in range(8):
+                    blob[byte] ^= 1 << bit
+                    dec = _decode_flac_one(bytes(blob))
+                    assert dec is None or dec[3] == want, (d, byte, bit)
+                    blob[byte] ^= 1 << bit
+
+    def test_random_multibyte_corruption_never_crashes(self):
+        rnd = random.Random(13)
+        for _ in range(300):
+            d = rnd.randrange(200)
+            blob = bytearray(synth_flac_blob(d))
+            for _ in range(rnd.randint(1, 6)):
+                blob[rnd.randrange(len(blob))] = rnd.randrange(256)
+            dec = _decode_flac_one(bytes(blob))  # must not raise
+            if dec is not None and d % 10 != 7:
+                bits = 8 if d % 5 == 0 else 16
+                want = [
+                    [
+                        _flac_sample(d, t, c, bits)
+                        for c in range(1 + d % 2)
+                    ]
+                    for t in range(16 + d % 16)
+                ]
+                assert dec[3] == want
+
+    def test_truncated_and_garbage_prefixes_degrade(self):
+        blob = synth_flac_blob(3)
+        for cut in range(len(blob)):
+            assert _decode_flac_one(blob[:cut]) is None
+        assert _decode_flac_one(b"\xff" * 64) is None
+        assert _decode_flac_one(b"") is None

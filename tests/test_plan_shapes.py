@@ -182,7 +182,12 @@ class TestRegistrySweep:
     # q230: the remainder rank + base sum windows span source-dim rows.
     # q244: the adjacent-month lag window orders calendar-bounded
     # month rows (q53's class).
+    # q284: the panel row_number orders the post-LIMIT 20-row df
+    # frame (fixed cardinality by construction — round 13 moved the
+    # panel from a driver collect into the plan so explain-only
+    # callers run no jobs).
     GLOBAL_WINDOW_OK = {
+        "q284_bm25_panel",
         "q53_monthly_trend",
         "q104_quantile_sketch_accuracy",
         "q197_dedup_saturation",

@@ -174,6 +174,25 @@ class TestQ286Hits:
         assert max(tops["authority"]) == 1_000_000
         assert max(tops["hub"]) == 1_000_000
 
+    def test_empty_edge_list_degrades_to_empty_frames(self, spark):
+        """ADVICE r12: max over zero groups is NULL; the old code
+        crashed on int(None) (and a zero max would break the DIV).
+        Contract now matches salsa_integer: empty in, empty out,
+        with the (node, score) schema intact."""
+        from ursa_major_choir_etl_spark.operators.graph import (
+            hits_integer,
+            salsa_integer,
+        )
+
+        edges = spark.createDataFrame([], "src int, dst int")
+        for fn in (hits_integer, salsa_integer):
+            a, h = fn(edges, iters=2)
+            assert a.count() == 0 and h.count() == 0
+            assert [f.name for f in a.schema] == ["dst", "a"]
+            assert [f.name for f in h.schema] == ["src", "h"]
+            assert a.schema["a"].dataType.simpleString() == "bigint"
+            assert h.schema["h"].dataType.simpleString() == "bigint"
+
 
 class TestQ288Salsa:
     def test_matches_pure_python_salsa(self, spark):
@@ -255,3 +274,29 @@ class TestQ283PresenceStoreQuery:
             assert r["first_day"] == (b & -b).bit_length() - 1
             assert r["last_day"] == b.bit_length() - 1
             assert 0 <= r["first_day"] <= r["last_day"] <= 62
+
+
+def test_q284_plan_construction_triggers_no_job(spark):
+    """ADVICE r12: the panel selection used a 20-row driver collect
+    at plan-construction time, so explain-only callers (q284 is in
+    tools/explain_plans.py HEADLINERS) executed real jobs. Round 13
+    moved the panel into the plan as a post-LIMIT row_number —
+    building and explaining q284 must now run ZERO Spark jobs.
+
+    The one remaining build-time job class is the parquet footer
+    inference on the FIRST read of an artifact in a process —
+    amortized away by the artifacts._SCHEMAS cache — so the probe
+    warms the tokens_table read once before snapshotting."""
+    from ursa_major_choir_etl_spark.plans.queries import QUERIES, tokens_table
+
+    tokens_table(spark, SF)  # warm artifact existence + schema cache
+    spark.sparkContext.setJobGroup("q284-lazy-probe", "probe")
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup("q284-lazy-probe"))
+    try:
+        df = QUERIES["q284_bm25_panel"](spark, SF)
+        df._jdf.queryExecution().executedPlan().toString()
+        after = set(tracker.getJobIdsForGroup("q284-lazy-probe"))
+        assert after == before, after - before
+    finally:
+        spark.sparkContext.setJobGroup(None, None)

@@ -48,6 +48,14 @@ from pyspark.sql import DataFrame, SparkSession
 # calls on repeat reads inside one bench/test session.
 _VERIFIED: set[str] = set()
 
+# Inferred schema per verified key (round 13): the first read of an
+# artifact runs Spark's footer-inference job; every later read in the
+# process passes the cached schema so plan CONSTRUCTION over an
+# existing artifact runs zero jobs — with 16 tokens_table consumers
+# (and the pair/IVF/LSH artifacts), that is one small job saved per
+# consumer per session, and it makes explain-only callers truly free.
+_SCHEMAS: dict[str, "object"] = {}
+
 
 def base_dir() -> str:
     return os.environ.get(
@@ -113,7 +121,12 @@ def materialize_once(
             shutil.rmtree(tmp, ignore_errors=True)
         _prune_superseded(prefix, key)
     _VERIFIED.add(key)
-    return spark.read.parquet(path)
+    cached = _SCHEMAS.get(key)
+    if cached is not None:
+        return spark.read.schema(cached).parquet(path)
+    out = spark.read.parquet(path)
+    _SCHEMAS[key] = out.schema
+    return out
 
 
 def _prune_superseded(prefix: str, keep_key: str) -> None:

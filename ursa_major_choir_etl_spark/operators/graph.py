@@ -149,6 +149,18 @@ def hits_integer(
             .agg(F.sum("ar").alias("hr"))
         )
         hm = h_raw.agg(F.max("hr")).first()[0]
+        if not hm:
+            # Empty edge list: the max over zero groups is NULL (and a
+            # zero max would divide by zero). Degrade to empty score
+            # frames with the contract schema, like salsa_integer.
+            return (
+                a_raw.select(
+                    "dst", F.col("ar").cast("bigint").alias("a")
+                ).limit(0),
+                h_raw.select(
+                    "src", F.col("hr").cast("bigint").alias("h")
+                ).limit(0),
+            )
         h = h_raw.select(
             "src",
             F.expr(
@@ -156,6 +168,13 @@ def hits_integer(
             ).alias("h"),
         )
     am = a_raw.agg(F.max("ar")).first()[0]
+    if not am:
+        return (
+            a_raw.select(
+                "dst", F.col("ar").cast("bigint").alias("a")
+            ).limit(0),
+            h.limit(0),
+        )
     a = a_raw.select(
         "dst",
         F.expr(f"CAST(ar * 1000000 DIV {int(am)} AS BIGINT)").alias(

@@ -27,6 +27,7 @@ Codec coverage is honest and explicit:
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -1985,6 +1986,11 @@ def _decode_flac_one(blob: bytes):
                 if br.read(1):
                     wasted = br.read_unary() + 1
                 eff = bits - wasted
+                if eff <= 0:
+                    # wasted-bits >= bit depth is unrepresentable: a
+                    # corrupt header, not a decodable subframe —
+                    # degrade before read_signed(0) raises.
+                    return None
                 if stype == 0:  # CONSTANT
                     v = br.read_signed(eff) << wasted
                     xs = [v] * blocksize
@@ -2048,7 +2054,13 @@ def _decode_flac_one(blob: bytes):
         if _audio_md5(frames, bits) != md5_want:
             return None
         return rate, ch, bits, frames
-    except (IndexError, KeyError):
+    except (IndexError, KeyError, ValueError, OverflowError, struct.error):
+        # Contract: ANY unprovable payload degrades to None (valid =
+        # false), never a task crash. Beyond truncated reads (Index/
+        # KeyError), corrupt-but-CRC-passing headers can drive
+        # read_signed into a negative shift (ValueError) and FIXED
+        # reconstruction can overflow the int16 MD5 pack
+        # (struct.error / OverflowError) before verification rejects.
         return None
 
 

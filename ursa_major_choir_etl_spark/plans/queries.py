@@ -16733,16 +16733,33 @@ def q284_bm25_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
-    top = (
+    # Panel selection stays IN the plan (round-13, ADVICE r12): the
+    # old 20-row driver collect matched the bounded model-state
+    # pattern but ran real jobs for explain-only callers. The global
+    # row_number window here orders the post-LIMIT 20-row frame —
+    # fixed cardinality by construction (GLOBAL_WINDOW_OK).
+    panel = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.col("df").desc(), F.col("term").asc())
         .limit(20)
-        .collect()
-    )
-    panel = spark.createDataFrame(
-        [(i // 2 + 1, r["term"], r["df"]) for i, r in enumerate(top)],
-        "query_id int, term string, df long",
+        .withColumn(
+            "query_id",
+            (
+                (
+                    F.row_number().over(
+                        Window.orderBy(
+                            F.col("df").desc(), F.col("term").asc()
+                        )
+                    )
+                    + F.lit(1)
+                )
+                / 2
+            )
+            .cast("int")
+            .alias("query_id"),
+        )
+        .select("query_id", "term", "df")
     )
     totals = (
         t.select(F.size("toks").alias("dl"))

@@ -4,10 +4,15 @@
 - ``queries()``: every implemented operator family from SURVEY.md §2
   plus the LLM-pipeline extensions, as (spark, sf_dir) -> DataFrame.
 - ``oracle_sql()``: DuckDB SQL recomputing each query bit-for-bit —
-  ALL entries as of round 13, no omissions. The registry order
+  ALL 290 entries as of round 13, no omissions. The registry order
   leads with the stalest driver-graded band (q64–q113 fills the
   50-entry grading window this round; the never-driver-graded
-  q283+ newcomers plus q01–q09/q114–q136 queue next). Round 12
+  q283+ newcomers plus q01–q09/q114–q136 queue next). Round 13
+  value-gated two more streaming stores end to end under the q283
+  drain pattern: the CC-label store (q289 — multi-batch incremental
+  merge vs the from-raw recursive closure) and the quantile-sketch
+  store (q290 — batch_id-keyed additive merge vs the one-shot
+  log-histogram). Round 12
   added the streaming presence-store report (q283 — the OR-merge
   generation store under a full value hash), BM25 panel retrieval
   over the materialized token corpus (q284), chi-square independence

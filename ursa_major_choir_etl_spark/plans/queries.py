@@ -17123,6 +17123,153 @@ SELECT side, node_id, score FROM (
 """
 
 
+_CC_STORE_VERSION = 1  # bump when the drain semantics change
+
+
+def cc_store_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drained streaming cluster-label store as a materialized
+    artifact (the q283 presence-store pattern applied to the MOST
+    consequential store — dedup labels drive keep/drop decisions):
+    the q20 near-dup pair artifact is replayed as a MULTI-BATCH file
+    stream (maxFilesPerTrigger over an 8-file copy) through
+    streaming_cc_label_sink — each micro-batch folds its pairs into
+    the standing (node, component) labels via merge_cc_labels, so the
+    closure never re-runs over historical pairs — and the final
+    generation is published once per corpus snapshot. Because the
+    min-id label contract is split-order-free (merge(CC(some), rest)
+    == CC(all) for ANY split, the q252 identity applied per batch),
+    the drained store is value-identical to the one-shot closure the
+    DuckDB oracle recomputes from raw text via the recursive CTE — so
+    the driver hash certifies the sink's merge, the generation
+    layout, the pruning, and the reader END TO END."""
+    import tempfile
+
+    from ursa_major_choir_etl_spark import artifacts
+    from ursa_major_choir_etl_spark.streaming import jobs
+
+    def build() -> DataFrame:
+        base = tempfile.mkdtemp(prefix="cc_drain_")
+        src = os.path.join(base, "src")
+        wh = os.path.join(base, "wh")
+        ckpt = os.path.join(base, "ckpt")
+        jaccard_pairs_table(spark, sf_dir).select(
+            F.col("id_a").cast("long"), F.col("id_b").cast("long")
+        ).repartition(8).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("id_a bigint, id_b bigint")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        jobs.streaming_cc_label_sink(
+            stream, wh, "cclabels", checkpoint_dir=ckpt
+        ).awaitTermination(300)
+        return jobs.read_cc_label_store(spark, wh, "cclabels")
+
+    return artifacts.materialize_once(
+        spark,
+        "cc_store",
+        sf_dir,
+        _CC_STORE_VERSION,
+        [os.path.join(sf_dir, "documents.parquet")],
+        build,
+    )
+
+
+def q289_streaming_cc_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster labels read from the STREAMING-maintained CC-label
+    store (cc_store_table): the continuous-ingest dedup chain's
+    label side, previously certified only by pytest parity drives
+    (round-12 VERDICT #4). The oracle recomputes the full transitive
+    closure from raw text, so a value match proves the multi-batch
+    incremental merge converged to the exact batch closure — min-id
+    representatives included."""
+    return cc_store_table(spark, sf_dir).select("node", "component")
+
+
+def _oracle_q289() -> str:
+    return _oracle_q55()
+
+
+_QSKETCH_STORE_VERSION = 1  # bump when the drain semantics change
+
+
+def quantile_store_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drained streaming quantile-sketch store as a materialized
+    artifact: order totals in integer cents are replayed as a
+    multi-batch file stream through streaming_quantile_sketch_sink
+    (per-batch log-histogram sketch rows keyed by batch_id —
+    replay-safe via dynamic partition overwrite), then merged by
+    read_quantile_sketch_store's additive groupBy. Because the
+    sketch is a deterministic integer bucketing and merge is
+    addition, the drained store merges to EXACTLY the one-shot batch
+    sketch the DuckDB oracle computes from raw orders — certifying
+    the additive-merge replay-safety claim under the driver value
+    gate instead of pytest-only parity (round-12 VERDICT #5)."""
+    import tempfile
+
+    from ursa_major_choir_etl_spark import artifacts
+    from ursa_major_choir_etl_spark.streaming import jobs
+
+    def build() -> DataFrame:
+        base = tempfile.mkdtemp(prefix="qsketch_drain_")
+        src = os.path.join(base, "src")
+        wh = os.path.join(base, "wh")
+        ckpt = os.path.join(base, "ckpt")
+        T(spark, sf_dir, "orders").select(
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("x")
+        ).repartition(8).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("x bigint")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        jobs.streaming_quantile_sketch_sink(
+            stream, "x", wh, "qsketch", checkpoint_dir=ckpt
+        ).awaitTermination(300)
+        return jobs.read_quantile_sketch_store(spark, wh, "qsketch")
+
+    return artifacts.materialize_once(
+        spark,
+        "qsketch_store",
+        sf_dir,
+        _QSKETCH_STORE_VERSION,
+        [os.path.join(sf_dir, "orders.parquet")],
+        build,
+    )
+
+
+def q290_streaming_quantile_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The merged streaming quantile-sketch store, row for row
+    (bucket_lo, cnt): the full store contents under the driver's
+    value hash. The oracle rebuilds the log-histogram from raw order
+    totals in SQL (the q104 bucket expression), so a match proves
+    per-batch sketch + batch_id-keyed store + additive merge ==
+    one-shot batch sketch, bit for bit."""
+    return quantile_store_table(spark, sf_dir).select(
+        "bucket_lo", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+def _oracle_q290(sub_bits: int = 3) -> str:
+    return f"""
+WITH pos AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x
+  FROM orders
+  WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) >= 1
+),
+b AS (
+  SELECT x, greatest(length(bin(x)) - {sub_bits + 1}, 0) AS m FROM pos
+)
+SELECT (x >> m) << m AS bucket_lo, count(*) AS cnt FROM b GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -17412,6 +17559,8 @@ QUERIES = {
     "q286_hits_purchase_graph": q286_hits_purchase_graph,
     "q287_flac_decode": q287_flac_decode,
     "q288_salsa_purchase_graph": q288_salsa_purchase_graph,
+    "q289_streaming_cc_store": q289_streaming_cc_store,
+    "q290_streaming_quantile_store": q290_streaming_quantile_store,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -17772,4 +17921,6 @@ ORACLES: dict[str, str | None] = {
     "q286_hits_purchase_graph": ORACLE_Q286,
     "q287_flac_decode": _oracle_q287(),
     "q288_salsa_purchase_graph": ORACLE_Q288,
+    "q289_streaming_cc_store": _oracle_q289(),
+    "q290_streaming_quantile_store": _oracle_q290(),
 }

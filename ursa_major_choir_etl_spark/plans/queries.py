@@ -230,6 +230,40 @@ Operator coverage map (SURVEY §2 ids -> query):
   depth-conversion curve ........... q249 (log2 session-length buckets)
   shared-prefix families ........... q250 (template-opening detector)
   dedup quality shift .............. q251 (kept vs removed survivor bias)
+  incremental CC label merge ....... q252 (merge(CC(half), rest) == CC(all))
+  intra-doc segment dedup .......... q253 (keep-first reassembly, 1 Project)
+  cluster-pure train/eval split .... q254 (portable md5-nibble membership)
+  real image codecs ................ q255 BMP, q257 JPEG, q258 PNG (exact)
+  real audio codecs ................ q256 WAV PCM, q287 FLAC (CRC+MD5)
+  perceptual near-dup images ....... q259 dhash, q262 banded dhash pairs
+  thumbnail transcode chain ........ q260 (four-codec pass, exact stats)
+  audio energy fingerprint ......... q261 (per-band integer energies)
+  Kneser-Ney bigram LM ............. q263 (integer-exact discounting)
+  Fellegi-Sunter linkage ........... q264 (match weights, no pair blowup)
+  HLL set-algebra overlap .......... q265 (portable registers, union/diff)
+  resource-allocation link pred .... q266 (common-neighbor RA index)
+  Bradley-Terry ratings ............ q267 (integer MM on K^2 win matrix)
+  DBSCAN neighborhoods ............. q268 (grid-bucketed epsilon join)
+  Neyman allocation ................ q269 (isqrt-exact budget split)
+  Nelson-Aalen survival ............ q270 (censored cumulative hazard)
+  EB beta-binomial shrinkage ....... q271 (MoM prior, quantized)
+  MAP@k retrieval grading .......... q272 (floor-ppm precision terms)
+  isotonic (PAVA) calibration ...... q273 (closed-form minimax fit)
+  presence-bitmap algebra .......... q274 (bit_or days, AND/OR Jaccard)
+  systematic PPS sample ............ q275 (Madow picks, zero RNG)
+  Theil-Sen robust trend ........... q276 (median pairwise slope)
+  Holt linear smoothing ............ q277 (integer double-exponential)
+  Kendall tau-b .................... q278 (tie-corrected concordance)
+  Krippendorff's alpha ............. q279 (multi-rater, missing-safe)
+  capture-recapture coverage ....... q280 (Chapman over two catches)
+  rank-biased overlap .............. q281 (top-weighted list agreement)
+  degree assortativity ............. q282 (integer Newman correlation)
+  streaming presence store ......... q283 (drained OR-merge store, gated)
+  BM25 panel retrieval ............. q284 (exact-integer k1/b, top-3)
+  chi-square independence .......... q285 (full marginal grid, micro)
+  integer HITS / SALSA ............. q286, q288 (barrier-free SALSA)
+  streaming CC-label store ......... q289 (drained merge == closure)
+  streaming quantile store ......... q290 (batch-keyed additive merge)
 """
 
 from __future__ import annotations

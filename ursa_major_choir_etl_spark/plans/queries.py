@@ -17317,6 +17317,9 @@ ARTIFACT_BUILDERS = {
         s, d, max_hamming=3, bands=4
     ),
     "cc_labels": cc_labels_table,
+    "embedding_pairs": lambda s, d: embedding_pairs_table(
+        s, d, threshold=0.4
+    ),
     "lsh_signatures": lsh_signatures_table,
     "ivf_index": lambda s, d: ivf_index_tables(s, d, n_cells=8)[0],
     "ann_truth_k1": lambda s, d: ann_truth_table(s, d, k=1),

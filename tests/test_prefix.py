@@ -131,10 +131,10 @@ def test_null_scan_key_raises(spark):
             bucketed_cumsum(h, "v", {"c": F.col("cnt")}).collect()
 
 
-def test_small_histogram_collapses_to_single_bucket(spark):
-    """Below the per-bucket row target the bucket EXPRESSION collapses
-    the scan to one bucket (the boundary aggregate's row count drives
-    the CASE) — values unchanged vs the naive scan."""
+def test_small_histogram_values_unchanged(spark):
+    """A histogram smaller than the bucket count needs no special
+    path (the range exchange just leaves most partitions empty) —
+    values unchanged vs the naive scan."""
     h = _hist(spark, 10)
     df = bucketed_cumsum(h, "v", {"c": F.col("cnt")})
     want = _naive(h, "v", F.col("cnt"), "sum", False, True)
@@ -143,10 +143,10 @@ def test_small_histogram_collapses_to_single_bucket(spark):
 
 
 def test_plan_construction_triggers_no_job(spark):
-    """Round-11 VERDICT: sizing must be lazy — building AND explaining
-    a bucketed_prefix plan (any size, grouped or not) executes no
-    Spark job; the sizing count rides inside the boundary aggregate
-    that only runs when an action does."""
+    """Round-11 VERDICT: bucketing must be lazy — building AND
+    explaining a bucketed_prefix plan (any size, grouped or not)
+    executes no Spark job; the range exchange samples its split
+    points only when an action runs."""
     # let any queued async cleanup settle, then snapshot job ids
     spark.sparkContext.setJobGroup("prefix-lazy-probe", "probe")
     tracker = spark.sparkContext.statusTracker()
@@ -168,15 +168,18 @@ def test_plan_construction_triggers_no_job(spark):
         spark.sparkContext.setJobGroup(None, None)
 
 
-def test_large_histogram_uses_approx_boundaries(spark):
-    """Above the threshold the boundary pass runs, and it is the
-    mergeable bounded-memory approx_percentile — never the exact
-    percentile whose final merge buffers the whole histogram."""
+def test_boundaries_come_from_the_range_exchange(spark):
+    """Round 13: split points come from the range exchange's bounded
+    reservoir sample — the plan carries a rangepartitioning exchange
+    and NO percentile aggregate of any kind (the round-12
+    percentile_approx boundary pass cost a constant ~1s of extra
+    stage scheduling per consumer; the exact percentile would buffer
+    the whole histogram in one final merge)."""
     h = _hist(spark, 600)
     df = bucketed_cumsum(h, "v", {"c": F.col("cnt")})
     plan = df._jdf.queryExecution().executedPlan().toString().lower()
-    assert "approx_percentile" in plan or "percentile_approx" in plan, plan
-    assert "percentile(" not in plan.replace("approx_percentile(", ""), plan
+    assert "rangepartitioning" in plan, plan
+    assert "percentile" not in plan, plan
 
 
 @pytest.mark.parametrize("desc", [False, True])

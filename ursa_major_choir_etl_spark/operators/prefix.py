@@ -14,48 +14,52 @@ bottleneck-by-construction this repo's plan sweep bans.
 :func:`bucketed_prefix` is the scale-safe replacement — the classic
 two-level (blocked) parallel prefix scan, expressed in DataFrame ops:
 
-1. one ``approx_percentile`` row over the histogram picks
-   ``n_buckets - 1`` split values (boundaries only need to be
-   *monotone and consistent within the plan*, not semantically
-   meaningful — any split yields the exact same prefix, so
-   histogram-percentile spreading is purely a load-balancing
-   choice). Approximate is the point: Spark's EXACT ``percentile``
-   buffers the full value list and merges it in ONE final
-   aggregation buffer — re-introducing a histogram-sized single-task
-   funnel (in memory instead of time) into the operator built to
-   remove one. ``approx_percentile``'s quantile summaries are
-   mergeable and bounded-memory at any histogram size; because the
-   summary-merge result can depend on shuffle arrival order, the
-   boundary row is STAGED (persisted) so every branch of the plan
-   that buckets rows reads the one materialized copy;
+1. the histogram is ``repartitionByRange``-d on the scan keys and the
+   physical partition id IS the bucket: Spark's range exchange
+   guarantees every key in partition ``i`` precedes every key in
+   partition ``i+1`` under the requested ordering, which is the only
+   property the scan needs (boundaries must be *monotone and
+   consistent within the plan*, not semantically meaningful — any
+   split yields the exact same prefix). The exchange picks its split
+   points from a bounded per-partition reservoir sample, so there is
+   no histogram-sized single-task funnel anywhere — and no separate
+   boundary aggregate, broadcast, or bucket join at all (the round-12
+   percentile_approx formulation carried all three; round-13 measured
+   them at a constant ~1s of stage-scheduling overhead per consumer
+   on small histograms). Because the sampled split points can differ
+   across re-evaluations, the bucketed frame is STAGED (persisted) so
+   both downstream consumers read the ONE materialized bucketing;
 2. per-bucket totals get their exclusive cross-bucket offsets via a
    broadcast triangular self-join over ``<= n_buckets`` rows (no
    global window anywhere — a ``b.bkt < a.bkt`` nested loop over a
    32-row frame is ~1k pairs, cheaper than the single-partition
-   exchange a window would force);
+   exchange a window would force). Partition ids already follow the
+   requested scan direction, so "preceding" is always the lower id;
 3. the within-bucket running aggregate is partitioned BY bucket —
    every task handles ~1/n_buckets of the histogram;
 4. prefix = offset ⊕ within-bucket running value. Exact for any
    associative ⊕; ``sum`` and ``max`` are provided (the two shapes
    the registry uses: cumulative mass and skyline prefix-max).
 
-``group_cols`` runs one independent scan per group in the SAME pass
-(per-group percentile boundaries, windows partitioned by
-(group, bucket)) — the "three RFM dimensions", "CDF per segment"
-case pays one histogram shuffle + one boundary pass total instead of
-one per group.
+``group_cols`` runs one independent scan per group in the SAME pass:
+the range keys are ``(groups..., order)``, so each group occupies a
+contiguous band of partitions and is monotone within the band — the
+per-(group, bucket) windows and per-group triangular offsets stay
+exact whatever the band layout. The "three RFM dimensions", "CDF per
+segment" case pays one histogram shuffle total instead of one per
+group.
 
 The bucket count scales with the cluster AND the histogram, not the
 data: ``n_buckets`` is a CEILING (32 here, matching local[32]; a
-1000-executor deployment raises it and nothing else changes), and
-the collapse for tiny inputs is LAZY and per-scope: the boundary
-aggregate also counts each scope's rows, and the bucket expression
-sends a scope below ~2 buckets' worth of rows to one bucket (still a
-PARTITIONED window: ``partitionBy(_bkt)`` with a constant key, which
-is exactly as single-task as a 4-row input is). Nothing executes at
-plan-construction time — explain-only callers trigger no job — and
-when grouped, each group sizes itself: tiny groups scan bucket-free
-while big groups in the same frame fan out. DuckDB oracles keep the
+1000-executor deployment raises it and nothing else changes). Tiny
+histograms need no special-casing anymore — a 10-row range shuffle
+is as trivial as the 10-row window that follows it — and nothing
+executes at plan-construction time: the range exchange samples at
+EXECUTION, so explain-only callers trigger no job. The explicit
+``n_buckets`` argument also pins the partition count against AQE
+(Spark does not re-coalesce a user-specified repartition count; and
+AQE's partition coalescing merges ADJACENT shuffle partitions, which
+preserves range monotonicity anyway). DuckDB oracles keep the
 one-level ``agg() OVER (ORDER BY v)`` form — single-node engines fit
 the whole histogram in one pass, and the two forms are
 value-identical, so the driver's hash compare certifies the
@@ -65,7 +69,7 @@ decomposition every round.
 in the scan (the global-window form this replaces sorts NULLs first
 ascending and last descending — a semantics no registry consumer
 wants for a value histogram), so NULL keys raise at execution time
-instead of silently dropping out of the bucket join.
+instead of silently dropping out of the scan.
 """
 
 from __future__ import annotations
@@ -75,12 +79,6 @@ import operator
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-
-#: Rows of histogram one bucket should carry before another bucket is
-#: worth its fixed cost (an extra boundary value + offset row). Small
-#: enough that the sf0.1 bench histograms still fan out, large enough
-#: that a 4-row skyline runs bucket-free.
-_BUCKET_TARGET_ROWS = 128
 
 
 def bucketed_prefix(
@@ -107,18 +105,18 @@ def bucketed_prefix(
     skyline test wants).
 
     ``hist`` should already be value-histogram-sized (one row per
-    distinct (group, ``order_col``)); it is staged here because the
-    boundary pass and the bucketed pass both read it.
+    distinct (group, ``order_col``)); the range-bucketed copy is
+    staged here because the offset pass and the final join both read
+    it and the sampled split points must agree between them.
     """
     if combine not in ("sum", "max"):
         raise ValueError(f"unsupported combine {combine!r}")
     from ursa_major_choir_etl_spark.caching import stage
 
     groups = list(group_cols or [])
-    hist = stage(hist)  # boundary pass + bucketed pass both read it
     # NULL scan keys have no position in the prefix order — fail loud
     # at execution (zero cost on the non-NULL path) instead of letting
-    # the bucket join silently drop the rows (round-9 ADVICE).
+    # the rows land silently at one end of the scan (round-9 ADVICE).
     null_guard = F.when(
         F.col(order_col).isNull(),
         F.raise_error(
@@ -126,82 +124,39 @@ def bucketed_prefix(
         ).cast("int"),
     )
     if n_buckets <= 1:
-        hb = hist.withColumn("_bkt", null_guard.otherwise(F.lit(0)))
-    else:
-        # Bucket sizing is LAZY and data-dependent (round-11 VERDICT:
-        # the old plan-construction-time count made build/explain-only
-        # callers execute an aggregate). The boundary aggregate — which
-        # must scan the staged histogram anyway — also counts each
-        # scope's rows ("_hn"), and the bucket EXPRESSION collapses a
-        # scope below ~2 buckets' worth of rows to a single bucket.
-        # When grouped this sizes each group independently: tiny groups
-        # scan bucket-free while big groups fan out — strictly finer
-        # than the round-10 largest-group heuristic, and nothing runs
-        # until an action does.
-        # Boundary accuracy 500 (not the 10k default): boundaries only
-        # LOAD-BALANCE — any monotone consistent split yields the exact
-        # same prefix — and the quantile-summary memory/merge cost
-        # scales with accuracy. 500 still bounds per-bucket imbalance
-        # at ~0.2% of the histogram, far finer than the 32-way split
-        # needs.
-        pct = F.percentile_approx(
-            order_col,
-            F.lit([i / n_buckets for i in range(1, n_buckets)]),
-            F.lit(500),
-        ).alias("_bs")
-        cnt = F.count(F.lit(1)).alias("_hn")
-        bexprs = [
-            F.element_at("_bs", i).alias(f"_pb{i}")
-            for i in range(1, n_buckets)
-        ]
-        bucket = F.when(
-            F.col("_hn") < F.lit(2 * _BUCKET_TARGET_ROWS), F.lit(0)
-        ).otherwise(
-            sum(
-                (
-                    (F.col(order_col) > F.col(f"_pb{i}")).cast("int")
-                    for i in range(1, n_buckets)
-                ),
-                F.lit(0),
-            )
+        hb = stage(
+            hist.withColumn("_bkt", null_guard.otherwise(F.lit(0)))
         )
-        if groups:
-            bounds = (
-                hist.groupBy(*groups)
-                .agg(pct, cnt)
-                .select(*groups, *bexprs, "_hn")
+    else:
+        order_key = (
+            F.col(order_col).desc() if desc else F.col(order_col).asc()
+        )
+        # Partition id follows the requested scan direction: with
+        # ``desc`` the largest keys land in partition 0, so the
+        # triangular offset join below always reads "preceding" as
+        # "lower _bkt" regardless of direction.
+        hb = stage(
+            hist.repartitionByRange(
+                n_buckets, *[F.col(g).asc() for g in groups], order_key
+            ).withColumn(
+                "_bkt", null_guard.otherwise(F.spark_partition_id())
             )
-            # one boundary row per group: group-cardinality-bounded.
-            # Staged because approx-quantile merge order is not
-            # deterministic across re-evaluations — both consumers of
-            # the bucketed frame must see ONE materialized boundary set.
-            bounds = stage(bounds)
-            hb = hist.join(F.broadcast(bounds), groups)
-        else:
-            bounds = stage(hist.agg(pct, cnt).select(*bexprs, "_hn"))
-            # single boundary row: bounded by construction
-            hb = hist.crossJoin(F.broadcast(bounds))
-        hb = hb.withColumn("_bkt", null_guard.otherwise(bucket)).drop(
-            "_hn", *[f"_pb{i}" for i in range(1, n_buckets)]
         )
     fagg = F.sum if combine == "sum" else F.max
     btot = hb.groupBy(*groups, "_bkt").agg(
         *[fagg(expr).alias(f"_t_{name}") for name, expr in measures.items()]
     )
     # Exclusive cross-bucket offsets: triangular broadcast self-join
-    # over <= n_buckets rows per group — strictly-preceding buckets in
-    # the requested direction. NULL offset == "no preceding bucket".
+    # over <= n_buckets rows per group — strictly-preceding buckets.
+    # NULL offset == "no preceding bucket".
     tgt = btot.select(
         *[F.col(g).alias(f"_a_{g}") for g in groups],
         F.col("_bkt").alias("_abkt"),
     )
-    prev = F.col("_bkt") > F.col("_abkt") if desc else (
-        F.col("_bkt") < F.col("_abkt")
-    )
     cond = functools.reduce(
         operator.and_,
         [F.col(g) == F.col(f"_a_{g}") for g in groups],
-        prev,
+        F.col("_bkt") < F.col("_abkt"),
     )
     offs = (
         tgt.join(F.broadcast(btot), cond, "left")

@@ -119,6 +119,7 @@ def main() -> None:
     from ursa_major_choir_etl_spark.plans.queries import ARTIFACT_BUILDERS
 
     artifact_build: dict[str, float] = {}
+    failed_artifacts: list[str] = []
     for aname, builder in ARTIFACT_BUILDERS.items():
         try:
             t0 = time.time()
@@ -126,6 +127,7 @@ def main() -> None:
             artifact_build[aname] = round(time.time() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — per-artifact isolation
             errors[f"artifact:{aname}"] = f"{type(exc).__name__}: {exc}"[:200]
+            failed_artifacts.append(aname)
         try:
             release_staged()
             spark.catalog.clearCache()
@@ -210,6 +212,18 @@ def main() -> None:
         "over_budget": over_budget,
         "sf": sf,
     }
+    # A failed pre-build means any query touching that artifact will
+    # retry the build inside its own cold timer — exactly the
+    # conflation the pre-build phase exists to remove (round-13
+    # ADVICE). Mark those cold numbers untrustworthy in the record
+    # rather than letting them read as pure query cost.
+    if failed_artifacts:
+        detail["artifact_build_failed"] = sorted(failed_artifacts)
+        detail["cold_caveat"] = (
+            "pre-build failed for the artifacts above; cold times of "
+            "queries touching them include an in-query build attempt "
+            "and are NOT comparable with clean-run colds"
+        )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
 
@@ -229,6 +243,8 @@ def main() -> None:
         compact["n_remeasured"] = len(remeasured)
     if over_budget:
         compact["over_budget"] = [k.split("_", 1)[0] for k in over_budget]
+    if failed_artifacts:
+        compact["artifact_build_failed"] = sorted(failed_artifacts)
     if errors:
         compact["errors"] = {
             k.split("_", 1)[0]: v.split(":", 1)[0] for k, v in errors.items()

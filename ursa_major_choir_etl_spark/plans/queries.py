@@ -16629,6 +16629,72 @@ FROM s CROSS JOIN nn
 _PRESENCE_STORE_VERSION = 1  # bump when the drain semantics change
 
 
+def _drained_store_artifact(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    version: int,
+    inputs: list[str],
+    src_df_fn,
+    src_schema: str,
+    sink_fn,
+    read_fn,
+) -> DataFrame:
+    """Shared drain-to-artifact harness for the streaming-store value
+    gates (q283/q289/q290/q291/q292): replay a batch frame as a
+    MULTI-BATCH file stream (8-file copy, maxFilesPerTrigger=2 — so
+    the sink's merge path runs across ≥4 micro-batches, checkpoint
+    and all), read the resulting store back, and publish it once per
+    corpus snapshot via materialize_once.
+
+    Two failure modes are closed HERE rather than per-builder
+    (round-13 ADVICE): the drain is bounded by a 300s
+    awaitTermination whose boolean is CHECKED — a timed-out drain
+    stops the query and raises instead of letting materialize_once
+    permanently publish a partially-drained store under the
+    current-generation key; and the replay scratch (input copy,
+    temp warehouse, checkpoint) is removed in a finally once
+    materialize_once has fully consumed the store read into the
+    artifact (the artifact write inside materialize_once is the
+    store's one consumer, so cleanup after it returns is safe — and
+    on the already-built path no scratch is ever created)."""
+    import shutil
+    import tempfile
+
+    from ursa_major_choir_etl_spark import artifacts
+
+    scratch: list[str] = []
+
+    def build() -> DataFrame:
+        base = tempfile.mkdtemp(prefix=f"{name}_drain_")
+        scratch.append(base)
+        src = os.path.join(base, "src")
+        wh = os.path.join(base, "wh")
+        ckpt = os.path.join(base, "ckpt")
+        src_df_fn().repartition(8).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(src_schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        query = sink_fn(stream, wh, ckpt)
+        if not query.awaitTermination(300):
+            query.stop()
+            raise RuntimeError(
+                f"{name}: availableNow drain still running after 300s "
+                "— refusing to publish a partial store"
+            )
+        return read_fn(wh)
+
+    try:
+        return artifacts.materialize_once(
+            spark, name, sf_dir, version, inputs, build
+        )
+    finally:
+        for base in scratch:
+            shutil.rmtree(base, ignore_errors=True)
+
+
 def presence_store_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The drained streaming presence-bitmap store as a materialized
     artifact: the events table is replayed as a MULTI-BATCH file
@@ -16643,41 +16709,27 @@ def presence_store_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle computes from raw events, so the driver's value
     hash certifies the whole streaming maintenance path (sink merge,
     generation layout, reader) every round, not just unit parity."""
-    import tempfile
-
-    from ursa_major_choir_etl_spark import artifacts
     from ursa_major_choir_etl_spark.streaming import jobs
 
-    def build() -> DataFrame:
-        base = tempfile.mkdtemp(prefix="presence_drain_")
-        src = os.path.join(base, "src")
-        wh = os.path.join(base, "wh")
-        ckpt = os.path.join(base, "ckpt")
-        T(spark, sf_dir, "events").select(
-            F.col("user_id").alias("k"),
-            F.datediff(
-                F.to_date("ts"), F.to_date(F.lit("2024-01-01"))
-            ).cast("int").alias("pos"),
-        ).repartition(8).write.mode("overwrite").parquet(src)
-        stream = (
-            spark.readStream.schema("k bigint, pos int")
-            .option("maxFilesPerTrigger", 2)
-            .parquet(src)
-        )
-        jobs.streaming_presence_bitmap_sink(
-            stream, wh, "presence", checkpoint_dir=ckpt
-        ).awaitTermination(300)
-        return jobs.read_presence_bitmap_store(
-            spark, wh, "presence", key_type="bigint"
-        )
-
-    return artifacts.materialize_once(
+    return _drained_store_artifact(
         spark,
         "presence_store",
         sf_dir,
         _PRESENCE_STORE_VERSION,
         [os.path.join(sf_dir, "events.parquet")],
-        build,
+        lambda: T(spark, sf_dir, "events").select(
+            F.col("user_id").alias("k"),
+            F.datediff(
+                F.to_date("ts"), F.to_date(F.lit("2024-01-01"))
+            ).cast("int").alias("pos"),
+        ),
+        "k bigint, pos int",
+        lambda stream, wh, ckpt: jobs.streaming_presence_bitmap_sink(
+            stream, wh, "presence", checkpoint_dir=ckpt
+        ),
+        lambda wh: jobs.read_presence_bitmap_store(
+            spark, wh, "presence", key_type="bigint"
+        ),
     )
 
 
@@ -16746,9 +16798,10 @@ def q284_bm25_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: tf is ONE explode+count over the token-corpus
     artifact (staged: the panel selection and the scoring join both
-    read it); the panel is a 20-row bounded collect (the audited
-    model-state pattern: kmeans centroids, BPE argmax, ANN query
-    panels); candidate scoring is a broadcast panel join; the top-3
+    read it); the panel selection stays IN the plan — a post-LIMIT
+    row_number over a 20-row frame (GLOBAL_WINDOW_OK: fixed
+    cardinality by construction), so explain-only callers run zero
+    jobs; candidate scoring is a broadcast panel join; the top-3
     per query runs the salted bounded top-N, so no query's candidate
     set ever lands in one task. Output: (query_id, rank, doc_id,
     n_terms_hit, score)."""
@@ -17157,7 +17210,13 @@ SELECT side, node_id, score FROM (
 """
 
 
-_CC_STORE_VERSION = 1  # bump when the drain semantics change
+# Bump on drain-semantics changes; the published version is derived
+# in LOCKSTEP with the pair table (round-13 ADVICE, medium): the
+# store is built FROM jaccard_pairs_table output, so a _PAIRS_VERSION
+# bump must invalidate the store too — otherwise new-semantics pairs
+# and cc_labels would coexist with a silently-stale store and q289
+# would diverge from its from-raw oracle.
+_CC_STORE_VERSION = 1
 
 
 def cc_store_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -17176,36 +17235,22 @@ def cc_store_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle recomputes from raw text via the recursive CTE — so
     the driver hash certifies the sink's merge, the generation
     layout, the pruning, and the reader END TO END."""
-    import tempfile
-
-    from ursa_major_choir_etl_spark import artifacts
     from ursa_major_choir_etl_spark.streaming import jobs
 
-    def build() -> DataFrame:
-        base = tempfile.mkdtemp(prefix="cc_drain_")
-        src = os.path.join(base, "src")
-        wh = os.path.join(base, "wh")
-        ckpt = os.path.join(base, "ckpt")
-        jaccard_pairs_table(spark, sf_dir).select(
-            F.col("id_a").cast("long"), F.col("id_b").cast("long")
-        ).repartition(8).write.mode("overwrite").parquet(src)
-        stream = (
-            spark.readStream.schema("id_a bigint, id_b bigint")
-            .option("maxFilesPerTrigger", 2)
-            .parquet(src)
-        )
-        jobs.streaming_cc_label_sink(
-            stream, wh, "cclabels", checkpoint_dir=ckpt
-        ).awaitTermination(300)
-        return jobs.read_cc_label_store(spark, wh, "cclabels")
-
-    return artifacts.materialize_once(
+    return _drained_store_artifact(
         spark,
         "cc_store",
         sf_dir,
-        _CC_STORE_VERSION,
+        _CC_STORE_VERSION * 100 + _PAIRS_VERSION,
         [os.path.join(sf_dir, "documents.parquet")],
-        build,
+        lambda: jaccard_pairs_table(spark, sf_dir).select(
+            F.col("id_a").cast("long"), F.col("id_b").cast("long")
+        ),
+        "id_a bigint, id_b bigint",
+        lambda stream, wh, ckpt: jobs.streaming_cc_label_sink(
+            stream, wh, "cclabels", checkpoint_dir=ckpt
+        ),
+        lambda wh: jobs.read_cc_label_store(spark, wh, "cclabels"),
     )
 
 
@@ -17226,7 +17271,12 @@ def _oracle_q289() -> str:
     return _oracle_q55()
 
 
-_QSKETCH_STORE_VERSION = 1  # bump when the drain semantics change
+# Bump when the drain OR sketch semantics change. Unlike cc_store
+# there is no upstream-artifact version to compose in: the store is
+# built straight from raw orders, and the bucketing lives in
+# sketches.log_quantile_sketch — a change there is a semantics change
+# of THIS store and must bump this constant.
+_QSKETCH_STORE_VERSION = 1
 
 
 def quantile_store_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -17241,38 +17291,24 @@ def quantile_store_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch the DuckDB oracle computes from raw orders — certifying
     the additive-merge replay-safety claim under the driver value
     gate instead of pytest-only parity (round-12 VERDICT #5)."""
-    import tempfile
-
-    from ursa_major_choir_etl_spark import artifacts
     from ursa_major_choir_etl_spark.streaming import jobs
 
-    def build() -> DataFrame:
-        base = tempfile.mkdtemp(prefix="qsketch_drain_")
-        src = os.path.join(base, "src")
-        wh = os.path.join(base, "wh")
-        ckpt = os.path.join(base, "ckpt")
-        T(spark, sf_dir, "orders").select(
-            F.round(F.col("o_totalprice") * 100, 0)
-            .cast("long")
-            .alias("x")
-        ).repartition(8).write.mode("overwrite").parquet(src)
-        stream = (
-            spark.readStream.schema("x bigint")
-            .option("maxFilesPerTrigger", 2)
-            .parquet(src)
-        )
-        jobs.streaming_quantile_sketch_sink(
-            stream, "x", wh, "qsketch", checkpoint_dir=ckpt
-        ).awaitTermination(300)
-        return jobs.read_quantile_sketch_store(spark, wh, "qsketch")
-
-    return artifacts.materialize_once(
+    return _drained_store_artifact(
         spark,
         "qsketch_store",
         sf_dir,
         _QSKETCH_STORE_VERSION,
         [os.path.join(sf_dir, "orders.parquet")],
-        build,
+        lambda: T(spark, sf_dir, "orders").select(
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("x")
+        ),
+        "x bigint",
+        lambda stream, wh, ckpt: jobs.streaming_quantile_sketch_sink(
+            stream, "x", wh, "qsketch", checkpoint_dir=ckpt
+        ),
+        lambda wh: jobs.read_quantile_sketch_store(spark, wh, "qsketch"),
     )
 
 

@@ -4,50 +4,52 @@
 - ``queries()``: every implemented operator family from SURVEY.md §2
   plus the LLM-pipeline extensions, as (spark, sf_dir) -> DataFrame.
 - ``oracle_sql()``: DuckDB SQL recomputing each query bit-for-bit —
-  ALL 290 entries as of round 13, no omissions. The registry order
-  leads with the stalest driver-graded band (q64–q113 fills the
-  50-entry grading window this round; the never-driver-graded
-  q283+ newcomers plus q01–q09/q114–q136 queue next). Round 13
-  value-gated two more streaming stores end to end under the q283
-  drain pattern: the CC-label store (q289 — multi-batch incremental
-  merge vs the from-raw recursive closure) and the quantile-sketch
-  store (q290 — batch_id-keyed additive merge vs the one-shot
-  log-histogram). Round 12
-  added the streaming presence-store report (q283 — the OR-merge
-  generation store under a full value hash), BM25 panel retrieval
-  over the materialized token corpus (q284), chi-square independence
-  (q285), integer HITS and barrier-free SALSA (q286/q288), and REAL
-  FLAC decode with CRC-8/CRC-16/MD5-verified reconstruction (q287);
-  round 11 added the survival/calibration/agreement/rank-statistics
-  families (q263–q282). Round 10
-  registered the round-9 operator families as value-gated queries
-  (q252 incremental CC merge vs the from-raw recursive closure, q253
-  intra-doc segment dedup, q254 cluster-pure split membership on a
-  portable md5-nibble bucket) and added REAL multimodal codecs with
-  closed-form oracles (q255 BMP, q256 WAV PCM, q257 baseline JPEG,
-  q258 PNG, q259 perceptual dhash, q260 the four-codec-pass thumbnail
-  transcode chain, q261 the audio energy fingerprint, q262 dhash-
-  banded image near-dup pairs). Round 8 added q137, the end-to-end pretraining
-  funnel over the materialized candidate-pair artifact (see
-  artifacts.py) — eight stages since round 10 (intra-doc cleaning
-  composed in) — with a chained recursive-CTE oracle. Every query
-  added in
-  rounds 6-7 (q101-q136: Bloom decontamination, semantic dedup,
-  weighted sampling, quantile sketch, substring spans + attrition,
-  n-gram novelty, SimHash Hamming pairs, Z-order layout, boilerplate,
-  per-group sampling, containment, incremental dedup, curriculum
-  bins, unigram-surprisal quality scoring, ensemble dedup consensus,
-  domain quotas, BPE merge learning, adaptive shard sizing, log-capped
-  soft dedup, char-bigram entropy, cluster representative election,
-  median/MAD outliers, triangle counting, mixture planning, curation funnel, ANN recall@k eval, BPE compression, vocabulary drift, threshold sweep, PQ ANN recall, span-corruption + FIM sample prep, dataset card, decontaminated holdout, embedding drift) is value-oracled from birth — several with deliberately
-  INDEPENDENT oracle-side derivations (hex-cast vs instr arithmetic,
-  0b-literal vs conv, arithmetic vs shift-builder Morton) so a shared
-  expression bug cannot hide on both sides. The formerly rows-only four are
-  value-oracled: q24/q76 via deterministic md5-derived integer LSH
-  planes (bucket keys are exact int64 arithmetic, embedded in the SQL
-  as literals), q30 via a full SQL recomputation of the RNG-free
-  geometric IVF, q85 via a hex-nibble histogram rebuild of the stub
-  embedding. Iterative ops (q90 k-means, q93 PageRank, q55/q77
+  ALL 292 entries as of round 14, no omissions/rows-only.
+
+Registry order: the first 50 entries are the driver's grading window,
+rotated each round to the 50 stalest queries under the (_staleness,
+q-number) ordering in plans/queries.py (round 14: never-driver-graded
+q283–q292 — all five value-gated streaming stores — plus the round-7
+bands q01–q09/q114–q136 and the q137–q144 fill). Import-time asserts
+plus two test pins fail loudly on a half-done rotation.
+
+Per-round additions (all value-oracled from birth; several with
+deliberately INDEPENDENT oracle-side derivations — hex-cast vs instr
+arithmetic, 0b-literal vs conv, arithmetic vs shift-builder Morton —
+so a shared expression bug cannot hide on both sides):
+
+- r14: q291 streaming CDC upsert store (seq-mode last-write-wins vs a
+  from-raw log oracle), q292 streaming count-min store (per-batch
+  grids, additive merge vs the one-shot sketch).
+- r13: q289 streaming CC-label store (multi-batch incremental merge
+  vs the from-raw recursive closure), q290 streaming quantile-sketch
+  store (batch_id-keyed additive merge vs the one-shot log-histogram).
+- r12: q283 streaming presence store (OR-merge generation store under
+  a full value hash), q284 BM25 panel retrieval over the token-corpus
+  artifact, q285 chi-square independence, q286/q288 integer HITS and
+  barrier-free SALSA, q287 REAL FLAC decode with CRC-8/CRC-16/MD5-
+  verified reconstruction.
+- r11: survival/calibration/agreement/rank-statistics families
+  (q263–q282).
+- r10: round-9 families as value-gated queries (q252 incremental CC
+  merge, q253 intra-doc segment dedup, q254 cluster-pure splits) plus
+  REAL multimodal codecs with closed-form oracles (q255 BMP, q256 WAV
+  PCM, q257 baseline JPEG, q258 PNG, q259 dhash, q260 thumbnail
+  transcode chain, q261 audio fingerprint, q262 image near-dup).
+- r8/9: q137 end-to-end pretraining funnel over the materialized
+  candidate-pair artifact (eight stages; chained recursive-CTE
+  oracle) and the q138–q186 curation/statistics band.
+- r6/7: q101–q136 (Bloom decontamination, semantic dedup, weighted
+  sampling, quantile sketch, duplicate spans, n-gram novelty, SimHash
+  pairs, Z-order, boilerplate, containment, incremental dedup,
+  curriculum bins, surprisal scoring, consensus dedup, domain quotas,
+  BPE learn/compress, shard sizing, soft dedup, entropy, cluster
+  representatives, outliers, triangles, mixture/funnel planning, ANN
+  recall, PQ recall, span corruption + FIM, dataset card, holdout,
+  drift). Formerly rows-only entries are value-oracled: q24/q76 via
+  deterministic md5-derived integer LSH planes, q30 via full-SQL
+  RNG-free geometric IVF, q85 via a hex-nibble stub-embedding
+  histogram. Iterative ops (q90 k-means, q93 PageRank, q55/q77
   connected components) are integer-deterministic with chained-CTE /
   recursive oracles.
 

@@ -109,20 +109,24 @@ class TestSynthBlobs:
 
 class TestRound10Registry:
     def test_new_queries_registered_behind_the_window(self, spark):
-        """Round-13 ordering contract: q14-q63 were driver-graded in
-        round 12 (CORRECTNESS_r12.json), so the head is now the
-        stalest band q64-q113 — exactly the driver's 50-entry grading
-        window — in ascending q-number order."""
+        """Round-14 ordering contract: q64-q113 were driver-graded in
+        round 13 (CORRECTNESS_r13.json), so the head is now the
+        stalest-50 SET — never-graded q283-q292 plus the round-7
+        bands q01-q09 / q114-q136 and the q137-q144 fill — in
+        ascending q-number order."""
         from ursa_major_choir_etl_spark.plans.queries import ORACLES, QUERIES
 
         ks = list(QUERIES)
-        assert len(ks) >= 282
-        head = [k for k in ks if 64 <= int(k[1 : k.index("_")]) <= 113]
+        assert len(ks) >= 292
+        qnum = lambda k: int(k[1 : k.index("_")])  # noqa: E731
+        head = [
+            k
+            for k in ks
+            if qnum(k) <= 9 or 114 <= qnum(k) <= 144 or qnum(k) >= 283
+        ]
         assert len(head) == 50
-        assert ks[:50] == sorted(
-            head, key=lambda k: int(k[1 : k.index("_")])
-        )
-        assert [k[:4] for k in ks[:3]] == ["q64_", "q65_", "q66_"]
+        assert ks[:50] == sorted(head, key=qnum)
+        assert [k[:4] for k in ks[:3]] == ["q01_", "q02_", "q03_"]
         for q in ("q252_", "q253_", "q254_", "q255_", "q256_", "q257_",
                   "q258_", "q259_", "q260_", "q261_", "q262_", "q263_",
                   "q264_", "q265_", "q266_", "q267_", "q268_", "q269_",

@@ -341,11 +341,13 @@ class TestConsensusPairs:
 
 class TestGradingWindowRotation:
     def test_window_leads_with_never_graded_then_stalest(self):
-        """The driver grades the first 50 registry entries. Round-13
-        policy: q14-q63 went green in round 12 (CORRECTNESS_r12.json),
-        so the window rotates to the now-stalest band — q64-q113,
-        anchored on the q64-q100 rows last graded rounds 5/6 — in
-        ascending q-number order, filling all 50 slots exactly."""
+        """The driver grades the first 50 registry entries. Round-14
+        policy: q64-q113 went green in round 13 (CORRECTNESS_r13.json),
+        so the window rotates to the 50 now-stalest entries — the
+        never-driver-graded q283-q292 (all five value-gated streaming
+        stores) plus the round-7 bands q01-q09 / q114-q136 and the
+        q137-q144 fill from the round-8/9 band — in ascending q-number
+        order, filling all 50 slots exactly."""
         from ursa_major_choir_etl_spark.plans.queries import (
             _head,
             _staleness,
@@ -356,28 +358,67 @@ class TestGradingWindowRotation:
         assert len(window) == 50
         qnum = lambda k: int(k[1 : k.index("_")])  # noqa: E731
         assert window == sorted(_head, key=qnum)
-        assert [qnum(window[0]), qnum(window[-1])] == [64, 113]
-        # freshly graded rows (r8-r12 bands) occupy no slot...
-        assert not any(137 <= qnum(k) <= 282 for k in window)
-        assert not any(14 <= qnum(k) <= 63 for k in window)
-        # ...and every window row is from the stale r5-r7 bands
+        assert [qnum(window[0]), qnum(window[-1])] == [1, 292]
+        # every never-driver-graded query is in the window...
+        assert all(k in window for k in QUERIES if qnum(k) >= 283)
+        # ...freshly graded rows (r10-r13 bands) occupy no slot...
+        assert not any(14 <= qnum(k) <= 113 for k in window)
+        assert not any(187 <= qnum(k) <= 282 for k in window)
+        # ...and every window row is never-graded or r7/r8-9-era
         assert all(_staleness(k) <= 2 for k in window)
 
-    def test_head_is_the_stalest_contiguous_block(self):
-        """Round-12 verdict #6: the rotation has two moving parts
-        (_head and _staleness) plus two test pins; if a future round
-        moves one without the other, this must fail loudly. The head
-        must minimize total staleness over all contiguous 50-blocks
-        of the ascending registry."""
+    def test_head_is_the_stalest_50_set(self):
+        """Round-13 verdict #1 (generalizing round-12 #6): the
+        rotation has two moving parts (_head and _staleness) plus two
+        test pins; if a future round moves one without the other,
+        this must fail loudly. The head must be THE 50 stalest
+        entries under (_staleness, q-number) — the old contiguous-
+        block form could not express a head that interleaves
+        never-graded tail queries with early-numbered stale bands."""
         from ursa_major_choir_etl_spark.plans.queries import (
             _head,
             _names,
             _staleness,
         )
 
-        blocks = [_names[i : i + 50] for i in range(len(_names) - 49)]
-        best = min(sum(_staleness(k) for k in b) for b in blocks)
-        assert sum(_staleness(k) for k in _head) == best
+        qnum = lambda k: int(k[1 : k.index("_")])  # noqa: E731
+        stalest = sorted(_names, key=lambda k: (_staleness(k), qnum(k)))
+        assert sorted(_head, key=qnum) == sorted(stalest[:50], key=qnum)
+
+    def test_staleness_table_reflects_latest_driver_grade(self):
+        """The _staleness table is hand-maintained; the failure mode
+        with teeth is forgetting to mark the JUST-GRADED band freshest
+        after a round rotates. Read the highest-numbered
+        CORRECTNESS_r*.json actually in the repo and assert every
+        query it graded has strictly maximal staleness — i.e. none of
+        them re-occupies a window slot."""
+        import glob
+        import json
+        import os
+        import re
+
+        from ursa_major_choir_etl_spark.plans.queries import (
+            _head,
+            _staleness,
+        )
+
+        repo = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+        records = {
+            int(re.search(r"_r(\d+)\.json$", p).group(1)): p
+            for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        }
+        if not records:
+            return  # fresh clone without driver records
+        latest = records[max(records)]
+        with open(latest) as f:
+            graded = set(json.load(f))
+        max_stale = max(_staleness(k) for k in graded)
+        assert all(_staleness(k) == max_stale for k in graded), latest
+        assert not graded & set(_head), (
+            "just-graded queries re-occupy window slots"
+        )
 
 
 class TestRound7Properties:

@@ -17340,6 +17340,172 @@ SELECT (x >> m) << m AS bucket_lo, count(*) AS cnt FROM b GROUP BY 1
 """
 
 
+# Bump when the CDC drain semantics change (key/seq/payload choice).
+_UPSERT_STORE_VERSION = 1
+
+
+def upsert_store_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drained streaming CDC upsert store as a materialized
+    artifact — the LAST un-value-gated streaming family a pipeline
+    user actually lives in (every incremental pipeline ends in a
+    keyed MERGE; round-13 VERDICT #2): the events table is replayed
+    as a multi-batch file stream through streaming_upsert_sink in
+    seq mode, treating each event as a CDC update to its user's
+    current-state row — key = user_id, seq = event_id (the globally
+    unique, monotone event sequence), payload = the event's type and
+    integer-cents value. The store is hash-partitioned on a
+    user_id%8 bucket column so each micro-batch's merge rewrites
+    only the partitions it touches (sources.io.merge_upsert's
+    partition-pruned swap — the cost-scales-with-the-delta layout).
+
+    Because the seq-mode winner is max-by-seq — commutative and
+    idempotent across ANY batch split — the drained store equals
+    one-shot last-write-wins over the raw log, which is exactly what
+    the DuckDB oracle computes (row_number over seq desc = 1), so
+    the driver's value hash certifies in-batch max-seq dedup, the
+    cross-batch seq compare, the partition-pruned merge swap, and
+    the reader END TO END."""
+    from ursa_major_choir_etl_spark.streaming import jobs
+
+    return _drained_store_artifact(
+        spark,
+        "upsert_store",
+        sf_dir,
+        _UPSERT_STORE_VERSION,
+        [os.path.join(sf_dir, "events.parquet")],
+        lambda: T(spark, sf_dir, "events").select(
+            F.col("user_id").cast("long"),
+            F.col("event_id").cast("long"),
+            F.col("event_type"),
+            F.round(F.col("value") * 100, 0)
+            .cast("long")
+            .alias("value_cents"),
+            (F.col("user_id") % 8).cast("int").alias("bucket"),
+        ),
+        "user_id bigint, event_id bigint, event_type string, "
+        "value_cents bigint, bucket int",
+        lambda stream, wh, ckpt: jobs.streaming_upsert_sink(
+            stream,
+            wh,
+            "state",
+            key_cols=["user_id"],
+            partition_col="bucket",
+            checkpoint_dir=ckpt,
+            seq_col="event_id",
+        ),
+        lambda wh: spark.read.parquet(os.path.join(wh, "state")),
+    )
+
+
+def q291_streaming_upsert_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user current state read from the STREAMING-maintained CDC
+    upsert store (upsert_store_table): the row each user's LAST
+    event (by the event_id log sequence) left behind. The oracle
+    recomputes last-write-wins from the raw log, so a value match
+    proves the incremental keyed MERGE — in-batch max-seq dedup,
+    cross-batch stale-update rejection, partition-pruned rewrite —
+    converged to the batch answer for every key."""
+    return upsert_store_table(spark, sf_dir).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value_cents").alias("last_value_cents"),
+    )
+
+
+ORACLE_Q291 = """
+SELECT user_id,
+       event_id AS last_event_id,
+       event_type AS last_event_type,
+       CAST(round(value * 100, 0) AS BIGINT) AS last_value_cents
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY event_id DESC
+  ) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# Bump when the CMS drain semantics (hash geometry, value column)
+# change.
+_CMS_STORE_VERSION = 1
+
+
+def cms_store_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drained streaming count-min-sketch store as a materialized
+    artifact (round-13 VERDICT #3): the events table's user ids are
+    replayed as a multi-batch file stream through streaming_cms_sink
+    — each micro-batch reduces to its own 4x4096 counter grid and
+    dynamic-partition-overwrites ONLY its batch_id partition (a
+    replayed batch replaces, never double-counts) — then
+    read_cms_store's additive groupBy merges the per-batch grids.
+    Cell-wise addition is commutative, so the drained store merges
+    to EXACTLY the one-shot batch sketch whatever the batch split —
+    the same order-free-merge argument as the q290 quantile store,
+    now for the frequency sketch."""
+    from ursa_major_choir_etl_spark.streaming import jobs
+
+    return _drained_store_artifact(
+        spark,
+        "cms_store",
+        sf_dir,
+        _CMS_STORE_VERSION,
+        [os.path.join(sf_dir, "events.parquet")],
+        lambda: T(spark, sf_dir, "events").select(
+            F.col("user_id").cast("string").alias("v")
+        ),
+        "v string",
+        lambda stream, wh, ckpt: jobs.streaming_cms_sink(
+            stream, "v", wh, "cms", depth=4, width=4096,
+            checkpoint_dir=ckpt,
+        ),
+        lambda wh: jobs.read_cms_store(spark, wh, "cms"),
+    )
+
+
+def q292_streaming_cms_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The merged streaming CMS store, cell for cell (d, bucket,
+    cnt): the full counter grid under the driver's value hash. The
+    oracle rebuilds the sketch from the raw event log in SQL via the
+    portable md5-nibble bucket (the q100 expression over a different
+    value column), so a match proves per-batch sketch + batch_id-
+    keyed store + additive merge == one-shot batch sketch, cell for
+    cell — closing the CMS streaming family's end-to-end gate."""
+    return cms_store_table(spark, sf_dir).select(
+        F.col("d").cast("int").alias("d"),
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+def _oracle_q292() -> str:
+    nib = (
+        "(strpos('0123456789abcdef', substring("
+        "md5('cms' || CAST(d AS VARCHAR) || ':' || v), {i}, 1)) - 1)"
+    )
+    bucket = " + ".join(
+        f"{nib.format(i=i + 1)} * {16 ** (2 - i)}" for i in range(3)
+    )
+    return f"""
+WITH vals AS (
+  SELECT CAST(user_id AS VARCHAR) AS v FROM events
+), seeds AS (
+  SELECT unnest([0, 1, 2, 3]) AS d
+), cells AS (
+  SELECT d, {bucket} AS bucket FROM vals CROSS JOIN seeds
+)
+SELECT CAST(d AS INTEGER) AS d,
+       CAST(bucket AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM cells GROUP BY 1, 2
+"""
+
+
 # Every materialize-once artifact with its registry-default build
 # parameters, for the bench harness (round-12 VERDICT #7): the cold
 # phase builds these under their OWN timer, so cold-total growth is
@@ -17363,6 +17529,8 @@ ARTIFACT_BUILDERS = {
     "presence_store": presence_store_table,
     "cc_store": cc_store_table,
     "quantile_store": quantile_store_table,
+    "upsert_store": upsert_store_table,
+    "cms_store": cms_store_table,
 }
 
 
@@ -17657,22 +17825,25 @@ QUERIES = {
     "q288_salsa_purchase_graph": q288_salsa_purchase_graph,
     "q289_streaming_cc_store": q289_streaming_cc_store,
     "q290_streaming_quantile_store": q290_streaming_quantile_store,
+    "q291_streaming_upsert_store": q291_streaming_upsert_store,
+    "q292_streaming_cms_store": q292_streaming_cms_store,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
-# round). Coverage ledger entering round 13: round 12 graded q14–q63
-# (50/50 green, CORRECTNESS_r12.json); round 11 graded q237–q282 plus
-# the wrap q10–q13; round 10 graded q187–q236; q137–q186 carry
-# round-8/9 rows; q01–q09 and q101–q136 carry round-7 rows; q64–q100
-# carry the OLDEST rows (rounds 5–6). q283–q290 (added rounds 12–13)
-# have no driver row yet — they carry same-tree local-sweep evidence
-# and sort immediately behind the round-5/7 bands in the tail.
-# Round-13 priority order:
-#   1. q64–q113 in ascending q-number order — exactly the 50-entry
-#      window, anchored on the stalest rows (round-5/6-era gradings);
-#   2. everything else by grading age (stalest first, never-graded
-#      newcomers between the r5/6 and r7 bands), so round 14's window
-#      naturally lands on q283–q290 + q01–q09 + q114–q136.
+# round). Coverage ledger entering round 14: round 13 graded q64–q113
+# (50/50 green, CORRECTNESS_r13.json); round 12 graded q14–q63; round
+# 11 graded q237–q282 plus the wrap q10–q13; round 10 graded
+# q187–q236; q137–q186 carry round-8/9 rows; q01–q09 and q114–q136
+# carry round-7 rows — now the OLDEST graded rows. q283–q292 (added
+# rounds 12–14, including all five value-gated streaming stores) have
+# no driver row yet — they lead the window.
+# Round-14 priority order:
+#   1. the head: exactly the 50 stalest entries under (_staleness,
+#      q-number) — q283–q292 + q01–q09 + q114–q144 — in ascending
+#      q-number order (the driver hashes each entry independently;
+#      order inside the window is cosmetic);
+#   2. everything else by grading age (stalest first), so round 15's
+#      window naturally lands on q145–q186 plus the next-stalest wrap.
 # tools/check_oracles.py remains the all-registry local sweep
 # (CORRECTNESS_LOCAL_ALL.txt / _SF01.txt) — re-run at the closing
 # tree, so every row outside the window has same-tree local evidence.
@@ -17683,25 +17854,31 @@ def _qnum(k: str) -> int:
 
 
 _names = sorted(QUERIES, key=_qnum)
-_head = [k for k in _names if 64 <= _qnum(k) <= 113]
+# The head is stated EXPLICITLY (not derived from _staleness), so the
+# guard below keeps two independently-written parts that must agree.
+_head = [
+    k
+    for k in _names
+    if _qnum(k) <= 9 or 114 <= _qnum(k) <= 144 or _qnum(k) >= 283
+]
 
 
 def _staleness(k: str) -> int:
     """Rounds since last driver grading (0 = stalest)."""
     n = _qnum(k)
-    if 64 <= n <= 100:
-        return 0  # last graded rounds 5-6 — the oldest driver rows
     if n >= 283:
-        return 1  # never driver-graded (added rounds 12-13)
-    if n <= 9 or (101 <= n <= 136):
-        return 2  # graded round 7
+        return 0  # never driver-graded (added rounds 12-14)
+    if n <= 9 or (114 <= n <= 136):
+        return 1  # graded round 7 — the oldest surviving driver rows
     if 137 <= n <= 186:
-        return 3  # q137–q186: graded rounds 8 AND 9
+        return 2  # q137–q186: graded rounds 8 AND 9
     if 187 <= n <= 236:
-        return 4  # q187–q236: graded round 10
+        return 3  # q187–q236: graded round 10
     if 10 <= n <= 13 or 237 <= n <= 282:
-        return 5  # q10–q13 wrap and q237–q282: graded round 11
-    return 6  # q14–q63: graded round 12 — freshest
+        return 4  # q10–q13 wrap and q237–q282: graded round 11
+    if 14 <= n <= 63:
+        return 5  # q14–q63: graded round 12
+    return 6  # q64–q113: graded round 13 — freshest
 
 
 _order = _head + sorted(
@@ -17709,23 +17886,28 @@ _order = _head + sorted(
     key=lambda k: (_staleness(k), _qnum(k)),
 )
 # The guard the driver's 50-entry window depends on: exact coverage
-# and no duplicates, and ascending q-number order inside the head so
-# the stalest band (q64–q113, anchored on the q64–q100 rows that have
-# no driver grading since rounds 5/6) fills the round-13 grading
-# window exactly — every one of them is green in the builder's own
-# all-registry sweep at BOTH scales at the closing commit.
+# and no duplicates, and the head filling the grading window exactly
+# — every head entry is green in the builder's own all-registry sweep
+# at BOTH scales at the closing commit.
 assert len(_order) == len(set(_order)) == len(_names), "duplicate keys"
-assert len(_head) == 50, "q64-q113 head must fill the window exactly"
-assert _order[:50] == _head, "window must be exactly the stalest band"
-# Round-12 verdict item #6: a half-done rotation (head moved but
-# _staleness not, or vice versa) must fail loudly. The head must be
-# THE stalest contiguous 50-block of the ascending registry under the
-# very _staleness table shipped with it (ties broken leftward).
-_blocks = [_names[i : i + 50] for i in range(len(_names) - 49)]
-_best = min(_blocks, key=lambda b: sum(_staleness(k) for k in b))
-assert sum(_staleness(k) for k in _head) == sum(
-    _staleness(k) for k in _best
-), "head is not the stalest contiguous 50-block — rotation half-done?"
+assert len(_head) == 50, "head must fill the 50-entry window exactly"
+assert _order[:50] == _head, "window must be exactly the head"
+# Round-13 verdict item #1 (generalizing round-12 item #6): a
+# half-done rotation — head moved but _staleness not, or vice versa —
+# must fail loudly at import. The old form of this guard demanded the
+# stalest CONTIGUOUS 50-block, which cannot express this round's
+# correct head (never-graded q283+ plus the round-7 bands are not
+# adjacent in q-number space); the invariant that actually matters is
+# that the head is THE 50 stalest entries under (_staleness,
+# q-number) — no staler entry is left outside the window.
+_stalest50 = sorted(
+    sorted(_names, key=lambda k: (_staleness(k), _qnum(k)))[:50],
+    key=_qnum,
+)
+assert sorted(_head, key=_qnum) == _stalest50, (
+    "head is not the stalest-50 set under (_staleness, qnum) — "
+    "rotation half-done?"
+)
 QUERIES = {k: QUERIES[k] for k in _order}
 
 ORACLES: dict[str, str | None] = {
@@ -18019,4 +18201,6 @@ ORACLES: dict[str, str | None] = {
     "q288_salsa_purchase_graph": ORACLE_Q288,
     "q289_streaming_cc_store": _oracle_q289(),
     "q290_streaming_quantile_store": _oracle_q290(),
+    "q291_streaming_upsert_store": ORACLE_Q291,
+    "q292_streaming_cms_store": _oracle_q292(),
 }

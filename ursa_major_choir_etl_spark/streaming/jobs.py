@@ -220,6 +220,7 @@ def streaming_upsert_sink(
     key_cols: list[str],
     partition_col: str | None = None,
     checkpoint_dir: str | None = None,
+    seq_col: str | None = None,
 ):
     """Streaming CDC sink: each micro-batch MERGEs into a parquet
     table via foreachBatch + ``sources.io.merge_upsert`` — later
@@ -230,13 +231,68 @@ def streaming_upsert_sink(
     replayed batch converges to the same table (effectively-once).
     With ``partition_col`` each batch rewrites only the partitions it
     touches — the cost scales with the micro-batch, not the table.
+
+    ``seq_col`` switches arrival-order semantics to LOG-ORDER
+    semantics — the production CDC contract: the winner per key is
+    the row with the LARGEST ``seq_col`` across everything seen so
+    far (in-batch dedup keeps the max-seq row; the cross-batch merge
+    compares incoming against the standing row and keeps the larger
+    seq, so a late-arriving stale update can never clobber newer
+    state). max() is commutative and idempotent, which makes the
+    drained store independent of how the log is split into
+    micro-batches AND of batch replays — the property the q291
+    driver value gate certifies against a from-raw last-write-wins
+    oracle. ``seq_col`` must be unique per key (a CDC log sequence /
+    LSN); ties would make the winner's non-key columns ambiguous.
     """
     from ursa_major_choir_etl_spark.sources import io as sio
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         import os as _os
 
+        from pyspark.sql import Window as _W
+
         path = _os.path.join(warehouse, name)
+        if seq_col is not None:
+            w = _W.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+            best = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            if not _os.path.exists(path):
+                writer = best.write.mode("overwrite")
+                if partition_col is not None:
+                    writer = writer.partitionBy(partition_col)
+                writer.parquet(path)
+                return
+            # Seq-compare against the standing rows: only the touched
+            # keys' current rows enter the contest (broadcast semi on
+            # the delta keys — delta-sized, never table-sized), then
+            # merge_upsert replaces them with the per-key max-seq row.
+            spark = batch_df.sparkSession
+            target = spark.read.parquet(path)
+            standing = target.join(
+                F.broadcast(best.select(*key_cols).distinct()),
+                key_cols,
+                "left_semi",
+            )
+            winners = (
+                standing.select(*best.columns)
+                .unionByName(best)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            sio.merge_upsert(
+                spark,
+                warehouse,
+                name,
+                winners,
+                key_cols,
+                partition_col=partition_col,
+            )
+            return
         if not _os.path.exists(path):
             writer = batch_df.write.mode("overwrite")
             if partition_col is not None:

@@ -4,13 +4,13 @@
 - ``queries()``: every implemented operator family from SURVEY.md §2
   plus the LLM-pipeline extensions, as (spark, sf_dir) -> DataFrame.
 - ``oracle_sql()``: DuckDB SQL recomputing each query bit-for-bit —
-  ALL 292 entries as of round 14, no omissions/rows-only.
+  ALL 297 entries as of round 14, no omissions/rows-only.
 
 Registry order: the first 50 entries are the driver's grading window,
 rotated each round to the 50 stalest queries under the (_staleness,
 q-number) ordering in plans/queries.py (round 14: never-driver-graded
-q283–q292 — all five value-gated streaming stores — plus the round-7
-bands q01–q09/q114–q136 and the q137–q144 fill). Import-time asserts
+q283–q297 — all TEN value-gated streaming stores — plus the round-7
+bands q01–q09/q114–q136 and the q137–q139 fill). Import-time asserts
 plus two test pins fail loudly on a half-done rotation.
 
 Per-round additions (all value-oracled from birth; several with
@@ -18,9 +18,15 @@ deliberately INDEPENDENT oracle-side derivations — hex-cast vs instr
 arithmetic, 0b-literal vs conv, arithmetic vs shift-builder Morton —
 so a shared expression bug cannot hide on both sides):
 
-- r14: q291 streaming CDC upsert store (seq-mode last-write-wins vs a
-  from-raw log oracle), q292 streaming count-min store (per-batch
-  grids, additive merge vs the one-shot sketch).
+- r14: every remaining streaming sink value-gated end to end — q291
+  CDC upsert store (seq-mode last-write-wins vs a from-raw log
+  oracle), q292 count-min store (per-batch grids, additive merge),
+  q293 rollup store (algebraic n/sum/min/max combine), q294 decayed
+  engagement store (week-bucket additive state, read-time integer
+  half-life), q295 fuzzy-dedup verdict store (per-batch probe vs the
+  q138 batch oracle), q296 dataset-card store (exact additive
+  metrics), q297 HLL register store (generation MAX-merge, register
+  for register).
 - r13: q289 streaming CC-label store (multi-batch incremental merge
   vs the from-raw recursive closure), q290 streaming quantile-sketch
   store (batch_id-keyed additive merge vs the one-shot log-histogram).

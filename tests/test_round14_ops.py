@@ -174,6 +174,177 @@ class TestQ292CmsStore:
         assert per_row == {d: n_events for d in range(4)}
 
 
+class TestQ293RollupStore:
+    def test_merged_store_equals_batch_rollup(self, spark):
+        from ursa_major_choir_etl_spark.plans.queries import QUERIES, T
+
+        got = {
+            tuple(r)
+            for r in QUERIES["q293_streaming_rollup_store"](
+                spark, SF
+            ).collect()
+        }
+        want = {
+            tuple(r)
+            for r in T(spark, SF, "events")
+            .select(
+                "event_type",
+                F.date_trunc("day", F.col("ts"))
+                .cast("date")
+                .cast("string")
+                .alias("day"),
+                F.round(F.col("value") * 100, 0)
+                .cast("long")
+                .alias("cents"),
+            )
+            .groupBy("event_type", "day")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").alias("sum_cents"),
+                F.min("cents").alias("min_cents"),
+                F.max("cents").alias("max_cents"),
+            )
+            .collect()
+        }
+        assert got == want and got
+
+
+class TestQ294DecayedStore:
+    def test_store_report_equals_week_bucketed_batch(self, spark):
+        """The store decays WEEK SUMS (integer division of the bucket
+        total), not per-event cents — the oracle and this mirror must
+        both quantize the same way or integer floor-div diverges."""
+        from ursa_major_choir_etl_spark.plans.queries import QUERIES, T
+
+        got = {
+            tuple(r)
+            for r in QUERIES["q294_streaming_decayed_store"](
+                spark, SF
+            ).collect()
+        }
+        weekly = (
+            T(spark, SF, "events")
+            .select(
+                "event_type",
+                F.expr("unix_micros(ts) DIV 604800000000").alias("w"),
+                F.round(F.col("value") * 100, 0)
+                .cast("long")
+                .alias("cents"),
+            )
+            .groupBy("event_type", "w")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("s"),
+            )
+        )
+        aw = weekly.agg(F.max("w")).first()[0]
+        want = {
+            tuple(r)
+            for r in weekly.withColumn(
+                "d",
+                F.expr(
+                    f"s DIV shiftleft(CAST(1 AS BIGINT),"
+                    f" least(CAST({aw} - w AS INT), 40))"
+                ),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.sum("n").alias("n_events"),
+                F.sum("s").alias("raw_cents"),
+                F.sum("d").alias("decayed_cents"),
+            )
+            .withColumn(
+                "retention_ppm",
+                F.expr(
+                    "CASE WHEN raw_cents > 0 THEN CAST("
+                    " CAST(decayed_cents AS DECIMAL(38,0)) * 1000000"
+                    " DIV raw_cents AS BIGINT) END"
+                ),
+            )
+            .collect()
+        }
+        assert got == want and got
+
+
+class TestQ295FuzzyProbeStore:
+    def test_drained_verdicts_equal_oneshot_probe(self, spark):
+        """Per-doc verdicts depend only on (doc, corpus), so the union
+        of per-batch probe outputs must equal the one-shot batch probe
+        — the no-silent-divergence contract with q138."""
+        from ursa_major_choir_etl_spark.operators.dedup import (
+            incremental_jaccard_probe,
+        )
+        from ursa_major_choir_etl_spark.plans.queries import QUERIES, T
+
+        got = {
+            tuple(r)
+            for r in QUERIES["q295_streaming_fuzzy_probe_store"](
+                spark, SF
+            ).collect()
+        }
+        docs = T(spark, SF, "documents")
+        want = {
+            tuple(r)
+            for r in incremental_jaccard_probe(
+                docs.filter(F.col("doc_id") % 10 == 7),
+                docs.filter(F.col("doc_id") % 10 != 7),
+                n=3,
+                threshold=0.5,
+                hot_shingle_cap=100,
+            )
+            .select("new_id", "corpus_id", "jaccard")
+            .collect()
+        }
+        assert got == want and got
+
+
+class TestQ296CardStore:
+    def test_exact_metrics_equal_oneshot_card_row(self, spark):
+        from ursa_major_choir_etl_spark.operators.quality import (
+            card_batch_row,
+        )
+        from ursa_major_choir_etl_spark.plans.queries import QUERIES, T
+
+        got = QUERIES["q296_streaming_card_store"](spark, SF).first()
+        want = card_batch_row(T(spark, SF, "documents")).first()
+        for c in ("n_docs", "n_tokens", "n_en", "q_ppm_sum", "n_pii"):
+            assert got[c] == want[c], c
+        assert got["n_docs"] > 0
+
+
+class TestQ297HllStore:
+    def test_drained_registers_equal_oneshot_build(self, spark):
+        """MAX-merge across generations must reproduce the one-shot
+        register build byte for byte."""
+        from ursa_major_choir_etl_spark.operators import text as text_ops
+        from ursa_major_choir_etl_spark.operators.sketches import (
+            portable_hll_registers,
+        )
+        from ursa_major_choir_etl_spark.plans.queries import QUERIES, T
+
+        got = {
+            (r["grp"], r["bkt"], r["r"])
+            for r in QUERIES["q297_streaming_hll_store"](
+                spark, SF
+            ).collect()
+        }
+        want = {
+            (r["_g"], r["_bkt"], r["_r"])
+            for r in portable_hll_registers(
+                T(spark, SF, "documents").select(
+                    "source",
+                    F.explode(text_ops.tokens(F.col("text"))).alias(
+                        "token"
+                    ),
+                ),
+                "source",
+                "token",
+            ).collect()
+        }
+        assert got == want and got
+        assert all(1 <= r <= 57 for (_, _, r) in got)
+
+
 class _StuckQuery:
     """A streaming query whose availableNow drain never finishes."""
 
@@ -225,7 +396,7 @@ class TestDrainedStoreHarness:
         ]
 
     def test_successful_drain_cleans_scratch(self, spark):
-        """The five store artifacts exist by now (session-built);
+        """The ten store artifacts exist by now (session-built);
         their replay scratch (source copy, warehouse, checkpoint)
         must not survive the build."""
         import tempfile
@@ -239,6 +410,11 @@ class TestDrainedStoreHarness:
                 "qsketch_store_drain_",
                 "upsert_store_drain_",
                 "cms_store_drain_",
+                "rollup_store_drain_",
+                "decayed_store_drain_",
+                "fuzzy_probe_store_drain_",
+                "card_store_drain_",
+                "hll_store_drain_",
             )
             if e.startswith(p)
         ]
@@ -293,8 +469,21 @@ class TestRound14Registry:
         for k in (
             "q291_streaming_upsert_store",
             "q292_streaming_cms_store",
+            "q293_streaming_rollup_store",
+            "q294_streaming_decayed_store",
+            "q295_streaming_fuzzy_probe_store",
+            "q296_streaming_card_store",
+            "q297_streaming_hll_store",
         ):
             assert k in window
             assert ORACLES[k]  # full value oracle, not rows-only
-        assert "upsert_store" in ARTIFACT_BUILDERS
-        assert "cms_store" in ARTIFACT_BUILDERS
+        for a in (
+            "upsert_store",
+            "cms_store",
+            "rollup_store",
+            "decayed_store",
+            "fuzzy_probe_store",
+            "card_store",
+            "hll_store",
+        ):
+            assert a in ARTIFACT_BUILDERS

@@ -17506,6 +17506,391 @@ FROM cells GROUP BY 1, 2
 """
 
 
+# Bump when the rollup drain semantics (grouping, measure) change.
+_ROLLUP_STORE_VERSION = 1
+
+
+def rollup_store_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drained streaming rollup store as a materialized artifact:
+    per-(event_type, day) mergeable partial state (n/sum/min/max over
+    integer cents) written per micro-batch under a batch_id partition
+    (replay replaces, never double-counts), merged by
+    read_rollup_store's algebraic combine — sum of counts/sums, min
+    of mins, max of maxes, all bit-exact on integer measures, so the
+    drained store equals the one-shot batch aggregate under ANY batch
+    split. The streaming form of q185's incremental-rollup identity,
+    now under the driver value gate instead of pytest-only parity."""
+    from ursa_major_choir_etl_spark.streaming import jobs
+
+    return _drained_store_artifact(
+        spark,
+        "rollup_store",
+        sf_dir,
+        _ROLLUP_STORE_VERSION,
+        [os.path.join(sf_dir, "events.parquet")],
+        lambda: T(spark, sf_dir, "events").select(
+            "event_type",
+            F.date_trunc("day", F.col("ts"))
+            .cast("date")
+            .cast("string")
+            .alias("day"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        ),
+        "event_type string, day string, cents bigint",
+        lambda stream, wh, ckpt: jobs.streaming_rollup_sink(
+            stream,
+            ["event_type", "day"],
+            "cents",
+            wh,
+            "rollup",
+            checkpoint_dir=ckpt,
+        ),
+        lambda wh: jobs.read_rollup_store(
+            spark, wh, "rollup", ["event_type", "day"]
+        ),
+    )
+
+
+def q293_streaming_rollup_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The merged streaming rollup store, row for row: per
+    (event_type, day) event count and cents sum/min/max. The oracle
+    recomputes the aggregate from raw events, so a value match proves
+    per-batch partial state + batch_id-keyed store + algebraic
+    combine == one-shot batch rollup for every cell."""
+    return rollup_store_table(spark, sf_dir).select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("sum_v").cast("long").alias("sum_cents"),
+        F.col("min_v").cast("long").alias("min_cents"),
+        F.col("max_v").cast("long").alias("max_cents"),
+    )
+
+
+ORACLE_Q293 = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents
+FROM ev GROUP BY 1, 2
+"""
+
+
+# Bump when the decay drain semantics (week bucketing, halvings cap)
+# change.
+_DECAYED_STORE_VERSION = 1
+
+
+def decayed_store_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drained streaming decayed-engagement report as a
+    materialized artifact: per-batch (event_type, epoch_week) cents
+    sums land under batch_id partitions; read_decayed_engagement
+    merges the TIME-BUCKETED additive state, then applies the
+    half-life at read time by integer power-of-two division against
+    the store's max week — the trick that makes decayed counters
+    incrementally maintainable (a bucket's weight changes with time,
+    its stored sum never does). Week-sum additivity is order-free, so
+    the drained report equals a one-shot batch computation that uses
+    the same bucket ages — which is exactly what the oracle computes
+    (q207's arithmetic quantized to epoch-week buckets)."""
+    from ursa_major_choir_etl_spark.streaming import jobs
+
+    return _drained_store_artifact(
+        spark,
+        "decayed_store",
+        sf_dir,
+        _DECAYED_STORE_VERSION,
+        [os.path.join(sf_dir, "events.parquet")],
+        lambda: T(spark, sf_dir, "events").select(
+            "event_type", "ts", "value"
+        ),
+        "event_type string, ts timestamp, value double",
+        lambda stream, wh, ckpt: jobs.streaming_decayed_engagement_sink(
+            stream, wh, "engagement", checkpoint_dir=ckpt
+        ),
+        lambda wh: jobs.read_decayed_engagement(spark, wh, "engagement"),
+    )
+
+
+def q294_streaming_decayed_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recency-weighted engagement read from the STREAMING-maintained
+    week-bucket store (decayed_store_table): per event type, raw and
+    half-life-decayed cents plus the retention ratio. The oracle
+    recomputes the week-bucketed decay from raw events, so a value
+    match proves the additive week-sum merge + read-time integer
+    decay == the one-shot computation, bucket for bucket."""
+    return decayed_store_table(spark, sf_dir).select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "raw_cents",
+        "decayed_cents",
+        "retention_ppm",
+    )
+
+
+ORACLE_Q294 = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 604800000000 AS w,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+weekly AS (
+  SELECT event_type, w, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s
+  FROM ev GROUP BY 1, 2
+),
+anchor AS (SELECT max(w) AS aw FROM weekly),
+aged AS (
+  SELECT event_type, n, s,
+         s // (CAST(1 AS BIGINT) << least(CAST(aw - w AS INT), 40)) AS d
+  FROM weekly CROSS JOIN anchor
+)
+SELECT event_type,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(sum(s) AS BIGINT) AS raw_cents,
+       CAST(sum(d) AS BIGINT) AS decayed_cents,
+       CASE WHEN sum(s) > 0 THEN
+         CAST(CAST(sum(d) AS HUGEINT) * 1000000 // sum(s) AS BIGINT)
+       END AS retention_ppm
+FROM aged GROUP BY 1
+"""
+
+
+# Bump when the fuzzy-probe drain semantics (shingle n, threshold,
+# hot-shingle cap, shard split) change.
+_FUZZY_STORE_VERSION = 1
+
+
+def fuzzy_probe_store_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drained streaming fuzzy-dedup verdict store as a
+    materialized artifact: the q138 arriving shard (doc_id % 10 == 7)
+    is replayed as a multi-batch document stream through
+    streaming_fuzzy_dedup_sink, each micro-batch probing the STATIC
+    corpus shingle-postings index (doc_id % 10 != 7) for near-dup
+    partners. Verdicts are per-document and depend only on (doc,
+    corpus) — each arriving doc lands in exactly one batch — so the
+    union of per-batch verdict partitions equals the one-shot batch
+    probe whatever the split, and the q138 oracle certifies the
+    streaming gate verbatim. batch_id is dropped from the artifact
+    (it reflects the replay split, not the data)."""
+    from ursa_major_choir_etl_spark.streaming import jobs
+
+    docs = T(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    return _drained_store_artifact(
+        spark,
+        "fuzzy_probe_store",
+        sf_dir,
+        _FUZZY_STORE_VERSION,
+        [os.path.join(sf_dir, "documents.parquet")],
+        lambda: docs.filter(F.col("doc_id") % 10 == 7).select(
+            "doc_id", "text"
+        ),
+        "doc_id bigint, text string",
+        lambda stream, wh, ckpt: jobs.streaming_fuzzy_dedup_sink(
+            stream,
+            corpus,
+            wh,
+            "fuzzy",
+            n=3,
+            threshold=0.5,
+            checkpoint_dir=ckpt,
+        ),
+        lambda wh: jobs.read_fuzzy_probe_store(spark, wh, "fuzzy").select(
+            "new_id", "corpus_id", "jaccard"
+        ),
+    )
+
+
+def q295_streaming_fuzzy_probe_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-duplicate verdicts read from the STREAMING-maintained
+    fuzzy-dedup store (fuzzy_probe_store_table): the continuous-
+    ingest fuzzy gate's accumulated (new_id, corpus_id, jaccard)
+    rows. The oracle is q138's batch probe from raw text, so a value
+    match proves the per-micro-batch probe delegation never disagrees
+    with the batch operator — the no-silent-divergence contract the
+    sink exists to keep."""
+    return fuzzy_probe_store_table(spark, sf_dir)
+
+
+# Bump when the card drain semantics (metric set, scoring) change.
+_CARD_STORE_VERSION = 1
+
+
+def card_store_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drained streaming dataset-card store, merged to its EXACT
+    additive components, as a materialized artifact: each micro-batch
+    reduces to one mergeable card row (doc/token/en/pii counts,
+    integer-ppm quality sum, plus HLL sketches for the distinct
+    metrics) under a batch_id partition; the additive columns sum
+    across batches to the exact corpus totals whatever the split.
+    The artifact materializes ONLY the exact columns — the HLL
+    distinct estimates stay covered by the drive parity test (a
+    sketch union and a direct build can legitimately differ by a few
+    counts, so they cannot sit under a value hash; documented in
+    read_card_store)."""
+    from ursa_major_choir_etl_spark.streaming import jobs
+
+    def read_exact(wh: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(wh, "card")).agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_en").cast("long").alias("n_en"),
+            F.sum("q_ppm_sum").cast("long").alias("q_ppm_sum"),
+            F.sum("n_pii").cast("long").alias("n_pii"),
+        )
+
+    return _drained_store_artifact(
+        spark,
+        "card_store",
+        sf_dir,
+        _CARD_STORE_VERSION,
+        [os.path.join(sf_dir, "documents.parquet")],
+        lambda: T(spark, sf_dir, "documents").select("text", "source"),
+        "text string, source string",
+        lambda stream, wh, ckpt: jobs.streaming_card_sink(
+            stream, wh, "card", checkpoint_dir=ckpt
+        ),
+        read_exact,
+    )
+
+
+def q296_streaming_card_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The exact additive dataset-card metrics read from the
+    STREAMING-maintained card store (card_store_table): corpus doc /
+    token / English / PII counts and the integer-ppm quality sum.
+    The oracle recomputes each metric from raw documents with the
+    shared q133 expressions, so a value match proves per-batch card
+    rows + batch_id-keyed store + additive merge == the one-shot
+    corpus card's exact components."""
+    return card_store_table(spark, sf_dir)
+
+
+def _oracle_q296() -> str:
+    return f"""
+WITH scored AS (
+  SELECT {osql.token_count_sql('text')} AS tc,
+         CAST(round(({osql.quality_score_sql('text')}) * 1000000, 0)
+              AS BIGINT) AS qppm,
+         {osql.language_id_sql('text')} AS lang,
+         CASE WHEN len(regexp_extract_all(text, 'https?://[^\\s]+', 0))
+                   + len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', 0))
+                   + len(regexp_extract_all(text,
+                       '\\+?[0-9][0-9\\-() ]{{6,}}[0-9]', 0)) > 0
+              THEN 1 ELSE 0 END AS pii
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tc) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_en,
+       CAST(sum(qppm) AS BIGINT) AS q_ppm_sum,
+       CAST(sum(pii) AS BIGINT) AS n_pii
+FROM scored
+"""
+
+
+# Bump when the HLL drain semantics (register geometry, token
+# normalization) change.
+_HLL_STORE_VERSION = 1
+
+
+def hll_store_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drained streaming HLL register store as a materialized
+    artifact: per-source document tokens are replayed as a
+    multi-batch stream through streaming_hll_register_sink — each
+    micro-batch's portable md5 registers MAX-merge into the standing
+    (grp, bkt, r) table via the generation layout (readers take
+    max(gen); a replayed batch merges only generations below its own
+    id, and MAX makes double-apply a no-op). MAX-merge is lossless
+    and order-free, so the drained registers are byte-identical to a
+    one-shot batch build — which the oracle recomputes from raw text
+    with the q265 register SQL."""
+    from ursa_major_choir_etl_spark.operators import text as text_ops
+    from ursa_major_choir_etl_spark.streaming import jobs
+
+    return _drained_store_artifact(
+        spark,
+        "hll_store",
+        sf_dir,
+        _HLL_STORE_VERSION,
+        [os.path.join(sf_dir, "documents.parquet")],
+        lambda: T(spark, sf_dir, "documents").select(
+            "source",
+            F.explode(text_ops.tokens(F.col("text"))).alias("token"),
+        ),
+        "source string, token string",
+        lambda stream, wh, ckpt: jobs.streaming_hll_register_sink(
+            stream,
+            wh,
+            "hll",
+            group_col="source",
+            value_col="token",
+            checkpoint_dir=ckpt,
+        ),
+        lambda wh: jobs.read_hll_register_store(spark, wh, "hll"),
+    )
+
+
+def q297_streaming_hll_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The streaming-maintained HLL register store, register for
+    register (grp, bkt, r): the full sketch state under the driver's
+    value hash — unusual for an approximate structure, possible
+    because the registers themselves are deterministic md5 integer
+    arithmetic (the q265 portability argument applied to the
+    STREAMING maintenance path). A value match proves per-batch
+    register build + generation-store MAX-merge + pruning + reader
+    == a one-shot batch build, byte for byte."""
+    return hll_store_table(spark, sf_dir).select(
+        "grp",
+        F.col("bkt").cast("int").alias("bkt"),
+        F.col("r").cast("int").alias("r"),
+    )
+
+
+def _oracle_q297() -> str:
+    rho = (
+        "4 * length(regexp_extract(tail, '^0*'))"
+        " + (CASE substr(tail, length(regexp_extract(tail, '^0*')) + 1, 1)"
+        "    WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2"
+        "    WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1"
+        "    WHEN '7' THEN 1 ELSE 0 END) + 1"
+    )
+    return f"""
+WITH toks AS (
+  SELECT source, unnest({osql.tokens_sql('text')}) AS token
+  FROM documents
+),
+parts AS (
+  SELECT source,
+         ('0x' || substr(md5(token), 1, 2))::BIGINT AS bkt,
+         substr(md5(token), 3, 14) AS tail
+  FROM toks
+),
+rr AS (SELECT source, bkt, {rho} AS r FROM parts)
+SELECT source AS grp, CAST(bkt AS INTEGER) AS bkt,
+       CAST(max(r) AS INTEGER) AS r
+FROM rr GROUP BY 1, 2
+"""
+
+
 # Every materialize-once artifact with its registry-default build
 # parameters, for the bench harness (round-12 VERDICT #7): the cold
 # phase builds these under their OWN timer, so cold-total growth is
@@ -17531,6 +17916,11 @@ ARTIFACT_BUILDERS = {
     "quantile_store": quantile_store_table,
     "upsert_store": upsert_store_table,
     "cms_store": cms_store_table,
+    "rollup_store": rollup_store_table,
+    "decayed_store": decayed_store_table,
+    "fuzzy_probe_store": fuzzy_probe_store_table,
+    "card_store": card_store_table,
+    "hll_store": hll_store_table,
 }
 
 
@@ -17827,6 +18217,11 @@ QUERIES = {
     "q290_streaming_quantile_store": q290_streaming_quantile_store,
     "q291_streaming_upsert_store": q291_streaming_upsert_store,
     "q292_streaming_cms_store": q292_streaming_cms_store,
+    "q293_streaming_rollup_store": q293_streaming_rollup_store,
+    "q294_streaming_decayed_store": q294_streaming_decayed_store,
+    "q295_streaming_fuzzy_probe_store": q295_streaming_fuzzy_probe_store,
+    "q296_streaming_card_store": q296_streaming_card_store,
+    "q297_streaming_hll_store": q297_streaming_hll_store,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -17834,12 +18229,12 @@ QUERIES = {
 # (50/50 green, CORRECTNESS_r13.json); round 12 graded q14–q63; round
 # 11 graded q237–q282 plus the wrap q10–q13; round 10 graded
 # q187–q236; q137–q186 carry round-8/9 rows; q01–q09 and q114–q136
-# carry round-7 rows — now the OLDEST graded rows. q283–q292 (added
-# rounds 12–14, including all five value-gated streaming stores) have
+# carry round-7 rows — now the OLDEST graded rows. q283–q297 (added
+# rounds 12–14, including all TEN value-gated streaming stores) have
 # no driver row yet — they lead the window.
 # Round-14 priority order:
 #   1. the head: exactly the 50 stalest entries under (_staleness,
-#      q-number) — q283–q292 + q01–q09 + q114–q144 — in ascending
+#      q-number) — q283–q297 + q01–q09 + q114–q139 — in ascending
 #      q-number order (the driver hashes each entry independently;
 #      order inside the window is cosmetic);
 #   2. everything else by grading age (stalest first), so round 15's
@@ -17859,7 +18254,7 @@ _names = sorted(QUERIES, key=_qnum)
 _head = [
     k
     for k in _names
-    if _qnum(k) <= 9 or 114 <= _qnum(k) <= 144 or _qnum(k) >= 283
+    if _qnum(k) <= 9 or 114 <= _qnum(k) <= 139 or _qnum(k) >= 283
 ]
 
 
@@ -18203,4 +18598,9 @@ ORACLES: dict[str, str | None] = {
     "q290_streaming_quantile_store": _oracle_q290(),
     "q291_streaming_upsert_store": ORACLE_Q291,
     "q292_streaming_cms_store": _oracle_q292(),
+    "q293_streaming_rollup_store": ORACLE_Q293,
+    "q294_streaming_decayed_store": ORACLE_Q294,
+    "q295_streaming_fuzzy_probe_store": _oracle_q138(),
+    "q296_streaming_card_store": _oracle_q296(),
+    "q297_streaming_hll_store": _oracle_q297(),
 }

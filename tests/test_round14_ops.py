@@ -430,30 +430,23 @@ class TestArtifactDeterminism:
         rebuild cc_labels (and transitively its jaccard-pair input)
         from scratch into a throwaway warehouse and assert row-for-row
         equality with the committed generation."""
-        from ursa_major_choir_etl_spark import artifacts
         from ursa_major_choir_etl_spark.plans.queries import cc_labels_table
 
         committed = {
             (r["node"], r["component"])
             for r in cc_labels_table(spark, SF).collect()
         }
-        # materialize_once's process-local caches key by artifact name
-        # (not storage root); snapshot and clear so the rebuild under
-        # the overridden root actually runs, then restore.
-        saved_v, saved_s = set(artifacts._VERIFIED), dict(artifacts._SCHEMAS)
-        artifacts._VERIFIED.clear()
-        artifacts._SCHEMAS.clear()
-        try:
-            monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path))
-            rebuilt = {
-                (r["node"], r["component"])
-                for r in cc_labels_table(spark, SF).collect()
-            }
-        finally:
-            artifacts._VERIFIED.clear()
-            artifacts._VERIFIED.update(saved_v)
-            artifacts._SCHEMAS.clear()
-            artifacts._SCHEMAS.update(saved_s)
+        # materialize_once's process-local verified/schema caches are
+        # keyed by (storage root, key), so pointing the root at an
+        # empty directory forces a genuine from-scratch rebuild —
+        # including the jaccard-pair input artifact — with no cache
+        # surgery.
+        monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path))
+        rebuilt = {
+            (r["node"], r["component"])
+            for r in cc_labels_table(spark, SF).collect()
+        }
+        assert os.listdir(tmp_path)  # the rebuild actually ran here
         assert rebuilt == committed and rebuilt
 
 

@@ -44,17 +44,22 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Keys verified present on disk during THIS process — skips the stat
-# calls on repeat reads inside one bench/test session.
-_VERIFIED: set[str] = set()
+# (storage root, key) pairs verified present on disk during THIS
+# process — skips the stat calls on repeat reads inside one bench/test
+# session. The root is part of the cache key because the storage root
+# is env-resolved per call: a process that switches
+# $SPARK_GRAFT_ARTIFACTS (the determinism tests do) must not let a
+# key verified under one root suppress the existence check — and
+# therefore the build — under another.
+_VERIFIED: set[tuple[str, str]] = set()
 
-# Inferred schema per verified key (round 13): the first read of an
-# artifact runs Spark's footer-inference job; every later read in the
-# process passes the cached schema so plan CONSTRUCTION over an
+# Inferred schema per verified (root, key) (round 13): the first read
+# of an artifact runs Spark's footer-inference job; every later read
+# in the process passes the cached schema so plan CONSTRUCTION over an
 # existing artifact runs zero jobs — with 16 tokens_table consumers
 # (and the pair/IVF/LSH artifacts), that is one small job saved per
 # consumer per session, and it makes explain-only callers truly free.
-_SCHEMAS: dict[str, "object"] = {}
+_SCHEMAS: dict[tuple[str, str], "object"] = {}
 
 
 def base_dir() -> str:
@@ -101,9 +106,11 @@ def materialize_once(
     """
     prefix = f"{name}__{_slug(scope)}__"
     key = f"{prefix}v{version}_{_input_fingerprint(inputs)}"
-    path = os.path.join(base_dir(), key)
-    if key not in _VERIFIED and not os.path.isdir(path):
-        os.makedirs(base_dir(), exist_ok=True)
+    root = base_dir()
+    path = os.path.join(root, key)
+    cache_key = (root, key)
+    if cache_key not in _VERIFIED and not os.path.isdir(path):
+        os.makedirs(root, exist_ok=True)
         tmp = f"{path}.tmp-{os.getpid()}"
         builder().write.mode("overwrite").parquet(tmp)
         # The builder may have staged intermediates (jaccard_pairs
@@ -119,28 +126,28 @@ def materialize_once(
             # equivalent by construction (same key == same inputs,
             # version, params). Drop ours.
             shutil.rmtree(tmp, ignore_errors=True)
-        _prune_superseded(prefix, key)
-    _VERIFIED.add(key)
-    cached = _SCHEMAS.get(key)
+        _prune_superseded(root, prefix, key)
+    _VERIFIED.add(cache_key)
+    cached = _SCHEMAS.get(cache_key)
     if cached is not None:
         return spark.read.schema(cached).parquet(path)
     out = spark.read.parquet(path)
-    _SCHEMAS[key] = out.schema
+    _SCHEMAS[cache_key] = out.schema
     return out
 
 
-def _prune_superseded(prefix: str, keep_key: str) -> None:
+def _prune_superseded(root: str, prefix: str, keep_key: str) -> None:
     """Best-effort removal of older generations of one artifact
     (same name+scope prefix, different version/fingerprint)."""
     try:
-        for entry in os.listdir(base_dir()):
+        for entry in os.listdir(root):
             if (
                 entry.startswith(prefix)
                 and entry != keep_key
                 and not entry.startswith(keep_key + ".tmp")
             ):
                 shutil.rmtree(
-                    os.path.join(base_dir(), entry), ignore_errors=True
+                    os.path.join(root, entry), ignore_errors=True
                 )
     except OSError:
         pass

@@ -4,14 +4,15 @@
 - ``queries()``: every implemented operator family from SURVEY.md §2
   plus the LLM-pipeline extensions, as (spark, sf_dir) -> DataFrame.
 - ``oracle_sql()``: DuckDB SQL recomputing each query bit-for-bit —
-  ALL 297 entries as of round 14, no omissions/rows-only.
+  ALL 299 entries as of round 14, no omissions/rows-only.
 
 Registry order: the first 50 entries are the driver's grading window,
 rotated each round to the 50 stalest queries under the (_staleness,
 q-number) ordering in plans/queries.py (round 14: never-driver-graded
-q283–q297 — all TEN value-gated streaming stores — plus the round-7
-bands q01–q09/q114–q136 and the q137–q139 fill). Import-time asserts
-plus two test pins fail loudly on a half-done rotation.
+q283–q299 — all TEN value-gated streaming stores plus the q298/q299
+deterministic-split ops — plus the round-7 bands q01–q09/q114–q136
+and the q137 fill). Import-time asserts plus two test pins fail
+loudly on a half-done rotation.
 
 Per-round additions (all value-oracled from birth; several with
 deliberately INDEPENDENT oracle-side derivations — hex-cast vs instr
@@ -26,7 +27,9 @@ so a shared expression bug cannot hide on both sides):
   half-life), q295 fuzzy-dedup verdict store (per-batch probe vs the
   q138 batch oracle), q296 dataset-card store (exact additive
   metrics), q297 HLL register store (generation MAX-merge, register
-  for register).
+  for register); plus the training-split pair — q298 deterministic
+  80/10/10 hash-split manifest and q299 contamination-safe
+  family-level splitting with a naive-leak exposure report.
 - r13: q289 streaming CC-label store (multi-batch incremental merge
   vs the from-raw recursive closure), q290 streaming quantile-sketch
   store (batch_id-keyed additive merge vs the one-shot log-histogram).

@@ -111,18 +111,18 @@ class TestRound10Registry:
     def test_new_queries_registered_behind_the_window(self, spark):
         """Round-14 ordering contract: q64-q113 were driver-graded in
         round 13 (CORRECTNESS_r13.json), so the head is now the
-        stalest-50 SET — never-graded q283-q297 plus the round-7
-        bands q01-q09 / q114-q136 and the q137-q139 fill — in
+        stalest-50 SET — never-graded q283-q299 plus the round-7
+        bands q01-q09 / q114-q136 and the q137 fill — in
         ascending q-number order."""
         from ursa_major_choir_etl_spark.plans.queries import ORACLES, QUERIES
 
         ks = list(QUERIES)
-        assert len(ks) >= 297
+        assert len(ks) >= 299
         qnum = lambda k: int(k[1 : k.index("_")])  # noqa: E731
         head = [
             k
             for k in ks
-            if qnum(k) <= 9 or 114 <= qnum(k) <= 139 or qnum(k) >= 283
+            if qnum(k) <= 9 or 114 <= qnum(k) <= 137 or qnum(k) >= 283
         ]
         assert len(head) == 50
         assert ks[:50] == sorted(head, key=qnum)

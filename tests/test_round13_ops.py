@@ -94,7 +94,7 @@ def test_round13_queries_registered_with_oracles(spark):
     from ursa_major_choir_etl_spark.plans.queries import ORACLES, QUERIES
 
     ks = list(QUERIES)
-    assert len(ks) == 297
+    assert len(ks) == 299
     for q in ("q289_streaming_cc_store", "q290_streaming_quantile_store"):
         assert q in QUERIES and ORACLES[q]
         assert ks.index(q) < 50  # rotated into the round-14 head

@@ -480,3 +480,79 @@ class TestRound14Registry:
             "hll_store",
         ):
             assert a in ARTIFACT_BUILDERS
+
+
+class TestSplitOps:
+    """q298/q299: deterministic corpus splitting. The driver oracle
+    certifies cross-engine value equality; these certify the split
+    SEMANTICS — partition/coverage invariants, family coherence, and
+    the non-degeneracy of the leak metric's preconditions at the
+    grading scales."""
+
+    def test_q298_splits_partition_the_corpus(self, spark):
+        from ursa_major_choir_etl_spark.plans.queries import QUERIES, T
+
+        rows = QUERIES["q298_hash_split_manifest"](spark, SF).collect()
+        total = T(spark, SF, "documents").count()
+        assert sum(r["docs"] for r in rows) == total
+        assert {r["split"] for r in rows} <= {"train", "val", "test"}
+        # per source the ppm shares must sum to <= 1e6 (floor DIV) and
+        # miss it by at most (#splits - 1)
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append(r["share_ppm"])
+        for src, shares in by_src.items():
+            assert 1_000_000 - len(shares) < sum(shares) <= 1_000_000, src
+        # train must dominate every source that has all three splits
+        for src in by_src:
+            tr = [r for r in rows if r["source"] == src]
+            train = next(
+                (r["docs"] for r in tr if r["split"] == "train"), 0
+            )
+            assert train >= max(r["docs"] for r in tr), src
+
+    def test_q298_is_deterministic_and_stable_under_growth(self, spark):
+        """The whole point of a hash split: re-running never
+        reshuffles, and restricting the corpus to a subset leaves
+        every surviving doc's assignment unchanged."""
+        from ursa_major_choir_etl_spark.operators.dedup import (
+            bloom_position_sql,
+        )
+        from ursa_major_choir_etl_spark.plans.queries import (
+            T,
+            _split_expr,
+        )
+
+        docs = T(spark, SF, "documents")
+        u = F.expr(bloom_position_sql(11, "CAST(doc_id AS STRING)", 5))
+        full = {
+            r["doc_id"]: r["s"]
+            for r in docs.select(
+                "doc_id", _split_expr(u).alias("s")
+            ).collect()
+        }
+        sub = {
+            r["doc_id"]: r["s"]
+            for r in docs.filter(F.col("doc_id") % 3 == 0)
+            .select("doc_id", _split_expr(u).alias("s"))
+            .collect()
+        }
+        assert sub and all(full[k] == v for k, v in sub.items())
+
+    def test_q299_families_are_split_coherent(self, spark):
+        from ursa_major_choir_etl_spark.plans.queries import QUERIES, T
+
+        rows = QUERIES["q299_leakage_free_split"](spark, SF).collect()
+        total = T(spark, SF, "documents").count()
+        assert sum(r["docs"] for r in rows) == total
+        # multi-doc families exist at every test scale (q250's
+        # non-degeneracy argument) — the op has something to protect
+        assert sum(r["dup_docs"] for r in rows) > 0
+        # every family contributes exactly one representative
+        assert all(r["families"] >= 1 for r in rows)
+        assert all(r["docs"] >= r["families"] for r in rows)
+        # representatives agree with themselves by construction, so
+        # the naive leak can only come from non-representative docs
+        assert all(
+            r["naive_leaked_docs"] <= r["dup_docs"] for r in rows
+        )

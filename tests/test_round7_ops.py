@@ -344,10 +344,11 @@ class TestGradingWindowRotation:
         """The driver grades the first 50 registry entries. Round-14
         policy: q64-q113 went green in round 13 (CORRECTNESS_r13.json),
         so the window rotates to the 50 now-stalest entries — the
-        never-driver-graded q283-q297 (all TEN value-gated streaming
-        stores) plus the round-7 bands q01-q09 / q114-q136 and the
-        q137-q139 fill from the round-8/9 band — in ascending q-number
-        order, filling all 50 slots exactly."""
+        never-driver-graded q283-q299 (all TEN value-gated streaming
+        stores plus the round-14 split ops q298/q299) plus the
+        round-7 bands q01-q09 / q114-q136 and the q137 fill from the
+        round-8/9 band — in ascending q-number order, filling all 50
+        slots exactly."""
         from ursa_major_choir_etl_spark.plans.queries import (
             _head,
             _staleness,
@@ -358,7 +359,7 @@ class TestGradingWindowRotation:
         assert len(window) == 50
         qnum = lambda k: int(k[1 : k.index("_")])  # noqa: E731
         assert window == sorted(_head, key=qnum)
-        assert [qnum(window[0]), qnum(window[-1])] == [1, 297]
+        assert [qnum(window[0]), qnum(window[-1])] == [1, 299]
         # every never-driver-graded query is in the window...
         assert all(k in window for k in QUERIES if qnum(k) >= 283)
         # ...freshly graded rows (r10-r13 bands) occupy no slot...

@@ -17891,6 +17891,173 @@ FROM rr GROUP BY 1, 2
 """
 
 
+_SPLIT_M = 16**5  # md5-nibble uniform domain shared by q298/q299
+_SPLIT_SEED = 11  # hash-family index fed to bloom_position_sql
+
+
+def _split_expr(u) -> "F.Column":
+    """80/10/10 train/val/test from an md5-nibble uniform ``u`` in
+    [0, 16^5): pure integer comparisons (u*10 < m*8 / m*9), so the
+    assignment is bit-identical in any engine — no float thresholds,
+    no modulo bias beyond the exact 4096-count remainder that both
+    engines share."""
+    return (
+        F.when(u * 10 < 8 * _SPLIT_M, F.lit("train"))
+        .when(u * 10 < 9 * _SPLIT_M, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def _split_case_duckdb(u_sql: str) -> str:
+    """ORACLE-side replay of ``_split_expr`` over a DuckDB uniform."""
+    return (
+        f"CASE WHEN ({u_sql}) * 10 < {8 * _SPLIT_M} THEN 'train' "
+        f"WHEN ({u_sql}) * 10 < {9 * _SPLIT_M} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+def q298_hash_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split manifest: every document is
+    assigned 80/10/10 by an md5-nibble hash of its id — the standard
+    reproducible-split op at the head of a training pipeline (no
+    stored assignment table, no RNG state; re-running on a grown
+    corpus never reshuffles previously-assigned docs). The manifest
+    reports, per (source, split), the doc count, byte volume, and the
+    realized split share in integer ppm of the source — the sanity
+    panel a pipeline owner reads before launching a run.
+
+    Scale shape: one scan, the split tag is a map-side integer
+    expression, then a single (source, split) map-side-combined
+    groupBy (cardinality = sources x 3); the per-source share is a
+    window over that tiny aggregate, not over the corpus. At 100 TB
+    this is scan-bound with a kilobyte-scale shuffle."""
+    pos = F.expr(
+        dedup.bloom_position_sql(
+            _SPLIT_SEED, "CAST(doc_id AS STRING)", 5
+        )
+    )
+    docs = T(spark, sf_dir, "documents").select(
+        "source",
+        _split_expr(pos).alias("split"),
+        F.octet_length("text").alias("b"),
+    )
+    agg = docs.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("b").cast("long").alias("bytes_total"),
+    )
+    w = Window.partitionBy("source")
+    return (
+        agg.withColumn("src_docs", F.sum("docs").over(w))
+        .select(
+            "source",
+            "split",
+            "docs",
+            "bytes_total",
+            F.expr("1000000 * docs DIV src_docs").alias("share_ppm"),
+        )
+    )
+
+
+def _oracle_q298() -> str:
+    u = _bloom_position_duckdb(
+        _SPLIT_SEED, "CAST(doc_id AS VARCHAR)", 5
+    )
+    return f"""
+WITH tagged AS (
+  SELECT source,
+         {_split_case_duckdb(u)} AS split,
+         strlen(text) AS b
+  FROM documents
+),
+agg AS (
+  SELECT source, split, count(*) AS docs,
+         CAST(sum(b) AS BIGINT) AS bytes_total
+  FROM tagged GROUP BY 1, 2
+)
+SELECT source, split, docs, bytes_total,
+       CAST(1000000 * docs // sum(docs) OVER (PARTITION BY source)
+            AS BIGINT) AS share_ppm
+FROM agg
+"""
+
+
+def q299_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe splitting: near-identical documents (q250's
+    64-char normalized-prefix families — non-degenerate at every
+    test scale, unlike exact fingerprints) must land in the SAME
+    split, or eval leaks train twins and benchmark numbers inflate.
+    The split is decided once per family, by the md5-nibble hash of
+    the family REPRESENTATIVE (min doc_id), and every member
+    inherits it. The report compares against the naive per-doc hash
+    split: per split, the family count, doc count, docs sitting in
+    multi-doc families, and how many docs the naive rule would have
+    leaked into a different split than their family (the
+    cross-split-twin exposure this op exists to eliminate).
+
+    Scale shape: one groupBy on the prefix key to elect
+    representatives, one equi-join of the corpus back to the family
+    table on that same key — both shuffles hash on the identical
+    column, so AQE/exchange-reuse co-partitions them; no window over
+    the corpus, final aggregate is 3 rows."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.substring(text.normalized_text("text"), 1, 64)
+        ).alias("pfx"),
+    )
+    fams = docs.groupBy("pfx").agg(F.min("doc_id").alias("rep"))
+    u = lambda c: F.expr(  # noqa: E731
+        dedup.bloom_position_sql(_SPLIT_SEED, f"CAST({c} AS STRING)", 5)
+    )
+    tagged = docs.join(fams, "pfx").select(
+        "doc_id",
+        (F.col("doc_id") == F.col("rep")).cast("long").alias("is_rep"),
+        _split_expr(u("rep")).alias("split"),
+        (_split_expr(u("doc_id")) != _split_expr(u("rep")))
+        .cast("long")
+        .alias("naive_leak"),
+    )
+    return tagged.groupBy("split").agg(
+        F.sum("is_rep").alias("families"),
+        F.count(F.lit(1)).alias("docs"),
+        (F.count(F.lit(1)) - F.sum("is_rep")).alias("dup_docs"),
+        F.sum("naive_leak").alias("naive_leaked_docs"),
+    )
+
+
+def _oracle_q299() -> str:
+    norm = osql.norm_text_sql("text")
+    u_rep = _bloom_position_duckdb(
+        _SPLIT_SEED, "CAST(rep AS VARCHAR)", 5
+    )
+    u_doc = _bloom_position_duckdb(
+        _SPLIT_SEED, "CAST(doc_id AS VARCHAR)", 5
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, md5(substr({norm}, 1, 64)) AS pfx
+  FROM documents
+),
+fams AS (SELECT pfx, min(doc_id) AS rep FROM d GROUP BY 1),
+tagged AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id = fams.rep THEN 1 ELSE 0 END AS is_rep,
+         {_split_case_duckdb(u_rep)} AS split,
+         CASE WHEN {_split_case_duckdb(u_doc)}
+                   <> {_split_case_duckdb(u_rep)}
+              THEN 1 ELSE 0 END AS naive_leak
+  FROM d JOIN fams ON d.pfx = fams.pfx
+)
+SELECT split,
+       CAST(sum(is_rep) AS BIGINT) AS families,
+       count(*) AS docs,
+       CAST(count(*) - sum(is_rep) AS BIGINT) AS dup_docs,
+       CAST(sum(naive_leak) AS BIGINT) AS naive_leaked_docs
+FROM tagged GROUP BY 1
+"""
+
+
 # Every materialize-once artifact with its registry-default build
 # parameters, for the bench harness (round-12 VERDICT #7): the cold
 # phase builds these under their OWN timer, so cold-total growth is
@@ -18222,6 +18389,8 @@ QUERIES = {
     "q295_streaming_fuzzy_probe_store": q295_streaming_fuzzy_probe_store,
     "q296_streaming_card_store": q296_streaming_card_store,
     "q297_streaming_hll_store": q297_streaming_hll_store,
+    "q298_hash_split_manifest": q298_hash_split_manifest,
+    "q299_leakage_free_split": q299_leakage_free_split,
 }
 
 # The driver grades a prefix window of this registry (50 entries per
@@ -18234,9 +18403,11 @@ QUERIES = {
 # no driver row yet — they lead the window.
 # Round-14 priority order:
 #   1. the head: exactly the 50 stalest entries under (_staleness,
-#      q-number) — q283–q297 + q01–q09 + q114–q139 — in ascending
+#      q-number) — q283–q299 + q01–q09 + q114–q137 — in ascending
 #      q-number order (the driver hashes each entry independently;
-#      order inside the window is cosmetic);
+#      order inside the window is cosmetic). Adding q298/q299 mid-
+#      round pushed the staleness-2 fill back from q139 to q137:
+#      never-graded entries outrank rounds-8/9 rows by construction;
 #   2. everything else by grading age (stalest first), so round 15's
 #      window naturally lands on q145–q186 plus the next-stalest wrap.
 # tools/check_oracles.py remains the all-registry local sweep
@@ -18254,7 +18425,7 @@ _names = sorted(QUERIES, key=_qnum)
 _head = [
     k
     for k in _names
-    if _qnum(k) <= 9 or 114 <= _qnum(k) <= 139 or _qnum(k) >= 283
+    if _qnum(k) <= 9 or 114 <= _qnum(k) <= 137 or _qnum(k) >= 283
 ]
 
 
@@ -18603,4 +18774,6 @@ ORACLES: dict[str, str | None] = {
     "q295_streaming_fuzzy_probe_store": _oracle_q138(),
     "q296_streaming_card_store": _oracle_q296(),
     "q297_streaming_hll_store": _oracle_q297(),
+    "q298_hash_split_manifest": _oracle_q298(),
+    "q299_leakage_free_split": _oracle_q299(),
 }

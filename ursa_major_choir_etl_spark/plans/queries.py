@@ -264,6 +264,15 @@ Operator coverage map (SURVEY §2 ids -> query):
   integer HITS / SALSA ............. q286, q288 (barrier-free SALSA)
   streaming CC-label store ......... q289 (drained merge == closure)
   streaming quantile store ......... q290 (batch-keyed additive merge)
+  streaming CDC upsert store ....... q291 (seq-mode last-write-wins)
+  streaming count-min store ........ q292 (additive grid merge)
+  streaming rollup store ........... q293 (algebraic n/sum/min/max)
+  streaming decayed engagement ..... q294 (week buckets, int half-life)
+  streaming fuzzy-dedup verdicts ... q295 (per-batch postings probe)
+  streaming dataset-card store ..... q296 (exact additive metrics)
+  streaming HLL register store ..... q297 (generation MAX-merge)
+  deterministic hash split ......... q298 (80/10/10 manifest, no RNG)
+  leakage-free family split ........ q299 (rep-hash split + leak audit)
 """
 
 from __future__ import annotations
@@ -18398,9 +18407,9 @@ QUERIES = {
 # (50/50 green, CORRECTNESS_r13.json); round 12 graded q14–q63; round
 # 11 graded q237–q282 plus the wrap q10–q13; round 10 graded
 # q187–q236; q137–q186 carry round-8/9 rows; q01–q09 and q114–q136
-# carry round-7 rows — now the OLDEST graded rows. q283–q297 (added
-# rounds 12–14, including all TEN value-gated streaming stores) have
-# no driver row yet — they lead the window.
+# carry round-7 rows — now the OLDEST graded rows. q283–q299 (added
+# rounds 12–14: all TEN value-gated streaming stores plus the q298/
+# q299 split ops) have no driver row yet — they lead the window.
 # Round-14 priority order:
 #   1. the head: exactly the 50 stalest entries under (_staleness,
 #      q-number) — q283–q299 + q01–q09 + q114–q137 — in ascending

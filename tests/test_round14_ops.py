@@ -449,6 +449,46 @@ class TestArtifactDeterminism:
         assert os.listdir(tmp_path)  # the rebuild actually ran here
         assert rebuilt == committed and rebuilt
 
+    def test_failed_build_leaves_no_tmp_and_publishes_nothing(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A builder that dies mid-build must not leave its
+        half-written .tmp-<pid> directory behind (same-key tmps are
+        deliberately excluded from generation pruning, so an orphan
+        would linger forever) and must not publish a generation —
+        the next call rebuilds for real."""
+        from ursa_major_choir_etl_spark import artifacts
+
+        monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path))
+
+        calls = {"n": 0}
+
+        def flaky():
+            calls["n"] += 1
+            if calls["n"] == 1:
+                # Die AFTER the write started resolving the plan: a
+                # frame whose evaluation raises, so parquet may have
+                # created the tmp dir before the job fails.
+                return spark.range(1).select(
+                    F.assert_true(F.col("id") < 0).alias("boom")
+                )
+            return spark.range(3).select(F.col("id").alias("v"))
+
+        with pytest.raises(Exception):
+            artifacts.materialize_once(
+                spark, "flaky_probe", SF, 1, [], flaky
+            )
+        assert not [
+            e for e in os.listdir(tmp_path) if ".tmp-" in e
+        ], "failed build left a tmp dir behind"
+        assert not [
+            e for e in os.listdir(tmp_path) if e.startswith("flaky_probe")
+        ], "failed build published a generation"
+        out = artifacts.materialize_once(
+            spark, "flaky_probe", SF, 1, [], flaky
+        )
+        assert calls["n"] == 2 and out.count() == 3
+
 
 class TestRound14Registry:
     def test_new_queries_lead_the_window_with_oracles(self):

@@ -112,7 +112,15 @@ def materialize_once(
     if cache_key not in _VERIFIED and not os.path.isdir(path):
         os.makedirs(root, exist_ok=True)
         tmp = f"{path}.tmp-{os.getpid()}"
-        builder().write.mode("overwrite").parquet(tmp)
+        try:
+            builder().write.mode("overwrite").parquet(tmp)
+        except BaseException:
+            # A failed build must not leave its half-written tmp
+            # behind: same-key tmps are deliberately excluded from
+            # _prune_superseded (a LIVE concurrent build owns one),
+            # so an orphan would linger in the warehouse forever.
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         # The builder may have staged intermediates (jaccard_pairs
         # persists its shingle index); the write above was their one
         # consumer — release before handing control back.

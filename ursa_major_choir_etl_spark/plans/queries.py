@@ -17907,9 +17907,10 @@ _SPLIT_SEED = 11  # hash-family index fed to bloom_position_sql
 def _split_expr(u) -> "F.Column":
     """80/10/10 train/val/test from an md5-nibble uniform ``u`` in
     [0, 16^5): pure integer comparisons (u*10 < m*8 / m*9), so the
-    assignment is bit-identical in any engine — no float thresholds,
-    no modulo bias beyond the exact 4096-count remainder that both
-    engines share."""
+    assignment is bit-identical in any engine — no float thresholds;
+    the realized shares deviate from exact 80/10/10 only because
+    16^5 is not divisible by 10 (a sub-ppm rounding both engines
+    share by construction)."""
     return (
         F.when(u * 10 < 8 * _SPLIT_M, F.lit("train"))
         .when(u * 10 < 9 * _SPLIT_M, F.lit("val"))

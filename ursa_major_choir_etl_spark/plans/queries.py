@@ -18418,8 +18418,10 @@ QUERIES = {
 #      order inside the window is cosmetic). Adding q298/q299 mid-
 #      round pushed the staleness-2 fill back from q139 to q137:
 #      never-graded entries outrank rounds-8/9 rows by construction;
-#   2. everything else by grading age (stalest first), so round 15's
-#      window naturally lands on q145–q186 plus the next-stalest wrap.
+#   2. everything else by grading age (stalest first), so once this
+#      round's head is marked freshest, round 15's window naturally
+#      lands on q138–q186 (the round-8/9 band minus the q137 fill
+#      graded here) plus q187 as the one next-stalest wrap slot.
 # tools/check_oracles.py remains the all-registry local sweep
 # (CORRECTNESS_LOCAL_ALL.txt / _SF01.txt) — re-run at the closing
 # tree, so every row outside the window has same-tree local evidence.

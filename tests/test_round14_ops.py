@@ -76,6 +76,92 @@ class TestSeqUpsertSink:
         )
         assert got == {1: (9, "max")}
 
+    def _drain_partitioned(
+        self, spark, tmp_path_factory, batches
+    ):
+        """Seq-mode drain with a MUTABLE partition column (region is
+        carried data, not key-derived)."""
+        from ursa_major_choir_etl_spark.streaming import jobs
+
+        src = str(tmp_path_factory.mktemp("sequp_psrc"))
+        wh = str(tmp_path_factory.mktemp("sequp_pwh"))
+        ck = str(tmp_path_factory.mktemp("sequp_pck"))
+        schema = "k long, seq long, region string, v string"
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            time.sleep(1.1)
+        stream = jobs.read_event_stream(
+            spark,
+            src,
+            spark.createDataFrame([], schema).schema,
+            max_files_per_trigger=1,
+        )
+        q = jobs.streaming_upsert_sink(
+            stream,
+            wh,
+            "state",
+            key_cols=["k"],
+            partition_col="region",
+            checkpoint_dir=ck,
+            seq_col="seq",
+        )
+        assert q.awaitTermination(180)
+        store = spark.read.parquet(os.path.join(wh, "state"))
+        return (
+            sorted(
+                (r["k"], r["seq"], r["region"], r["v"])
+                for r in store.collect()
+            ),
+            os.path.join(wh, "state"),
+        )
+
+    def test_partition_move_retires_the_old_row(
+        self, spark, tmp_path_factory
+    ):
+        """A newer update that MOVES a key to another partition must
+        leave exactly one row for the key: the delta-derived touched
+        set alone would rewrite only the new partition and strand
+        the standing row in the old one forever (the latent
+        duplicate a round-14 review found); the standing-partition
+        extra_touched pass closes it. k=2 pins that an untouched
+        sibling row in the vacated partition survives the rewrite."""
+        rows, path = self._drain_partitioned(
+            spark,
+            tmp_path_factory,
+            [
+                [(1, 5, "A", "old"), (2, 1, "A", "stay")],
+                [(1, 9, "B", "moved")],
+            ],
+        )
+        assert rows == [(1, 9, "B", "moved"), (2, 1, "A", "stay")]
+
+    def test_partition_move_that_empties_a_partition_removes_it(
+        self, spark, tmp_path_factory
+    ):
+        rows, path = self._drain_partitioned(
+            spark,
+            tmp_path_factory,
+            [[(1, 5, "A", "old")], [(1, 9, "B", "moved")]],
+        )
+        assert rows == [(1, 9, "B", "moved")]
+        assert not os.path.exists(os.path.join(path, "region=A"))
+
+    def test_stale_partition_move_is_rejected(
+        self, spark, tmp_path_factory
+    ):
+        """A late-arriving STALE update carrying a different
+        partition value must lose on seq and leave the standing row
+        (and its partition) untouched."""
+        rows, path = self._drain_partitioned(
+            spark,
+            tmp_path_factory,
+            [[(1, 9, "B", "newer")], [(1, 5, "A", "stale-move")]],
+        )
+        assert rows == [(1, 9, "B", "newer")]
+        assert not os.path.exists(os.path.join(path, "region=A"))
+
     def test_split_invariance(self, spark, tmp_path_factory):
         """max-by-seq is commutative and idempotent, so the final
         store must not depend on how the log is split into

@@ -112,6 +112,8 @@ def materialize_once(
     if cache_key not in _VERIFIED and not os.path.isdir(path):
         os.makedirs(root, exist_ok=True)
         tmp = f"{path}.tmp-{os.getpid()}"
+        from ursa_major_choir_etl_spark.caching import release_staged
+
         try:
             builder().write.mode("overwrite").parquet(tmp)
         except BaseException:
@@ -121,12 +123,13 @@ def materialize_once(
             # so an orphan would linger in the warehouse forever.
             shutil.rmtree(tmp, ignore_errors=True)
             raise
-        # The builder may have staged intermediates (jaccard_pairs
-        # persists its shingle index); the write above was their one
-        # consumer — release before handing control back.
-        from ursa_major_choir_etl_spark.caching import release_staged
-
-        release_staged()
+        finally:
+            # The builder may have staged (persisted) intermediates —
+            # jaccard_pairs persists its shingle index; the write
+            # above was their one consumer. Release on BOTH paths: a
+            # failed build must not leave them pinned in executor
+            # storage for the rest of the session.
+            release_staged()
         try:
             os.rename(tmp, path)
         except OSError:

@@ -16649,8 +16649,8 @@ def _drained_store_artifact(
     sink_fn,
     read_fn,
 ) -> DataFrame:
-    """Shared drain-to-artifact harness for the streaming-store value
-    gates (q283/q289/q290/q291/q292): replay a batch frame as a
+    """Shared drain-to-artifact harness for ALL TEN streaming-store
+    value gates (q283, q289–q297): replay a batch frame as a
     MULTI-BATCH file stream (8-file copy, maxFilesPerTrigger=2 — so
     the sink's merge path runs across ≥4 micro-batches, checkpoint
     and all), read the resulting store back, and publish it once per
@@ -17250,7 +17250,10 @@ def cc_store_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         "cc_store",
         sf_dir,
-        _CC_STORE_VERSION * 100 + _PAIRS_VERSION,
+        # Radix-compose so a bump of EITHER version changes the key;
+        # 10000 keeps the pair injective for any realistic
+        # _PAIRS_VERSION (a *100 radix would collide (1,100)==(2,0)).
+        _CC_STORE_VERSION * 10000 + _PAIRS_VERSION,
         [os.path.join(sf_dir, "documents.parquet")],
         lambda: jaccard_pairs_table(spark, sf_dir).select(
             F.col("id_a").cast("long"), F.col("id_b").cast("long")
@@ -17694,21 +17697,22 @@ def fuzzy_probe_store_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (it reflects the replay split, not the data)."""
     from ursa_major_choir_etl_spark.streaming import jobs
 
-    docs = T(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 10 != 7)
     return _drained_store_artifact(
         spark,
         "fuzzy_probe_store",
         sf_dir,
         _FUZZY_STORE_VERSION,
         [os.path.join(sf_dir, "documents.parquet")],
-        lambda: docs.filter(F.col("doc_id") % 10 == 7).select(
-            "doc_id", "text"
-        ),
+        # Source frames are constructed INSIDE the lambdas (like every
+        # sibling store builder), so the already-built path pays no
+        # documents.parquet read setup for closures never invoked.
+        lambda: T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 7)
+        .select("doc_id", "text"),
         "doc_id bigint, text string",
         lambda stream, wh, ckpt: jobs.streaming_fuzzy_dedup_sink(
             stream,
-            corpus,
+            T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 7),
             wh,
             "fuzzy",
             n=3,

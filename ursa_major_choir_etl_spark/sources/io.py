@@ -316,6 +316,7 @@ def merge_upsert(
     updates: DataFrame,
     key_cols: list[str],
     partition_col: str | None = None,
+    extra_touched: list | None = None,
 ) -> tuple[int, int]:
     """CDC-style MERGE (upsert): rows in ``updates`` replace target
     rows with the same key; unmatched rows are inserted.
@@ -334,6 +335,16 @@ def merge_upsert(
     run, `etl/main.py:190-285`); this is the scale-path extension the
     overwrite sink (S6/S7) needs for frequent small deltas.
 
+    Touched partitions are derived from the DELTA's partition values,
+    which is only complete when a key's partition value never changes
+    between updates (partition_col derived from the key, the standard
+    Hive-layout contract). A caller whose updates CAN move a key
+    across partitions must pass the standing rows' partition values
+    via ``extra_touched`` — those partitions then join the rewrite,
+    so the key's old row is retired (and a partition left empty is
+    removed) in the same atomic swap. ``streaming_upsert_sink``'s
+    seq mode does exactly this.
+
     Returns (n_replaced, n_inserted).
     """
     import shutil
@@ -342,9 +353,13 @@ def merge_upsert(
     target = spark.read.parquet(path)
 
     if partition_col is not None:
-        touched = [
-            r[0] for r in updates.select(partition_col).distinct().collect()
-        ]
+        touched = sorted(
+            {
+                r[0]
+                for r in updates.select(partition_col).distinct().collect()
+            }
+            | set(extra_touched or [])
+        )
         pruned = target.filter(F.col(partition_col).isin(touched))
     else:
         touched = None

@@ -244,6 +244,16 @@ def streaming_upsert_sink(
     driver value gate certifies against a from-raw last-write-wins
     oracle. ``seq_col`` must be unique per key (a CDC log sequence /
     LSN); ties would make the winner's non-key columns ambiguous.
+
+    Partition moves: in seq mode an update MAY change a key's
+    ``partition_col`` value — the standing rows' partitions are
+    passed to merge_upsert as extra touched partitions, so the old
+    row is retired (and an emptied partition removed) in the same
+    atomic swap. In arrival-order mode (no ``seq_col``) the touched
+    set is delta-derived only, so ``partition_col`` must be stable
+    per key (key-derived, the standard Hive-layout contract) — a
+    moving partition value there would leave the key's old row in
+    place.
     """
     from ursa_major_choir_etl_spark.sources import io as sio
 
@@ -270,28 +280,52 @@ def streaming_upsert_sink(
             # keys' current rows enter the contest (broadcast semi on
             # the delta keys — delta-sized, never table-sized), then
             # merge_upsert replaces them with the per-key max-seq row.
+            # standing and winners are persisted for the merge's
+            # duration: winners embeds the target scan + semi join +
+            # window, and merge_upsert runs three actions over it
+            # (two counts + the write) — unpersisted, each would
+            # re-read the standing table.
             spark = batch_df.sparkSession
             target = spark.read.parquet(path)
             standing = target.join(
                 F.broadcast(best.select(*key_cols).distinct()),
                 key_cols,
                 "left_semi",
-            )
-            winners = (
-                standing.select(*best.columns)
-                .unionByName(best)
-                .withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
-            sio.merge_upsert(
-                spark,
-                warehouse,
-                name,
-                winners,
-                key_cols,
-                partition_col=partition_col,
-            )
+            ).persist()
+            winners = None
+            try:
+                # An update may MOVE a key to a new partition value;
+                # the standing rows' partitions must then join the
+                # rewrite so the old row is retired (delta-sized
+                # collect — one value per touched partition).
+                extra = None
+                if partition_col is not None:
+                    extra = [
+                        r[0]
+                        for r in standing.select(partition_col)
+                        .distinct()
+                        .collect()
+                    ]
+                winners = (
+                    standing.select(*best.columns)
+                    .unionByName(best)
+                    .withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                ).persist()
+                sio.merge_upsert(
+                    spark,
+                    warehouse,
+                    name,
+                    winners,
+                    key_cols,
+                    partition_col=partition_col,
+                    extra_touched=extra,
+                )
+            finally:
+                standing.unpersist()
+                if winners is not None:
+                    winners.unpersist()
             return
         if not _os.path.exists(path):
             writer = batch_df.write.mode("overwrite")

@@ -7578,10 +7578,17 @@ def q157_transitive_decontamination(spark: SparkSession, sf_dir: str) -> DataFra
     many extra docs the closure drops on top of the direct hits —
     the honest decontamination bill. Eleventh consumer of the pair
     artifact; the eval gram index stays broadcast-sized."""
+    from ursa_major_choir_etl_spark.caching import stage
+
     docs = T(spark, sf_dir, "documents")
     tr = docs.filter(F.col("doc_id") % 50 != 0)
     ev = docs.filter(F.col("doc_id") % 50 == 0)
-    direct = (
+    # ``direct`` (the full-corpus shingle probe — the expensive stage)
+    # feeds TWO consumers: the bad-component seed and the per-source
+    # direct-hit marker. Stage it so the corpus tokenize+shingle+join
+    # pipeline runs once, not twice (round-14 optimization; the plan
+    # had two copies of the whole contamination subtree).
+    direct = stage(
         dedup.cross_corpus_contamination(tr, ev, n=4, min_shared=1)
         .select(F.col("train_id").alias("doc_id"))
         .distinct()
@@ -8659,10 +8666,20 @@ def q177_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     via DECIMAL cross-multiplication (lift_ppm = co * n_orders * 1e6
     DIV (s_a * s_b)) — no floats. min_support prunes before the
     marginal joins."""
+    from ursa_major_choir_etl_spark.caching import stage
+
     li = T(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    # The distinct (order, part) projection feeds FOUR consumers (both
+    # pair sides, the marginals, and the n_orders count): stage it so
+    # the lineitem scan + distinct shuffle run once, not four times
+    # (round-14 optimization — the plan showed 4 copies of the same
+    # scan+Exchange subtree; guide §2.4 "two operations keyed the same
+    # way can share one exchange").
+    op = stage(
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        ).distinct()
+    )
     a = op.select("o", F.col("p").alias("part_a"))
     b = op.select("o", F.col("p").alias("part_b"))
     pairs = (
@@ -10548,8 +10565,18 @@ def q200_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     no all-pairs path anywhere. The report is four 1-row aggregates
     cross-joined (q168's pattern); docs with fewer than 3 tokens have
     no shingles and honestly depress completeness."""
-    docs = T(spark, sf_dir, "documents").select(
-        "doc_id", text.fingerprint("text").alias("fp")
+    from ursa_major_choir_etl_spark.caching import stage
+
+    # docs (fingerprint pass) feeds three consumers (both self-join
+    # sides + n_docs); cand (the whole shingle->minhash->band LSH
+    # pipeline) feeds two (n_cand + the hit semi-join). Stage both so
+    # each expensive pipeline runs once (round-14 optimization — the
+    # un-staged plan recomputed the full LSH subtree for the count and
+    # again for the join).
+    docs = stage(
+        T(spark, sf_dir, "documents").select(
+            "doc_id", text.fingerprint("text").alias("fp")
+        )
     )
     lft = docs.alias("l")
     rgt = docs.alias("r")
@@ -10562,8 +10589,7 @@ def q200_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = dedup.word_shingles(T(spark, sf_dir, "documents"))
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
-    cand = dedup.lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
-    from ursa_major_choir_etl_spark.caching import stage
+    cand = stage(dedup.lsh_candidate_pairs(sigs, num_hashes=8, bands=4))
 
     truth = stage(truth)  # consumed twice: count + hit join
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))

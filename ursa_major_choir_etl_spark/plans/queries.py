@@ -4792,9 +4792,14 @@ def q104_quantile_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame
         log_quantile_sketch,
     )
 
+    from ursa_major_choir_etl_spark.caching import stage
+
     orders = T(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    pos = orders.select(cents.alias("x")).filter(F.col("x") >= 1)
+    # pos feeds both the sketch groupBy and the exact-percentile
+    # aggregate: stage it so the orders scan + cents projection run
+    # once, not twice (round-14 optimization).
+    pos = stage(orders.select(cents.alias("x")).filter(F.col("x") >= 1))
     est = log_quantile_estimates(
         log_quantile_sketch(pos, "x"), _Q104_QS
     )

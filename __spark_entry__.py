@@ -8,11 +8,11 @@
 
 Registry order: the first 50 entries are the driver's grading window,
 rotated each round to the 50 stalest queries under the (_staleness,
-q-number) ordering in plans/queries.py (round 14: never-driver-graded
-q283–q299 — all TEN value-gated streaming stores plus the q298/q299
-deterministic-split ops — plus the round-7 bands q01–q09/q114–q136
-and the q137 fill). Import-time asserts plus two test pins fail
-loudly on a half-done rotation.
+q-number) ordering in plans/queries.py (round 15: q138–q186, the
+rounds-8/9 band — the oldest surviving driver rows, and the band
+carrying the round-14 q157/q177 staging changes — plus the q187 wrap
+slot). Import-time asserts plus test pins fail loudly on a half-done
+rotation.
 
 Per-round additions (all value-oracled from birth; several with
 deliberately INDEPENDENT oracle-side derivations — hex-cast vs instr

@@ -109,24 +109,20 @@ class TestSynthBlobs:
 
 class TestRound10Registry:
     def test_new_queries_registered_behind_the_window(self, spark):
-        """Round-14 ordering contract: q64-q113 were driver-graded in
-        round 13 (CORRECTNESS_r13.json), so the head is now the
-        stalest-50 SET — never-graded q283-q299 plus the round-7
-        bands q01-q09 / q114-q136 and the q137 fill — in
+        """Round-15 ordering contract: the round-14 window
+        (q01-q09/q114-q137/q283-q299) was driver-graded in round 14
+        (CORRECTNESS_r14.json), so the head is now the stalest-50 SET
+        — q138-q186 (rounds-8/9 band) plus the q187 wrap slot — in
         ascending q-number order."""
         from ursa_major_choir_etl_spark.plans.queries import ORACLES, QUERIES
 
         ks = list(QUERIES)
         assert len(ks) >= 299
         qnum = lambda k: int(k[1 : k.index("_")])  # noqa: E731
-        head = [
-            k
-            for k in ks
-            if qnum(k) <= 9 or 114 <= qnum(k) <= 137 or qnum(k) >= 283
-        ]
+        head = [k for k in ks if 138 <= qnum(k) <= 187]
         assert len(head) == 50
         assert ks[:50] == sorted(head, key=qnum)
-        assert [k[:4] for k in ks[:3]] == ["q01_", "q02_", "q03_"]
+        assert [k[:5] for k in ks[:3]] == ["q138_", "q139_", "q140_"]
         for q in ("q252_", "q253_", "q254_", "q255_", "q256_", "q257_",
                   "q258_", "q259_", "q260_", "q261_", "q262_", "q263_",
                   "q264_", "q265_", "q266_", "q267_", "q268_", "q269_",

@@ -89,12 +89,12 @@ class TestQ290QuantileStore:
 
 def test_round13_queries_registered_with_oracles(spark):
     """Round 13 registered q289/q290 behind the then-current q64-q113
-    window; the round-14 rotation moved the whole q283-q297 streaming
-    band INTO the grading head, so the positional pin flips."""
+    window; round 14 graded them (CORRECTNESS_r14.json), so the
+    round-15 rotation moves them back OUT of the grading head."""
     from ursa_major_choir_etl_spark.plans.queries import ORACLES, QUERIES
 
     ks = list(QUERIES)
     assert len(ks) == 299
     for q in ("q289_streaming_cc_store", "q290_streaming_quantile_store"):
         assert q in QUERIES and ORACLES[q]
-        assert ks.index(q) < 50  # rotated into the round-14 head
+        assert ks.index(q) >= 50  # graded round 14 — out of the head

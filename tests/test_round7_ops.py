@@ -341,14 +341,15 @@ class TestConsensusPairs:
 
 class TestGradingWindowRotation:
     def test_window_leads_with_never_graded_then_stalest(self):
-        """The driver grades the first 50 registry entries. Round-14
-        policy: q64-q113 went green in round 13 (CORRECTNESS_r13.json),
-        so the window rotates to the 50 now-stalest entries — the
-        never-driver-graded q283-q299 (all TEN value-gated streaming
-        stores plus the round-14 split ops q298/q299) plus the
-        round-7 bands q01-q09 / q114-q136 and the q137 fill from the
-        round-8/9 band — in ascending q-number order, filling all 50
-        slots exactly."""
+        """The driver grades the first 50 registry entries. Round-15
+        policy (ordered by the round-14 VERDICT item 2): the round-14
+        window (q01-q09/q114-q137/q283-q299) went green in
+        CORRECTNESS_r14.json, so the window rotates to the 50
+        now-stalest entries — q138-q186 (the whole rounds-8/9 band,
+        which also puts the round-14 q157/q177 staging changes under
+        driver grading) plus q187 as the one next-stalest wrap slot
+        — in ascending q-number order, filling all 50 slots
+        exactly."""
         from ursa_major_choir_etl_spark.plans.queries import (
             _head,
             _staleness,
@@ -359,14 +360,13 @@ class TestGradingWindowRotation:
         assert len(window) == 50
         qnum = lambda k: int(k[1 : k.index("_")])  # noqa: E731
         assert window == sorted(_head, key=qnum)
-        assert [qnum(window[0]), qnum(window[-1])] == [1, 299]
-        # every never-driver-graded query is in the window...
-        assert all(k in window for k in QUERIES if qnum(k) >= 283)
-        # ...freshly graded rows (r10-r13 bands) occupy no slot...
-        assert not any(14 <= qnum(k) <= 113 for k in window)
-        assert not any(187 <= qnum(k) <= 282 for k in window)
-        # ...and every window row is never-graded or r7/r8-9-era
-        assert all(_staleness(k) <= 2 for k in window)
+        assert [qnum(window[0]), qnum(window[-1])] == [138, 187]
+        # the whole rounds-8/9 band is in the window...
+        assert all(138 <= qnum(k) <= 187 for k in window)
+        # ...freshly graded rows (r11-r14 bands) occupy no slot...
+        assert not any(qnum(k) <= 137 or qnum(k) >= 188 for k in window)
+        # ...and every window row is from the two stalest bands
+        assert all(_staleness(k) <= 1 for k in window)
 
     def test_head_is_the_stalest_50_set(self):
         """Round-13 verdict #1 (generalizing round-12 #6): the

@@ -1,14 +1,18 @@
-"""Round-14 optimization profiler: per-query plan capture + timed runs.
+"""Optimization profiler: per-query plan capture + timed runs.
 
 For each named query (or prefix, e.g. ``q184``):
-  - captures ``df.explain('formatted')`` to ``plans/r14/<prefix>_<tag>.txt``
-  - times N noop-sink executions (cold first, then warm repeats)
+  - captures ``df.explain('formatted')`` to
+    ``plans/<round>/<prefix>_<tag>.txt`` (``--round``, default r15)
+  - times N noop-sink executions (the first labeled 'first' — it runs
+    AFTER the sf0.001 JIT warm-up sweep, so it is not a true cold)
 
 Usage: python tools/profile_query.py [--tag before|after] [--sf SF_DIR]
                                      [--runs N] q184 q131 ...
 
 Artifacts are pre-built (untimed) before the first measurement so the
-query timings are query cost alone, matching bench.py's split.
+query timings are query cost alone, matching bench.py's split; pass
+--skip-artifacts when the targets touch none of them (round-14 ADVICE:
+building all of them is wasted setup for most queries).
 """
 
 from __future__ import annotations
@@ -30,7 +34,11 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--no-plan", action="store_true")
+    ap.add_argument("--round", default="r15")
+    ap.add_argument("--skip-artifacts", action="store_true")
     args = ap.parse_args()
+    if args.runs < 1:
+        ap.error("--runs must be >= 1")
 
     from ursa_major_choir_etl_spark.caching import release_staged
     from ursa_major_choir_etl_spark.plans.queries import (
@@ -40,7 +48,7 @@ def main() -> None:
     from ursa_major_choir_etl_spark.session import get_spark
 
     spark = get_spark(
-        app_name="profile_r14",
+        app_name="profile_query",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.range(1000).count()
@@ -53,13 +61,14 @@ def main() -> None:
             continue
         names.extend(match)
 
-    for aname, builder in ARTIFACT_BUILDERS.items():
-        try:
-            builder(spark, args.sf)
-        except Exception as exc:  # noqa: BLE001
-            print(f"!! artifact {aname}: {exc}")
-    release_staged()
-    spark.catalog.clearCache()
+    if not args.skip_artifacts:
+        for aname, builder in ARTIFACT_BUILDERS.items():
+            try:
+                builder(spark, args.sf)
+            except Exception as exc:  # noqa: BLE001
+                print(f"!! artifact {aname}: {exc}")
+        release_staged()
+        spark.catalog.clearCache()
 
     # Mirror bench.py's untimed sf0.001 warm-up for the TARGET queries:
     # drives their whole-stage-codegen classes through Janino + C2 so
@@ -68,26 +77,25 @@ def main() -> None:
     # post-sweep number is ~5s).
     warm_dir = "/root/testdata/sf0.001"
     if not os.environ.get("SPARK_GRAFT_NO_WARMUP") and os.path.isdir(warm_dir):
-        for q in args.queries:
-            for name in [k for k in QUERIES if k == q or k.startswith(q + "_")]:
-                for _ in range(2):
-                    try:
-                        QUERIES[name](spark, warm_dir).write.format(
-                            "noop"
-                        ).mode("overwrite").save()
-                    except Exception:
-                        pass
-                    release_staged()
-                    spark.catalog.clearCache()
-                    for jrdd in (
-                        spark.sparkContext._jsc.getPersistentRDDs().values()
-                    ):
-                        jrdd.unpersist(False)
+        for name in names:
+            for _ in range(2):
+                try:
+                    QUERIES[name](spark, warm_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                except Exception:
+                    pass
+                release_staged()
+                spark.catalog.clearCache()
+                for jrdd in (
+                    spark.sparkContext._jsc.getPersistentRDDs().values()
+                ):
+                    jrdd.unpersist(False)
 
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        args.round,
     )
     os.makedirs(out_dir, exist_ok=True)
 
@@ -118,7 +126,9 @@ def main() -> None:
             for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
                 jrdd.unpersist(False)
         spark.sparkContext.setJobDescription(None)
-        print(f"{name}: cold {times[0]}  warm {times[1:]}")
+        # 'first' (not 'cold'): the sf0.001 JIT sweep above already
+        # compiled this query's codegen classes.
+        print(f"{name}: first {times[0]}  warm {times[1:]}")
 
 
 if __name__ == "__main__":

@@ -2843,7 +2843,19 @@ def q63_name_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates. The small dimension is broadcast so pair generation
     never shuffles the big side; the argmin is the engine-portable
     zero-padded composite (DuckDB max_by can't take struct keys)."""
-    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    # The levenshtein DP (|pairs| x |name|^2 cell ops — the module's
+    # heaviest per-row expression) runs in the CUSTOMER scan stage:
+    # supplier is broadcast, so pair generation + distance + partial
+    # min all happen before the only shuffle. A one-split customer
+    # scan (the small-file case) serializes ~600k DP evaluations
+    # through one task (guide §2.5 input skew / §2.6 stragglers);
+    # round-robin widening spreads them evenly and is a no-op at real
+    # scale where splits outnumber cores.
+    cust = text.widen_if_narrow(
+        T(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_nationkey"
+        )
+    )
     supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     pairs = cust.join(
         supp, cust["c_nationkey"] == supp["s_nationkey"]
@@ -18439,24 +18451,22 @@ QUERIES = {
 }
 
 # The driver grades a prefix window of this registry (50 entries per
-# round). Coverage ledger entering round 14: round 13 graded q64–q113
-# (50/50 green, CORRECTNESS_r13.json); round 12 graded q14–q63; round
-# 11 graded q237–q282 plus the wrap q10–q13; round 10 graded
-# q187–q236; q137–q186 carry round-8/9 rows; q01–q09 and q114–q136
-# carry round-7 rows — now the OLDEST graded rows. q283–q299 (added
-# rounds 12–14: all TEN value-gated streaming stores plus the q298/
-# q299 split ops) have no driver row yet — they lead the window.
-# Round-14 priority order:
+# round). Coverage ledger entering round 15: round 14 graded q01–q09,
+# q114–q137 and q283–q299 (50/50 green, CORRECTNESS_r14.json — all
+# ten streaming stores and the split ops now carry driver rows);
+# round 13 graded q64–q113; round 12 graded q14–q63; round 11 graded
+# q237–q282 plus the wrap q10–q13; round 10 graded q187–q236. The
+# OLDEST surviving rows are now q138–q186 (graded rounds 8/9).
+# Round-15 priority order (the round-14 VERDICT's item 2 ordered this
+# rotation explicitly — it also puts the round-14 q157/q177 staging
+# changes under driver grading):
 #   1. the head: exactly the 50 stalest entries under (_staleness,
-#      q-number) — q283–q299 + q01–q09 + q114–q137 — in ascending
-#      q-number order (the driver hashes each entry independently;
-#      order inside the window is cosmetic). Adding q298/q299 mid-
-#      round pushed the staleness-2 fill back from q139 to q137:
-#      never-graded entries outrank rounds-8/9 rows by construction;
-#   2. everything else by grading age (stalest first), so once this
-#      round's head is marked freshest, round 15's window naturally
-#      lands on q138–q186 (the round-8/9 band minus the q137 fill
-#      graded here) plus q187 as the one next-stalest wrap slot.
+#      q-number) — q138–q186 (the whole rounds-8/9 band) plus q187 as
+#      the one next-stalest wrap slot — in ascending q-number order
+#      (the driver hashes each entry independently; order inside the
+#      window is cosmetic);
+#   2. everything else by grading age (stalest first), so round 16's
+#      window naturally lands on q188–q236 plus the next wrap slot.
 # tools/check_oracles.py remains the all-registry local sweep
 # (CORRECTNESS_LOCAL_ALL.txt / _SF01.txt) — re-run at the closing
 # tree, so every row outside the window has same-tree local evidence.
@@ -18469,29 +18479,23 @@ def _qnum(k: str) -> int:
 _names = sorted(QUERIES, key=_qnum)
 # The head is stated EXPLICITLY (not derived from _staleness), so the
 # guard below keeps two independently-written parts that must agree.
-_head = [
-    k
-    for k in _names
-    if _qnum(k) <= 9 or 114 <= _qnum(k) <= 137 or _qnum(k) >= 283
-]
+_head = [k for k in _names if 138 <= _qnum(k) <= 187]
 
 
 def _staleness(k: str) -> int:
     """Rounds since last driver grading (0 = stalest)."""
     n = _qnum(k)
-    if n >= 283:
-        return 0  # never driver-graded (added rounds 12-14)
-    if n <= 9 or (114 <= n <= 136):
-        return 1  # graded round 7 — the oldest surviving driver rows
-    if 137 <= n <= 186:
-        return 2  # q137–q186: graded rounds 8 AND 9
+    if 138 <= n <= 186:
+        return 0  # q138–q186: graded rounds 8 AND 9 — the oldest rows
     if 187 <= n <= 236:
-        return 3  # q187–q236: graded round 10
+        return 1  # q187–q236: graded round 10
     if 10 <= n <= 13 or 237 <= n <= 282:
-        return 4  # q10–q13 wrap and q237–q282: graded round 11
+        return 2  # q10–q13 wrap and q237–q282: graded round 11
     if 14 <= n <= 63:
-        return 5  # q14–q63: graded round 12
-    return 6  # q64–q113: graded round 13 — freshest
+        return 3  # q14–q63: graded round 12
+    if 64 <= n <= 113:
+        return 4  # q64–q113: graded round 13
+    return 5  # q01–q09, q114–q137, q283–q299: graded round 14 — freshest
 
 
 _order = _head + sorted(
